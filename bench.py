@@ -1,0 +1,70 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is collected (full materialization). A warm-up run of the
+flagship amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from micmac_li3ds_spark import registry  # noqa: E402
+from micmac_li3ds_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per operator family; extended as
+# milestones land. Kept explicit so bench numbers stay comparable
+# across rounds.
+HEADLINE = [
+    "q_pricing_summary",
+    "q_filter_simple",
+    "q_project_distinct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry.registry()
+    names = [n for n in HEADLINE if n in reg]
+
+    # Warm-up: JVM JIT + codegen + parquet footer caches.
+    reg["q_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.time()
+        df = reg[name].fn(spark, sf_dir)
+        n = df.count() if name.startswith("q_scan") else len(df.collect())
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
