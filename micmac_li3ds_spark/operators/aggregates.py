@@ -1,1 +1,317 @@
-"""Placeholder — populated in a later milestone."""
+"""M1/M3 aggregation operators (SURVEY.md §2.4).
+
+All hash aggregates: Spark plans partial (map-side) + final aggregation
+automatically, so the shuffle carries only per-group partial states —
+the 100 TB-safe shape as long as group cardinality is bounded (it is
+here: flags, priorities, nations, user_ids). Money sums use the exact
+integer-cents pattern (functions/exact.py) for cross-engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark.functions.exact import cents, duck_cents
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+
+@register(
+    "q_agg_basic",
+    oracle=f"""
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  SUM({duck_cents('o_totalprice')}) / 100.0 AS sum_total,
+  round(SUM({duck_cents('o_totalprice')}) / COUNT(*) / 100.0, 6) AS avg_total,
+  min(o_totalprice) AS min_total,
+  max(o_totalprice) AS max_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/min/max per group — one shuffle on the group key."""
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    n = F.count(F.lit(1))
+    return o.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        (F.sum(c) / 100.0).alias("sum_total"),
+        F.round(F.sum(c) / n / 100.0, 6).alias("avg_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT …) — Catalyst expands to a two-phase plan
+    (distinct by (group, value) then count); no driver-side work."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("q_agg_approx_distinct", tags=("agg", "approx"))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — rows-only check (estimates
+    are engine-specific). At 100 TB this replaces exact distincts in
+    dashboards: mergeable sketch, no expand."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+SELECT l_partkey,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(l_quantity AS BIGINT)) > 500
+""",
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a plain filter above the agg."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.sum(qty).alias("total_qty"), F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("total_qty") > 500)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n_cust,
+       SUM({duck_cents('c_acctbal')}) / 100.0 AS sum_bal
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+    tags=("agg", "rollup"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (seg, nation) → (seg) → () with NULL
+    group markers, exactly as SQL ROLLUP."""
+    c = load(spark, sf_dir, "customer")
+    return c.rollup("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        (F.sum(cents("c_acctbal")) / 100.0).alias("sum_bal"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "cube"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations (2^k sets). Expansion happens before the
+    shuffle (Expand node) — fine for k=2, document k>4 as an anti-pattern
+    at scale (input replicated 2^k times)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM({duck_cents('o_totalprice')}) / 100.0 AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("agg", "grouping_sets"),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set list via Spark SQL (same Expand-based plan
+    as rollup/cube)."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+SELECT lang,
+       list_sort(list(DISTINCT source)) AS sources,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+    tags=("agg", "collect"),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group value arrays; array_sort imposed for determinism
+    (SURVEY.md §5.3 — collect order is undefined in both engines)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT c_mktsegment,
+       round(stddev_samp(c_acctbal), 6) AS sd_bal,
+       round(var_samp(c_acctbal), 2) AS var_bal,
+       round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+       round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 2) AS covar_bal_key
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Rounding scales chosen by magnitude so the
+    engines' (different but numerically stable) accumulation orders agree:
+    stddev/corr at 6dp, variance/covariance (squared units) at 2dp."""
+    c = load(spark, sf_dir, "customer")
+    key_d = F.col("c_custkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("corr_bal_key"),
+        F.round(F.covar_samp(F.col("c_acctbal"), key_d), 2).alias("covar_bal_key"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 6) AS med_qty,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles with linear interpolation (Spark `percentile`
+    ≡ DuckDB `quantile_cont`). l_quantity is integer-valued so results
+    are exact halves — deterministic across engines. The approximate
+    variant (percentile_approx / KLL) is rows-only territory; at 100 TB
+    exact percentiles require a full sort per group — prefer sketches."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", 0.75), 6).alias("p75_qty"),
+    )
+
+
+EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns. Value list passed explicitly — at
+    scale this avoids the extra distinct-values job Spark otherwise runs.
+    Missing combos are NULL in Spark's pivot but 0 in FILTER-count SQL,
+    so coalesce to 0 for identical semantics."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE value > 100.0) AS n_big,
+       CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+                              THEN {duck_cents('value')} ELSE 0 END), 0) AS BIGINT) / 100.0
+         AS purchase_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "conditional"),
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (FILTER / CASE-sum shape)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("value") > 100.0, 1)).alias("n_big"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", cents("value")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ),
+                F.lit(0).cast("long"),
+            )
+            / 100.0
+        ).alias("purchase_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

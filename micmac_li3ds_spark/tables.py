@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -70,10 +71,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table; fail fast on schema drift."""
+    """Load one corpus table; fail fast on schema drift.
+
+    ``events.ts`` is parquet timestamp[ns], which Spark 4 refuses to read
+    as a timestamp (PARQUET_TYPE_ILLEGAL). We read nanos as long via the
+    legacy conf and floor-convert to a microsecond timestamp — the same
+    truncation direction DuckDB's ns→µs cast uses, so second-level
+    comparisons agree across engines (SURVEY.md §5.3).
+    """
     if name not in EXPECTED_COLUMNS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(EXPECTED_COLUMNS)}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     missing = EXPECTED_COLUMNS[name] - set(df.columns)
     if missing:
         raise ValueError(f"table {name} missing expected columns: {sorted(missing)}")
