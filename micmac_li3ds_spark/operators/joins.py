@@ -1,1 +1,373 @@
-"""Placeholder — populated in a later milestone."""
+"""M2 join operators (SURVEY.md §2.3).
+
+Strategy notes (the part that matters at 100 TB):
+- Dimension joins broadcast (region/nation always; customer/part/supplier
+  below the 32 MB threshold here, and at scale they'd be explicitly
+  hinted or bucketed).
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key — both
+  sides partition by l_orderkey/o_orderkey, which is also the natural
+  bucketing key for co-located storage.
+- The range join avoids the BroadcastNestedLoop trap by equi-joining on
+  a coarse time bucket first, then applying the range predicate — the
+  standard interval-join decomposition.
+- The as-of join is the union+window rewrite: one shuffle on the
+  partition key, no per-row subqueries, no skew beyond the key's own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from micmac_li3ds_spark.functions.exact import cents, duck_cents
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_cust,
+       SUM({duck_cents('c_acctbal')}) / 100.0 AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    tags=("join", "broadcast"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim enrichment via broadcast hash join: region and nation ship to
+    every executor (bytes, not a shuffle of the fact side)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_sortmerge",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus,
+       COUNT(*) AS n_lines,
+       SUM({duck_cents('l_extendedprice')} * (100 - {duck_cents('l_discount')})) / 10000.0
+         AS revenue
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderkey, o_orderstatus
+""",
+    tags=("join", "sortmerge"),
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join, sort-merge strategy (MERGE hint). Both
+    sides shuffle on the order key; with bucketed storage on that key the
+    exchange disappears entirely."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    price = cents("l_extendedprice")
+    disc = cents("l_discount")  # discount in [0,1] at 2dp → integer percent
+    return (
+        o.hint("MERGE")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(price * (100 - disc)) / 10000.0).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_shuffle_hash",
+    oracle="""
+SELECT l_suppkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_suppkey
+""",
+    tags=("join", "shuffle_hash"),
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same equi-join under the SHUFFLE_HASH strategy: no sort, builds a
+    hash table per partition — wins when one side is much smaller after
+    filtering but still too big to broadcast."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000.0) big
+  ON big.o_custkey = c_custkey
+""",
+    tags=("join", "outer"),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer survives; unmatched get NULLs."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(big, big.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+SELECT o_orderkey, o_custkey, c_name
+FROM (SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE') auto
+RIGHT JOIN orders ON auto.c_custkey = o_custkey
+""",
+    tags=("join", "outer"),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (planner canonicalizes to left-outer with sides
+    swapped — semantics preserved)."""
+    auto = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    o = load(spark, sf_dir, "orders")
+    return auto.join(o, auto.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+SELECT f.o_custkey AS f_cust, f.n_f, o.o_custkey AS o_cust, o.n_o
+FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders WHERE o_orderstatus='F' GROUP BY o_custkey) f
+FULL JOIN (SELECT o_custkey, COUNT(*) AS n_o FROM orders WHERE o_orderstatus='O' GROUP BY o_custkey) o
+  ON f.o_custkey = o.o_custkey
+""",
+    tags=("join", "outer"),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two aggregated key sets."""
+    orders = load(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+        .select(F.col("o_custkey").alias("f_cust"), "n_f")
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+        .select(F.col("o_custkey").alias("o_cust"), "n_o")
+    )
+    return f.join(o, f.f_cust == o.o_cust, "full").select("f_cust", "n_f", "o_cust", "n_o")
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tags=("join", "semi"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: existence filter; right side never duplicated into
+    the output (and only the key column shuffles)."""
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tags=("join", "anti"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: non-existence (customers with no URGENT order).
+    Also the engine's get-or-create primitive — the reference's
+    idempotent-import semantics (SURVEY.md §2.12 q_etl_get_or_create
+    builds on this)."""
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross_theta",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_pairs
+FROM part
+JOIN supplier
+  ON p_retailprice BETWEEN s_acctbal * 0.4 AND s_acctbal * 0.5
+GROUP BY p_brand
+""",
+    tags=("join", "theta"),
+)
+def q_join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality (theta) join → BroadcastNestedLoop with the small
+    side broadcast. Acceptable only because supplier is tiny; the scale
+    path for interval predicates is q_join_range's bucket decomposition."""
+    p = load(spark, sf_dir, "part")
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    cond = (F.col("p_retailprice") >= F.col("s_acctbal") * 0.4) & (
+        F.col("p_retailprice") <= F.col("s_acctbal") * 0.5
+    )
+    return p.join(s, cond).groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "q_join_range",
+    oracle="""
+WITH windows AS (
+  SELECT o_orderkey,
+         TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 29) DAY AS w_start
+  FROM orders
+)
+SELECT w.o_orderkey, COUNT(e.event_id) AS n_events
+FROM windows w
+JOIN events e
+  ON date_trunc('day', CAST(e.ts AS TIMESTAMP)) = date_trunc('day', w.w_start)
+ AND CAST(e.ts AS TIMESTAMP) >= w.w_start
+ AND CAST(e.ts AS TIMESTAMP) < w.w_start + INTERVAL 1 DAY
+GROUP BY w.o_orderkey
+""",
+    tags=("join", "range"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join, scale-safe decomposition: equi-join on a
+    coarse day bucket FIRST (hash-partitionable), then the residual range
+    predicate. Windows here are day-aligned so one bucket per interval;
+    for arbitrary intervals, explode each interval into covered buckets.
+    Never a bare BroadcastNestedLoop over the fact table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_dt_interval(days=F.col("o_orderkey") % 29)
+        ).alias("w_start"),
+    )
+    e = load(spark, sf_dir, "events")
+    cond = (
+        (F.date_trunc("day", e.ts) == F.date_trunc("day", o.w_start))
+        & (e.ts >= o.w_start)
+        & (e.ts < o.w_start + F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        o.join(e, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+SELECT p.event_id,
+       (SELECT c.event_id
+        FROM events c
+        WHERE c.user_id = p.user_id
+          AND c.event_type = 'click'
+          AND (date_trunc('second', CAST(c.ts AS TIMESTAMP)) < date_trunc('second', CAST(p.ts AS TIMESTAMP))
+               OR (date_trunc('second', CAST(c.ts AS TIMESTAMP)) = date_trunc('second', CAST(p.ts AS TIMESTAMP))
+                   AND c.event_id < p.event_id))
+        ORDER BY date_trunc('second', CAST(c.ts AS TIMESTAMP)) DESC, c.event_id DESC
+        LIMIT 1) AS last_click_id
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, union+window rewrite: for each purchase, the latest
+    click by the same user strictly before it (order = (second-truncated
+    ts, event_id); ties broken by event_id — SURVEY.md §7.3).
+
+    Plan: one shuffle on user_id, one window sort — no per-row probe, no
+    nested loop. This is the canonical scalable as-of shape; at 100 TB
+    add a coarse time-bucket to the partition key to bound partition size.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.date_trunc("second", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    return (
+        ev.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_click_id")
+    )
+
+
+@register(
+    "q_join_self",
+    oracle="""
+SELECT s.user_id, s.event_id AS signup_id, COUNT(p.event_id) AS n_purchases_after
+FROM events s
+JOIN events p
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase'
+ AND date_trunc('second', CAST(p.ts AS TIMESTAMP)) > date_trunc('second', CAST(s.ts AS TIMESTAMP))
+WHERE s.event_type = 'signup'
+GROUP BY s.user_id, s.event_id
+""",
+    tags=("join", "self"),
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with aliases: purchases strictly after each signup per
+    user. Equi-join on user_id carries the shuffle; the time predicate is
+    residual."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.date_trunc("second", F.col("ts"))
+    )
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    return (
+        s.join(
+            p,
+            (F.col("p.user_id") == F.col("s.user_id"))
+            & (F.col("p.ts_sec") > F.col("s.ts_sec")),
+        )
+        .groupBy(F.col("s.user_id").alias("user_id"), F.col("s.event_id").alias("signup_id"))
+        .agg(F.count(F.col("p.event_id")).alias("n_purchases_after"))
+    )

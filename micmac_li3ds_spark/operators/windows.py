@@ -1,1 +1,268 @@
-"""Placeholder — populated in a later milestone."""
+"""M3 window functions (SURVEY.md §2.5).
+
+Every window here partitions on a bounded-cardinality key (segment,
+user_id, brand) — at 100 TB the partition key IS the scalability story:
+one shuffle on the key, per-partition sort, streaming frame evaluation.
+Determinism convention (SURVEY.md §5.3): any ordering that selects
+surviving rows or assigns ordinal numbers includes a unique tiebreaker
+key; timestamps are second-truncated so Spark (µs) and the oracle (ns)
+order identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from micmac_li3ds_spark.functions.exact import cents
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+
+def _events_sec(spark, sf_dir):
+    return load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.date_trunc("second", F.col("ts"))
+    )
+
+
+_DUCK_TS_SEC = "date_trunc('second', CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+FROM customer
+""",
+    tags=("window", "rank"),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio. row_number orders with a unique tiebreaker (custkey)
+    for determinism; rank/dense_rank deliberately order by the non-unique
+    value so ties are exercised."""
+    c = load(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_ties = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+SELECT s_suppkey, s_acctbal,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+""",
+    tags=("window", "ntile"),
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions over a global window (single partition —
+    fine for a dimension; at scale always add PARTITION BY)."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle=f"""
+SELECT event_id, user_id, value,
+       lag(value, 1, 0.0)  OVER w AS prev_value,
+       lead(value, 1, -1.0) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_DUCK_TS_SEC}, event_id)
+""",
+    tags=("window", "offset"),
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with explicit defaults per user timeline."""
+    ev = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1, 0.0).over(w).alias("prev_value"),
+        F.lead("value", 1, -1.0).over(w).alias("next_value"),
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_total,
+       last_value(o_totalprice)  OVER w AS last_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "frame"),
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order value per customer over an unbounded frame
+    (last_value needs the explicit frame — the default frame stops at
+    CURRENT ROW in both engines)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+    ).distinct()
+
+
+@register(
+    "q_win_running",
+    oracle=f"""
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100, 0) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY {_DUCK_TS_SEC}, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_value
+FROM events
+""",
+    tags=("window", "running"),
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user — integer-cents sum keeps every prefix
+    exact (double prefix sums drift between engines)."""
+    ev = _events_sec(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents("value")).over(w) / 100.0).alias("running_value"),
+    )
+
+
+@register(
+    "q_win_moving",
+    oracle=f"""
+SELECT event_id, user_id,
+       round(SUM(CAST(round(value * 100, 0) AS BIGINT))
+               OVER w / 100.0 / COUNT(*) OVER w, 6) AS moving_avg_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(epoch({_DUCK_TS_SEC}) AS BIGINT)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "moving"),
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) moving average over a 24 h trailing window,
+    ordered by epoch seconds. Peer rows (same second) share a frame in
+    both engines; the average is exact-cents-sum / count."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "epoch_sec", F.unix_timestamp("ts_sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(cents("value")).over(w) / 100.0 / F.count(F.lit(1)).over(w), 6).alias(
+            "moving_avg_24h"
+        ),
+    )
+
+
+@register(
+    "q_win_topk_group",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 3
+""",
+    tags=("window", "topk"),
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: row_number + filter. Spark pushes a per-partition
+    k-limit into the sort (WindowGroupLimit) — no full materialization
+    of each group at scale."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_win_dedup_latest",
+    oracle=f"""
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY {_DUCK_TS_SEC} DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("window", "dedup"),
+)
+def q_win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: one deterministic survivor per key by recency
+    (ties → largest event_id). This is the engine's idempotent-reimport
+    primitive (the reference re-imports files without duplicating rows)
+    and the batch twin of streaming dropDuplicatesWithinWatermark."""
+    ev = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_sec").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
