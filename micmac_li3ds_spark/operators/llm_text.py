@@ -1,1 +1,481 @@
-"""Placeholder — populated in a later milestone."""
+"""M5 LLM-data-pipeline text operators (SURVEY.md §2.11): dedup family,
+tokenization/TF, text statistics, quality scoring, language heuristic,
+fingerprinting.
+
+Scale design (the whole point of these operators):
+- Exact dedup: hash-groupBy on a content fingerprint — one shuffle on
+  the hash, no pairwise anything.
+- Near-dedup: MinHash signatures → LSH band buckets → candidate pairs →
+  exact-Jaccard verification. Cost is O(docs × shingles) + O(candidate
+  pairs); there is NO all-pairs cross join anywhere. At 100 TB the band
+  groupBy is the only wide shuffle and it partitions by band key.
+- The inverted-index variant (q_llm_ngram_jaccard) is the exact
+  counterpart: explode shingles → self-join the posting lists → verify.
+  Hot shingles are the skew risk; mitigated by dropping shingles with
+  document frequency above a cap (stopword-shingle pruning) — at this
+  corpus no cap is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from micmac_li3ds_spark.functions.text import (
+    DUCK_SHINGLES_CTE,
+    MERSENNE31,
+    duck_token_hash32,
+    jaccard,
+    minhash32,
+    shingles,
+    token_hash32,
+    tokens,
+)
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+# ------------------------------------------------------------ exact dedup
+
+
+@register(
+    "q_llm_exact_dedup",
+    oracle="""
+WITH batches AS (
+  SELECT doc_id, text, 1 AS batch FROM documents
+  UNION ALL
+  SELECT doc_id, text, 2 AS batch FROM documents
+),
+hashed AS (
+  SELECT doc_id, batch,
+         sha256(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+  FROM batches
+)
+SELECT fp,
+       min(doc_id) AS kept_doc_id,
+       COUNT(*) AS n_copies
+FROM hashed
+GROUP BY fp
+""",
+    tags=("llm", "dedup"),
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a simulated double-import (the corpus has no
+    byte-identical duplicates, so the query unions the table with itself
+    — the reference's re-run-the-import scenario). Normalize (lower,
+    trim, collapse whitespace) → sha256 → keep min doc_id per
+    fingerprint. Every fingerprint must show n_copies == 2."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = d.withColumn("batch", F.lit(1)).unionByName(
+        d.withColumn("batch", F.lit(2))
+    )
+    fp = F.sha2(
+        F.lower(F.trim(F.regexp_replace("text", " +", " "))), 256
+    )
+    return (
+        batches.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------- near-dedup (LSH)
+
+_NEAR_DEDUP_ORACLE = f"""
+WITH {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+               / length(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5
+"""
+
+_N_PERM = 128
+_BAND_ROWS = 2  # 64 bands × 2 rows: P(miss | jac=0.8) = (1-0.64)^64 ≈ 5e-29
+
+
+@register("q_llm_near_dedup", oracle=_NEAR_DEDUP_ORACLE, tags=("llm", "dedup", "lsh"))
+def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection, verified.
+
+    Pipeline: 3-token shingles → 128 minhash permutations (computed as
+    128 min-aggregates over the exploded shingle/hash table — map-side
+    combine keeps the shuffle tiny) → 64 two-row LSH bands → bucket
+    self-join for candidates → exact Jaccard verification ≥ 0.5.
+
+    The oracle brute-forces all pairs; the LSH path must find every
+    qualifying pair (miss probability ~5e-29 per pair at jac 0.8 — the
+    corpus' planted duplicates are all ≥ 0.8 with background < 0.1).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles(tokens("text")).alias("sh")
+    )
+    d.cache()
+
+    # signatures: explode → base hash → 128 permuted min-aggregates
+    ex = d.select("doc_id", F.explode("sh").alias("s")).withColumn(
+        "h", minhash32(F.col("s"))
+    )
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * (2 * i + 1) + (12345 + i), F.lit(MERSENNE31))).alias(
+                f"m{i}"
+            )
+            for i in range(_N_PERM)
+        ]
+    )
+    # LSH bands: band key = (band index, concatenated rows)
+    n_bands = _N_PERM // _BAND_ROWS
+    band_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(b),
+            *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = mins.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification on candidates only
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+    return verified.select("doc_a", "doc_b", "jac")
+
+
+@register(
+    "q_llm_ngram_jaccard",
+    oracle=_NEAR_DEDUP_ORACLE.replace("jac >= 0.5", "jac >= 0.6"),
+    tags=("llm", "dedup"),
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard duplicate pairs via an inverted index:
+    explode shingles → self-join posting lists (pairs sharing ≥1
+    shingle) → exact Jaccard ≥ 0.6. Guaranteed-complete counterpart of
+    the LSH path (any pair with jac ≥ 0.6 shares a shingle). Skew note:
+    a shingle appearing in d docs contributes d² candidate rows — cap
+    document frequency at ingest when corpora have boilerplate."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles(tokens("text")).alias("sh")
+    )
+    post = d.select("doc_id", F.explode("sh").alias("s"))
+    a = post.alias("a")
+    b = post.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.6)
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+_SIMHASH_BITS = 32
+
+
+@register(
+    "q_llm_simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, {duck_token_hash32('t')} AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS bal, b.b
+  FROM hashed, (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits
+GROUP BY doc_id
+""",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash document fingerprint from md5-derived token hashes
+    (hash identical in both engines, so the oracle recomputes the exact
+    fingerprint). One explode + one groupBy with 32 balance aggregates —
+    map-side combinable, linear in corpus size."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
+        "h", token_hash32(F.col("t"))
+    )
+    bal = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"bal{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bal)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"bal{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ------------------------------------------------------------- tokenize/TF
+
+
+@register(
+    "q_llm_tokenize_tf",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT lang, term, COUNT(*) AS freq
+  FROM tok GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, term, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rn
+  FROM tf
+)
+SELECT lang, term, freq, rn FROM ranked WHERE rn <= 5
+""",
+    tags=("llm", "text"),
+)
+def q_llm_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → term frequency → top-5 terms per language. The
+    explode+groupBy is the scalable TF shape (no collect of vocabulary);
+    ties broken by term for determinism."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term"))
+    return tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(SUM(n_chars) / COUNT(*), 6) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       COUNT(*) FILTER (WHERE contains(text, 'join')) AS n_mention_join
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("llm", "text"),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) document statistics: counts, length
+    distribution, term-presence flags."""
+    d = load(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return d.groupBy("lang", "source").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") / n, 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.when(F.contains(F.col("text"), F.lit("join")), 1)).alias(
+            "n_mention_join"
+        ),
+    )
+
+
+# --------------------------------------------------------- quality scoring
+
+_STOPWORDS = ("join", "filter", "table", "row", "value")
+_DUCK_STOP = "['join', 'filter', 'table', 'row', 'value']"
+
+
+@register(
+    "q_llm_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(length(toks) AS INTEGER) AS n_tokens,
+         CAST(length(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         CAST(length(list_filter(toks, x -> list_contains({_DUCK_STOP}, x)))
+              AS INTEGER) AS n_stop
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       round(0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+           + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality
+FROM m
+""",
+    tags=("llm", "text"),
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: token count, uniqueness ratio,
+    stopword ratio, length saturation — the standard pre-training filter
+    features, composed into one weighted score. Pure column algebra."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    )
+    uniq = n_dist.cast("double") / n_tok
+    stop = n_stop.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(
+            0.4 * uniq + 0.3 * (1.0 - stop) + 0.3 * F.least(n_tok / 100.0, F.lit(1.0)),
+            6,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "q_llm_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INTEGER) AS n_bpe_pieces,
+       CAST(n_chars AS BIGINT) AS n_chars_out
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-style
+    pre-tokenizer regex (letter runs / digit runs / single symbols) —
+    the cheap proxy for LLM token budgeting at ingest."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_pieces"
+        ),
+        F.col("n_chars").alias("n_chars_out"),
+    )
+
+
+@register(
+    "q_llm_lang_id",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN vr >= 0.42 THEN 'en'
+            WHEN vr >= 0.40 THEN 'fr'
+            WHEN vr >= 0.38 THEN 'es'
+            WHEN vr >= 0.36 THEN 'de'
+            ELSE 'zh' END AS predicted_lang,
+       round(vr, 6) AS vowel_ratio
+FROM (
+  SELECT doc_id, lang,
+         CAST(length(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+           / length(replace(text, ' ', '')) AS vr
+  FROM documents
+)
+""",
+    tags=("llm", "text"),
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic (character-class frequency →
+    threshold rule). The corpus vocabulary is synthetic and shared
+    across langs, so the rule is a deterministic stand-in for a real
+    char-n-gram profile model — the Spark shape (regex feature
+    extraction + CASE classifier, no UDF) is the deliverable."""
+    d = load(spark, sf_dir, "documents")
+    vr = F.size(F.regexp_extract_all("text", F.lit("[aeiou]"), 0)).cast(
+        "double"
+    ) / F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(vr >= 0.42, "en")
+        .when(vr >= 0.40, "fr")
+        .when(vr >= 0.38, "es")
+        .when(vr >= 0.36, "de")
+        .otherwise("zh")
+        .alias("predicted_lang"),
+        F.round(vr, 6).alias("vowel_ratio"),
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_concat([CAST(0 AS BIGINT)],
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the document's characters (base 31,
+    mod 1e9+7) — an order-sensitive content fingerprint, computed with a
+    higher-order fold in both engines (no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(1000000007)),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
