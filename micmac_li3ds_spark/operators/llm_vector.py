@@ -1,1 +1,195 @@
-"""Placeholder — populated in a later milestone."""
+"""M5 embedding/similarity operators (SURVEY.md §2.11).
+
+Similarity is pure column algebra (zip_with dot products inside
+whole-stage codegen). The brute-force paths broadcast the query side —
+the fact side never shuffles. The scale path for unknown-query ANN is
+the IVF pattern: cluster-assign once, equi-join probe buckets — never a
+fact×fact cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from micmac_li3ds_spark.functions.vector import (
+    DUCK_VEC,
+    as_double,
+    cosine,
+    l2_norm,
+    l2_normalize,
+)
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+
+def _emb(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", as_double("embedding").alias("v"))
+
+
+@register(
+    "q_llm_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 250
+""",
+    tags=("llm", "vector"),
+)
+def q_llm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity over an explicit pairing (offset join —
+    the pairing key is arbitrary; the operator under test is the
+    zip_with/aggregate dot-product algebra)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 250)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+
+
+_KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {DUCK_VEC} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("q_llm_knn", oracle=_KNN_ORACLE, tags=("llm", "vector", "knn"))
+def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine search: broadcast the query vector,
+    score every row map-side, TakeOrderedAndProject for the top-k — the
+    exact-search baseline. Scales linearly; no shuffle of the corpus."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_llm_knn_per_label",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {DUCK_VEC} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e, q WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, label, cos_sim,
+         row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT vec_id, label, cos_sim, rn FROM ranked WHERE rn <= 3
+""",
+    tags=("llm", "vector", "knn"),
+)
+def q_llm_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-NN: top-3 most-similar per label (scored map-side, one
+    window shuffle on label)."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "q_llm_embed_norm",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+SELECT vec_id,
+       round(nrm, 6) AS l2,
+       list_transform(v, x -> round(x / nrm, 6)) AS unit_vec
+FROM n
+""",
+    tags=("llm", "vector"),
+)
+def q_llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization: emit the norm and the unit vector (rounded
+    per-element). Narrow map-only transform."""
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(F.col("v")), 6).alias("l2"),
+        F.transform(l2_normalize(F.col("v")), lambda x: F.round(x, 6)).alias(
+            "unit_vec"
+        ),
+    )
+
+
+@register("q_llm_knn_ivf", tags=("llm", "vector", "knn", "ann"))
+def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor — the 100 TB search path.
+
+    Train: per-label centroid (mean vector) — one aggregation.
+    Probe: rank centroids by similarity to the query, keep the best 3
+    cells, then brute-force only inside those cells (equi-join on
+    label — partition-prunable at scale).
+
+    Approximate by construction (recall < 1 when true neighbors live in
+    unprobed cells) → rows-only check; the exact baseline q_llm_knn is
+    the hash-checked twin.
+    """
+    e = _emb(spark, sf_dir)
+    dims = 64
+    # centroids: elementwise mean via posexplode + groupBy(label, pos)
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("cv"))
+    )
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
+    probe = F.broadcast(
+        cent.crossJoin(q)
+        .select("label", cosine(F.col("cv"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("label"))
+        .limit(3)
+        .select("label")
+    )
+    assert dims == 64  # corpus contract (FIXTURES.md)
+    return (
+        e.join(probe, "label")  # partition pruning: only probed cells scanned
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -1,0 +1,261 @@
+"""Generate the MicMac-like ETL fixtures (FIXTURES.md §3) into fixtures/.
+
+Deterministic (seeded); outputs are committed so oracle SQL can read the
+parquet twins by absolute path. The XML shapes follow the *public* MicMac
+serialization style (ExportAPERO / CalibrationInternConique /
+StructBlockCam / OrientationConique with space-separated vectors and
+row-vector matrix elements) — synthesized here, not copied from anywhere.
+
+Run: python tools/gen_fixtures.py   (idempotent)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+XML_DIR = os.path.join(ROOT, "fixtures", "xml")
+PQ_DIR = os.path.join(ROOT, "fixtures", "parquet")
+
+DIST_MODELS = {
+    "radial5": 5,
+    "phgr_std": 7,
+    "poly_deg3": 10,
+}
+
+
+def rot_matrix(angle: float, axis: int) -> list[float]:
+    """Row-major 3×3 rotation about one axis."""
+    c, s = math.cos(angle), math.sin(angle)
+    if axis == 0:
+        m = [[1, 0, 0], [0, c, -s], [0, s, c]]
+    elif axis == 1:
+        m = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+    else:
+        m = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    return [round(x, 12) for row in m for x in row]
+
+
+def gen_calibrations(rng: random.Random):
+    rows = []
+    for i in range(4):
+        model = list(DIST_MODELS)[i % len(DIST_MODELS)]
+        n_coef = DIST_MODELS[model]
+        rows.append(
+            {
+                "sensor_name": f"cam_{i:02d}",
+                "image_width": 2048 + 512 * (i % 2),
+                "image_height": 2048,
+                "focal": round(3400.0 + 25.0 * i + rng.random(), 6),
+                "ppx": round(1020.0 + rng.random() * 4, 6),
+                "ppy": round(1012.0 + rng.random() * 4, 6),
+                "dist_model": model,
+                "dist_coeffs": [
+                    round(rng.uniform(-1, 1) * 10 ** (-3 - 2 * k), 18)
+                    for k in range(n_coef)
+                ],
+            }
+        )
+    return rows
+
+
+def calib_xml(c) -> str:
+    coeffs = "\n".join(
+        f"          <CoeffDist>{v!r}</CoeffDist>" for v in c["dist_coeffs"]
+    )
+    return f"""<?xml version="1.0"?>
+<ExportAPERO>
+  <CalibrationInternConique>
+    <KnownConv>eConvApero_DistM2C</KnownConv>
+    <Name>{c['sensor_name']}</Name>
+    <PP>{c['ppx']} {c['ppy']}</PP>
+    <F>{c['focal']}</F>
+    <SzIm>{c['image_width']} {c['image_height']}</SzIm>
+    <CalibDistortion>
+      <ModUnif>
+        <TypeModele>{c['dist_model']}</TypeModele>
+{coeffs}
+      </ModUnif>
+    </CalibDistortion>
+  </CalibrationInternConique>
+</ExportAPERO>
+"""
+
+
+def gen_blocks(rng: random.Random):
+    blocks = []
+    for b in range(2):
+        cams = []
+        for k in range(3 + b):
+            cams.append(
+                {
+                    "cam_id": f"cam_{(b * 3 + k) % 4:02d}",
+                    "t": [round(rng.uniform(-0.5, 0.5), 9) for _ in range(3)],
+                    "r": rot_matrix(rng.uniform(-0.2, 0.2), k % 3),
+                }
+            )
+        blocks.append({"block_name": f"block_{b}", "cameras": cams})
+    return blocks
+
+
+def block_xml(blk) -> str:
+    cams = []
+    for c in blk["cameras"]:
+        r = c["r"]
+        cams.append(
+            f"""    <ParamOrientSHC>
+      <IdGrp>{c['cam_id']}</IdGrp>
+      <Vecteur>{' '.join(repr(v) for v in c['t'])}</Vecteur>
+      <Rot>
+        <L1>{' '.join(repr(v) for v in r[0:3])}</L1>
+        <L2>{' '.join(repr(v) for v in r[3:6])}</L2>
+        <L3>{' '.join(repr(v) for v in r[6:9])}</L3>
+      </Rot>
+    </ParamOrientSHC>"""
+        )
+    body = "\n".join(cams)
+    return f"""<?xml version="1.0"?>
+<StructBlockCam>
+  <KeyIm2TimeCam>NKS-Assoc-Im2Time</KeyIm2TimeCam>
+  <BlockName>{blk['block_name']}</BlockName>
+  <LiaisonsSHC>
+{body}
+  </LiaisonsSHC>
+</StructBlockCam>
+"""
+
+
+def gen_orientations(rng: random.Random):
+    rows = []
+    for i in range(6):
+        rows.append(
+            {
+                "sensor_name": f"cam_{i % 4:02d}",
+                "frame": f"world_{i % 2}",
+                "center": [
+                    round(657000 + rng.uniform(0, 100), 6),
+                    round(6860000 + rng.uniform(0, 100), 6),
+                    round(100 + rng.uniform(0, 50), 6),
+                ],
+                "rot": rot_matrix(rng.uniform(-math.pi, math.pi), i % 3),
+                "calib_name": f"autocal_{i % 4:02d}.xml",
+            }
+        )
+    return rows
+
+
+def ori_xml(o) -> str:
+    r = o["rot"]
+    return f"""<?xml version="1.0"?>
+<ExportAPERO>
+  <OrientationConique>
+    <FileInterne>{o['calib_name']}</FileInterne>
+    <NameSensor>{o['sensor_name']}</NameSensor>
+    <NameFrame>{o['frame']}</NameFrame>
+    <Externe>
+      <Time>0.0</Time>
+      <Centre>{' '.join(repr(v) for v in o['center'])}</Centre>
+      <ParamRotation>
+        <CodageMatr>
+          <L1>{' '.join(repr(v) for v in r[0:3])}</L1>
+          <L2>{' '.join(repr(v) for v in r[3:6])}</L2>
+          <L3>{' '.join(repr(v) for v in r[6:9])}</L3>
+        </CodageMatr>
+      </ParamRotation>
+    </Externe>
+    <ConvOri><KnownConv>eConvApero_DistM2C</KnownConv></ConvOri>
+  </OrientationConique>
+</ExportAPERO>
+"""
+
+
+def gen_graph():
+    """Referential/transfo graph: two trees with a branch, depth 3-4."""
+    refs = []
+    transfos = []
+    rid = 0
+    names = {}
+    for name in [
+        "world_0", "world_1",
+        "platform_0", "platform_1",
+        "block_0", "block_1",
+        "cam_00", "cam_01", "cam_02", "cam_03",
+        "img_00", "img_01",
+    ]:
+        names[name] = rid
+        refs.append({"ref_id": rid, "name": name, "sensor_id": rid % 4})
+        rid += 1
+    edges = [
+        # (source, target): child frame → parent frame
+        ("platform_0", "world_0"),
+        ("platform_1", "world_1"),
+        ("block_0", "platform_0"),
+        ("block_1", "platform_1"),
+        ("cam_00", "block_0"),
+        ("cam_01", "block_0"),
+        ("cam_02", "block_1"),
+        ("cam_03", "block_1"),
+        ("img_00", "cam_00"),
+        ("img_01", "cam_02"),
+    ]
+    for t_id, (src, dst) in enumerate(edges):
+        transfos.append(
+            {
+                "transfo_id": t_id,
+                "source_ref": names[src],
+                "target_ref": names[dst],
+                "transfo_type": "affine",
+                "params_json": '{"scale": 1.0}',
+            }
+        )
+    return refs, transfos
+
+
+def main() -> None:
+    os.makedirs(XML_DIR, exist_ok=True)
+    os.makedirs(PQ_DIR, exist_ok=True)
+    rng = random.Random(42)
+
+    calibs = gen_calibrations(rng)
+    for i, c in enumerate(calibs):
+        with open(os.path.join(XML_DIR, f"autocal_{i:02d}.xml"), "w") as f:
+            f.write(calib_xml(c))
+    pq.write_table(pa.Table.from_pylist(calibs), os.path.join(PQ_DIR, "calibration.parquet"))
+
+    blocks = gen_blocks(rng)
+    cam_rows = []
+    for i, b in enumerate(blocks):
+        with open(os.path.join(XML_DIR, f"blinis_{i:02d}.xml"), "w") as f:
+            f.write(block_xml(b))
+        for c in b["cameras"]:
+            cam_rows.append({"block_name": b["block_name"], **c})
+    pq.write_table(pa.Table.from_pylist(cam_rows), os.path.join(PQ_DIR, "block_cameras.parquet"))
+
+    oris = gen_orientations(rng)
+    for i, o in enumerate(oris):
+        with open(os.path.join(XML_DIR, f"ori_{i:02d}.xml"), "w") as f:
+            f.write(ori_xml(o))
+    pq.write_table(pa.Table.from_pylist(oris), os.path.join(PQ_DIR, "orientation.parquet"))
+
+    refs, transfos = gen_graph()
+    pq.write_table(pa.Table.from_pylist(refs), os.path.join(PQ_DIR, "referential.parquet"))
+    pq.write_table(pa.Table.from_pylist(transfos), os.path.join(PQ_DIR, "transfo.parquet"))
+
+    # "existing" sensor table for the get-or-create scenario: the first
+    # two cameras are already registered.
+    existing = [
+        {"name": "cam_00", "type": "camera"},
+        {"name": "cam_01", "type": "camera"},
+        {"name": "rig_block_0", "type": "group"},
+    ]
+    pq.write_table(pa.Table.from_pylist(existing), os.path.join(PQ_DIR, "sensors_existing.parquet"))
+    print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
+
+
+if __name__ == "__main__":
+    main()
