@@ -1,1 +1,184 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal columns (SURVEY.md §2.11): image/audio/video payloads as
+opaque binary columns with typed metadata.
+
+Design: media ride in `BinaryType` columns next to relational metadata
+(mime, dimensions, duration). Heavy per-item work (decode, resize,
+feature extraction, frame sampling) runs as Arrow-batched mapInPandas —
+the Spark-side plumbing (schema, batch iteration, partitioning) is real
+and tested; the codec calls themselves are STUBBED behind
+`_decode_stub` because no image/audio libraries exist in this container
+(a deterministic fake keyed on the payload bytes stands in; swapping in
+PIL/librosa/ffmpeg changes one function).
+
+100 TB notes: binary payloads dominate row size — store media columns
+in their own parquet (or reference object-store URIs via
+`spark.read.format("binaryFile")`) and join metadata on media_id, so
+relational queries never scan the bytes; mapInPandas batches bound
+memory (payload_bytes × arrow batch size).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from micmac_li3ds_spark.registry import register
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+MEDIA_PARQUET = os.path.join(_REPO, "fixtures", "parquet", "media.parquet")
+
+
+def load_media(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_PARQUET)
+
+
+@register(
+    "q_mm_binary_stats",
+    oracle=f"""
+SELECT mime,
+       COUNT(*) AS n_items,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(min(octet_length(payload)) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(payload)) AS BIGINT) AS max_bytes,
+       COUNT(width) AS n_with_dims,
+       CAST(coalesce(SUM(duration_ms), 0) AS BIGINT) AS total_duration_ms
+FROM read_parquet('{MEDIA_PARQUET}')
+GROUP BY mime
+""",
+    tags=("multimodal",),
+)
+def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational statistics over binary payloads + typed metadata —
+    byte sizes via length(binary), nullable per-modality metadata
+    (width/height for images, duration for time media)."""
+    m = load_media(spark)
+    return m.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.min(F.length("payload")).cast("long").alias("min_bytes"),
+        F.max(F.length("payload")).cast("long").alias("max_bytes"),
+        F.count("width").alias("n_with_dims"),
+        F.coalesce(F.sum("duration_ms"), F.lit(0)).cast("long").alias(
+            "total_duration_ms"
+        ),
+    )
+
+
+@register(
+    "q_mm_payload_hash",
+    oracle=f"""
+SELECT media_id, mime,
+       sha256(hex(payload)) AS payload_sha,
+       CAST(octet_length(payload) AS INTEGER) AS n_bytes
+FROM read_parquet('{MEDIA_PARQUET}')
+""",
+    tags=("multimodal",),
+)
+def q_mm_payload_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content addressing for media dedup: sha256 over the hex
+    encoding of the payload (hex on both engines so the oracle's
+    VARCHAR-only sha256 can check it) —
+    the exact-dedup primitive for multimodal corpora (hash-groupBy
+    scales; byte comparison does not)."""
+    m = load_media(spark)
+    return m.select(
+        "media_id",
+        "mime",
+        F.sha2(F.hex("payload"), 256).alias("payload_sha"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+_FEAT_DIM = 8
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, mime: str) -> list[float]:
+    """STUB for the real decoder/feature extractor.
+
+    Real implementation would be: PIL.Image.open → resize → CNN/CLIP
+    features (image), librosa.load → mel spectrogram stats (audio),
+    ffmpeg frame sample → per-frame features (video). None of those
+    libraries exist in this container, so this produces a deterministic
+    8-dim pseudo-feature from the payload's sha256 — stable across runs
+    and engines, which keeps the pipeline testable end-to-end.
+    """
+    h = hashlib.sha256(payload).digest()
+    return [round(b / 255.0, 6) for b in h[:_FEAT_DIM]]
+
+
+@register("q_mm_feature_extract", tags=("multimodal", "mapinpandas"))
+def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (mapInPandas): the
+    real multimodal hot path. Batch shape, schema, and iterator
+    semantics are production-real; only the codec is stubbed
+    (_decode_stub). Rows-only check (the oracle has no decoder either)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "feature": [
+                        _decode_stub(p, m)
+                        for p, m in zip(pdf["payload"], pdf["mime"])
+                    ],
+                    "decoder": "stub-sha256-v1",
+                }
+            )
+
+    m = load_media(spark).select("media_id", "mime", "payload")
+    return m.mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+@register("q_mm_frame_sample", tags=("multimodal", "mapinpandas"))
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: 1 row per sampled frame (every
+    ~5 s of duration), frame payload stubbed as a byte slice. The
+    explode-shaped output (media_id, frame_idx, frame_ts_ms, frame_sha)
+    is what a real ffmpeg-backed sampler would emit."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_sha", T.StringType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_sha": []}
+            for _, row in pdf.iterrows():
+                n_frames = max(1, int(row["duration_ms"] // 5000))
+                for k in range(n_frames):
+                    # STUB: real impl seeks the container to ts and decodes
+                    fake_frame = bytes(row["payload"][k % len(row["payload"]) :][:16])
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(k * 5000)
+                    out["frame_sha"].append(hashlib.sha256(fake_frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    m = (
+        load_media(spark)
+        .filter(F.col("mime") == "video/mp4")
+        .select("media_id", "payload", "duration_ms")
+    )
+    return m.mapInPandas(sample, schema)

@@ -1,1 +1,239 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.10 UDF / UDAF / UDTF surface.
+
+Policy (SURVEY.md §7.0): UDFs are the slow path. Each operator here
+exists to prove the full Python-extension surface works — but each
+docstring states the built-in replacement, and none of these shapes is
+used by any other operator in the engine. Everything Python crosses via
+Arrow batches (pandas UDFs / applyInPandas / mapInPandas); the
+row-at-a-time q_udf_python is Arrow-optimized (useArrow=True).
+
+The one legitimate 100 TB role for these: logic that genuinely cannot
+be expressed as column algebra (external model scoring, bespoke
+per-group algorithms) — then batch size and schema stability are the
+levers, and these operators are the templates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+            ELSE 'relaxed' END AS sla_class
+FROM orders
+""",
+    tags=("udf",),
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (Arrow-optimized) — the direct analogue of the
+    reference's row-at-a-time Python. Built-in replacement: the CASE
+    expression in the oracle; a UDF like this costs ~10-100× more than
+    the CASE at scale."""
+
+    @F.udf(returnType=T.StringType(), useArrow=True)
+    def sla_class(priority: str) -> str:
+        if priority in ("1-URGENT", "2-HIGH"):
+            return "expedite"
+        if priority == "3-MEDIUM":
+            return "standard"
+        return "relaxed"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", sla_class("o_orderpriority").alias("sla_class"))
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1.0 - l_discount), 2) AS net_price
+FROM lineitem
+""",
+    tags=("udf", "pandas"),
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batch in, numpy math, Arrow
+    batch out). Deterministic elementwise arithmetic → exact parity."""
+
+    @F.pandas_udf(T.DoubleType())
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # half-up (SQL) rounding — pandas .round() is half-even and
+        # disagrees with both engines on exact .xx5 halves
+        return np.floor(price * (1.0 - discount) * 100 + 0.5) / 100
+
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "q_udaf_pandas",
+    oracle="""
+SELECT l_returnflag,
+       round(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT))
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0, 6)
+         AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("udf", "udaf"),
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean price. The
+    UDF accumulates in integer cents so the result is order-independent
+    and hash-matches the oracle (the general lesson for custom
+    aggregates: make the accumulator exact, not float)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def wavg_price(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return round(int((cents * q).sum()) / int(q.sum()) / 100.0, 6)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg_price("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register(
+    "q_udtf_applyinpandas",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       round(l_extendedprice
+             - SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 OVER (PARTITION BY l_returnflag) / 100.0
+               / COUNT(*) OVER (PARTITION BY l_returnflag), 6) AS demeaned_price
+FROM lineitem
+""",
+    tags=("udf", "udtf"),
+)
+def q_udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas): per-group demeaning, whole group as
+    one pandas DataFrame. The group mean is computed from exact integer
+    cents (numpy float sums would drift from the oracle). Built-in
+    replacement: the window expression in the oracle. Skew warning: one
+    group = one pandas frame in one task's memory — never key this on a
+    heavy-hitter column at scale."""
+
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("demeaned_price", T.DoubleType()),
+        ]
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        mean = int(cents.sum()) / len(cents) / 100.0
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "demeaned_price": (pdf["l_extendedprice"] - mean).round(6),
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(demean, schema)
+
+
+@register(
+    "q_udf_mapinpandas",
+    oracle="""
+SELECT event_id, user_id, round(value * 0.9, 2) AS value_eur
+FROM events
+WHERE value > 100.0
+""",
+    tags=("udf", "mapinpandas"),
+)
+def q_udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition iterator transform (mapInPandas): filter+project
+    in pandas, streaming over Arrow batches — constant memory per task
+    regardless of partition size (the iterator is the point; a collect-
+    the-partition UDF would OOM at scale)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value_eur", T.DoubleType()),
+        ]
+    )
+
+    def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hit = pdf[pdf["value"] > 100.0]
+            import numpy as np
+
+            yield pd.DataFrame(
+                {
+                    "event_id": hit["event_id"],
+                    "user_id": hit["user_id"],
+                    # half-up rounding (see q_udf_pandas)
+                    "value_eur": np.floor(hit["value"] * 0.9 * 100 + 0.5) / 100,
+                }
+            )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.mapInPandas(convert, schema)
+
+
+@register(
+    "q_udtf_python",
+    oracle="""
+SELECT o_orderkey, 'rank' AS part_kind, string_split(o_orderpriority, '-')[1] AS part_value
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'label' AS part_kind, string_split(o_orderpriority, '-')[2] AS part_value
+FROM orders
+""",
+    tags=("udf", "udtf"),
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): explode each order's priority code
+    into (kind, value) rows — 1 input row → 2 output rows via a lateral
+    join. Built-in replacement: posexplode(split(...))."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part_kind: string, part_value: string")
+    class PrioritySplit:
+        def eval(self, priority: str):
+            rank, label = priority.split("-", 1)
+            yield "rank", rank
+            yield "label", label
+
+    spark.udtf.register("priority_split", PrioritySplit)
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_udtf_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, p.part_kind, p.part_value
+        FROM _udtf_orders o,
+             LATERAL priority_split(o.o_orderpriority) p
+        """
+    )

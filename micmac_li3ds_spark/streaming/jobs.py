@@ -1,0 +1,148 @@
+"""Structured Streaming jobs (SURVEY.md §2.9 — the true-stream halves).
+
+Every builder takes a *streaming* events DataFrame and applies the SAME
+expressions as the batch-checked operators in
+``operators/streaming_batch.py``; tests/test_streaming.py drains them
+through a memory sink and asserts batch ≡ stream (the engine's streaming
+correctness contract — DuckDB cannot run streams).
+
+Production shape at scale:
+- source: Kafka (`format("kafka")`) or cloud-storage file stream; here a
+  file stream over the corpus parquet (schema declared — streaming
+  readers never infer).
+- watermarks bound state: aggregation state is dropped once the
+  watermark passes the window end; late rows beyond the watermark are
+  dropped (tested).
+- sinks: memory (tests), foreachBatch for transactional/JDBC targets —
+  exactly-once = checkpointed offsets + idempotent batch writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from micmac_li3ds_spark.functions.exact import cents
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch ns (see tables.load)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streaming source over the events parquet: one file = one
+    micro-batch here; at scale this is a directory fed by an ingest
+    job, or Kafka. The ns→µs conversion mirrors tables.load."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")  # stream source must be a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming twin of
+    q_stream_tumbling)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_totals(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked session windows (streaming twin of q_stream_session)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup by event_id within the watermark horizon — state
+    is bounded by (watermark window × arrival rate), unlike plain
+    dropDuplicates whose state grows forever."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: the static side is broadcast per micro-batch;
+    no state, no watermark needed."""
+    return stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey, "inner").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+
+
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream join, both sides watermarked, time-bounded condition
+    (purchase within 1 hour after a click by the same user) — the bound
+    is what lets Spark expire join state."""
+    c = clicks.withWatermark("ts", "2 hours").alias("c")
+    p = purchases.withWatermark("ts", "2 hours").alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a streaming query into a memory sink until exhausted;
+    returns the started query (caller stops it). Test harness only."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint: str):
+    """foreachBatch sink: the exactly-once pattern for transactional
+    targets (the engine's JDBC-upsert path — SURVEY.md §2.1): Spark
+    checkpoints offsets; batch_fn must be idempotent per (batchId)."""
+    return (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -84,9 +84,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, NOT `/`: float division of an epoch-ns long loses
+        # low bits (|ns| > 2^53) and rounds some microseconds up
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     missing = EXPECTED_COLUMNS[name] - set(df.columns)

@@ -1,0 +1,180 @@
+"""True Structured Streaming tests: batch ≡ stream equivalence, late-data
+drop, streaming dedup, stream-static and stream-stream joins, and the
+foreachBatch exactly-once sink (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark.streaming import jobs
+
+
+def _drain(q):
+    q.awaitTermination(120)
+    q.stop()
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_tumbling_batch_equals_stream(spark, sf_dir):
+    from micmac_li3ds_spark.operators.streaming_batch import q_stream_tumbling
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    q = jobs.run_to_memory(
+        jobs.tumbling_counts(stream), "t_tumbling", output_mode="complete"
+    )
+    _drain(q)
+    got = _rows(spark, "t_tumbling")
+    want = {tuple(r) for r in q_stream_tumbling(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_session_batch_equals_stream(spark, sf_dir):
+    from micmac_li3ds_spark.operators.streaming_batch import q_stream_session
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    q = jobs.run_to_memory(
+        jobs.session_totals(stream), "t_session", output_mode="complete"
+    )
+    _drain(q)
+    got = _rows(spark, "t_session")
+    want = {tuple(r) for r in q_stream_session(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_streaming_dedup(spark, sf_dir):
+    stream = jobs.read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)  # duplicate every event
+    q = jobs.run_to_memory(
+        jobs.dedup_within_watermark(doubled).select("event_id"), "t_dedup"
+    )
+    _drain(q)
+    got = [r[0] for r in spark.sql("SELECT event_id FROM t_dedup").collect()]
+    assert len(got) == len(set(got))  # exact-once per event_id
+    base = jobs.read_events_stream(spark, sf_dir)
+    qc = jobs.run_to_memory(base.select("event_id"), "t_dedup_base")
+    _drain(qc)
+    assert len(got) == len(_rows(spark, "t_dedup_base"))
+
+
+def test_watermark_drops_late_rows(spark):
+    """Two sequential runs over a shared checkpoint: run 1 sees fresh
+    rows and advances the watermark; run 2 (restarted from the
+    checkpoint) sees only rows 10 h behind it — their windows must never
+    be emitted. Also proves watermark persistence across restarts."""
+    tmp = tempfile.mkdtemp(prefix="late_")
+    try:
+        t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+        fresh = [(i, t0 + datetime.timedelta(minutes=i), 1.0) for i in range(60)]
+        late = [(1000 + i, t0 - datetime.timedelta(hours=10), 1.0) for i in range(5)]
+        cols = "event_id long, ts timestamp, value double"
+
+        emitted: list[tuple] = []
+
+        def run_once():
+            stream = (
+                spark.readStream.schema("event_id long, ts timestamp, value double")
+                .parquet(f"{tmp}/in")
+            )
+            agg = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "10 minutes").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("ws"), "n")
+            )
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda df, _id: emitted.extend(tuple(r) for r in df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        spark.createDataFrame(fresh, cols).coalesce(1).write.mode("append").parquet(
+            f"{tmp}/in"
+        )
+        run_once()
+        spark.createDataFrame(late, cols).coalesce(1).write.mode("append").parquet(
+            f"{tmp}/in"
+        )
+        run_once()
+
+        starts = {r[0] for r in emitted}
+        assert starts, "no windows emitted at all"
+        assert all(s >= t0 - datetime.timedelta(hours=1) for s in starts), starts
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_join(spark, sf_dir):
+    from micmac_li3ds_spark.tables import load
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    q = jobs.run_to_memory(jobs.stream_static_enrich(stream, dim), "t_enrich")
+    _drain(q)
+    got = spark.sql("SELECT count(*), count(c_mktsegment) FROM t_enrich").collect()[0]
+    ev = load(spark, sf_dir, "events")
+    want = ev.join(dim, ev.user_id == dim.c_custkey).count()
+    assert got[0] == want and got[1] == want
+
+
+def test_stream_stream_join(spark, sf_dir):
+    stream1 = jobs.read_events_stream(spark, sf_dir)
+    clicks = stream1.filter(F.col("event_type") == "click")
+    stream2 = jobs.read_events_stream(spark, sf_dir)
+    purchases = stream2.filter(F.col("event_type") == "purchase")
+    q = jobs.run_to_memory(jobs.stream_stream_join(clicks, purchases), "t_ssj")
+    _drain(q)
+    got = len(_rows(spark, "t_ssj"))
+
+    from micmac_li3ds_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    want = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == want
+    assert got > 0
+
+
+def test_foreach_batch_sink_idempotent_upsert(spark, sf_dir):
+    """foreachBatch + keyed overwrite = the JDBC-MERGE stand-in: batch
+    writes keyed by batch id are idempotent on retry."""
+    tmp = tempfile.mkdtemp(prefix="feb_")
+    sunk: dict[int, int] = {}
+
+    def sink(batch_df, batch_id: int):
+        # idempotent: last write per batch_id wins (MERGE-on-key twin)
+        sunk[batch_id] = batch_df.count()
+        batch_df.write.mode("overwrite").parquet(f"{tmp}/out/batch={batch_id}")
+
+    try:
+        stream = jobs.read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        q = jobs.run_foreach_batch(stream, sink, checkpoint=f"{tmp}/ckpt")
+        q.awaitTermination(120)
+        q.stop()
+        total = sum(sunk.values())
+        back = spark.read.parquet(f"{tmp}/out/batch=*")
+        assert back.count() == total
+        assert total > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -254,6 +254,57 @@ def main() -> None:
         {"name": "rig_block_0", "type": "group"},
     ]
     pq.write_table(pa.Table.from_pylist(existing), os.path.join(PQ_DIR, "sensors_existing.parquet"))
+
+    # --- CSV / JSON-lines scan fixtures (derived from deterministic data,
+    # NOT from /root/testdata, so they are committable and stable) ---
+    text_dir = os.path.join(ROOT, "fixtures", "text")
+    os.makedirs(text_dir, exist_ok=True)
+    rng2 = random.Random(7)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    with open(os.path.join(text_dir, "accounts.csv"), "w") as f:
+        f.write("acct_id,segment,balance,opened\n")
+        for i in range(200):
+            f.write(
+                f"{i},{segs[i % 5]},{round(rng2.uniform(-500, 5000), 2)},"
+                f"2023-{1 + i % 12:02d}-{1 + i % 28:02d}\n"
+            )
+    with open(os.path.join(text_dir, "clicks.jsonl"), "w") as f:
+        for i in range(300):
+            f.write(
+                '{"click_id": %d, "page": "p%d", "ms": %d, "ok": %s}\n'
+                % (i, i % 7, rng2.randint(10, 5000), "true" if i % 3 else "false")
+            )
+
+    # --- multimodal fixture: opaque binary payloads + typed metadata ---
+    rng3 = random.Random(99)
+    media = []
+    for i in range(40):
+        kind = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        payload = bytes([rng3.randint(0, 255) for _ in range(64 + 16 * (i % 5))])
+        media.append(
+            {
+                "media_id": i,
+                "mime": kind,
+                "payload": payload,
+                "width": 640 + 32 * (i % 4) if kind == "image/png" else None,
+                "height": 480 if kind == "image/png" else None,
+                "duration_ms": 1000 * (1 + i % 30) if kind != "image/png" else None,
+            }
+        )
+    schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("duration_ms", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(media, schema=schema),
+        os.path.join(PQ_DIR, "media.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
 
 
