@@ -24,9 +24,23 @@ from micmac_li3ds_spark.session import get_spark  # noqa: E402
 # milestones land. Kept explicit so bench numbers stay comparable
 # across rounds.
 HEADLINE = [
-    "q_pricing_summary",
-    "q_filter_simple",
-    "q_project_distinct",
+    # relational core
+    "q_pricing_summary",        # scan→filter→hash-agg→sort (TPC-H Q1 shape)
+    "q_filter_simple",          # pushdown filter scan
+    "q_project_distinct",       # shuffle distinct
+    "q_agg_count_distinct",     # expand + two-phase distinct agg
+    "q_join_broadcast",         # dim⋈fact broadcast hash join
+    "q_join_sortmerge",         # large⋈large sort-merge join
+    "q_join_asof",              # custom as-of (union + window rewrite)
+    "q_win_dedup_latest",       # window keep-latest dedup
+    "q_topk_global",            # TakeOrderedAndProject
+    # LLM-pipeline ops
+    "q_llm_exact_dedup",        # normalize→hash→groupBy dedup
+    "q_llm_near_dedup",         # MinHash + LSH band join
+    "q_llm_knn",                # broadcast-query cosine top-k
+    "q_llm_tokenize_tf",        # explode-heavy term frequency
+    # streaming batch-equivalent
+    "q_stream_tumbling",        # event-time tumbling window agg
 ]
 
 

@@ -103,43 +103,58 @@ _BAND_ROWS = 2  # 64 bands × 2 rows: P(miss | jac=0.8) = (1-0.64)^64 ≈ 5e-29
 def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate detection, verified.
 
-    Pipeline: 3-token shingles → 128 minhash permutations (computed as
-    128 min-aggregates over the exploded shingle/hash table — map-side
-    combine keeps the shuffle tiny) → 64 two-row LSH bands → bucket
-    self-join for candidates → exact Jaccard verification ≥ 0.5.
+    Pipeline: 3-token shingles → 128 minhash permutations → 64 two-row
+    LSH bands → bucket self-join for candidates → exact Jaccard
+    verification ≥ 0.5.
+
+    Signatures are pure per-row array algebra: one nested higher-order
+    expression (`transform(sequence(0,127), i -> array_min(transform(
+    hashes, h -> perm_i(h))))`) — NO explode, NO groupBy, zero shuffle
+    until the band self-join. The earlier design (explode shingles →
+    128 min-aggregates) shuffled the whole exploded corpus and blew up
+    codegen with 128 aggregate columns; this one keeps the signature
+    stage map-only and the expression tree constant-size, which is what
+    survives a 100-TB corpus.
 
     The oracle brute-forces all pairs; the LSH path must find every
     qualifying pair (miss probability ~5e-29 per pair at jac 0.8 — the
     corpus' planted duplicates are all ≥ 0.8 with background < 0.1).
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", shingles(tokens("text")).alias("sh")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
     )
     d.cache()
 
-    # signatures: explode → base hash → 128 permuted min-aggregates
-    ex = d.select("doc_id", F.explode("sh").alias("s")).withColumn(
-        "h", minhash32(F.col("s"))
-    )
-    mins = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * (2 * i + 1) + (12345 + i), F.lit(MERSENNE31))).alias(
-                f"m{i}"
+    # signature: base-hash each shingle once, then 128 permuted mins
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(h * (2 * i + 1) + (i + 12345), F.lit(MERSENNE31)),
             )
-            for i in range(_N_PERM)
-        ]
+        ),
     )
-    # LSH bands: band key = (band index, concatenated rows)
+    # LSH bands: band key = (band index, its signature rows)
     n_bands = _N_PERM // _BAND_ROWS
-    band_cols = [
-        F.concat_ws(
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat_ws(
             ":",
-            F.lit(b),
-            *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
-        ).alias(f"b{b}")
-        for b in range(n_bands)
-    ]
-    banded = mins.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+            b,
+            *[
+                F.element_at(F.col("sig"), b * _BAND_ROWS + r + 1)
+                for r in range(_BAND_ROWS)
+            ],
+        ),
+    )
+    banded = (
+        d.select("doc_id", F.transform("sh", minhash32).alias("hs"))
+        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(band_keys).alias("band_key"))
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
