@@ -104,26 +104,38 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate detection, verified.
 
     Pipeline: 3-token shingles → 128 minhash permutations → 64 two-row
-    LSH bands → bucket self-join for candidates → exact Jaccard
+    LSH bands → bucket groupBy for candidate pairs → exact Jaccard
     verification ≥ 0.5.
 
     Signatures are pure per-row array algebra: one nested higher-order
     expression (`transform(sequence(0,127), i -> array_min(transform(
-    hashes, h -> perm_i(h))))`) — NO explode, NO groupBy, zero shuffle
-    until the band self-join. The earlier design (explode shingles →
-    128 min-aggregates) shuffled the whole exploded corpus and blew up
-    codegen with 128 aggregate columns; this one keeps the signature
-    stage map-only and the expression tree constant-size, which is what
-    survives a 100-TB corpus.
+    hashes, h -> perm_i(h))))`) — NO explode, NO join, zero shuffle
+    until the band groupBy. (A vectorized pandas-UDF variant of the
+    signature stage was measured and LOST to this: the numpy kernel
+    itself is fast but Arrow exchange + python-worker stage overhead
+    exceeded the whole JVM-side compute at every scale tried.)
+
+    No all-pairs join anywhere: candidates come from expanding pairs
+    inside each band bucket — the only wide ops are one
+    groupBy(band_key), one distinct, and the tiny verification joins.
+    This is the shape that survives a 100-TB corpus.
 
     The oracle brute-forces all pairs; the LSH path must find every
     qualifying pair (miss probability ~5e-29 per pair at jac 0.8 — the
     corpus' planted duplicates are all ≥ 0.8 with background < 0.1).
     """
+    # The signature stage is CPU-bound map work; a small corpus arriving
+    # as one file would otherwise pin it to one core. Spreading rows
+    # across the cluster first is cheap (narrow row shuffle) and is what
+    # you'd do at 100 TB too if upstream produced few large files.
+    # The token-count guard (≡ "has ≥1 shingle") goes BEFORE the shingle
+    # projection: a post-projection filter gets pushed into the scan with
+    # the whole shingle expression inlined, computing every shingle twice.
     d = (
         load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(F.size(tokens("text")) >= 3)
         .select("doc_id", shingles(tokens("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
     d.cache()
 
@@ -156,15 +168,29 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(band_keys).alias("band_key"))
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # Candidates: group each band bucket and expand pairs INSIDE the
+    # bucket array — one shuffle total. The earlier band self-join read
+    # (and recomputed) the whole signature chain twice and shuffled both
+    # sides; this computes it once. Skew note for 100 TB: a boilerplate
+    # bucket with k docs expands to k²/2 pairs — production adds a
+    # bucket-size cap (drop or sample buckets over ~10⁴ docs); uncapped
+    # here because the oracle brute-force must see identical pairs.
+    ids = F.array_sort(F.collect_set("doc_id")).alias("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    )
+    candidates = (
+        banded.groupBy("band_key")
+        .agg(ids)
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

@@ -17,6 +17,7 @@ from micmac_li3ds_spark.functions.vector import (
     DUCK_VEC,
     as_double,
     cosine,
+    dot,
     l2_norm,
     l2_normalize,
 )
@@ -145,6 +146,80 @@ def q_llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(l2_normalize(F.col("v")), lambda x: F.round(x, 6)).alias(
             "unit_vec"
         ),
+    )
+
+
+def _hyperplanes(n_planes: int = 6, dim: int = 64, seed: int = 1234) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH, via a fixed LCG so
+    the exact same literals are embedded in the Spark plan and the DuckDB
+    oracle SQL (no RNG state to ship)."""
+    x = seed
+    planes = []
+    for _ in range(n_planes):
+        p = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            p.append(round(x / float(1 << 31) * 2.0 - 1.0, 4))
+        planes.append(p)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def _embed_dedup_oracle() -> str:
+    bits = " + ".join(
+        f"{1 << j} * (CASE WHEN list_dot_product(v, {p!r}) >= 0 THEN 1 ELSE 0 END)"
+        for j, p in enumerate(_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bits} AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.15
+"""
+
+
+@register(
+    "q_llm_embed_dedup",
+    oracle=_embed_dedup_oracle(),
+    tags=("llm", "vector", "dedup"),
+)
+def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the vector-space member
+    of the dedup family (SURVEY.md §2.11): sign-LSH (random-hyperplane)
+    bucketing → candidate pairs by equi-join on bucket → cosine verify.
+
+    100 TB shape: the signature is a narrow map-only pass (6 dot
+    products inside codegen); candidates come from a bucket equi-join —
+    never an all-pairs cross join. Skewed buckets are split by AQE;
+    recall is tuned by running b independent bands of planes and
+    unioning candidates (single band here — the corpus is small and the
+    oracle must reproduce buckets exactly)."""
+    e = _emb(spark, sf_dir)
+    bucket = None
+    for j, p in enumerate(_PLANES):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", "v", bucket.alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.15)
     )
 
 

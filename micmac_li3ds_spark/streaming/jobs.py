@@ -124,6 +124,47 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful operator (SURVEY.md §2.9): per-user running
+    totals via ``applyInPandasWithState`` — the escape hatch when
+    built-in windowed aggregation can't express the state machine.
+
+    State per user_id: (event count, running total in cents — integer
+    cents so cross-batch accumulation is exact and batch≡stream
+    comparable). Each micro-batch emits the updated running totals for
+    the users it touched (output mode: update).
+
+    100 TB shape: state lives in the executor state stores keyed by
+    user_id (hash-partitioned — same shuffle as a groupBy), checkpointed
+    incrementally; a production job adds a timeout
+    (``GroupStateTimeout.EventTimeTimeout`` + watermark) so idle keys
+    are evicted instead of growing state forever."""
+    import pandas as pd  # local: only the python workers need it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, cents_total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents_total += int(pdf["value"].mul(100).round().sum())
+        state.update((n, cents_total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents_total / 100.0],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a streaming query into a memory sink until exhausted;
     returns the started query (caller stops it). Test harness only."""
