@@ -36,11 +36,16 @@ HEADLINE = [
     "q_topk_global",            # TakeOrderedAndProject
     # LLM-pipeline ops
     "q_llm_exact_dedup",        # normalize→hash→groupBy dedup
-    "q_llm_near_dedup",         # MinHash + LSH band join
+    "q_llm_near_dedup",         # MinHash + LSH band buckets
+    "q_llm_embed_dedup",        # sign-LSH embedding near-dup
     "q_llm_knn",                # broadcast-query cosine top-k
     "q_llm_tokenize_tf",        # explode-heavy term frequency
     # streaming batch-equivalent
     "q_stream_tumbling",        # event-time tumbling window agg
+    # composite analytics (multi-join pipelines)
+    "q_shipping_priority",      # TPC-H Q3 shape: 3-way join + top-k
+    "q_local_supplier_volume",  # TPC-H Q5 shape: 6-way mixed-strategy join
+    "q_event_funnel",           # two-level conditional agg funnel
 ]
 
 

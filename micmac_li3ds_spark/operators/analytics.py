@@ -1,0 +1,206 @@
+"""Composite analytics queries — realistic multi-operator pipelines.
+
+SURVEY.md §2 enumerates operators one at a time; these queries exercise
+them COMPOSED the way a warehouse user would (TPC-H Q3/Q5/Q10 shapes
+adapted to the driver corpus columns, plus an event-funnel query), so the
+engine is demonstrated end-to-end: multi-way joins with mixed broadcast/
+shuffle strategies, pushed filters on both sides, exact-cents money
+aggregation, and top-k finishes.
+
+Scale notes (SCALE.md §3): dims (region/nation) are broadcast; fact⋈fact
+joins shuffle on the join key and are bucket-able at deploy time;
+revenue sums use integer cents (exact, associative — lossless map-side
+combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark.functions.exact import cents, duck_cents, duck_pct, pct
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+_REV = "SUM({p} * (100 - {d})) / 10000.0".format(
+    p=duck_cents("l_extendedprice"), d=duck_pct("l_discount")
+)
+
+
+def _revenue() -> F.Column:
+    """Exact discounted revenue: Σ extprice·(1-discount), in cents²/10⁴."""
+    return F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))) / 10000.0
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    tags=("analytics", "composite"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filters pushed into all three scans,
+    hash agg on the join output, global top-10 (TakeOrderedAndProject).
+    customer is small → broadcast into orders; orders⋈lineitem shuffles
+    on the order key (bucket-able at deploy)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, {_REV} AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("analytics", "composite"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join mixing broadcast (region/nation/
+    supplier) and shuffle (orders⋈lineitem) strategies, with the
+    local-supplier constraint (customer and supplier share a nation)
+    applied as a post-join filter."""
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, {_REV} AS revenue, n_name
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("analytics", "composite"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue — join fact to
+    customer+nation dims, aggregate per customer, top-20."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  count(*) AS n_users,
+  count(t_signup) AS n_signup,
+  count(CASE WHEN t_click > t_signup THEN 1 END) AS n_click_after_signup,
+  count(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END)
+    AS n_full_funnel
+FROM firsts
+""",
+    tags=("analytics", "composite", "events"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis (signup → click → purchase ordering per
+    user): conditional min aggregates per user, then one global rollup.
+    Two hash aggregations, no self-joins — the funnel is computed from
+    per-user first-occurrence timestamps, which scales as one shuffle on
+    user_id regardless of event volume."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_click_after_signup"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )

@@ -291,3 +291,33 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed["k"] * 2).alias("k_doubled"),
         F.to_json(F.struct(parsed["k"].alias("k"))).alias("rebuilt"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+       json_extract_string(props, '$.k') AS k_string,
+       CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+FROM events
+""",
+    tags=("scalar", "json", "variant"),
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema columns via Spark 4 VariantType (SURVEY.md §1.3: the
+    idiomatic carrier for the reference's model-specific
+    `transfo.parameters` / `sensor.specifications` JSON): parse once
+    into a binary variant, then typed path extraction with
+    `variant_get` — no per-query re-parse of the JSON text, and the
+    variant binary is columnar-shreddable in parquet at scale. Missing
+    paths yield NULL (try-semantics), matching the oracle's CAST of a
+    missing json_extract."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_typed"),
+        F.variant_get(v, "$.k", "string").alias("k_string"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )

@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "micmac_li3ds_spark.operators.udfs",
     "micmac_li3ds_spark.operators.scans",
     "micmac_li3ds_spark.operators.multimodal",
+    "micmac_li3ds_spark.operators.analytics",
 ]
 
 _loaded = False
