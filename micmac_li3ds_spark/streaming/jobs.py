@@ -70,6 +70,21 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding-window aggregation (streaming twin of
+    q_stream_sliding): 10-minute windows every 5 minutes — each event
+    contributes to two windows' state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
 def session_totals(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked session windows (streaming twin of q_stream_session)."""
     return (

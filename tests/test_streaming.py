@@ -36,6 +36,19 @@ def test_tumbling_batch_equals_stream(spark, sf_dir):
     assert got == want
 
 
+def test_sliding_batch_equals_stream(spark, sf_dir):
+    from micmac_li3ds_spark.operators.streaming_batch import q_stream_sliding
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    q = jobs.run_to_memory(
+        jobs.sliding_counts(stream), "t_sliding", output_mode="complete"
+    )
+    _drain(q)
+    got = _rows(spark, "t_sliding")
+    want = {tuple(r) for r in q_stream_sliding(spark, sf_dir).collect()}
+    assert got == want
+
+
 def test_session_batch_equals_stream(spark, sf_dir):
     from micmac_li3ds_spark.operators.streaming_batch import q_stream_session
 
