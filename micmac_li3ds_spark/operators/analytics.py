@@ -155,6 +155,127 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS revenue_delta,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("analytics", "composite"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: how much revenue the discounts in a band gave away
+    in a year — a pure scan-side query: every predicate pushes into the
+    parquet scan (row-group min/max skipping on shipdate at scale), one
+    partial+final aggregate, no shuffle of data rows at all."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (
+            F.sum(cents("l_extendedprice") * pct("l_discount")).cast("double")
+            / 10000.0
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+WITH j AS (
+  SELECT p_type,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l_shipdate <  TIMESTAMP '1997-09-01'
+)
+SELECT round((CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS DOUBLE)
+              / 10000.0) * 100.0
+             / (CAST(sum(rev_c) AS DOUBLE) / 10000.0), 6) AS promo_pct
+FROM j
+""",
+    tags=("analytics", "composite"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promotional parts in a
+    window — fact⋈dim broadcast join (part fits executor memory at any
+    SF that matters; at 100 TB partsupp-scale, a shuffle join on
+    l_partkey with bucketed layout), conditional numerator and
+    unconditional denominator in one aggregate pass."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (100 - pct("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                (F.sum(promo) / 10000.0) * 100.0 / (F.sum(rev) / 10000.0), 6
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q_large_volume_customer",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("analytics", "composite"),
+)
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders.
+    Aggregate lineitem per order with a HAVING filter FIRST (the
+    aggregate shrinks the fact table before any join — at 100 TB this
+    ordering is the difference between joining 600 M and 300 rows),
+    then join back to orders and customer, top-20 by order value.
+    l_quantity is integral (measured), so sum is exact in any engine."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "q_event_funnel",
     oracle="""
 WITH firsts AS (

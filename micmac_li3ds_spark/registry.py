@@ -46,6 +46,8 @@ _OPERATOR_MODULES = [
     "micmac_li3ds_spark.operators.scans",
     "micmac_li3ds_spark.operators.multimodal",
     "micmac_li3ds_spark.operators.analytics",
+    "micmac_li3ds_spark.operators.subqueries",
+    "micmac_li3ds_spark.operators.sampling",
 ]
 
 _loaded = False
