@@ -1,0 +1,154 @@
+"""Reshaping & warehouse-maintenance operators: unpivot/melt, histogram
+binning, and SCD type-2 interval construction.
+
+These round out the §2 surface with the wide↔long reshapes and
+dimension-maintenance patterns every warehouse migration needs; none of
+them exist in the reference (a file-to-DB loader — SURVEY.md §2
+exhaustiveness note), so all are category S/N engine surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark.functions.exact import cents
+from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.tables import load
+
+
+@register(
+    "q_reshape_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_items
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value
+FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, n_items))
+ORDER BY l_returnflag, measure
+""",
+    tags=("reshape",),
+)
+def q_reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): aggregate lineitem to one wide row per
+    return flag, then turn the three measure columns into (measure,
+    value) rows — the inverse of q_agg_pivot. Unpivot is a zero-shuffle
+    Expand node: each input row fans out to k rows map-side, so at 100 TB
+    it adds no exchange beyond the aggregation that feeds it. Quantities
+    ride exact integer math before the final double cast so the melted
+    values hash-match across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("double").alias(
+            "sum_qty"
+        ),
+        (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+       CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bin_lo,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY bin
+ORDER BY bin
+""",
+    tags=("reshape", "aggregate"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order values: bin = floor(x / width).
+    Single map-side expression + one aggregate shuffle on the bin id —
+    the cross-engine-safe spelling of width_bucket (whose Spark and
+    DuckDB implementations associate the divide differently, so exact
+    bucket boundaries could disagree in the last ulp). 2-dp prices are
+    never within an ulp of a 50000 boundary, so binning is exact."""
+    orders = load(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000.0)
+    return (
+        orders.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50000.0).alias("bin_lo"),
+            "n_orders",
+            "avg_price",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q_etl_scd2",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_sec, event_id
+  FROM events
+), marked AS (
+  SELECT *,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+           AS prev_type
+  FROM e
+), changes AS (
+  SELECT user_id, event_type, ts_sec, event_id
+  FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       ts_sec AS valid_from,
+       lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         AS valid_to
+FROM changes
+ORDER BY user_id, valid_from, event_id
+""",
+    tags=("etl", "reshape"),
+)
+def q_etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into validity intervals [valid_from, valid_to) that open when
+    event_type changes, with NULL valid_to marking the current row —
+    the standard way a warehouse tracks attribute history. Two window
+    passes over one partitioning (user_id) = ONE shuffle: lag detects
+    change points, lead closes each interval with the next change's
+    start. ts is second-truncated per the cross-engine convention
+    (SURVEY.md §5.3); event_id breaks ordering ties deterministically."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    return (
+        changes.withColumn("valid_from", F.col("ts_sec"))
+        .withColumn("valid_to", F.lead("ts_sec").over(w))
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .orderBy("user_id", "valid_from")
+    )

@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "micmac_li3ds_spark.operators.analytics",
     "micmac_li3ds_spark.operators.subqueries",
     "micmac_li3ds_spark.operators.sampling",
+    "micmac_li3ds_spark.operators.reshape",
 ]
 
 _loaded = False
