@@ -45,7 +45,13 @@ HEADLINE = [
     # composite analytics (multi-join pipelines)
     "q_shipping_priority",      # TPC-H Q3 shape: 3-way join + top-k
     "q_local_supplier_volume",  # TPC-H Q5 shape: 6-way mixed-strategy join
+    "q_large_volume_customer",  # TPC-H Q18 shape: agg-before-join + top-k
     "q_event_funnel",           # two-level conditional agg funnel
+    # training-data pipeline (deterministic sampling / packing)
+    "q_llm_train_split",        # hash-bucket train/val/test split
+    "q_llm_seq_pack",           # prefix-sum sequence packing
+    # warehouse maintenance
+    "q_etl_scd2",               # SCD2 intervals: 2 windows, 1 shuffle
 ]
 
 
