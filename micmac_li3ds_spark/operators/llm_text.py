@@ -525,3 +525,109 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.pmod(acc * 31 + x, F.lit(1000000007)),
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ------------------------------------------- repetition & contamination
+
+
+@register(
+    "q_llm_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         CAST(greatest(length(toks) - 2, 0) AS BIGINT) AS n_total,
+         CAST(length(list_distinct(
+           list_transform(range(1, greatest(length(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+           AS BIGINT) AS n_distinct
+  FROM t
+)
+SELECT doc_id, lang, n_total, n_distinct,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_total, 6) AS rep_ratio
+FROM g WHERE n_total > 0
+""",
+    tags=("llm", "text", "quality"),
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram repetition ratio per document — the Gopher-rules
+    quality signal that catches boilerplate and degenerate repetition
+    (high ratio = the same phrases loop). Pure per-row array algebra
+    (total vs distinct shingle counts): map-only, no shuffle, scale-free."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_total = F.greatest(F.size(toks) - 2, F.lit(0)).cast("long")
+    n_distinct = F.size(shingles(toks)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_total.alias("n_total"),
+            n_distinct.alias("n_distinct"),
+        )
+        .filter(F.col("n_total") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_total",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_total"), 6
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle=f"""
+WITH {DUCK_SHINGLES_CTE},
+post AS (
+  SELECT doc_id, CAST(length(s) AS BIGINT) AS n_shingles, unnest(s) AS g
+  FROM sh WHERE length(s) > 0
+),
+bench AS (SELECT DISTINCT g FROM post WHERE doc_id % 50 = 0)
+SELECT p.doc_id, p.n_shingles, count(*) AS n_overlap,
+       round(CAST(count(*) AS DOUBLE) / p.n_shingles, 6) AS overlap_ratio
+FROM post p JOIN bench b ON p.g = b.g
+WHERE p.doc_id % 50 <> 0
+GROUP BY p.doc_id, p.n_shingles
+""",
+    tags=("llm", "text", "dedup"),
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing 3-gram
+    shingles with a benchmark set (here: every 50th doc stands in for
+    the held-out benchmark). The benchmark's distinct shingles are a
+    SMALL set by construction (evals are thousands of docs, not
+    billions) → broadcast semi-join against the training corpus'
+    exploded shingles: map-side hash probe, no corpus shuffle; the only
+    exchange is the per-doc overlap count. This is the shape that scans
+    100 TB of training text against a benchmark suite in one pass."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles(tokens("text")).alias("sh")
+    )
+    post = d.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.explode("sh").alias("g"),
+    )
+    bench = (
+        post.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    return (
+        post.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("overlap_ratio"),
+        )
+    )
