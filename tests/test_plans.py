@@ -1,0 +1,108 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+Correctness tests prove the right ROWS come back; these prove the right
+PLAN produces them — the properties that decide whether a query survives
+a 100× scale-up: filters reaching the parquet scan, small dims broadcast,
+top-k never full-sorting, aggregates combining map-side, and no
+accidental cartesian products. A refactor that silently trades one of
+these away fails here even though every value still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from micmac_li3ds_spark import registry
+from tests.conftest import SF_DIR
+
+
+def plan(spark, name: str) -> str:
+    df = registry.registry()[name].fn(spark, SF_DIR)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "q_filter_simple")
+    assert "PushedFilters: [" in p
+    # the shipdate predicate must be pushed, not just evaluated post-scan
+    assert "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_scan_prunes_columns(spark):
+    p = plan(spark, "q_pricing_summary")
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    # 7 of 11 lineitem columns are needed; text must not appear
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_small_dim_is_broadcast(spark):
+    p = plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+
+
+def test_large_join_is_not_broadcast_nested_loop(spark):
+    p = plan(spark, "q_join_sortmerge")
+    assert "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_avoids_full_sort(spark):
+    p = plan(spark, "q_topk_global")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_aggregate_has_partial_phase(spark):
+    p = plan(spark, "q_pricing_summary")
+    # two-phase hash aggregate: partial (map-side combine) before the
+    # exchange, final after — the thing that keeps 100 TB aggs cheap
+    assert p.count("HashAggregate") >= 2
+    assert "partial_" in p.lower() or "Functions [partial" in p
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    p = plan(spark, "q_etl_scd2")
+    # both window passes partition by user_id: exactly one hash exchange
+    # on user_id (the second exchange in the plan is the output sort)
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_correlated_subquery_decorrelates(spark):
+    p = plan(spark, "q_subquery_corr_agg")
+    assert "Join" in p  # agg + join, not per-row re-execution
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_llm_near_dedup",
+        "q_llm_embed_dedup",
+        "q_llm_knn",
+        "q_llm_decontaminate",
+        "q_shipping_priority",
+        "q_local_supplier_volume",
+        "q_large_volume_customer",
+    ],
+)
+def test_no_cartesian_product_in_scale_paths(spark, name):
+    p = plan(spark, name)
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    # under AQE the pre-execution plan is a placeholder with no codegen
+    # subtrees yet, so probe with AQE off — codegen fusing is decided by
+    # the same planner either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.registry()["q_pricing_summary"].fn(spark, SF_DIR)
+        p = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in p
+    assert not p.startswith("Found 0")
