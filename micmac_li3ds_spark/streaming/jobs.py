@@ -202,3 +202,56 @@ def run_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def tws_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running totals on the Spark 4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` (same semantics as
+    ``stateful_user_totals``, so tests can assert the two APIs agree).
+
+    Differences that matter at scale: typed state handles (value/list/
+    map state) stored per composite key in the RocksDB-capable state
+    store, TTL support per state (`ttlDurationMs`), and event-time
+    timers — the building blocks for production state machines without
+    hand-rolling eviction. State here is one ValueState of exact integer
+    cents per user.
+
+    Runtime dependency note: the TWS python worker talks to the JVM
+    state server over protobuf, so ``google.protobuf`` must be
+    installed on executors; the test suite skips (not fails) where it
+    is absent and ``stateful_user_totals`` remains the
+    dependency-free fallback with identical semantics."""
+    import pandas as pd  # local: only the python workers need it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._totals.get()
+            n, cents_total = prior if prior is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents_total += int(pdf["value"].mul(100).round().sum())
+            self._totals.update((n, cents_total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents_total / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

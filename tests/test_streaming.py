@@ -243,3 +243,56 @@ def test_foreach_batch_sink_idempotent_upsert(spark, sf_dir):
         assert total > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API) must
+    accumulate the same per-user totals across micro-batches as the
+    applyInPandasWithState implementation."""
+    # the TWS python worker speaks protobuf to the JVM state server;
+    # skip (not fail) in environments without google.protobuf
+    pytest.importorskip("google.protobuf.descriptor")
+    tmp = tempfile.mkdtemp(prefix="tws_")
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, uid, val):
+        return (i, t0 + datetime.timedelta(minutes=i), uid, "click", val, "{}")
+
+    batch1 = [ev(1, 1, 1.25), ev(2, 1, 2.50), ev(3, 2, 10.00)]
+    batch2 = [ev(4, 1, 0.25), ev(5, 3, 7.75)]
+    try:
+        for rows in (batch1, batch2):
+            spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(cols)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        emitted: list[tuple] = []
+        q = (
+            jobs.tws_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.extend((bid, *r) for r in df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        final = {}
+        for _bid, uid, n, total in sorted(emitted):
+            final[uid] = (n, total)
+        # same expectations as test_stateful_user_totals_across_batches:
+        # user 1 spans both micro-batches, so state must accumulate
+        assert final[1] == (3, 4.0)
+        assert final[2] == (1, 10.0)
+        assert final[3] == (1, 7.75)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
