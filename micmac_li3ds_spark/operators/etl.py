@@ -295,6 +295,48 @@ def q_etl_transfo_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_etl_transfo_closure_cte",
+    oracle=f"""
+WITH RECURSIVE edges AS (
+  SELECT source_ref, target_ref FROM read_parquet('{PQ_DIR}/transfo.parquet')
+),
+closure AS (
+  SELECT source_ref, target_ref AS ancestor_ref, 1 AS depth FROM edges
+  UNION ALL
+  SELECT c.source_ref, e.target_ref, c.depth + 1
+  FROM closure c JOIN edges e ON e.source_ref = c.ancestor_ref
+)
+SELECT source_ref, ancestor_ref, depth FROM closure
+""",
+    tags=("etl", "graph"),
+)
+def q_etl_transfo_closure_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure via Spark 4's native ``WITH RECURSIVE``
+    (availability was a SURVEY.md §7.3 risk — confirmed working in
+    4.1.2): the engine's recursion replaces the driver-side fixpoint
+    loop of q_etl_transfo_closure, keeping iteration inside one query
+    plan. Identical SQL text runs in DuckDB as the oracle. At scale the
+    per-iteration shuffle is on the frontier key either way; the CTE
+    form additionally lets the engine stop exactly at the fixpoint
+    instead of probing an empty frontier once more."""
+    spark.read.parquet(os.path.join(PQ_DIR, "transfo.parquet")).select(
+        "source_ref", "target_ref"
+    ).createOrReplaceTempView("transfo_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE closure AS (
+          SELECT source_ref, target_ref AS ancestor_ref, 1 AS depth
+          FROM transfo_edges
+          UNION ALL
+          SELECT c.source_ref, e.target_ref, c.depth + 1
+          FROM closure c JOIN transfo_edges e ON e.source_ref = c.ancestor_ref
+        )
+        SELECT source_ref, ancestor_ref, depth FROM closure
+        """
+    )
+
+
+@register(
     "q_etl_fk_check",
     oracle="""
 SELECT 'lineitem->part(price>1200)' AS fk,

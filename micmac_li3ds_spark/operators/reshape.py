@@ -152,3 +152,70 @@ def q_etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "valid_from", "valid_to")
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+WITH p AS (
+  SELECT count(*) AS n_rows,
+         count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+         CAST(min(o_orderkey) AS DOUBLE) AS mn_key,
+         CAST(max(o_orderkey) AS DOUBLE) AS mx_key,
+         count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+         CAST(min(o_custkey) AS DOUBLE) AS mn_cust,
+         CAST(max(o_custkey) AS DOUBLE) AS mx_cust,
+         count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+         min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp
+  FROM orders
+)
+SELECT 'o_orderkey' AS col, n_rows, n_rows - nn_key AS n_nulls,
+       nd_key AS n_distinct, mn_key AS vmin, mx_key AS vmax FROM p
+UNION ALL
+SELECT 'o_custkey', n_rows, n_rows - nn_cust, nd_cust, mn_cust, mx_cust FROM p
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - nn_tp, nd_tp, mn_tp, mx_tp FROM p
+""",
+    tags=("reshape", "profiling"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling: one scan computes row count and
+    per-column null count / distinct count / min / max, emitted as one
+    row per column. This is the statistics pass a deploy runs to feed
+    Catalyst's CBO (`ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`)
+    — expressed as a query so the oracle can check it. Single-pass
+    single-shuffle: all aggregates ride one partial+final hash
+    aggregate; the per-column rows are a driver-side reshape of the
+    1-row result (3 projections of one agg, not 3 scans)."""
+    orders = load(spark, sf_dir, "orders")
+    p = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("double").alias("mn_key"),
+        F.max("o_orderkey").cast("double").alias("mx_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("mn_cust"),
+        F.max("o_custkey").cast("double").alias("mx_cust"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+    )
+
+    def row(col: str, nn: str, nd: str, mn: str, mx: str):
+        return p.select(
+            F.lit(col).alias("col"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(nn)).alias("n_nulls"),
+            F.col(nd).alias("n_distinct"),
+            F.col(mn).alias("vmin"),
+            F.col(mx).alias("vmax"),
+        )
+
+    return (
+        row("o_orderkey", "nn_key", "nd_key", "mn_key", "mx_key")
+        .unionByName(row("o_custkey", "nn_cust", "nd_cust", "mn_cust", "mx_cust"))
+        .unionByName(row("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
+    )
