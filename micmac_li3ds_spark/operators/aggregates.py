@@ -151,7 +151,9 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_grouping_sets",
     oracle=f"""
-SELECT o_orderstatus, o_orderpriority,
+SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       coalesce(o_orderstatus, 'ALL') AS status_label,
+       coalesce(o_orderpriority, 'ALL') AS prio_label,
        COUNT(*) AS n_orders,
        SUM({duck_cents('o_totalprice')}) / 100.0 AS sum_total
 FROM orders
@@ -161,12 +163,18 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping-set list via Spark SQL (same Expand-based plan
-    as rollup/cube)."""
+    as rollup/cube). Output is NULL-marker-free: ``grouping_id()`` +
+    coalesced labels disambiguate the sets (both engines put the
+    rightmost grouping column in the least-significant bit, verified
+    round 2), so cross-engine canonicalization never has to order
+    NULLs in string group columns."""
     o = load(spark, sf_dir, "orders")
     o.createOrReplaceTempView("_gs_orders")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority,
+        SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               coalesce(o_orderstatus, 'ALL') AS status_label,
+               coalesce(o_orderpriority, 'ALL') AS prio_label,
                COUNT(*) AS n_orders,
                SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
         FROM _gs_orders
@@ -179,7 +187,7 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
 SELECT lang,
-       list_sort(list(DISTINCT source)) AS sources,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
        COUNT(*) AS n_docs
 FROM documents
 GROUP BY lang
@@ -188,10 +196,13 @@ GROUP BY lang
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group value arrays; array_sort imposed for determinism
-    (SURVEY.md §5.3 — collect order is undefined in both engines)."""
+    (SURVEY.md §5.3 — collect order is undefined in both engines).
+    Emitted as a comma-joined string: the driver's pandas canonicalizer
+    cannot hash list-typed cells (CORRECTNESS_r01 `unhashable type:
+    'list'`), and a delimited string is equally faithful for parity."""
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 

@@ -73,7 +73,11 @@ def q_etl_xml_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_etl_explode_block",
     oracle=f"""
-SELECT block_name, cam_id, t, r
+SELECT block_name, cam_id,
+       t[1] AS tx, t[2] AS ty, t[3] AS tz,
+       r[1] AS r11, r[2] AS r12, r[3] AS r13,
+       r[4] AS r21, r[5] AS r22, r[6] AS r23,
+       r[7] AS r31, r[8] AS r32, r[9] AS r33
 FROM read_parquet('{PQ_DIR}/block_cameras.parquet')
 """,
     tags=("etl", "xml"),
@@ -83,7 +87,9 @@ def q_etl_explode_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     ParamOrientSHC camera group into one row per camera with translation
     3-vector and row-major 3×3 rotation. Checked against the parquet
     twin — the XML→array parse must round-trip the generator's values
-    exactly."""
+    exactly. Fixed-size vectors are unpacked to scalar columns (the
+    driver canonicalizer cannot hash list cells) — doubles compare
+    bitwise, no string formatting involved."""
     raw = (
         spark.read.format("xml")
         .option("rowTag", "StructBlockCam")
@@ -93,14 +99,20 @@ def q_etl_explode_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("BlockName").alias("block_name"),
         F.explode("LiaisonsSHC.ParamOrientSHC").alias("c"),
     )
+    t = _vec(F.col("c.Vecteur"), 3)
     rot = F.concat(
         _vec(F.col("c.Rot.L1"), 3), _vec(F.col("c.Rot.L2"), 3), _vec(F.col("c.Rot.L3"), 3)
     )
+    rcols = [
+        F.element_at(rot, i + 1).alias(f"r{i // 3 + 1}{i % 3 + 1}") for i in range(9)
+    ]
     return cam.select(
         "block_name",
         F.col("c.IdGrp").alias("cam_id"),
-        _vec(F.col("c.Vecteur"), 3).alias("t"),
-        rot.alias("r"),
+        F.element_at(t, 1).alias("tx"),
+        F.element_at(t, 2).alias("ty"),
+        F.element_at(t, 3).alias("tz"),
+        *rcols,
     )
 
 

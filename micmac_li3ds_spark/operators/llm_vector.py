@@ -131,21 +131,32 @@ WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
 SELECT vec_id,
        round(nrm, 6) AS l2,
-       list_transform(v, x -> round(x / nrm, 6)) AS unit_vec
+       array_to_string(
+         list_transform(v, x -> CAST(CAST(round(x / nrm * 1000000) AS BIGINT) AS VARCHAR)),
+         ',') AS unit_vec_ppm
 FROM n
 """,
     tags=("llm", "vector"),
 )
 def q_llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 normalization: emit the norm and the unit vector (rounded
-    per-element). Narrow map-only transform."""
+    """L2 normalization: emit the norm and the unit vector. Narrow
+    map-only transform. The unit vector is serialized as comma-joined
+    integer parts-per-million (explicit round() on both sides — DuckDB
+    CAST rounds while Spark cast truncates): double→string formatting
+    differs across engines (E-notation thresholds) and the driver
+    canonicalizer cannot hash list cells, so quantized-int text is the
+    only stable cross-engine encoding."""
     e = _emb(spark, sf_dir)
     return e.select(
         "vec_id",
         F.round(l2_norm(F.col("v")), 6).alias("l2"),
-        F.transform(l2_normalize(F.col("v")), lambda x: F.round(x, 6)).alias(
-            "unit_vec"
-        ),
+        F.array_join(
+            F.transform(
+                l2_normalize(F.col("v")),
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("unit_vec_ppm"),
     )
 
 

@@ -28,14 +28,16 @@ SELECT c_custkey,
        trim(concat('  ', c_name, '  ')) AS name_trim,
        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
        replace(c_mktsegment, 'MACHINERY', 'MACH') AS seg_repl,
-       string_split(c_name, '#') AS name_parts
+       array_to_string(string_split(c_name, '#'), '|') AS name_parts
 FROM customer
 """,
     tags=("scalar", "string"),
 )
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: concat/case/substring/length/trim/pad/replace/split.
-    DuckDB length() returns BIGINT vs Spark INT → cast on the oracle side."""
+    DuckDB length() returns BIGINT vs Spark INT → cast on the oracle side.
+    Split output re-joined to a string: the driver canonicalizer cannot
+    hash list cells (CORRECTNESS_r01)."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -49,7 +51,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("c_mktsegment"), F.lit("MACHINERY"), F.lit("MACH")).alias(
             "seg_repl"
         ),
-        F.split("c_name", "#").alias("name_parts"),
+        F.array_join(F.split("c_name", "#"), "|").alias("name_parts"),
     )
 
 
@@ -208,11 +210,11 @@ SELECT doc_id,
        CAST(length(tokens) AS INTEGER) AS n_tokens,
        tokens[1] AS first_token,
        list_contains(tokens, 'join') AS has_join,
-       list_sort(list_distinct(tokens))[1:5] AS first5_sorted,
-       list_transform(tokens[1:10], t -> CAST(length(t) AS INTEGER)) AS first10_lens,
+       array_to_string(list_sort(list_distinct(tokens))[1:5], ',') AS first5_sorted,
+       array_to_string(list_transform(tokens[1:10], t -> CAST(length(t) AS VARCHAR)), ',') AS first10_lens,
        CAST(length(list_filter(tokens, t -> length(t) > 5)) AS INTEGER) AS n_long,
        CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS total_len,
-       list_transform(range(1, 4), x -> CAST(x AS BIGINT)) AS seq_1_3
+       array_to_string(list_transform(range(1, 4), x -> CAST(x AS VARCHAR)), ',') AS seq_1_3
 FROM toks
 """,
     tags=("scalar", "array"),
@@ -221,7 +223,9 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + higher-order family over tokenized documents: size,
     element_at, contains, slice, sort+distinct, transform, filter,
     aggregate (sum-of-lengths), sequence. The reference's vector/matrix
-    payloads ride exactly these primitives (SURVEY.md §2.8)."""
+    payloads ride exactly these primitives (SURVEY.md §2.8). Array
+    outputs re-joined to strings for the driver canonicalizer
+    (CORRECTNESS_r01 `unhashable type: 'list'`)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
@@ -229,13 +233,23 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.array_contains(toks, "join").alias("has_join"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first5_sorted"),
-        F.transform(F.slice(toks, 1, 10), lambda t: F.length(t)).alias("first10_lens"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ","
+        ).alias("first5_sorted"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 10), lambda t: F.length(t).cast("string")),
+            ",",
+        ).alias("first10_lens"),
         F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("total_len"),
-        F.sequence(F.lit(1).cast("long"), F.lit(3).cast("long")).alias("seq_1_3"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("seq_1_3"),
     )
 
 
@@ -244,7 +258,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        map_extract(MAP(['lang','source'], [lang, source]), 'lang')[1] AS lang_val,
-       list_sort(map_keys(MAP(['lang','source'], [lang, source]))) AS keys_sorted,
+       array_to_string(list_sort(map_keys(MAP(['lang','source'], [lang, source]))), ',') AS keys_sorted,
        CAST(cardinality(MAP(['lang','source'], [lang, source])) AS INTEGER) AS n_keys
 FROM documents
 """,
@@ -261,7 +275,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.element_at(m, "lang").alias("lang_val"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).alias("n_keys"),
     )
 
