@@ -5,10 +5,12 @@ convenience — at 100 TB schema inference is a full extra pass). The
 parquet scan demonstrates pushdown+pruning; the partitioned sink writes
 and re-reads, proving round-trip.
 
-JDBC source/sink: no database exists in this environment. The engine's
-JDBC surface is `micmac_li3ds_spark.sources.sinks` (interface +
-foreachBatch MERGE pattern), exercised by the parquet "twin" here and
-unit-tested for plan shape only.
+JDBC source/sink: `micmac_li3ds_spark.sources` (jdbc.py read surface,
+sinks.py write/upsert) — exercised for REAL against embedded Derby
+(jars ship inside Spark): `q_jdbc_roundtrip` below pushes customer
+through the JDBC sink and partitioned JDBC source and is value-checked
+against the DuckDB oracle; tests/test_jdbc.py covers pushdown,
+partitioned reads, and exactly-once MERGE upserts.
 """
 
 from __future__ import annotations
@@ -146,6 +148,59 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("FileInterne").alias("calib_name"),
         center.alias("center"),
         F.col("ConvOri.KnownConv").alias("conv"),
+    )
+
+
+@register(
+    "q_jdbc_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("scan", "jdbc", "sink"),
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's database path, end-to-end and for real: write
+    customer through the executor-parallel JDBC sink into embedded
+    Derby, read it back through the range-partitioned JDBC source
+    (8 splits on c_custkey — one connection per split), aggregate.
+    Value-parity against the oracle proves the sink+source round-trip
+    is lossless (DOUBLE is IEEE-exact through Derby; strings forced to
+    VARCHAR via createTableColumnTypes so they stay comparable).
+    Approximate split bounds are safe: rows outside land in the edge
+    partitions, nothing is filtered."""
+    from micmac_li3ds_spark.sources import derby_config, read_table, write_jdbc
+
+    db = os.path.join(
+        SCRATCH, f"derby_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    cfg = derby_config(db)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_jdbc(
+        c,
+        cfg,
+        "customer_rt",
+        mode="overwrite",
+        create_table_column_types="c_mktsegment VARCHAR(16)",
+    )
+    back = read_table(
+        spark,
+        cfg,
+        "customer_rt",
+        partition_column="c_custkey",
+        lower_bound=1,
+        upper_bound=200_000,
+        num_partitions=8,
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        (F.sum(cents) / 100.0).alias("total_bal"),
     )
 
 

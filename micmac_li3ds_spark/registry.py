@@ -70,6 +70,8 @@ _PRIORITY: list[str] = [
     "q_fn_string",
     "q_fn_array",
     "q_fn_map",
+    # new round-2 surface: the real JDBC sink+source round-trip
+    "q_jdbc_roundtrip",
     # llm_text
     "q_llm_exact_dedup",
     "q_llm_near_dedup",
@@ -120,7 +122,9 @@ _PRIORITY: list[str] = [
     # streaming batch-twins
     "q_stream_tumbling",
     "q_stream_sliding",
-    "q_stream_session",
+    # (q_stream_session rotated out for q_jdbc_roundtrip — its batch
+    # twin shares the windowed-agg shape with tumbling/sliding above
+    # and stays guarded by tools/check.py + the batch≡stream harness)
     # multimodal (oracle-backed)
     "q_mm_binary_stats",
 ]
