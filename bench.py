@@ -100,6 +100,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
+                # methodology markers so cross-run comparisons are
+                # interpretable: per-query time is min over `runs`
+                # timed executions after a warm-up pass
+                "runs": 2,
+                "timing": "best_of_n",
             }
         )
     )

@@ -12,8 +12,8 @@ Scale design (the whole point of these operators):
 - The inverted-index variant (q_llm_ngram_jaccard) is the exact
   counterpart: explode shingles → self-join the posting lists → verify.
   Hot shingles are the skew risk; mitigated by dropping shingles with
-  document frequency above a cap (stopword-shingle pruning) — at this
-  corpus no cap is needed.
+  document frequency above a cap (stopword-shingle pruning) before the
+  posting-list self-join — implemented, default df_cap=256.
 """
 
 from __future__ import annotations
@@ -220,17 +220,36 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_NEAR_DEDUP_ORACLE.replace("jac >= 0.5", "jac >= 0.6"),
     tags=("llm", "dedup"),
 )
-def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int = 256
+) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs via an inverted index:
-    explode shingles → self-join posting lists (pairs sharing ≥1
-    shingle) → exact Jaccard ≥ 0.6. Guaranteed-complete counterpart of
-    the LSH path (any pair with jac ≥ 0.6 shares a shingle). Skew note:
-    a shingle appearing in d docs contributes d² candidate rows — cap
-    document frequency at ingest when corpora have boilerplate."""
+    explode shingles → drop shingles with document frequency above
+    ``df_cap`` (boilerplate/stopword shingles) → self-join the surviving
+    posting lists (pairs sharing ≥1 rare-enough shingle) → exact Jaccard
+    ≥ 0.6 on the FULL shingle sets.
+
+    The DF cap is what makes this survive 100 TB: a shingle in d docs
+    yields d² candidate rows, so one boilerplate header shared by 10⁶
+    docs would be 10¹² candidates; capping bounds every posting list's
+    contribution at df_cap² (property-tested with a planted hot
+    shingle). Completeness: a pair is missed only if EVERY shared
+    shingle exceeds the cap — at jac ≥ 0.6 that means both docs are
+    near-entirely boilerplate, exactly the pairs near-dedup pipelines
+    drop anyway (and on this corpus the oracle confirms zero loss). The
+    DF pass pre-aggregates on the same key as the posting join, so it
+    rides the identical shuffle partitioning."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", shingles(tokens("text")).alias("sh")
     )
     post = d.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        post.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("s")
+    )
+    post = post.join(rare, "s")
     a = post.alias("a")
     b = post.alias("b")
     candidates = (

@@ -219,3 +219,49 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("o_custkey", "nn_cust", "nd_cust", "mn_cust", "mx_cust"))
         .unionByName(row("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
     )
+
+
+@register("q_profile_columns_sketch", tags=("reshape", "profiling", "sketch"))
+def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_profile_columns: distinct counts via
+    HyperLogLog++ (``approx_count_distinct``, 2% relative SD) instead of
+    exact ``countDistinct``. Exact distinct on N columns multiplies the
+    aggregate's state by the distinct-key volume of each column and
+    forces a full dedup per column; HLL state is a fixed few-KB sketch
+    per column regardless of cardinality, and it map-side combines —
+    the stats pass stays one cheap scan at any scale. Rows-only check
+    (approximate by construction); the exact twin stays value-checked.
+    The sanity columns bound the estimate against exact anchors that
+    stay cheap at scale (n_rows, min/max)."""
+    orders = load(spark, sf_dir, "orders")
+    p = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.approx_count_distinct("o_orderkey", 0.02).alias("nd_key"),
+        F.min("o_orderkey").cast("double").alias("mn_key"),
+        F.max("o_orderkey").cast("double").alias("mx_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("mn_cust"),
+        F.max("o_custkey").cast("double").alias("mx_cust"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.approx_count_distinct("o_totalprice", 0.02).alias("nd_tp"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+    )
+
+    def row(col: str, nn: str, nd: str, mn: str, mx: str):
+        return p.select(
+            F.lit(col).alias("col"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(nn)).alias("n_nulls"),
+            F.col(nd).alias("n_distinct_approx"),
+            F.col(mn).alias("vmin"),
+            F.col(mx).alias("vmax"),
+        )
+
+    return (
+        row("o_orderkey", "nn_key", "nd_key", "mn_key", "mx_key")
+        .unionByName(row("o_custkey", "nn_cust", "nd_cust", "mn_cust", "mx_cust"))
+        .unionByName(row("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
+    )

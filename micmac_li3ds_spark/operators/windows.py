@@ -62,22 +62,31 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_win_ntile",
     oracle="""
-SELECT s_suppkey, s_acctbal,
+SELECT s_suppkey, s_nationkey, s_acctbal,
        ntile(4)       OVER w AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist()    OVER w, 6) AS cdist
 FROM supplier
-WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
 """,
     tags=("window", "ntile"),
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions over a global window (single partition —
-    fine for a dimension; at scale always add PARTITION BY)."""
+    """Distribution functions (ntile/percent_rank/cume_dist) per nation:
+    the window is PARTITIONED, so rows hash-shuffle across executors by
+    s_nationkey and every partition sorts independently — no
+    single-task global sort. (An unpartitioned distribution window
+    serializes the whole table through one WindowExec task — Spark even
+    warns "Moving all data to a single partition"; if a truly global
+    quantile assignment is ever needed at scale, compute cutpoints with
+    approx_percentile and join them, rather than sorting the world.)"""
     s = load(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
     return s.select(
         "s_suppkey",
+        "s_nationkey",
         "s_acctbal",
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),

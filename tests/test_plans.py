@@ -96,6 +96,7 @@ def test_whole_stage_codegen_covers_hot_path(spark):
     # under AQE the pre-execution plan is a placeholder with no codegen
     # subtrees yet, so probe with AQE off — codegen fusing is decided by
     # the same planner either way
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = registry.registry()["q_pricing_summary"].fn(spark, SF_DIR)
@@ -103,6 +104,6 @@ def test_whole_stage_codegen_covers_hot_path(spark):
             df._jdf.queryExecution(), "codegen"
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
     assert "WholeStageCodegen subtrees" in p
     assert not p.startswith("Found 0")

@@ -100,3 +100,75 @@ def test_bucket_pair_expansion_matches_bruteforce(spark, buckets):
         if a < b
     }
     assert got == want
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark, tmp_path):
+    """A boilerplate shingle shared by every document must NOT generate
+    candidate pairs once its document frequency exceeds the cap: docs
+    related only through the hot shingle produce no output, while pairs
+    sharing rare shingles are still found exactly."""
+    from micmac_li3ds_spark.operators.llm_text import q_llm_ngram_jaccard
+
+    hot = "common boilerplate header line"  # 4 tokens -> one hot 3-shingle chain
+    rows = []
+    # 30 unrelated docs that share ONLY the boilerplate text
+    for i in range(30):
+        rows.append((i, f"{hot} unique{i}a unique{i}b unique{i}c", "en", "web"))
+    # one true duplicate pair sharing rare shingles (and the boilerplate)
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows.append((100, f"{hot} {dup}", "en", "web"))
+    rows.append((101, f"{hot} {dup} iota", "en", "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_llm_ngram_jaccard(spark, str(tmp_path), df_cap=8).collect()
+    }
+    assert pairs == {(100, 101)}
+
+    # quantify the bound: candidate pairs = Σ C(df,2) over shingles.
+    # The hot shingles (df=32) alone contribute C(32,2)=496 each when
+    # uncapped; after the cap only the rare planted shingles remain.
+    from micmac_li3ds_spark.functions.text import shingles, tokens
+
+    d = spark.read.parquet(out)
+    dfc = (
+        d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    npairs = F.sum(F.col("df") * (F.col("df") - 1) / 2)
+    total = dfc.agg(npairs).first()[0]
+    capped = dfc.filter(F.col("df") <= 8).agg(npairs).first()[0]
+    assert total > 400
+    assert capped < 50
+
+
+def test_corpus_has_no_pairs_in_fragile_lsh_band(duck):
+    """Corpus contract behind q_llm_near_dedup's oracle parity: with 64
+    MinHash perms (32 bands x 2 rows) a pair at jac just above the 0.5
+    verification threshold has ~1e-4 candidate-miss probability, so
+    value-parity vs the brute-force oracle implicitly assumes the corpus
+    has no pairs in the marginal band. Assert it: every brute-force pair
+    is either a planted near-duplicate (jac >= 0.75, where P(miss) <
+    1e-12) or background (jac < 0.45). If a regenerated corpus ever
+    lands pairs in [0.45, 0.75) this fails loudly instead of parity
+    flaking silently."""
+    from micmac_li3ds_spark.functions.text import DUCK_SHINGLES_CTE
+
+    fragile = duck.execute(
+        f"""
+WITH {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+               / length(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT COUNT(*) FROM pairs WHERE jac >= 0.45 AND jac < 0.75
+"""
+    ).fetchone()[0]
+    assert fragile == 0

@@ -23,6 +23,22 @@ from pyspark.sql.types import ArrayType, MapType
 from micmac_li3ds_spark import registry as R
 
 
+def test_readme_counts_match_registry():
+    """README's coverage claim must be derived from the registry, not
+    hand-maintained (it drifted in round 1)."""
+    import os
+    import re
+
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+    ).read()
+    m = re.search(r"(\d+) registered\s*\nqueries \((\d+) with full", readme)
+    assert m, "README coverage sentence not found"
+    regs = R.registry()
+    assert int(m.group(1)) == len(regs)
+    assert int(m.group(2)) == sum(1 for q in regs.values() if q.oracle)
+
+
 def test_priority_names_all_registered():
     regs = R.registry()
     missing = [n for n in R._PRIORITY if n not in regs]

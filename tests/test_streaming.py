@@ -296,3 +296,41 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
         assert final[3] == (1, 7.75)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rate_source_generates_monotonic_rows(spark):
+    """The dev/load-test source (SURVEY.md §2.1): format("rate") emits
+    (timestamp, value) with value increasing from 0 — drain a couple of
+    micro-batches and check the contract. numPartitions shows the
+    source parallelizes generation (the point of using it to load-test
+    sinks)."""
+    import time as _time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .option("numPartitions", 2)
+        .load()
+        .withColumn("part", F.spark_partition_id())
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_probe")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) FROM rate_probe").first()[0] >= 100:
+                break
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT value FROM rate_probe").collect()
+    vals = sorted(r["value"] for r in rows)
+    assert len(vals) >= 100
+    assert vals == list(range(vals[0], vals[0] + len(vals)))  # gap-free
+    nparts = spark.sql("SELECT COUNT(DISTINCT part) FROM rate_probe").first()[0]
+    assert nparts == 2
