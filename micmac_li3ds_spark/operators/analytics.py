@@ -389,3 +389,249 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "q_priority_linestatus",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END)
+         AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""",
+    tags=("analytics", "composite"),
+)
+def q_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode column adapted to l_linestatus): one
+    fact⋈fact join with the date filter pushed into the lineitem scan,
+    then conditional counts per group — the filter prunes row groups
+    BEFORE the shuffle, so the join moves only the surviving year."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_order_count_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("analytics", "composite"),
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram through a LEFT
+    join whose predicate lives in the join condition (not a post-filter
+    — that would turn the left join inner). Two aggregations: the first
+    shuffles on c_custkey, the second input is one row per customer so
+    the histogram agg is near-free. COUNT(o_orderkey) counts non-null
+    matches only — the unmatched-customer bucket lands at c_count=0."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle="""
+SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < 0.2 * (SELECT SUM(l2.l_quantity) / COUNT(*)
+                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    tags=("analytics", "composite", "subquery"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems far below their part's average order
+    quantity. The correlated scalar AVG decorrelates (Catalyst) into a
+    per-part aggregate joined back on p_partkey — one extra shuffle on
+    the same key as the main join, not a per-row subquery execution.
+    The threshold is written as SUM/COUNT on BOTH engines: quantities
+    are integral so the sum is exact in a double regardless of
+    aggregation order, making the comparison bit-identical."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 AS total_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l_quantity < 0.2 * (SELECT SUM(l2.l_quantity) / COUNT(*)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    oracle=f"""
+SELECT {_REV} AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("analytics", "composite"),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common single-side conjuncts (p_brand/p_size terms
+    prune part, quantity bounds prune lineitem) below the join and
+    keeps only the cross-side disjunction as the join residual — the
+    scans shrink even though no single predicate is universally true."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        _revenue().alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "q_waiting_supplier",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("analytics", "composite", "subquery"),
+)
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt-vs-commit dates adapted to the return
+    flag): suppliers who were the SOLE returning supplier on a finished
+    multi-supplier order. The EXISTS/NOT-EXISTS pair decorrelates into
+    a left-semi and a left-anti join of lineitem against itself on
+    l_orderkey — three shuffles on the same key, which AQE coalesces,
+    and a plan with no correlated re-execution anywhere."""
+    for t in ("supplier", "lineitem", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "q_idle_customer_balance",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS n_custs,
+       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / 100.0
+                          / COUNT(*)
+                   FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    tags=("analytics", "composite", "subquery"),
+)
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (country-code prefix adapted to c_nationkey, the
+    no-orders test adapted to no-urgent-orders since every corpus
+    customer has orders): above-average-balance customers with no
+    urgent activity. The scalar subquery runs ONCE (broadcast into the
+    filter); NOT EXISTS decorrelates to a left-anti join against the
+    urgent slice of orders. The average is exact-cents-sum / count on
+    both engines so the threshold is bit-identical."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS n_custs,
+               SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                                  / 100.0 / COUNT(*)
+                           FROM customer c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
