@@ -650,3 +650,135 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ratio"),
         )
     )
+
+
+# ------------------------------------------------------------ tf-idf
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term, tf, df,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+WHERE rk <= 5
+""",
+    tags=("llm", "text"),
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    the sklearn convention). Fully declarative: term frequencies and
+    document frequencies are two aggregations over one explode, N is a
+    one-row aggregate broadcast into the scoring join (never a
+    driver-side .count()), and the per-document top-5 is a partitioned
+    row_number — every shuffle is keyed (doc_id/term), nothing global.
+    Ties broken by term so the cut is deterministic on both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+# ------------------------------------------------------------ PII scrub
+
+_RE_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+"
+_RE_PHONE = r"\+1-555-[0-9]{4}"
+_RE_URL = "[a-z]+://[a-z0-9./]+"
+
+
+@register(
+    "q_llm_pii_scrub",
+    oracle=f"""
+WITH contact AS (
+  SELECT c_custkey,
+         c_name || ' reachable at ' || lower(replace(c_name, '#', ''))
+                || '@example.com or +1-555-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                || ' visit https://example.com/u/' || CAST(c_custkey AS VARCHAR)
+           AS txt
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+         '{_RE_EMAIL}', '[EMAIL]', 'g'),
+         '{_RE_PHONE}', '[PHONE]', 'g'),
+         '{_RE_URL}', '[URL]', 'g') AS scrubbed,
+       CAST(length(regexp_extract_all(txt, '{_RE_EMAIL}'))
+          + length(regexp_extract_all(txt, '{_RE_PHONE}'))
+          + length(regexp_extract_all(txt, '{_RE_URL}')) AS INTEGER) AS n_pii
+FROM contact
+""",
+    tags=("llm", "text", "pii"),
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: mask emails / phone numbers /
+    URLs with typed placeholders and count what was masked. The corpus
+    documents carry no contact strings, so the input is synthesized
+    deterministically from customer (both engines build the identical
+    string, then both scrub it — the value check covers construction
+    AND redaction). Map-only JVM regex — no UDF, linear at any scale;
+    patterns are kept in the Java∩RE2 common dialect so both engines
+    match identically."""
+    c = load(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" reachable at "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" visit https://example.com/u/"),
+        F.col("c_custkey").cast("string"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _RE_EMAIL, "[EMAIL]"),
+            _RE_PHONE,
+            "[PHONE]",
+        ),
+        _RE_URL,
+        "[URL]",
+    )
+    n_pii = (
+        F.regexp_count(txt, F.lit(_RE_EMAIL))
+        + F.regexp_count(txt, F.lit(_RE_PHONE))
+        + F.regexp_count(txt, F.lit(_RE_URL))
+    ).cast("int")
+    return c.select(
+        "c_custkey", scrub.alias("scrubbed"), n_pii.alias("n_pii")
+    )

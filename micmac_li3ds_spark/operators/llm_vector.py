@@ -279,3 +279,114 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "q_llm_embed_quant",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
+mm AS (
+  SELECT vec_id, v,
+         list_min(v) AS mn,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+  FROM e
+)
+SELECT vec_id,
+       round(mn, 6) AS qmin,
+       round(scale, 9) AS qscale,
+       array_to_string(
+         list_transform(v, x -> CAST(CAST(round((x - mn) / scale) AS INTEGER)
+                                     AS VARCHAR)), ',') AS codes
+FROM mm
+""",
+    tags=("llm", "vector", "quant"),
+)
+def q_llm_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 quantization per embedding (min/max calibration, 256
+    levels): emit the dequantization params (min, scale) and the code
+    vector. This is the storage-side op of a vector index — 4×
+    compression before any ANN structure. Narrow map-only column
+    algebra, no shuffle, no UDF; constant vectors get scale=1 so the
+    division is total. Codes serialize as csv text (driver canonicalizer
+    cannot hash list cells); both engines round identically because
+    (x-mn)/scale is non-negative, where half-up equals half-away."""
+    e = _emb(spark, sf_dir)
+    mn = F.array_min("v")
+    mx = F.array_max("v")
+    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    q = e.select(
+        "vec_id", "v", mn.alias("mn"), scale.alias("scale")
+    )
+    codes = F.array_join(
+        F.transform(
+            F.col("v"),
+            lambda x: F.round((x - F.col("mn")) / F.col("scale"))
+            .cast("int")
+            .cast("string"),
+        ),
+        ",",
+    )
+    return q.select(
+        "vec_id",
+        F.round("mn", 6).alias("qmin"),
+        F.round("scale", 9).alias("qscale"),
+        codes.alias("codes"),
+    )
+
+
+_N_CENTROIDS = 8
+
+
+@register(
+    "q_llm_cluster_assign",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {DUCK_VEC} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+d AS (
+  SELECT e.vec_id, e.label, c.cid,
+         round(list_distance(e.v, c.cv), 6) AS dist
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, label, cid AS centroid_id, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rk FROM d)
+WHERE rk = 1
+""",
+    tags=("llm", "vector", "ann"),
+)
+def q_llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment — the partition step of IVF/k-means:
+    broadcast the (tiny) centroid set, score every vector against all k
+    map-side, keep the argmin via partitioned row_number. The corpus
+    never shuffles for the scoring (broadcast nested loop over k=8
+    centroids); the only exchange is the per-vector window, which at
+    scale collapses to a map-side min_by since vec_id is unique per
+    row. Centroids here are the first k vectors (deterministic, shared
+    with the oracle); a production k-means would iterate this exact
+    plan. Distances round to 6 before ranking (ties broken by centroid
+    id) so both engines pick identical winners."""
+    e = _emb(spark, sf_dir)
+    c = (
+        e.filter(F.col("vec_id") < _N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "label", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("cid").alias("centroid_id"), "dist")
+    )
