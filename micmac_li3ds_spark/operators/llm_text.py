@@ -782,3 +782,99 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", scrub.alias("scrubbed"), n_pii.alias("n_pii")
     )
+
+
+# ------------------------------------------------- dedup cluster assembly
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+        / length(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS doc, b AS peer FROM edges
+  UNION
+  SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.peer
+),
+lab AS (
+  SELECT doc, LEAST(doc, MIN(peer)) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT doc AS doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
+@register("q_llm_dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "dedup"))
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly — the dedup endgame: pairwise
+    near-duplicate edges (the LSH pipeline's output) collapsed into
+    connected components, labeling every involved document with its
+    cluster's minimum doc_id (the canonical keeper) and the cluster
+    size.
+
+    Spark has no fixpoint recursion with dedup (UNION-distinct inside
+    WITH RECURSIVE is rejected; UNION ALL diverges on cyclic duplicate
+    graphs), so components are computed by iterative min-label
+    propagation: each round every node takes the min label among itself
+    and its neighbors — converging in O(component diameter) rounds,
+    which for near-duplicate clusters is tiny (they are near-cliques:
+    most members pair directly). Each round is one keyed join + one
+    groupBy — the Pregel shape; at 100 TB each round shuffles on doc_id
+    only, and the frontier shrinks as labels stabilize. The driver-side
+    loop carries only a changed-row COUNT, never row data. The DuckDB
+    oracle reaches the same fixpoint via UNION-distinct recursion."""
+    pairs = q_llm_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .cache()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.doc)
+            .groupBy(F.col("b").alias("doc2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select("doc", F.col("lbl").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(F.col("doc").alias("doc_id"), "cluster_id", "cluster_size")
+    )

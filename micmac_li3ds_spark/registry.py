@@ -72,19 +72,22 @@ _PRIORITY: list[str] = [
     "q_fn_map",
     # new round-2 surface: the real JDBC sink+source round-trip
     "q_jdbc_roundtrip",
-    # llm_text
+    # llm_text (token_count's slot ceded to the cluster-assembly op —
+    # text_stats covers the same counting family)
     "q_llm_exact_dedup",
     "q_llm_near_dedup",
+    "q_llm_dedup_clusters",
     "q_llm_ngram_jaccard",
     "q_llm_simhash",
     "q_llm_tokenize_tf",
+    "q_llm_tfidf",
     "q_llm_text_stats",
     "q_llm_quality_score",
-    "q_llm_token_count",
     "q_llm_lang_id",
     "q_llm_fingerprint",
     "q_llm_repetition",
     "q_llm_decontaminate",
+    "q_llm_pii_scrub",
     # llm_vector (oracle-backed subset)
     "q_llm_cosine",
     "q_llm_knn",
@@ -100,6 +103,7 @@ _PRIORITY: list[str] = [
     "q_large_volume_customer",
     "q_nation_trade_volume",
     "q_event_funnel",
+    "q_waiting_supplier",
     # etl (oracle-backed subset)
     "q_etl_explode_block",
     "q_etl_get_or_create",
@@ -107,11 +111,12 @@ _PRIORITY: list[str] = [
     "q_etl_pose_apply",
     "q_etl_distortion_poly",
     "q_etl_transfo_closure",
-    "q_etl_transfo_closure_cte",
     "q_etl_fk_check",
-    # sampling / training-data prep
+    # (q_etl_transfo_closure_cte rotated out — same closure semantics as
+    # q_etl_transfo_closure above, twin checked by tools/check.py)
+    # sampling / training-data prep (stratified ceded a slot; it shares
+    # the md5-bucket mechanism driver-checked via q_sample_hash)
     "q_sample_hash",
-    "q_sample_stratified",
     "q_llm_train_split",
     "q_llm_seq_pack",
     # reshape / profiling
@@ -121,10 +126,9 @@ _PRIORITY: list[str] = [
     "q_profile_columns",
     # streaming batch-twins
     "q_stream_tumbling",
-    "q_stream_sliding",
-    # (q_stream_session rotated out for q_jdbc_roundtrip — its batch
-    # twin shares the windowed-agg shape with tumbling/sliding above
-    # and stays guarded by tools/check.py + the batch≡stream harness)
+    # (q_stream_sliding/q_stream_session rotated out — they share the
+    # windowed-agg shape driver-checked via q_stream_tumbling and stay
+    # guarded by tools/check.py + the batch≡stream harness)
     # multimodal (oracle-backed)
     "q_mm_binary_stats",
 ]
