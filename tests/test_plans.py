@@ -107,3 +107,48 @@ def test_whole_stage_codegen_covers_hot_path(spark):
         spark.conf.set("spark.sql.adaptive.enabled", saved)
     assert "WholeStageCodegen subtrees" in p
     assert not p.startswith("Found 0")
+
+
+def test_disjunctive_predicate_prunes_both_scans(spark):
+    """Q19 shape: Catalyst must extract the single-side conjuncts of the
+    OR-of-ANDs below the join — both parquet scans get pushed filters
+    even though no single predicate is universally true."""
+    p = plan(spark, "q_disjunctive_revenue")
+    pushed = [seg.split("]")[0] for seg in p.split("PushedFilters: [")[1:]]
+    assert any("p_brand" in s or "p_size" in s for s in pushed)
+    assert any("l_quantity" in s for s in pushed)
+    assert "CartesianProduct" not in p
+
+
+def test_cluster_assign_broadcasts_centroids(spark):
+    """k=8 centroids must broadcast — the corpus side never shuffles for
+    scoring."""
+    p = plan(spark, "q_llm_cluster_assign")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_waiting_supplier_exists_pair_decorrelates(spark):
+    """Q21 shape: EXISTS / NOT EXISTS must become semi/anti joins, never
+    per-row subquery re-execution or a cartesian."""
+    p = plan(spark, "q_waiting_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_small_qty_revenue_decorrelates_scalar_avg(spark):
+    """Q17 shape: the correlated per-part average becomes an aggregate
+    joined on p_partkey."""
+    p = plan(spark, "q_small_qty_revenue")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_llm_tfidf", "q_order_count_distribution", "q_idle_customer_balance"],
+)
+def test_new_composites_have_no_cartesian(spark, name):
+    p = plan(spark, name)
+    assert "CartesianProduct" not in p
