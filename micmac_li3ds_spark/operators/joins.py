@@ -371,3 +371,47 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s.user_id").alias("user_id"), F.col("s.event_id").alias("signup_id"))
         .agg(F.count(F.col("p.event_id")).alias("n_purchases_after"))
     )
+
+
+_SALT = 8
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "skew"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join by key salting, value-checked against the
+    PLAIN join as its own oracle — the parity proves the rewrite is
+    semantics-preserving. The large/skewed side gets a salt derived
+    from one of its own columns (deterministic — a seeded rand() would
+    also work at scale but breaks cross-engine verification); the small
+    side replicates across all salt values; the join key becomes
+    (key, salt), splitting any hot key's rows across _SALT reducers
+    instead of one straggler task. Cost: small side inflates ×_SALT —
+    use only on joins where AQE's automatic skew splitting can't help
+    (e.g. when the skewed side must also aggregate on the hot key).
+    AQE skew-join handles the common case; this is the manual tool for
+    the rest."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT))
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)]))
+    )
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(cents) / 100.0).alias("total_price"),
+    )

@@ -265,3 +265,72 @@ def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("o_custkey", "nn_cust", "nd_cust", "mn_cust", "mx_cust"))
         .unionByName(row("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
     )
+
+
+@register(
+    "q_etl_sessionize",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch(date_trunc('second', ts)) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s, cents,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts_s, cents,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts_s) AS session_start_s,
+       MAX(ts_s) AS session_end_s,
+       COUNT(*) AS n_events,
+       SUM(cents) / 100.0 AS total_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("etl", "reshape", "session"),
+)
+def q_etl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min) — the lag+cumsum
+    idiom: flag a session break where the gap to the previous event
+    exceeds the threshold, running-sum the flags into a per-user session
+    sequence number, then aggregate per session. The streaming twin is
+    ``session_window`` (q_stream_session); THIS shape is what you run
+    over a historical corpus: both window passes and the final aggregate
+    partition by user_id, so the whole query rides ONE hash exchange.
+    Times compare as epoch seconds (integer math — exact parity);
+    event_id breaks ordering ties deterministically."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_s").over(w).isNull()
+            | (F.col("ts_s") - F.lag("ts_s").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts_s").alias("session_start_s"),
+        F.max("ts_s").alias("session_end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("cents") / 100.0).alias("total_value"),
+    )

@@ -152,3 +152,40 @@ def test_small_qty_revenue_decorrelates_scalar_avg(spark):
 def test_new_composites_have_no_cartesian(spark, name):
     p = plan(spark, name)
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """The 100 TB co-location strategy (SCALE.md §3): two tables bucketed
+    and sorted on the join key must sort-merge join with ZERO shuffle
+    exchanges — bucket layout replaces both Exchange nodes."""
+    import os
+
+    from micmac_li3ds_spark.tables import load
+
+    scratch = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            (
+                load(spark, SF_DIR, name)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(scratch, f"bt_{name}"))
+                .mode("overwrite")
+                .saveAsTable(f"bt_{name}")
+            )
+        j = spark.table("bt_orders").join(
+            spark.table("bt_lineitem"),
+            spark.table("bt_orders").o_orderkey
+            == spark.table("bt_lineitem").l_orderkey,
+        )
+        p = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
