@@ -237,3 +237,103 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL priority_split(o.o_orderpriority) p
         """
     )
+
+
+@register(
+    "q_udf_cogrouped",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) / 100.0
+         AS total_spent
+FROM customer c LEFT JOIN orders o ON o_custkey = c_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("udf", "cogroup"),
+)
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup(...).applyInPandas``: both tables hash-partition on the
+    key and each key's two pandas frames arrive in ONE python call —
+    the escape hatch for bespoke per-key merge logic (as-of matching,
+    custom reconciliation) that a join can't express. Built-in
+    replacement for THIS payload: the left-join aggregate in the oracle
+    — which is also the 100 TB answer whenever the logic is expressible;
+    cogroup costs two shuffles plus Arrow transfer of both sides.
+    Exact integer cents inside pandas keep parity bit-stable."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def merge(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:  # orders-only key: outside the oracle's LEFT join
+            return pd.DataFrame(
+                {"c_custkey": [], "n_orders": [], "total_spent": []}
+            )
+        cents = orders["o_totalprice"].mul(100).round().astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(orders)],
+                "total_spent": [cents / 100.0],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge, "c_custkey long, n_orders long, total_spent double"
+        )
+    )
+
+
+@register(
+    "q_scan_python_datasource",
+    oracle="""
+SELECT i,
+       i * i + i % 7 AS v
+FROM range(0, 100) t(i)
+""",
+    tags=("scan", "datasource"),
+)
+def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Spark 4 Python Data Source API — the
+    extension point for readers Spark lacks natively (bespoke formats,
+    internal services). The demo source generates a deterministic
+    integer sequence across 4 partitions, so the DuckDB oracle can
+    recompute it exactly; what's under test is the full API surface:
+    registration, schema declaration, partition planning (4 splits →
+    4 parallel tasks), and per-partition iteration. At scale a real
+    implementation controls parallelism exactly like this —
+    ``partitions()`` returns one split per shard/file/offset-range."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SeqReader(DataSourceReader):
+        def __init__(self, n_parts: int = 4, per_part: int = 25):
+            self.n_parts = n_parts
+            self.per_part = per_part
+
+        def partitions(self):
+            return [InputPartition(k) for k in range(self.n_parts)]
+
+        def read(self, partition):
+            lo = partition.value * self.per_part
+            for i in range(lo, lo + self.per_part):
+                yield (i, i * i + i % 7)
+
+    class SeqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "seq_demo"
+
+        def schema(self):
+            return "i bigint, v bigint"
+
+        def reader(self, schema):
+            return SeqReader()
+
+    spark.dataSource.register(SeqSource)
+    return spark.read.format("seq_demo").load()
