@@ -189,3 +189,10 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_sessionize_shares_one_user_exchange(spark):
+    """lag window, cumsum window, and final aggregate all partition by
+    user_id — at most one hash exchange end-to-end."""
+    p = plan(spark, "q_etl_sessionize")
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
