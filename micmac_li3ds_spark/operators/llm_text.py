@@ -872,6 +872,9 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # drop the working set; `labels` stays cached (tiny — one row per
+    # involved doc) so the caller's actions don't replay the loop
+    edges.unpersist()
     w = Window.partitionBy("cluster_id")
     return (
         labels.select("doc", F.col("lbl").alias("cluster_id"))
