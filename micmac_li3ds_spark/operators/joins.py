@@ -415,3 +415,48 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         (F.sum(cents) / 100.0).alias("total_price"),
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n_even
+  FROM customer WHERE c_custkey % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n_odd
+  FROM customer WHERE c_custkey % 2 = 1 GROUP BY 1
+)
+SELECT coalesce(a.seg, 'NULL_GROUP') AS seg_label, n_even, n_odd
+FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+""",
+    tags=("join", "null"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the NULL
+    key groups on both sides MATCH each other instead of silently
+    dropping — the semantic a plain ``=`` join gets wrong when keys are
+    nullable (a classic reconciliation bug). Catalyst treats ``<=>`` as
+    an equi-key, so this still plans as a hash join, not a nested loop.
+    Corpus has no NULL keys, so they are manufactured with nullif; the
+    output coalesces the key for a NULL-free driver comparison."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    a = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(seg.alias("seg_a"))
+        .groupBy("seg_a")
+        .agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        c.filter(F.col("c_custkey") % 2 == 1)
+        .select(seg.alias("seg_b"))
+        .groupBy("seg_b")
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    return a.join(b, a.seg_a.eqNullSafe(b.seg_b)).select(
+        F.coalesce(F.col("seg_a"), F.lit("NULL_GROUP")).alias("seg_label"),
+        "n_even",
+        "n_odd",
+    )

@@ -881,3 +881,75 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .select(F.col("doc").alias("doc_id"), "cluster_id", "cluster_size")
     )
+
+
+# ------------------------------------------------- n-gram LM quality score
+
+_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tok WHERE len(t) >= 2
+),
+model AS (
+  SELECT lang, bg, COUNT(*) AS c FROM big GROUP BY lang, bg
+),
+tot AS (
+  SELECT lang, SUM(c) AS n FROM model GROUP BY lang
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(AVG(ln(m.c / (t.n * 1.0))), 6) AS avg_logp
+FROM big b
+JOIN model m ON m.lang = b.lang AND m.bg = b.bg
+JOIN tot t ON t.lang = b.lang
+GROUP BY b.doc_id
+"""
+
+
+@register("q_llm_lm_score", oracle=_LM_ORACLE, tags=("llm", "text", "quality"))
+def q_llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score (perplexity proxy): train
+    a per-language word-bigram model on the corpus in one aggregation,
+    then score every document by its mean bigram log-probability —
+    fluent text scores high, token soup scores low. This is the
+    KenLM-filter shape of production pipelines, fully declarative: one
+    explode, one model aggregation (map-side combinable), one keyed
+    join back (same (lang, bigram) shuffle key as the model build —
+    no broadcast needed even when the model outgrows memory), one
+    per-document average. Counts are integers (exact), so both engines
+    feed identical ratios to ln; the 6-dp round absorbs summation-order
+    ulps in the average."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    big = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+    )
+    model = big.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = model.groupBy("lang").agg(F.sum("c").alias("n"))
+    return (
+        big.join(model, ["lang", "bg"])
+        .join(tot, "lang")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c") / (F.col("n") * 1.0))), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )

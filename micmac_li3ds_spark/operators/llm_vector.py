@@ -390,3 +390,91 @@ def q_llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", "label", F.col("cid").alias("centroid_id"), "dist")
     )
+
+
+@register(
+    "q_llm_kmeans_step",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+d AS (
+  SELECT e.vec_id, e.v, c.cid,
+         round(list_distance(e.v, c.cv), 6) AS dist
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rk FROM d)
+  WHERE rk = 1
+),
+dims AS (
+  SELECT cid, t.i AS i, v[t.i] AS x
+  FROM assigned, range(1, 65) t(i)
+),
+comp AS (
+  SELECT cid, i, CAST(round(AVG(x) * 10000) AS BIGINT) AS q
+  FROM dims GROUP BY cid, i
+)
+SELECT comp.cid AS centroid_id,
+       m.n_members,
+       array_to_string(list(CAST(q AS VARCHAR) ORDER BY i), ',') AS centroid_q
+FROM comp
+JOIN (SELECT cid, COUNT(*) AS n_members FROM assigned GROUP BY cid) m
+  ON m.cid = comp.cid
+GROUP BY comp.cid, m.n_members
+""",
+    tags=("llm", "vector", "ann"),
+)
+def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration, declaratively: assign every vector to
+    its nearest centroid (broadcast scoring — q_llm_cluster_assign's
+    shape), then recompute each centroid as the element-wise mean of
+    its members. The mean is computed by exploding dimensions
+    (posexplode → 64·N rows) and aggregating per (centroid, dim) — at
+    scale this shuffles (k·64) keys of partial sums, never whole
+    vectors, and map-side combine does almost all the work. A k-means
+    driver loop is THIS query iterated with the previous output as the
+    next centroid set. Centroids quantize to 1e-4 for the cross-engine
+    comparison (mean-of-doubles summation order differs at ~1e-12)."""
+    e = _emb(spark, sf_dir)
+    c = (
+        e.filter(F.col("vec_id") < _N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "v", "cid", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
+    comp = dims.groupBy("cid", "i").agg(
+        F.round(F.avg("x") * 10000).cast("long").alias("q")
+    )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    cent = comp.groupBy("cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "q"))),
+                lambda s: s.getField("q").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q")
+    )
+    return (
+        cent.join(members, "cid")
+        .select(F.col("cid").alias("centroid_id"), "n_members", "centroid_q")
+    )

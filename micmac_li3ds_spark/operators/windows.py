@@ -275,3 +275,51 @@ def q_win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id,
+         epoch(date_trunc('second', ts)) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts_s,
+       SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_s
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         / 100.0 AS trailing_1h,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         AS n_trailing
+FROM ev
+""",
+    tags=("window", "range"),
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, vs the ROWS frames of
+    q_win_moving): per-user trailing 1-hour totals by EVENT TIME — rows
+    whose ts falls within [t-3600 s, t] contribute, however many there
+    are. RANGE frames are tie-safe by construction (all peers of the
+    current ts share one frame → identical output for tied rows, no
+    tiebreaker column needed). Same scale shape as every keyed window:
+    one hash exchange on user_id, per-partition sort."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        (F.sum("cents").over(w) / 100.0).alias("trailing_1h"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
