@@ -234,7 +234,30 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_knn_ivf", tags=("llm", "vector", "knn", "ann"))
+@register(
+    "q_llm_knn_ivf",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {DUCK_VEC} AS v FROM embeddings),
+comp AS (
+  SELECT label, t.i AS i, AVG(v[t.i]) AS m
+  FROM e, range(1, 65) t(i) GROUP BY label, t.i
+),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM comp GROUP BY label),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT label FROM cent, q
+  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, label
+  LIMIT 3
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e JOIN probe USING (label), q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("llm", "vector", "knn", "ann"),
+)
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor — the 100 TB search path.
 
@@ -243,9 +266,13 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, then brute-force only inside those cells (equi-join on
     label — partition-prunable at scale).
 
-    Approximate by construction (recall < 1 when true neighbors live in
-    unprobed cells) → rows-only check; the exact baseline q_llm_knn is
-    the hash-checked twin.
+    Approximate relative to exact knn (recall < 1 when true neighbors
+    live in unprobed cells) — but the ALGORITHM is deterministic, so
+    the oracle replicates it end-to-end (same centroids, same probe
+    ranking, same in-cell scan) and the check is full value parity.
+    Probe ranking rounds similarities to 6 dp with a label tiebreak so
+    sub-ulp mean/cosine differences between engines cannot flip which
+    cells are probed; the exact baseline q_llm_knn is the quality twin.
     """
     e = _emb(spark, sf_dir)
     dims = 64
@@ -261,7 +288,9 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
     probe = F.broadcast(
         cent.crossJoin(q)
-        .select("label", cosine(F.col("cv"), F.col("qv")).alias("csim"))
+        .select(
+            "label", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("csim")
+        )
         .orderBy(F.col("csim").desc(), F.col("label"))
         .limit(3)
         .select("label")

@@ -335,3 +335,64 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_string"),
         F.try_variant_get(v, "$.missing", "int").alias("absent"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+SELECT c_custkey,
+       c_custkey & 255 AS low_byte,
+       c_custkey | 4096 AS with_flag,
+       xor(c_custkey, 170) AS xored,
+       c_custkey << 4 AS shl,
+       c_custkey >> 2 AS shr,
+       CAST(bit_count(c_custkey) AS INTEGER) AS popcount,
+       ~c_custkey AS inverted
+FROM customer
+""",
+    tags=("scalar", "bitwise"),
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — and/or/xor/shifts/popcount/not over 64-bit keys
+    (the primitives under bitmap indexes, bloom-filter probes, and the
+    engine's own hash bucketing). Pure codegen arithmetic, map-only."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(170)).alias("xored"),
+        F.shiftleft(k, 4).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("inverted"),
+    )
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       substring(md5(c_name), 1, 8) AS md5_prefix
+FROM customer
+""",
+    tags=("scalar", "hash"),
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family — md5/sha-256 (content fingerprints,
+    deterministic sampling keys, cache keys). Both engines emit
+    lowercase hex, so parity is byte-exact. Spark-only fast hashes
+    (xxhash64, crc32, murmur3 `hash`) are deliberately excluded from
+    oracle-checked output: engine-internal, not portable — the engine
+    uses them only where values never cross the boundary (MinHash
+    signatures)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.substring(F.md5(F.col("c_name")), 1, 8).alias("md5_prefix"),
+    )
