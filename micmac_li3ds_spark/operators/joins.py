@@ -460,3 +460,41 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_even",
         "n_odd",
     )
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o,
+LATERAL (SELECT l_linenumber, l_extendedprice
+         FROM lineitem
+         WHERE l_orderkey = o.o_orderkey
+         ORDER BY l_extendedprice DESC, l_linenumber
+         LIMIT 2) l
+WHERE o.o_totalprice > 400000.0
+""",
+    tags=("join", "lateral"),
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-row top-k from another table
+    (the two most expensive lineitems of each big order). Catalyst
+    decorrelates the ORDER/LIMIT lateral into a ranked window over a
+    single keyed join — NOT a per-row re-execution — which is the same
+    plan the explicit row_number rewrite (q_win_topk_group) produces;
+    this query proves the sugar carries no scale penalty. Deterministic:
+    the lateral's ordering carries a linenumber tiebreak."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice
+                 FROM lineitem
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber
+                 LIMIT 2) l
+        WHERE o.o_totalprice > 400000.0
+        """
+    )

@@ -337,3 +337,43 @@ def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SeqSource)
     return spark.read.format("seq_demo").load()
+
+
+@register(
+    "q_udf_sql",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS net_revenue
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("udf", "sql"),
+)
+def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (CREATE TEMPORARY FUNCTION ... RETURN
+    expr) — the zero-cost UDF: Catalyst inlines the body at analysis
+    time, so unlike every Python UDF in this module it keeps whole-stage
+    codegen, pushdown, and map-side aggregation fully intact. This is
+    the FIRST tool to reach for shared business logic (here: exact
+    net-revenue cents); the oracle simply inlines the same body, which
+    is also precisely what the Spark plan does."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents2(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(p * 100) AS BIGINT)
+               * (100 - CAST(round(d * 100) AS BIGINT))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(net_cents2(l_extendedprice, l_discount)) / 10000.0
+                 AS net_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
