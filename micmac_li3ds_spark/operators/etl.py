@@ -54,7 +54,8 @@ def q_etl_xml_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.read.format("xml")
         .option("rowTag", "CalibrationInternConique")
-        .load(os.path.join(XML_DIR, "autocal_*.xml"))
+        .option("pathGlobFilter", "autocal_*.xml")
+        .load(XML_DIR)
     )
     pp = _vec(F.col("PP"), 2)
     sz = _vec(F.col("SzIm"), 2)
@@ -93,7 +94,8 @@ def q_etl_explode_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.read.format("xml")
         .option("rowTag", "StructBlockCam")
-        .load(os.path.join(XML_DIR, "blinis_*.xml"))
+        .option("pathGlobFilter", "blinis_*.xml")
+        .load(XML_DIR)
     )
     cam = raw.select(
         F.col("BlockName").alias("block_name"),

@@ -137,7 +137,11 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.read.format("xml")
         .option("rowTag", "OrientationConique")
-        .load(os.path.join(_REPO, "fixtures", "xml", "ori_*.xml"))
+        # pathGlobFilter instead of a glob in the path: a glob path makes
+        # the reader's streaming-sink metadata probe log a noisy (benign)
+        # FileNotFoundException stack on every run
+        .option("pathGlobFilter", "ori_*.xml")
+        .load(os.path.join(_REPO, "fixtures", "xml"))
     )
     center = F.transform(
         F.split(F.trim(F.col("Externe.Centre")), " +"), lambda x: x.cast("double")
