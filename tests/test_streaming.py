@@ -396,3 +396,57 @@ def test_kafka_reader_writer_builders_configure(spark):
     )
     w = kafka.kafka_writer(stream, "broker:9092", "out", "/tmp/ck")
     assert w is not None  # configured DataStreamWriter
+
+
+def test_checkpoint_restart_processes_each_file_once(spark, sf_dir):
+    """Exactly-once across restart: a file-stream query drains batch 1,
+    stops, new data arrives, and a NEW query object resumes from the
+    same checkpoint — the second run must process ONLY the new file
+    (checkpointed offsets), and the union of outputs covers every row
+    exactly once."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    base = tempfile.mkdtemp(prefix="ckpt_restart_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    try:
+        from micmac_li3ds_spark.tables import load
+
+        # two disjoint halves of events written as separate files
+        # (load() normalizes the on-disk ns timestamps to µs)
+        full = load(spark, sf_dir, "events")
+        full.filter(SF.col("event_id") % 2 == 0).write.parquet(
+            os.path.join(src, "half_a")
+        )
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(full.schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        n_first = spark.read.parquet(out).count()
+        assert n_first == full.filter(SF.col("event_id") % 2 == 0).count()
+
+        full.filter(SF.col("event_id") % 2 == 1).write.parquet(
+            os.path.join(src, "half_b")
+        )
+        run_once()  # new query object, same checkpoint
+        got = spark.read.parquet(out)
+        assert got.count() == full.count()  # every row exactly once
+        assert got.select("event_id").distinct().count() == full.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
