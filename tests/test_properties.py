@@ -172,3 +172,41 @@ SELECT COUNT(*) FROM pairs WHERE jac >= 0.45 AND jac < 0.75
 """
     ).fetchone()[0]
     assert fragile == 0
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),  # (key, payload)
+        min_size=0, max_size=25,
+    ),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+             min_size=0, max_size=10),
+)
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
+    """The q_join_skew_salted rewrite (deterministic salt on the big
+    side, explode-replicated small side, join on (key, salt)) must be
+    row-for-row equivalent to the plain join on arbitrary inputs —
+    including duplicate keys on both sides and keys present on only
+    one side."""
+    S = 4
+    left = spark.createDataFrame(
+        [(k, p, i) for i, (k, p) in enumerate(left_rows)] or [(None, None, None)],
+        "k long, p long, rid long",
+    ).filter(F.col("rid").isNotNull())
+    right = spark.createDataFrame(
+        [(k, p, i) for i, (k, p) in enumerate(right_rows)] or [(None, None, None)],
+        "k long, q long, sid long",
+    ).filter(F.col("sid").isNotNull())
+
+    plain = left.join(right, "k").select("k", "p", "rid", "q", "sid")
+    lsalt = left.withColumn("salt", F.pmod(F.col("rid"), F.lit(S)))
+    rsalt = right.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    salted = (
+        lsalt.join(rsalt, ["k", "salt"]).select("k", "p", "rid", "q", "sid")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
