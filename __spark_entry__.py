@@ -33,9 +33,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["q_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
+def _with_conventions(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver owns its SparkSession; engine conventions (UTC session
+    time zone above all — timestamp parity with the oracle depends on
+    it) must hold no matter which session a query runs on, not only the
+    one entry() touched."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_session(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    return {name: _with_conventions(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
