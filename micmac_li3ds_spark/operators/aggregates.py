@@ -326,3 +326,57 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS keys_csv
+FROM customer
+WHERE c_custkey <= 60
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "listagg"),
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``listagg`` WITHIN GROUP ≡
+    SQL:2016 LISTAGG ≡ DuckDB string_agg ORDER BY): deterministic
+    because the within-group order is explicit — never emit an
+    unordered listagg across engines. Bounded input (keys ≤ 60) keeps
+    the concatenated cell small; at scale aggregate-to-string belongs
+    on grouped, already-reduced data, not raw facts."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 60)
+        .withColumn("k", F.col("c_custkey").cast("string"))
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("listagg(k, ',') WITHIN GROUP (ORDER BY c_custkey)").alias(
+            "keys_csv"
+        )
+    )
+
+
+@register(
+    "q_agg_boolean",
+    oracle="""
+SELECT o_orderstatus,
+       count_if(o_totalprice > 100000.0) AS n_big,
+       bool_and(o_totalprice > 0.0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "boolean"),
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family — count_if / bool_and (every) / bool_or
+    (any): predicate summaries in one pass, all map-side combinable
+    (partial state is a count or one bit)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000.0).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )

@@ -396,3 +396,34 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("c_name"), 256).alias("name_sha256"),
         F.substring(F.md5(F.col("c_name")), 1, 8).alias("md5_prefix"),
     )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus_45d,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       make_date(CAST(year(o_orderdate) AS INTEGER),
+                 CAST(month(o_orderdate) AS INTEGER), 1) AS month_first
+FROM orders
+""",
+    tags=("scalar", "interval"),
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: month addition (both engines clamp
+    to the shorter target month, e.g. Jan 31 + 1 month = Feb 28), day
+    offsets, end-of-month, quarter, and date construction. Complements
+    q_fn_datetime's extraction family."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.date_sub(d.cast("date"), 45).alias("minus_45d"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_first"),
+    )
