@@ -182,3 +182,66 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "payload", "duration_ms")
     )
     return m.mapInPandas(sample, schema)
+
+
+@register(
+    "q_mm_header_parse",
+    oracle=f"""
+WITH hx AS (
+  SELECT media_id, mime, width, height, duration_ms, hex(payload) AS h
+  FROM read_parquet('{MEDIA_PARQUET}')
+),
+parsed AS (
+  SELECT media_id, mime, width, height, duration_ms,
+         substring(h, 1, 8) = '534D4D31' AS magic_ok,
+         CAST('0x' || substring(h, 9, 8) AS BIGINT) AS hdr_f1,
+         CAST('0x' || substring(h, 17, 8) AS BIGINT) AS hdr_f2
+  FROM hx
+)
+SELECT media_id, mime, magic_ok, hdr_f1, hdr_f2,
+       CASE WHEN mime = 'image/png'
+            THEN hdr_f1 = width AND hdr_f2 = height
+            ELSE hdr_f1 = duration_ms AND hdr_f2 = 0 END AS metadata_consistent
+FROM parsed
+""",
+    tags=("multimodal", "binary"),
+)
+def q_mm_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed header parse straight off the binary column — the EXIF-ish
+    audit every media lake needs: extract the container magic and the
+    two big-endian uint32 header fields, and cross-check them against
+    the relational metadata columns (corrupt or mislabeled payloads
+    surface as metadata_consistent = false). Pure column algebra over
+    hex(payload) — byte k lives at hex offset 2k-1 — so the audit runs
+    JVM-side at full scan speed with NO decoder involvement; this is
+    the cheap always-on integrity pass in front of the (stubbed,
+    expensive) decode path."""
+    m = load_media(spark)
+    h = F.hex("payload")
+    f1 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    f2 = F.conv(F.substring(h, 17, 8), 16, 10).cast("long")
+    parsed = m.select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        "duration_ms",
+        (F.substring(h, 1, 8) == "534D4D31").alias("magic_ok"),
+        f1.alias("hdr_f1"),
+        f2.alias("hdr_f2"),
+    )
+    consistent = F.when(
+        F.col("mime") == "image/png",
+        (F.col("hdr_f1") == F.col("width"))
+        & (F.col("hdr_f2") == F.col("height")),
+    ).otherwise(
+        (F.col("hdr_f1") == F.col("duration_ms")) & (F.col("hdr_f2") == 0)
+    )
+    return parsed.select(
+        "media_id",
+        "mime",
+        "magic_ok",
+        "hdr_f1",
+        "hdr_f2",
+        consistent.alias("metadata_consistent"),
+    )

@@ -275,20 +275,33 @@ def main() -> None:
                 % (i, i % 7, rng2.randint(10, 5000), "true" if i % 3 else "false")
             )
 
-    # --- multimodal fixture: opaque binary payloads + typed metadata ---
+    # --- multimodal fixture: binary payloads + typed metadata ---
+    # Each payload starts with a 12-byte container header (the EXIF-ish
+    # structure q_mm_header_parse audits): magic b"SMM1", then two
+    # big-endian uint32 fields — (width, height) for images,
+    # (duration_ms, 0) for time media — followed by an opaque body.
     rng3 = random.Random(99)
     media = []
     for i in range(40):
         kind = ["image/png", "audio/wav", "video/mp4"][i % 3]
-        payload = bytes([rng3.randint(0, 255) for _ in range(64 + 16 * (i % 5))])
+        if kind == "image/png":
+            width, height = 640 + 32 * (i % 4), 480
+            duration = None
+            f1, f2 = width, height
+        else:
+            width = height = None
+            duration = 1000 * (1 + i % 30)
+            f1, f2 = duration, 0
+        header = b"SMM1" + f1.to_bytes(4, "big") + f2.to_bytes(4, "big")
+        body = bytes([rng3.randint(0, 255) for _ in range(64 + 16 * (i % 5))])
         media.append(
             {
                 "media_id": i,
                 "mime": kind,
-                "payload": payload,
-                "width": 640 + 32 * (i % 4) if kind == "image/png" else None,
-                "height": 480 if kind == "image/png" else None,
-                "duration_ms": 1000 * (1 + i % 30) if kind != "image/png" else None,
+                "payload": header + body,
+                "width": width,
+                "height": height,
+                "duration_ms": duration,
             }
         )
     schema = pa.schema(
