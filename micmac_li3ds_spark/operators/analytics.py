@@ -635,3 +635,55 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """
     )
+
+
+@register(
+    "q_event_retention",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_wk,
+         CAST(datediff('day', f.cohort_wk, e.wk) / 7 AS INTEGER) AS week_offset
+  FROM ev e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_wk, week_offset, COUNT(*) AS n_active
+FROM activity
+GROUP BY cohort_wk, week_offset
+""",
+    tags=("analytics", "composite", "retention"),
+)
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the canonical product-analytics
+    composite: cohort = the ISO week of each user's first event;
+    n_active = distinct users of that cohort active k weeks later.
+    Three aggregations, ALL keyed on user_id until the final small
+    rollup: first-week agg, the activity distinct, then the (cohort,
+    offset) count — so the heavy stages share one hash partitioning
+    and the only new shuffle is over the tiny triangle. Weeks compare
+    as dates (integer math after date_trunc — exact parity)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_wk", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

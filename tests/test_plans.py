@@ -196,3 +196,28 @@ def test_sessionize_shares_one_user_exchange(spark):
     user_id — at most one hash exchange end-to-end."""
     p = plan(spark, "q_etl_sessionize")
     assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """Deploy-time layout story (SCALE.md §1): a filter on the partition
+    key of a partitionBy() layout must become PartitionFilters on the
+    scan — zero I/O for pruned directories — not a post-scan filter."""
+    import os
+    import shutil
+
+    from micmac_li3ds_spark.tables import load
+
+    scratch = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    out = os.path.join(scratch, "orders_prune_probe")
+    shutil.rmtree(out, ignore_errors=True)
+    load(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    seg = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderstatus" in seg
+    # and the data filter did NOT degrade to a pushed row-group filter
+    assert df.count() == load(spark, SF_DIR, "orders").filter(
+        "o_orderstatus = 'F'"
+    ).count()
