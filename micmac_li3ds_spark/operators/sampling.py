@@ -208,3 +208,46 @@ def q_llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ({duck_token_hash32("CAST(doc_id AS VARCHAR)")})
+           // CAST(GREATEST(n_chars, 1) AS BIGINT) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM keyed
+ORDER BY priority, doc_id
+LIMIT 200
+""",
+    tags=("sampling", "weighted"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling: priority =
+    content_hash / weight (integer division), keep the 200 smallest —
+    heavier documents draw smaller priorities more often, so inclusion
+    probability grows with weight (here n_chars as a stand-in for a
+    quality score). This is the integer-arithmetic cousin of
+    Efraimidis–Elias reservoir sampling (their u^(1/w) key needs
+    float pow, whose last-ulp differences across engines would make
+    the rank cut non-reproducible; hash/w keeps every comparison
+    exact). Same scale shape as all hash sampling here: map-side
+    priority, one TakeOrderedAndProject — no shuffle of the corpus,
+    identical selection at any parallelism."""
+    d = load(spark, sf_dir, "documents")
+    # explicit floor division on both sides (DuckDB `//`): positive
+    # operands, so floor == truncation and every comparison is integer
+    priority = F.floor(
+        token_hash32(F.col("doc_id").cast("string"))
+        / F.greatest(F.col("n_chars"), F.lit(1))
+    ).cast("long")
+    return (
+        d.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(200)
+        .select("doc_id", "n_chars")
+    )

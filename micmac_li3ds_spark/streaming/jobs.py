@@ -255,3 +255,26 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: matched pairs emit immediately;
+    an unmatched click emits with NULL purchase columns only once the
+    watermark proves no qualifying purchase can still arrive — the
+    outer row is a statement about the future, so it must wait for the
+    time bound to close. Both the watermark and the time-bounded join
+    condition are REQUIRED for outer stream joins (they define when
+    state can finalize and be evicted)."""
+    c = clicks.withWatermark("ts", "2 hours").alias("c")
+    p = purchases.withWatermark("ts", "2 hours").alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )

@@ -450,3 +450,69 @@ def test_checkpoint_restart_processes_each_file_once(spark, sf_dir):
         assert got.select("event_id").distinct().count() == full.count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark):
+    """Clicks with no purchase within the hour must appear with NULL
+    purchase_id once the watermark passes their join horizon; matched
+    clicks must appear exactly as in the inner join."""
+    tmp = tempfile.mkdtemp(prefix="ssoj_")
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, uid, kind, minutes):
+        return (i, t0 + datetime.timedelta(minutes=minutes), uid, kind, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "click", 0),      # matched by purchase 10 at +30m
+        ev(2, 2, "click", 0),      # never matched
+        ev(10, 1, "purchase", 30),
+    ]
+    # far-future sentinels on BOTH streams (the join watermark is the
+    # MIN across inputs, so the click side must advance too): wave 1
+    # moves the watermark past every click's join horizon; wave 2 forces
+    # one more batch that RUNS with that advanced watermark (watermarks
+    # take effect in the batch AFTER the data that moved them)
+    wave1 = [ev(99, 9, "purchase", 60 * 24), ev(98, 9, "click", 60 * 24)]
+    wave2 = [ev(100, 9, "purchase", 60 * 48), ev(101, 9, "click", 60 * 48)]
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = spark.readStream.schema(cols).parquet(f"{tmp}/in")
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        q = (
+            jobs.stream_stream_left_join(clicks, purchases)
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(tuple(r) for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        # run 1: clicks + the matching purchase; watermark still at the
+        # data's horizon so the unmatched click stays in state
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/in")
+        run_once()
+        # runs 2+3 (same checkpoint): sentinels advance the watermark,
+        # the following batch evicts finalized outer state
+        for wave in (wave1, wave2):
+            spark.createDataFrame(wave, cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+            run_once()
+        got = {(r[1], r[2]) for r in emitted}
+        assert (1, 10) in got          # matched pair
+        assert (2, None) in got        # outer row emitted after watermark
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
