@@ -953,3 +953,91 @@ def q_llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ corpus filter composite
+
+_CORPUS_FILTER_ORACLE = f"""
+WITH {DUCK_SHINGLES_CTE},
+m AS (
+  SELECT doc_id,
+         CAST(length(t) AS BIGINT) AS n_tokens,
+         CAST(length(list_distinct(t)) AS DOUBLE) / length(t) AS uniq,
+         CAST(greatest(length(t) - 2, 0) AS BIGINT) AS ng_total,
+         CAST(length(list_distinct(list_transform(
+             range(1, greatest(length(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT)
+           AS ng_distinct
+  FROM toks
+),
+dup_b AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+        / length(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+flags AS (
+  SELECT m.doc_id,
+         m.uniq < 0.35 AS low_uniq,
+         CASE WHEN ng_total > 0
+              THEN 1.0 - CAST(ng_distinct AS DOUBLE) / ng_total
+              ELSE 0.0 END > 0.01 AS repetitive,
+         m.doc_id IN (SELECT doc_id FROM dup_b) AS near_dup
+  FROM m
+)
+SELECT doc_id,
+       NOT (low_uniq OR repetitive OR near_dup) AS keep,
+       concat_ws(',',
+                 CASE WHEN low_uniq THEN 'low_uniq' END,
+                 CASE WHEN repetitive THEN 'repetitive' END,
+                 CASE WHEN near_dup THEN 'near_dup' END) AS reasons
+FROM flags
+"""
+
+
+@register("q_llm_corpus_filter", oracle=_CORPUS_FILTER_ORACLE, tags=("llm", "quality"))
+def q_llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning decision query — the C4/Gopher-style pipeline
+    endgame that every upstream signal feeds: per document, a keep/drop
+    verdict plus machine-readable reasons. Rules composed here:
+    token-uniqueness floor (uniq < 0.35 → token soup), duplicate-3-gram
+    repetition ceiling (> 0.01 → looping boilerplate), and near-
+    duplicate demotion (every verified LSH pair keeps only its minimum
+    doc_id — the doc_b side drops). The heuristic thresholds compare
+    identical integer-derived ratios on both engines, so the boundary
+    is exact. Plan shape: the metric flags are map-only column algebra;
+    the dedup flag is one left-semi join against the (tiny) verified-
+    pair set — the LSH pipeline's cost dominates and is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ng_total = F.greatest(F.size(toks) - 2, F.lit(0)).cast("long")
+    ng_distinct = F.size(shingles(toks)).cast("long")
+    rep = F.when(
+        ng_total > 0, 1.0 - ng_distinct.cast("double") / ng_total
+    ).otherwise(F.lit(0.0))
+    dup_b = (
+        q_llm_near_dedup(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    flags = d.select(
+        "doc_id",
+        (uniq < 0.35).alias("low_uniq"),
+        (rep > 0.01).alias("repetitive"),
+    ).join(
+        dup_b.withColumn("near_dup", F.lit(True)), "doc_id", "left"
+    ).withColumn("near_dup", F.coalesce(F.col("near_dup"), F.lit(False)))
+    return flags.select(
+        "doc_id",
+        (~(F.col("low_uniq") | F.col("repetitive") | F.col("near_dup"))).alias(
+            "keep"
+        ),
+        F.concat_ws(
+            ",",
+            F.when(F.col("low_uniq"), "low_uniq"),
+            F.when(F.col("repetitive"), "repetitive"),
+            F.when(F.col("near_dup"), "near_dup"),
+        ).alias("reasons"),
+    )

@@ -267,3 +267,33 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         (F.sum(cents) / 100.0).alias("total_price"),
     )
+
+
+@register(
+    "q_scan_binaryfile",
+    oracle=f"""
+SELECT parse_filename(filename) AS file_name,
+       CAST(size AS BIGINT) AS n_bytes,
+       sha256(hex(content)) AS content_sha
+FROM read_blob('{os.path.join(_REPO, "fixtures", "xml")}/*.xml')
+""",
+    tags=("scan", "binary"),
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion (``format("binaryFile")``) — how raw
+    media/model artifacts enter the lake before any parser exists for
+    them: one row per file with path, length, and payload. Emits
+    basename + size + payload sha-256 (DuckDB's read_blob is the
+    oracle twin). At 100 TB this is the bridge format: land bytes
+    first, parse later — the 4 MB-default ``maxPartitionBytes`` has no
+    effect here since a file is never split; parallelism = file count."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml")
+        .load(os.path.join(_REPO, "fixtures", "xml"))
+    )
+    return raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.hex(F.col("content")), 256).alias("content_sha"),
+    )

@@ -84,8 +84,10 @@ _PRIORITY: list[str] = [
     "q_llm_text_stats",
     "q_llm_quality_score",
     "q_llm_lang_id",
-    "q_llm_fingerprint",
     "q_llm_repetition",
+    "q_llm_corpus_filter",
+    # (q_llm_fingerprint rotated out for the corpus-filter composite —
+    # the rolling-hash fold stays guarded by tools/check.py)
     "q_llm_decontaminate",
     "q_llm_pii_scrub",
     # llm_vector (oracle-backed subset)
