@@ -221,3 +221,34 @@ def test_partitioned_layout_prunes_partitions(spark):
     assert df.count() == load(spark, SF_DIR, "orders").filter(
         "o_orderstatus = 'F'"
     ).count()
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """df.observe(): audit metrics (row counts, exact-cents totals)
+    computed DURING the action — production pipelines get their
+    row-count reconciliation without a second scan of the input."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.tables import load
+
+    obs = Observation("audit")
+    li = load(spark, SF_DIR, "lineitem")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents_in"
+            ),
+        )
+        .filter(F.col("l_quantity") < 10.0)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out.collect()
+    m = obs.get
+    assert m["rows_in"] == li.count()
+    assert m["cents_in"] == li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).first()[0]
