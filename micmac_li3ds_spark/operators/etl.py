@@ -392,3 +392,74 @@ def q_etl_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("events->customer").alias("fk"), "n_orphan_rows", "n_missing_keys")
 
     return orphan_li.unionByName(orphan_ev)
+
+
+@register(
+    "q_etl_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 17 <> 0
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+diff AS (
+  SELECT coalesce(old.k, new.k) AS k,
+         CASE WHEN old.k IS NULL THEN 'added'
+              WHEN new.k IS NULL THEN 'removed'
+              WHEN old.price <> new.price OR old.status <> new.status
+                THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT change, COUNT(*) AS n_rows, MIN(k) AS min_key, MAX(k) AS max_key
+FROM diff
+GROUP BY change
+""",
+    tags=("etl", "cdc"),
+)
+def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the change-data-capture primitive behind
+    the reference's idempotent re-import story: full-outer join two
+    snapshots on the business key and classify every row as added /
+    removed / changed / unchanged, then summarize. The two snapshots are
+    derived deterministically from orders (disjoint key exclusions +
+    a planted price drift) so both engines diff identical inputs. One
+    shuffle on the key; at 100 TB both snapshots are bucketed on the
+    key and the diff is co-located — and `changed` detection compares
+    only the tracked columns, so adding audit columns doesn't churn."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 17 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price_old"),
+        F.col("o_orderstatus").alias("status_old"),
+    )
+    new = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 20 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("price_new"),
+        F.col("o_orderstatus").alias("status_new"),
+    )
+    diff = old.join(new, old.k == new.k2, "full_outer").select(
+        F.coalesce(F.col("k"), F.col("k2")).alias("key"),
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(
+            (F.col("price_old") != F.col("price_new"))
+            | (F.col("status_old") != F.col("status_new")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )

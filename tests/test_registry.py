@@ -77,3 +77,31 @@ def test_no_complex_output_columns(spark, sf_dir, name):
         if isinstance(f.dataType, (ArrayType, MapType))
     ]
     assert not bad, f"{name} emits complex-typed columns {bad}; serialize to string"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # queries with session/filesystem side effects: caches, temp
+        # views, temp SQL functions, scratch sinks, Derby tables,
+        # registered python data sources, iterative driver loops
+        "q_jdbc_roundtrip",
+        "q_sink_parquet_partitioned",
+        "q_sink_orc_roundtrip",
+        "q_llm_near_dedup",
+        "q_llm_dedup_clusters",
+        "q_udf_sql",
+        "q_join_lateral",
+        "q_scan_python_datasource",
+        "q_agg_grouping_sets",
+    ],
+)
+def test_side_effectful_queries_are_rerun_idempotent(spark, sf_dir, name):
+    """Running a query twice in one session must return identical rows —
+    leftover caches, temp objects, scratch files, or Derby state from
+    the first run must not leak into the second (the driver runs many
+    queries through one session)."""
+    fn = R.get(name).fn
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert first == second
