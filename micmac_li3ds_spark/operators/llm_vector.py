@@ -507,3 +507,106 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.join(members, "cid")
         .select(F.col("cid").alias("centroid_id"), "n_members", "centroid_q")
     )
+
+
+@register(
+    "q_llm_knn_batch",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos_sim, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk <= 5
+""",
+    tags=("llm", "vector", "knn"),
+)
+def q_llm_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval: top-5 neighbors for a whole BATCH of query
+    vectors in one corpus pass — the serving shape (per-query scans
+    would read the corpus B times). The query batch broadcasts, every
+    corpus vector scores against all B queries map-side, and the
+    per-query top-k is a window partitioned by query id. At scale the
+    corpus still never shuffles; the window state is B×k rows. Rounded
+    similarity + vec_id tiebreak keep the cut identical across engines."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "cos_sim", "rk")
+    )
+
+
+@register(
+    "q_llm_hard_negatives",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {DUCK_VEC} AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.qlabel
+)
+SELECT qid, vec_id, label, cos_sim, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk <= 3
+""",
+    tags=("llm", "vector", "training"),
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the most similar vectors with a DIFFERENT label — the examples a
+    random-negative sampler would miss and a contrastive loss learns
+    most from. Identical plan shape to batched knn (broadcast anchors,
+    map-side scoring, per-anchor window) with the label-mismatch
+    predicate applied before ranking, so the per-anchor state stays
+    k rows."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "label", "cos_sim", "rk")
+    )
