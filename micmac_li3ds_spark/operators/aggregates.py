@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from micmac_li3ds_spark.functions.exact import cents, duck_cents
 from micmac_li3ds_spark.registry import register
@@ -379,4 +380,44 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 100000.0).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment AS mode_segment, n AS n_occurrences
+FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY n DESC, c_mktsegment) AS rk
+      FROM counts)
+WHERE rk = 1
+""",
+    tags=("agg", "mode"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group, made deterministic: the built-in
+    ``mode`` breaks frequency ties arbitrarily (and differently per
+    engine), so the operator is spelled as count-then-argmax with an
+    explicit (count DESC, value) order — same result, reproducible
+    everywhere, and the same two-shuffle plan the builtin needs
+    anyway (value counts, then per-group argmax)."""
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), "c_mktsegment"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").alias("n_occurrences"),
+        )
     )

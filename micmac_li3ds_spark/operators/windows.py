@@ -323,3 +323,36 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").over(w) / 100.0).alias("trailing_1h"),
         F.count(F.lit(1)).over(w).alias("n_trailing"),
     )
+
+
+@register(
+    "q_win_nth_value",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       nth_value(o_totalprice, 2) OVER w AS second_total,
+       nth_value(o_orderkey, 2)  OVER w AS second_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "nth"),
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame: each customer's SECOND
+    order by date (NULL where fewer than two exist) — the offset lookup
+    first/last can't express. The explicit unbounded frame matters:
+    the default frame stops at CURRENT ROW, which would make nth_value
+    row-dependent; with the full frame the value is constant per
+    partition, so DISTINCT collapses to one row per customer
+    identically in both engines. Ordering ties broken by o_orderkey."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+    ).distinct()
