@@ -177,7 +177,8 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(o_orderstatus, 'ALL') AS status_label,
                coalesce(o_orderpriority, 'ALL') AS prio_label,
                COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS sum_total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -363,7 +364,7 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_boolean",
     oracle="""
 SELECT o_orderstatus,
-       count_if(o_totalprice > 100000.0) AS n_big,
+       CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
        bool_and(o_totalprice > 0.0) AS all_positive,
        bool_or(o_orderpriority = '1-URGENT') AS any_urgent
 FROM orders

@@ -494,8 +494,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(
         """
-        SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
-                 AS total_revenue,
+        SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS total_revenue,
                COUNT(*) AS n_lines
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#12'
@@ -623,7 +623,8 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_nationkey,
                COUNT(*) AS n_custs,
-               SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c_acctbal > (SELECT SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT))
                                   / 100.0 / COUNT(*)

@@ -285,8 +285,9 @@ flagged AS (
 ),
 sessions AS (
   SELECT user_id, event_id, ts_s, cents,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

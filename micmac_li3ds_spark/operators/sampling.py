@@ -81,7 +81,7 @@ _STRATA = {"en": 1000, "fr": 2500, "es": 5000, "zh": 7500, "de": 10000}
 @register(
     "q_sample_stratified",
     oracle=f"""
-SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE {_duck_bucket("CAST(doc_id AS VARCHAR)")} <
   CASE lang WHEN 'en' THEN 1000 WHEN 'fr' THEN 2500 WHEN 'es' THEN 5000
@@ -121,7 +121,7 @@ WITH b AS (
 )
 SELECT CASE WHEN bucket < 8000 THEN 'train'
             WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
-       lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM b
 GROUP BY split, lang
 ORDER BY split, lang
@@ -164,7 +164,7 @@ WITH t AS (
 )
 SELECT source,
        CAST(floor((cum_tokens - est_tokens) / 2048.0) AS BIGINT) AS bin,
-       count(*) AS n_docs, sum(est_tokens) AS bin_tokens
+       count(*) AS n_docs, CAST(sum(est_tokens) AS BIGINT) AS bin_tokens
 FROM c
 GROUP BY source, bin
 ORDER BY source, bin

@@ -371,8 +371,8 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag,
-               SUM(net_cents2(l_extendedprice, l_discount)) / 10000.0
-                 AS net_revenue
+               CAST(SUM(net_cents2(l_extendedprice, l_discount)) / 10000.0
+                    AS DOUBLE) AS net_revenue
         FROM lineitem
         GROUP BY l_returnflag
         """

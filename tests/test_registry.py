@@ -18,7 +18,7 @@ that window worth its slots:
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.types import ArrayType, MapType
+from pyspark.sql.types import ArrayType, DecimalType, MapType
 
 from micmac_li3ds_spark import registry as R
 
@@ -67,16 +67,43 @@ def test_ordering_preserves_full_registry():
 @pytest.mark.parametrize(
     "name", sorted(n for n, q in R.registry().items() if q.oracle is not None)
 )
-def test_no_complex_output_columns(spark, sf_dir, name):
+def test_no_complex_or_decimal_output_columns(spark, sf_dir, name):
     """Oracle-backed queries must not emit array/map columns (driver
-    canonicalizer limitation). Schema check only — no execution."""
+    canonicalizer crashes on list cells) NOR DecimalType columns (the
+    driver hashes Python Decimal objects differently from the oracle's
+    float64 — cost q_agg_grouping_sets two red rounds; a SQL literal
+    like `/ 100.0` silently makes the whole expression DECIMAL).
+    Schema check only — no execution."""
     df = R.get(name).fn(spark, sf_dir)
     bad = [
         f.name
         for f in df.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType))
+        if isinstance(f.dataType, (ArrayType, MapType, DecimalType))
     ]
-    assert not bad, f"{name} emits complex-typed columns {bad}; serialize to string"
+    assert not bad, (
+        f"{name} emits complex/decimal columns {bad}; serialize arrays to "
+        f"string, CAST decimal arithmetic AS DOUBLE"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in R.registry().items() if q.oracle is not None)
+)
+def test_oracle_output_has_no_hugeint(duck, name):
+    """DuckDB SUM(integer) returns HUGEINT, which fetchdf() converts to
+    float64 while Spark emits int64 — a guaranteed driver hash mismatch
+    (cost q_llm_train_split and q_llm_seq_pack red rows in round 2, and
+    q_agg_cube in round 1). Every oracle integer-SUM must be wrapped in
+    CAST(... AS BIGINT). Checked directly on the oracle's output types
+    without fetching any rows (duckdb relations bind lazily)."""
+    rel = duck.sql(R.get(name).oracle)
+    bad = [
+        c for c, t in zip(rel.columns, rel.types) if str(t) in ("HUGEINT", "INT128")
+    ]
+    assert not bad, (
+        f"{name} oracle emits HUGEINT columns {bad}; wrap the SUM in "
+        f"CAST(... AS BIGINT)"
+    )
 
 
 @pytest.mark.parametrize(

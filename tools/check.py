@@ -71,11 +71,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def check_query(spark, con, name, q, sf_dir):
+    from pyspark.sql.types import DecimalType
+
     t0 = time.time()
     sdf = q.fn(spark, sf_dir)
     s_rows = sdf.collect()
     s_cols = sdf.columns
     spark_sec = time.time() - t0
+    # The driver's canonicalizer does NOT coerce Decimal→float (cost
+    # q_agg_grouping_sets two red rounds), so a DecimalType output column
+    # is a failure here even though _norm_value would mask it below.
+    dec_cols = [
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    if dec_cols:
+        return {
+            "name": name,
+            "status": "SPARK-DECIMAL",
+            "rows": len(s_rows),
+            "spark_sec": round(spark_sec, 2),
+            "spark_cols": dec_cols,
+        }
     if q.oracle is None:
         return {
             "name": name,
