@@ -104,8 +104,44 @@ _N_PERM = 64
 _BAND_ROWS = 2
 
 
+def minhash_band_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, band_key) LSH band assignment for a (doc_id, sh) input:
+    base-hash each shingle once, take _N_PERM permuted minima, then emit
+    one band key per _BAND_ROWS-row band. Pure per-row array algebra —
+    one nested higher-order expression, no explode/join/shuffle until
+    the caller groups by band_key."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(h * (2 * i + 1) + (i + 12345), F.lit(MERSENNE31)),
+            )
+        ),
+    )
+    n_bands = _N_PERM // _BAND_ROWS
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b,
+            *[
+                F.element_at(F.col("sig"), b * _BAND_ROWS + r + 1)
+                for r in range(_BAND_ROWS)
+            ],
+        ),
+    )
+    return (
+        d.select("doc_id", F.transform("sh", minhash32).alias("hs"))
+        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(band_keys).alias("band_key"))
+    )
+
+
 @register("q_llm_near_dedup", oracle=_NEAR_DEDUP_ORACLE, tags=("llm", "dedup", "lsh"))
-def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_near_dedup(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = 4096
+) -> DataFrame:
     """MinHash + LSH near-duplicate detection, verified.
 
     Pipeline: 3-token shingles → 64 minhash permutations → 32 two-row
@@ -143,43 +179,20 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
     d.cache()
-
-    # signature: base-hash each shingle once, then _N_PERM permuted mins
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: F.pmod(h * (2 * i + 1) + (i + 12345), F.lit(MERSENNE31)),
-            )
-        ),
-    )
-    # LSH bands: band key = (band index, its signature rows)
-    n_bands = _N_PERM // _BAND_ROWS
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.concat_ws(
-            ":",
-            b,
-            *[
-                F.element_at(F.col("sig"), b * _BAND_ROWS + r + 1)
-                for r in range(_BAND_ROWS)
-            ],
-        ),
-    )
-    banded = (
-        d.select("doc_id", F.transform("sh", minhash32).alias("hs"))
-        .select("doc_id", sig.alias("sig"))
-        .select("doc_id", F.explode(band_keys).alias("band_key"))
-    )
+    banded = minhash_band_keys(d)
 
     # Candidates: group each band bucket and expand pairs INSIDE the
     # bucket array — one shuffle total. The earlier band self-join read
     # (and recomputed) the whole signature chain twice and shuffled both
-    # sides; this computes it once. Skew note for 100 TB: a boilerplate
-    # bucket with k docs expands to k²/2 pairs — production adds a
-    # bucket-size cap (drop or sample buckets over ~10⁴ docs); uncapped
-    # here because the oracle brute-force must see identical pairs.
+    # sides; this computes it once. Skew guard for 100 TB: a bucket with
+    # k docs expands to k²/2 pairs, so a boilerplate bucket (one shared
+    # header minhashed identically by 10⁶ docs → 5·10¹¹ pairs) would
+    # dominate the whole job; buckets over ``bucket_cap`` are dropped,
+    # mirroring q_llm_ngram_jaccard's df_cap. A pair is lost only if
+    # EVERY band it agrees on is over-cap — i.e. both docs are
+    # near-entirely boilerplate, which dedup pipelines drop anyway.
+    # Oracle parity is safe because no bucket in this corpus approaches
+    # the cap (asserted by test_corpus_band_buckets_far_below_cap).
     ids = F.array_sort(F.collect_set("doc_id")).alias("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -193,7 +206,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = (
         banded.groupBy("band_key")
         .agg(ids)
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()

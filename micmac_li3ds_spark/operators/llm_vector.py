@@ -193,39 +193,82 @@ WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.15
 """
 
 
+def _band_seed(band: int) -> int:
+    """Seed for band b's hyperplane set; band 0 reproduces _PLANES."""
+    return 1234 + 7919 * band
+
+
+def sign_buckets(e: DataFrame, n_planes: int = 6, n_bands: int = 1) -> DataFrame:
+    """(vec_id, v, band, bucket) sign-LSH assignment: ``n_bands``
+    independent sets of ``n_planes`` hyperplanes, one bucket id per band.
+    Narrow map-only column algebra (n_bands·n_planes dot products inside
+    codegen) — the scale knobs for 100 TB: more planes → 2^n_planes
+    buckets → smaller in-bucket candidate sets (in-bucket pairing is
+    quadratic, so planes must grow ~log₂ of corpus size); more bands →
+    independent chances to catch a near-pair whose signs straddle one
+    band's planes (recall 1-(1-p)^b)."""
+    band_structs = []
+    for band in range(n_bands):
+        planes = (
+            _PLANES
+            if (band == 0 and n_planes == 6)
+            else _hyperplanes(n_planes, seed=_band_seed(band))
+        )
+        bucket = None
+        for j, p in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in p])
+            bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
+        )
+    return e.select(
+        "vec_id", "v", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 @register(
     "q_llm_embed_dedup",
     oracle=_embed_dedup_oracle(),
     tags=("llm", "vector", "dedup"),
 )
-def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_embed_dedup(
+    spark: SparkSession, sf_dir: str, n_planes: int = 6, n_bands: int = 1
+) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the vector-space member
     of the dedup family (SURVEY.md §2.11): sign-LSH (random-hyperplane)
-    bucketing → candidate pairs by equi-join on bucket → cosine verify.
+    bucketing → candidate pairs by equi-join on (band, bucket) → cosine
+    verify on candidates only.
 
-    100 TB shape: the signature is a narrow map-only pass (6 dot
-    products inside codegen); candidates come from a bucket equi-join —
-    never an all-pairs cross join. Skewed buckets are split by AQE;
-    recall is tuned by running b independent bands of planes and
-    unioning candidates (single band here — the corpus is small and the
-    oracle must reproduce buckets exactly)."""
+    100 TB shape: the signature is a narrow map-only pass; candidates
+    come from a bucket equi-join — never an all-pairs cross join. The
+    two scale parameters (see ``sign_buckets``): ``n_planes`` must grow
+    ~log₂ of corpus size so in-bucket pairing stays sub-quadratic
+    (SCALE.md §4 gives the sizing rule), ``n_bands`` buys recall back.
+    The registered configuration stays (6, 1) because the oracle must
+    reproduce the buckets bit-for-bit; the parameterization is
+    property-tested in tests/test_properties.py (candidate counts
+    shrink with planes, strong pairs survive a multi-band run)."""
     e = _emb(spark, sf_dir)
-    bucket = None
-    for j, p in enumerate(_PLANES):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    b = e.select("vec_id", "v", bucket.alias("bucket"))
+    b = sign_buckets(e, n_planes=n_planes, n_bands=n_bands)
     a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
     )
     c = b.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
     )
+    pairs = a.join(c, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    if n_bands > 1:
+        # a pair can collide in several bands; dedup ids only (cheap),
+        # then re-attach vectors for the verify pass
+        ids = pairs.select("id_a", "id_b").distinct()
+        e_a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        e_b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = ids.join(e_a, "id_a").join(e_b, "id_b")
     return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),

@@ -210,3 +210,122 @@ def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_near_dedup_bucket_cap_bounds_mega_bucket(spark, tmp_path):
+    """A degenerate band bucket (here: 40 byte-identical boilerplate
+    docs, which agree on EVERY band) must be dropped once its size
+    exceeds bucket_cap, while a planted near-duplicate pair with its own
+    rare text is still found exactly — the same drop-the-boilerplate
+    contract as q_llm_ngram_jaccard's df_cap."""
+    from micmac_li3ds_spark.operators.llm_text import q_llm_near_dedup
+
+    boiler = "terms of service apply to all content on this mirror site"
+    rows = [(i, boiler, "en", "web") for i in range(40)]
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows.append((100, dup, "en", "web"))
+    rows.append((101, dup + " iota", "en", "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_llm_near_dedup(spark, str(tmp_path), bucket_cap=8).collect()
+    }
+    assert capped == {(100, 101)}
+
+    # uncapped (default 4096): the boilerplate clique IS reported —
+    # proving the cap, not the LSH, is what dropped it above
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_llm_near_dedup(spark, str(tmp_path)).collect()
+    }
+    assert (100, 101) in full
+    assert len(full) == 40 * 39 // 2 + 1
+
+
+def test_corpus_band_buckets_far_below_cap(spark):
+    """Corpus contract behind q_llm_near_dedup's oracle parity at the
+    driver-checked scale (sf0.01): the largest LSH band bucket must sit
+    far below the default bucket_cap=4096, so capping cannot change the
+    checked result. Measured on the real banded assignment, not a
+    proxy."""
+    from micmac_li3ds_spark.functions.text import shingles, tokens
+    from micmac_li3ds_spark.operators.llm_text import minhash_band_keys
+    from micmac_li3ds_spark.tables import load
+
+    d = (
+        load(spark, "/root/testdata/sf0.01", "documents")
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
+    )
+    max_bucket = (
+        minhash_band_keys(d)
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert max_bucket < 4096 // 8, f"largest band bucket {max_bucket}"
+
+
+def test_corpus_shingle_df_far_below_cap(duck):
+    """Corpus contract behind q_llm_ngram_jaccard's oracle parity
+    (ADVICE r2): its df_cap=256 silently drops pairs whose shared
+    shingles are all hotter than the cap, so parity at the checked scale
+    requires no shingle's document frequency to approach the cap. The
+    documents view is sf0.001 here; scale headroom asserted 8×."""
+    from micmac_li3ds_spark.functions.text import DUCK_SHINGLES_CTE
+
+    max_df = duck.execute(
+        f"""
+WITH {DUCK_SHINGLES_CTE},
+posting AS (SELECT unnest(s) AS sg, doc_id FROM sh)
+SELECT max(df) FROM (SELECT COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY sg)
+"""
+    ).fetchone()[0]
+    assert max_df < 256 // 8, f"hottest shingle df={max_df}"
+
+
+def test_embed_dedup_planes_and_bands_scale_knobs(spark):
+    """The two sign-LSH scale parameters must behave as SCALE.md claims:
+    (a) more planes → strictly more buckets → smaller candidate-pair
+    count (in-bucket pairing is quadratic, this is THE 100 TB knob);
+    (b) multiple bands recover recall: every strong pair (cos >= 0.9)
+    found by the oracle-checked (6,1) configuration is also found by a
+    (12,4) run, with candidate volume still below the single-band
+    6-plane count."""
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _emb,
+        q_llm_embed_dedup,
+        sign_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf)
+
+    def n_candidates(n_planes, n_bands):
+        sizes = (
+            sign_buckets(e, n_planes=n_planes, n_bands=n_bands)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return sizes.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).first()[0]
+
+    c6 = n_candidates(6, 1)
+    c12 = n_candidates(12, 1)
+    assert c12 < c6 / 4, f"12 planes should cut candidates ≥4x: {c12} vs {c6}"
+
+    base_strong = {
+        (r["id_a"], r["id_b"])
+        for r in q_llm_embed_dedup(spark, sf).collect()
+        if r["cos_sim"] >= 0.9
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in q_llm_embed_dedup(spark, sf, n_planes=12, n_bands=4).collect()
+    }
+    assert base_strong <= multi, f"multi-band lost strong pairs: {base_strong - multi}"
+    assert n_candidates(12, 4) < c6
