@@ -76,20 +76,27 @@ def main() -> None:
     # JVM varies ±40% with scheduler noise; the min of two runs is the
     # engine's actual cost (standard best-of-N benchmark practice).
     timings: dict[str, float] = {}
+    first_timings: dict[str, float] = {}
     total = 0.0
+    first_total = 0.0
     for name in names:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        best, first, n = float("inf"), 0.0, 0
+        for run in range(2):
             # queries that cache intermediates (near-dedup) must rebuild
             # them each run or the second run measures a cache hit
             spark.catalog.clearCache()
             t0 = time.time()
             df = reg[name].fn(spark, sf_dir)
             n = df.count() if name.startswith("q_scan") else len(df.collect())
-            best = min(best, time.time() - t0)
+            elapsed = time.time() - t0
+            if run == 0:
+                first = elapsed
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
+        first_timings[name] = round(first, 3)
         total += best
-        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        first_total += first
+        print(f"# {name}: best={best:.3f}s first={first:.3f}s rows={n}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -102,9 +109,13 @@ def main() -> None:
                 "sf": float(sf) if sf else sf_dir,
                 # methodology markers so cross-run comparisons are
                 # interpretable: per-query time is min over `runs`
-                # timed executions after a warm-up pass
+                # timed executions after a warm-up pass. The single-run
+                # figures (first timed execution, the round-1 protocol)
+                # ride along so r1<->rN comparisons stay apples-to-apples.
                 "runs": 2,
                 "timing": "best_of_n",
+                "first_run_total": round(first_total, 3),
+                "first_run_queries": first_timings,
             }
         )
     )

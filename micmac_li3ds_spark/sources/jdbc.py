@@ -141,11 +141,29 @@ def table_exists(spark: SparkSession, cfg: JdbcConfig, table: str) -> bool:
     uses): run a zero-row SELECT against the name and catch the failure.
     Table names are passed verbatim — like Spark's ``dbtable`` — so each
     engine applies its own case normalization consistently on both the
-    write and the probe."""
+    write and the probe.
+
+    Only a missing-table failure maps to False: SQLState 42* is the
+    standard syntax-error-or-access-rule-violation class every dialect
+    uses for unknown relations (Derby 42X05, PostgreSQL 42P01, MySQL
+    42S02). Anything else — connection refused, auth failure, missing
+    driver — re-raises unchanged, so callers see the real connectivity
+    problem instead of a misleading CREATE TABLE attempt downstream."""
     from py4j.protocol import Py4JJavaError
 
     try:
         execute(spark, cfg, f"SELECT 1 FROM {table} WHERE 1=0")
         return True
-    except Py4JJavaError:
-        return False
+    except Py4JJavaError as e:
+        j = e.java_exception
+        # walk the cause chain: drivers differ in how deeply they wrap
+        # the SQLException carrying the state
+        while j is not None:
+            try:
+                state = j.getSQLState()
+            except Exception:  # not an SQLException — keep walking
+                state = None
+            if state is not None and str(state).startswith("42"):
+                return False
+            j = j.getCause()
+        raise

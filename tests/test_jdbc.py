@@ -168,3 +168,18 @@ def test_execute_ddl_and_exists_probe(spark, db):
     assert table_exists(spark, db, "ddl_probe")
     execute(spark, db, "DROP TABLE ddl_probe")
     assert not table_exists(spark, db, "ddl_probe")
+
+
+def test_exists_probe_reraises_connectivity_errors(spark, db):
+    """A connection-level failure (here: Derby database that does not
+    exist and is not being created) must RAISE, not read as 'table
+    absent' — otherwise an upsert sink would mask an outage behind a
+    misleading CREATE TABLE error (ADVICE r2). Derby signals it with
+    SQLState XJ004, outside the 42* unknown-relation class."""
+    from py4j.protocol import Py4JJavaError
+
+    from micmac_li3ds_spark.sources.jdbc import JdbcConfig
+
+    bad = JdbcConfig(url="jdbc:derby:/nonexistent/path/nodb")
+    with pytest.raises(Py4JJavaError):
+        table_exists(spark, bad, "any_table")

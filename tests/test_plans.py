@@ -252,3 +252,45 @@ def test_observe_metrics_piggyback_on_action(spark):
     assert m["cents_in"] == li.agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
     ).first()[0]
+
+
+def test_cbo_stats_inform_plan(spark):
+    """SCALE.md's deploy posture prescribes ANALYZE TABLE + CBO for join
+    reordering on the warehouse tables; this is the local evidence that
+    the loop closes: computed column statistics must surface in the
+    catalog AND give the cost-based optimizer a row-count estimate for a
+    filtered plan (rowCount is only defined when CBO is on and column
+    stats exist — a missing ANALYZE or a disabled CBO both fail here)."""
+    import os
+
+    from micmac_li3ds_spark.tables import load
+
+    scratch = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        (
+            load(spark, SF_DIR, "nation")
+            .write.option("path", os.path.join(scratch, "cbo_nation"))
+            .mode("overwrite")
+            .saveAsTable("cbo_nation")
+        )
+        spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+        cat_stats = [
+            r
+            for r in spark.sql("DESCRIBE EXTENDED cbo_nation").collect()
+            if r.col_name == "Statistics"
+        ]
+        assert cat_stats and "rows" in cat_stats[0].data_type
+
+        df = spark.table("cbo_nation").filter("n_regionkey = 0")
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined()
+        # the filter's CBO estimate must be selective: fewer rows than
+        # the full table, more than zero (uniform n_regionkey histogram)
+        est = int(str(stats.rowCount().get()))
+        n = spark.table("cbo_nation").count()
+        assert 0 < est < n
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved)
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
