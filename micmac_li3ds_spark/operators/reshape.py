@@ -272,7 +272,7 @@ def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ev AS (
   SELECT user_id, event_id,
-         epoch(date_trunc('second', ts)) AS ts_s,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 ),

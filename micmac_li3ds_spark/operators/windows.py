@@ -282,7 +282,7 @@ def q_win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ev AS (
   SELECT event_id, user_id,
-         epoch(date_trunc('second', ts)) AS ts_s,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 )

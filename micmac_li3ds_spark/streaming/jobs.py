@@ -25,30 +25,43 @@ from pyspark.sql import types as T
 
 from micmac_li3ds_spark.functions.exact import cents
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch ns (see tables.load)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-streaming source over the events parquet: one file = one
     micro-batch here; at scale this is a directory fed by an ingest
-    job, or Kafka. The ns→µs conversion mirrors tables.load."""
+    job, or Kafka. Streaming readers never infer, so we probe the ts
+    physical encoding with a one-file batch read (ns-as-long vs
+    timestamp[us], see tables.load) and declare the matching schema;
+    the conversion to session-tz TimestampType mirrors tables.load."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    ts_type = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")  # stream source must be a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

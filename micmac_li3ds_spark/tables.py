@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -73,20 +74,30 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table; fail fast on schema drift.
 
-    ``events.ts`` is parquet timestamp[ns], which Spark 4 refuses to read
-    as a timestamp (PARQUET_TYPE_ILLEGAL). We read nanos as long via the
-    legacy conf and floor-convert to a microsecond timestamp — the same
-    truncation direction DuckDB's ns→µs cast uses, so second-level
-    comparisons agree across engines (SURVEY.md §5.3).
+    ``events.ts`` has shipped in two physical encodings across corpus
+    generations: parquet timestamp[ns] (which Spark 4 refuses to read as a
+    timestamp — PARQUET_TYPE_ILLEGAL — so we read nanos as long via the
+    legacy conf and floor-convert, the same truncation direction DuckDB's
+    ns→µs cast uses) and parquet timestamp[us] (read natively as
+    TIMESTAMP_NTZ). Either way we normalize to session-tz TimestampType
+    (session tz is pinned UTC, session.py:35) so every downstream operator
+    and oracle sees one ts type regardless of corpus vintage (SURVEY.md
+    §5.3).
     """
     if name not in EXPECTED_COLUMNS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(EXPECTED_COLUMNS)}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer `div`, NOT `/`: float division of an epoch-ns long loses
-        # low bits (|ns| > 2^53) and rounds some microseconds up
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer `div`, NOT `/`: float division of an epoch-ns long
+            # loses low bits (|ns| > 2^53) and rounds some microseconds up
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # timestamp[us] → TIMESTAMP_NTZ; reinterpret the wall-clock in
+            # the UTC session tz (no-op if already TimestampType)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     missing = EXPECTED_COLUMNS[name] - set(df.columns)

@@ -31,16 +31,25 @@ from micmac_li3ds_spark.tables import TABLES  # noqa: E402
 
 
 def _norm_value(v):
+    # Numeric values are TYPE-TAGGED: the driver's canonicalizer
+    # distinguishes 5 from 5.0 (cost q_win_range_frame/q_etl_sessionize a
+    # red round via DuckDB epoch() returning DOUBLE), while Python's
+    # Counter equality would silently treat them as equal. An int/float
+    # disagreement between engines must FAIL here.
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         if v == 0.0:
-            return 0.0
-        return v
+            return ("f", 0.0)
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):
@@ -135,10 +144,19 @@ def check_query(spark, con, name, q, sf_dir):
         ss = sorted(only_s.elements())
         dd = sorted(only_d.elements())
         mx = 0.0
+        def _f(x):
+            return (
+                x[1]
+                if isinstance(x, tuple) and len(x) == 2 and x[0] == "f"
+                and isinstance(x[1], float)
+                else None
+            )
+
         for rs, rd in zip(ss, dd):
             for a, b in zip(rs, rd):
-                if isinstance(a, float) and isinstance(b, float):
-                    mx = max(mx, abs(a - b))
+                fa, fb = _f(a), _f(b)
+                if fa is not None and fb is not None:
+                    mx = max(mx, abs(fa - fb))
         res["max_float_diff"] = mx
     except Exception:
         pass
