@@ -65,80 +65,78 @@ _loaded = False
 #   round 2: repaired ×5 + LLM text/vector, analytics, ETL, sampling,
 #            reshape, stream-twin, multimodal families — 47 green, 3
 #            hash-red (Decimal/HUGEINT dtype leaks, fixed round 3).
-#   round 3 (this window): the 3 round-2 reds (dtype fixes in place) + 47
-#            never-driver-tested queries: set ops, subqueries, the whole
-#            UDF/UDTF surface, scans/sinks, topk, LLM-vector addenda,
-#            analytics composites, win-frame addenda, sessionize/snapshot,
-#            weighted sampling, skew/null-safe joins.
-#   round 4 (remainder, publish next round): q_agg_listagg q_agg_boolean
-#            q_agg_mode q_join_lateral q_fn_bitwise q_fn_hash q_fn_interval
-#            q_llm_token_count q_llm_fingerprint q_etl_transfo_closure_cte
-#            q_stream_sliding q_stream_session q_sample_stratified
-#            q_mm_payload_hash q_mm_header_parse  (15 = every remaining
-#            oracle-backed query; rows-only queries cannot use a hash slot).
+#   round 3: the 3 round-2 reds (dtype fixes in place) + 47 never-driver-
+#            tested queries (set ops, subqueries, UDF/UDTF surface,
+#            scans/sinks, topk, LLM-vector addenda, analytics composites,
+#            win-frame addenda, sessionize/snapshot, weighted sampling,
+#            skew/null-safe joins) — 48 green; q_win_range_frame and
+#            q_etl_sessionize hash-red (DuckDB epoch() DOUBLE vs Spark
+#            BIGINT, fixed round 5).
+#   round 4: no builder commits landed; the driver re-ran the round-3
+#            window against a REGENERATED corpus whose events.ts switched
+#            parquet ns→µs encoding, erroring all 7 events-reading queries
+#            in-window (loader fixed round 5; bench also repaired).
+#   round 5 (this window): the 7 round-4 erred queries + the 15-query
+#            never-tested remainder published in round 3 + every other
+#            events-reading query (re-prove the new loader under the
+#            driver's hash) + the headline/bench set. After this round
+#            every oracle-backed query has been driver-sampled ≥ once.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # round-2 reds, repaired round 3 (Spark DECIMAL leak / oracle HUGEINT):
+    # round-4 errors, repaired (events.ts µs encoding):
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_dedup_subset",
+    "q_udf_mapinpandas",
+    "q_event_retention",
+    "q_win_range_frame",  # + epoch() BIGINT cast (r3 hash-red)
+    "q_etl_sessionize",  # + epoch() BIGINT cast (r3 hash-red)
+    # never driver-tested remainder (published round 3):
+    "q_agg_listagg",
+    "q_agg_boolean",
+    "q_agg_mode",
+    "q_join_lateral",
+    "q_fn_bitwise",
+    "q_fn_hash",
+    "q_fn_interval",
+    "q_llm_token_count",
+    "q_llm_fingerprint",
+    "q_etl_transfo_closure_cte",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_sample_stratified",
+    "q_mm_payload_hash",
+    "q_mm_header_parse",
+    # remaining events-reading queries (loader re-validation):
+    "q_agg_pivot",
+    "q_agg_conditional",
+    "q_event_funnel",
+    "q_etl_fk_check",
+    "q_join_range",
+    "q_join_asof",
+    "q_join_self",
+    "q_etl_scd2",
+    "q_fn_json",
+    "q_fn_variant",
+    "q_stream_tumbling",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_moving",
+    "q_win_dedup_latest",
+    # headline/bench + past-red continuity:
+    "q_pricing_summary",
     "q_agg_grouping_sets",
     "q_llm_train_split",
     "q_llm_seq_pack",
-    # set operations
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_intersect",
-    "q_set_except",
-    "q_set_intersect_all",
-    "q_set_except_all",
-    "q_set_dedup_subset",
-    # subqueries
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_corr_agg",
-    "q_subquery_exists_range",
-    # UDF/UDTF surface
-    "q_udf_python",
-    "q_udf_pandas",
-    "q_udaf_pandas",
-    "q_udtf_applyinpandas",
-    "q_udf_mapinpandas",
-    "q_udtf_python",
-    "q_udf_cogrouped",
-    "q_udf_sql",
-    "q_scan_python_datasource",
-    # scans / sinks
-    "q_scan_parquet",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_sink_parquet_partitioned",
-    "q_sink_orc_roundtrip",
-    "q_scan_binaryfile",
-    # ordering
-    "q_topk_global",
-    # LLM-vector addenda
-    "q_llm_knn_ivf",
-    "q_llm_knn_batch",
-    "q_llm_hard_negatives",
-    "q_llm_cluster_assign",
-    "q_llm_kmeans_step",
-    "q_llm_embed_quant",
-    "q_llm_lm_score",
-    # analytics composites
-    "q_priority_linestatus",
-    "q_order_count_distribution",
-    "q_small_qty_revenue",
-    "q_disjunctive_revenue",
-    "q_idle_customer_balance",
-    "q_event_retention",
-    # window-frame addenda
-    "q_win_range_frame",
-    "q_win_nth_value",
-    # etl / sampling addenda
-    "q_etl_sessionize",
-    "q_etl_snapshot_diff",
-    "q_sample_weighted",
-    # join addenda (scale-relevant shapes)
-    "q_join_skew_salted",
-    "q_join_null_safe",
+    "q_llm_exact_dedup",
+    "q_llm_near_dedup",
+    "q_llm_embed_dedup",
+    "q_llm_knn",
+    "q_llm_tokenize_tf",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_large_volume_customer",
+    "q_join_broadcast",
 ]
 
 
