@@ -1054,3 +1054,111 @@ def q_llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("near_dup"), "near_dup"),
         ).alias("reasons"),
     )
+
+
+# ------------------------------------------------------- chunking / reports
+
+
+@register(
+    "q_llm_chunk_split",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(floor((length(text) + 149) / 150.0) AS BIGINT) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text, unnest(generate_series(0, n - 1)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, chunk_idx,
+       length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_len,
+       md5(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5
+FROM idx
+""",
+    tags=("llm", "chunk"),
+)
+def q_llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: split every document into
+    200-char chunks on a 150-char stride (50-char overlap) — the
+    retrieval / pretraining preprocessing step that turns documents
+    into model-sized passages. Chunk count and boundaries are integer
+    arithmetic on length(text), identical across engines; chunks are
+    reported as (len, md5) rather than raw text to keep the result
+    narrow. Map-only: explode(sequence()) + substring fuse into one
+    codegen stage with no shuffle at any corpus size — at 100 TB this
+    is embarrassingly parallel scan work."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.expr("(length(text) + 149) div 150")
+    chunk = F.expr("substring(text, chunk_idx * 150 + 1, 200)")
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), (n - 1).cast("int"))))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+_DUP_BY_SOURCE_ORACLE = f"""
+WITH {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+               / length(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+dup_docs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs WHERE jac >= 0.5
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs WHERE jac >= 0.5
+  )
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       count(dd.doc_id) AS n_dup_docs,
+       round(CAST(count(dd.doc_id) AS DOUBLE) / count(*), 6) AS dup_ratio
+FROM documents d LEFT JOIN dup_docs dd USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register(
+    "q_llm_dup_ratio_by_source",
+    oracle=_DUP_BY_SOURCE_ORACLE,
+    tags=("llm", "dedup", "report"),
+)
+def q_llm_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: per source, what fraction of documents sit
+    in at least one verified near-duplicate pair — the number a data
+    curator watches to find scrapers re-ingesting the same site. Built
+    ON TOP of the LSH pipeline (q_llm_near_dedup): its verified pairs
+    are unioned to a distinct doc set (tiny — bounded by pair count,
+    not corpus) and left-joined back to documents for per-source
+    ratios. Adds one small-side join and one groupBy(source) to the
+    dedup cost; the oracle recomputes pairs by brute force."""
+    pairs = q_llm_near_dedup(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_dup_docs"),
+            F.round(
+                F.count("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )

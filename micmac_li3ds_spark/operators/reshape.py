@@ -335,3 +335,86 @@ def q_etl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("cents") / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "q_ts_gap_fill",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY user_id, h
+),
+span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span
+),
+j AS (
+  SELECT g.user_id, g.h, hourly.c
+  FROM grid g LEFT JOIN hourly USING (user_id, h)
+),
+f AS (
+  SELECT user_id, c,
+         last_value(c IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS fc
+  FROM j
+)
+SELECT user_id,
+       count(*) AS n_hours,
+       count(c) AS n_observed,
+       count(*) - count(c) AS n_gaps,
+       CAST(SUM(fc) AS DOUBLE) / 100.0 AS filled_total
+FROM f
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("reshape", "timeseries"),
+)
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per user, build the dense hourly
+    grid between their first and last event, left-join observed hourly
+    totals, forward-fill the holes (last observation carried forward),
+    and report per-user coverage — the standard densification step
+    before any per-entity time-series model. The grid is generated with
+    explode(sequence(h0, h1, 1 hour)) — rows only where a user has
+    span, never a cross join against a calendar table. Everything
+    partitions by user_id (grid join, fill window, final aggregate →
+    one hash exchange rides through); grid width is bounded by each
+    user's own span, so a 100 TB corpus fans out by entity, not by
+    global time range. Money totals ride the integer-cents convention
+    (functions/exact.py)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        cents("value").alias("c0"),
+    )
+    hourly = ev.groupBy("user_id", "h").agg(F.sum("c0").alias("c"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        "user_id",
+        "c",
+        F.last("c", ignorenulls=True).over(w).alias("fc"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count("c").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("c")).alias("n_gaps"),
+            (F.sum("fc").cast("double") / 100.0).alias("filled_total"),
+        )
+        .orderBy("user_id")
+    )

@@ -251,3 +251,71 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", "n_chars")
     )
+
+
+# Target mixture: per-language character budgets (chars, not fractions, so
+# every comparison is integer-exact across engines). Sums to 30k ≈ 40/20/
+# 20/10/10% of a 30k-char training slice.
+_MIXTURE_BUDGET = {"en": 12000, "fr": 6000, "es": 6000, "zh": 3000, "de": 3000}
+
+
+@register(
+    "q_llm_mixture_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         {_duck_bucket("CAST(doc_id AS VARCHAR)")} AS pri
+  FROM documents
+),
+c AS (
+  SELECT lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY pri, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM c
+WHERE cum <= CASE lang WHEN 'en' THEN 12000 WHEN 'fr' THEN 6000
+                       WHEN 'es' THEN 6000 WHEN 'zh' THEN 3000
+                       WHEN 'de' THEN 3000 ELSE 0 END
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("sampling", "llm", "mixture"),
+)
+def q_llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling to a per-language character budget: the
+    step that turns 'train on 40% en / 20% fr / ...' into a concrete
+    document subset. Documents stream per language in hash-priority
+    order (a pure function of doc_id — reproducible on any engine or
+    cluster layout) and are kept while the running character total
+    stays within that language's budget. One window shuffle on lang;
+    at 100 TB the budgets come from a broadcast mixture spec and the
+    partition key gains a salt so no single language serializes a
+    window (same note as q_llm_seq_pack)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    pri = _bucket(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIXTURE_BUDGET.items()],
+        F.lit(0),
+    )
+    kept = (
+        docs.withColumn("pri", pri)
+        .withColumn("cum", F.sum("n_chars").over(w))
+        .filter(F.col("cum") <= budget)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

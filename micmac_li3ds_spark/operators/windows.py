@@ -356,3 +356,33 @@ def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
     ).distinct()
+
+
+@register(
+    "q_win_percent_rank",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+    tags=("window", "rank"),
+)
+def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window pair: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (peers/n) of every customer within their nation by
+    balance. The unique tiebreaker (custkey) makes every frame unique,
+    so both measures are exact small-integer ratios — bit-identical
+    double division in any engine. Same scale shape as all keyed
+    windows: one exchange on the partition key."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
