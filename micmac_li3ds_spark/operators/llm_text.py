@@ -970,8 +970,10 @@ def q_llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ corpus filter composite
 
-_CORPUS_FILTER_ORACLE = f"""
-WITH {DUCK_SHINGLES_CTE},
+# CTE chain shared by q_llm_corpus_filter and the end-to-end curation
+# pipeline (q_llm_curate_pipeline): token metrics, brute-force near-dup
+# doc_b set, and per-doc keep/drop flags.
+_CORPUS_FILTER_CTES = f"""{DUCK_SHINGLES_CTE},
 m AS (
   SELECT doc_id,
          CAST(length(t) AS BIGINT) AS n_tokens,
@@ -997,7 +999,10 @@ flags AS (
               ELSE 0.0 END > 0.01 AS repetitive,
          m.doc_id IN (SELECT doc_id FROM dup_b) AS near_dup
   FROM m
-)
+)"""
+
+_CORPUS_FILTER_ORACLE = f"""
+WITH {_CORPUS_FILTER_CTES}
 SELECT doc_id,
        NOT (low_uniq OR repetitive OR near_dup) AS keep,
        concat_ws(',',
@@ -1161,4 +1166,64 @@ def q_llm_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
         .orderBy("source")
+    )
+
+
+_CURATE_ORACLE = f"""
+WITH {_CORPUS_FILTER_CTES},
+kept AS (
+  SELECT doc_id FROM flags
+  WHERE NOT (low_uniq OR repetitive OR near_dup)
+),
+b AS (
+  SELECT d.lang, d.n_chars,
+         (({duck_token_hash32("CAST(d.doc_id AS VARCHAR)")}) % 10000 + 10000)
+           % 10000 AS bucket
+  FROM documents d JOIN kept USING (doc_id)
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+FROM b
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@register("q_llm_curate_pipeline", oracle=_CURATE_ORACLE, tags=("llm", "pipeline"))
+def q_llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline, composed from the engine's own
+    stages exactly as a user would chain them: quality + near-dup
+    keep/drop verdicts (q_llm_corpus_filter: uniqueness floor,
+    repetition ceiling, LSH dedup demotion) → surviving docs →
+    contamination-safe hash-bucket train/val/test split (same mechanism
+    as q_llm_train_split) → per-(split, lang) corpus report with
+    document, character, and ~4-chars/token estimated-token totals.
+    One logical plan end to end — Catalyst sees through the whole
+    composition (the filter's semi-join, the LSH band shuffle, the
+    split CASE, and the final bounded-cardinality aggregate), so
+    nothing materializes between stages. The scale cost is the LSH
+    pipeline's; everything after it is a semi-join + map-side split +
+    one small aggregate."""
+    verdicts = q_llm_corpus_filter(spark, sf_dir)
+    kept = verdicts.filter(F.col("keep")).select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bucket = F.pmod(token_hash32(F.col("doc_id").cast("string")), F.lit(10000))
+    split = (
+        F.when(bucket < 8000, "train").when(bucket < 9000, "val").otherwise("test")
+    )
+    est = F.ceil(F.col("n_chars") / 4.0).cast("long")
+    return (
+        docs.join(kept, "doc_id", "semi")
+        .select(split.alias("split"), "lang", "n_chars", est.alias("est"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("est").alias("est_tokens"),
+        )
+        .orderBy("split", "lang")
     )

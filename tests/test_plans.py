@@ -294,3 +294,29 @@ def test_cbo_stats_inform_plan(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", saved)
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_chunk_split_is_shuffle_free(spark):
+    # chunking is map-only fan-out: explode+substring must fuse into the
+    # scan stage with no exchange anywhere — the property that makes it
+    # embarrassingly parallel at 100 TB
+    p = plan(spark, "q_llm_chunk_split")
+    assert "Exchange" not in p
+
+
+def test_gap_fill_rides_one_user_exchange(spark):
+    # grid build, grid join, fill window, and final aggregate all key on
+    # user_id; no calendar cross join may appear, and the whole plan must
+    # reuse user_id partitioning rather than re-exchanging per stage
+    p = plan(spark, "q_ts_gap_fill")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_mixture_sample_single_window_exchange(spark):
+    # budget enforcement is one running-sum window on lang + one
+    # bounded-cardinality aggregate — at most those two hash exchanges
+    p = plan(spark, "q_llm_mixture_sample")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning(lang") <= 2
