@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from micmac_li3ds_spark.functions.exact import cents, duck_cents, duck_pct, pct
 from micmac_li3ds_spark.registry import register
@@ -687,4 +688,102 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return activity.groupBy("cohort_wk", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "q_event_funnel_windowed",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_s END)
+              OVER (PARTITION BY user_id) AS t_signup
+  FROM ev
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_s > t_signup
+                      AND ts_s <= t_signup + 604800 THEN ts_s END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_s > t_click
+                      AND ts_s <= t_click + 604800 THEN ts_s END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM w2
+),
+per_user AS (
+  SELECT user_id, max(t_signup) AS t_signup, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM w3 GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signup,
+       count(t_click) AS n_click_7d,
+       count(t_purchase) AS n_purchase_7d
+FROM per_user
+""",
+    tags=("analytics", "composite", "events"),
+)
+def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: signup → first click within 7 days →
+    first purchase within 7 days of that click. Each step's timestamp
+    is a conditional MIN window over the SAME user_id partition
+    referencing the previous step's column, so all three passes plus
+    the per-user collapse ride one hash exchange — no self-joins, no
+    per-user event lists collected. This stays a single shuffle at any
+    event volume; contrast with the naive 3-way self-join whose
+    intermediate explodes on active users. Times compare as epoch
+    seconds (integer math — exact parity)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id")
+    week = 604800
+    staged = (
+        ev.withColumn(
+            "t_signup",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts_s"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_s") > F.col("t_signup"))
+                    & (F.col("ts_s") <= F.col("t_signup") + week),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_s") > F.col("t_click"))
+                    & (F.col("ts_s") <= F.col("t_click") + week),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_signup").alias("t_signup"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click_7d"),
+        F.count("t_purchase").alias("n_purchase_7d"),
     )

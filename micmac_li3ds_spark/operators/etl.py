@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from micmac_li3ds_spark.registry import register
 from micmac_li3ds_spark.tables import load
@@ -462,4 +463,80 @@ def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("key").alias("min_key"),
         F.max("key").alias("max_key"),
+    )
+
+
+@register(
+    "q_etl_cdc_apply",
+    oracle="""
+WITH ops AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error'  THEN 'D'
+                         ELSE 'U' END AS op,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_s DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+         MIN(CASE WHEN op = 'I' THEN ts_s END)
+           OVER (PARTITION BY user_id) AS first_insert_s
+  FROM ops
+)
+SELECT user_id, op AS last_op, ts_s AS last_ts_s, c AS last_c,
+       CAST(n_ops AS BIGINT) AS n_ops, first_insert_s
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+    tags=("etl", "cdc", "events"),
+)
+def q_etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC materialization (MERGE-style last-writer-wins): the
+    event stream is read as a change log — signup = INSERT, error =
+    DELETE, everything else = UPDATE — and collapsed to current state
+    per key. Because only the LAST operation per key decides the final
+    row, the apply is one descending row_number per key (+ per-key
+    audit counts over the same partition), then a filter dropping keys
+    whose final op is a delete. One hash exchange on the key, no
+    iterative replay: this is how a 100 TB change log compacts into a
+    snapshot in a single shuffle, and it is idempotent under re-runs.
+    Times compare as epoch seconds; event_id breaks same-second ties."""
+    ops = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    key = Window.partitionBy("user_id")
+    ranked = ops.select(
+        "user_id",
+        "op",
+        "ts_s",
+        "c",
+        F.row_number()
+        .over(key.orderBy(F.col("ts_s").desc(), F.col("event_id").desc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(key).alias("n_ops"),
+        F.min(F.when(F.col("op") == "I", F.col("ts_s")))
+        .over(key)
+        .alias("first_insert_s"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ts_s").alias("last_ts_s"),
+            F.col("c").alias("last_c"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+            "first_insert_s",
+        )
     )

@@ -1227,3 +1227,68 @@ def q_llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "q_llm_posting_lists",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+ranked AS (
+  SELECT term, doc_id,
+         COUNT(*) OVER (PARTITION BY term) AS df,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tok
+)
+SELECT term, CAST(df AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS head_postings
+FROM ranked
+WHERE rn <= 10 AND df >= 2
+GROUP BY term, df
+""",
+    tags=("llm", "text", "index"),
+)
+def q_llm_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the first 10
+    postings (sorted doc ids, comma-joined for cross-engine cells).
+    Tokens are deduplicated per document BEFORE the shuffle (array_
+    distinct on the token array — map-side), so a term repeated 100×
+    in one doc costs one posting row. df rides a count window over the
+    same term partition the head-of-list row_number uses, so index
+    construction is ONE exchange on term. The head-truncation is the
+    scale guard: a stopword's full posting list at 100 TB is the
+    corpus itself; capping the materialized list (df stays exact)
+    keeps the output bounded per term. df >= 2 drops hapax terms (the
+    long tail that bloats an index with single-use entries)."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias(
+                "term"
+            ),
+        )
+    )
+    wt = Window.partitionBy("term")
+    ranked = tok.select(
+        "term",
+        "doc_id",
+        F.count(F.lit(1)).over(wt).alias("df"),
+        F.row_number().over(wt.orderBy("doc_id")).alias("rn"),
+    )
+    return (
+        ranked.filter((F.col("rn") <= 10) & (F.col("df") >= 2))
+        .groupBy("term", F.col("df").cast("long").alias("df"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("head_postings")
+        )
+    )

@@ -418,3 +418,73 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_ts_resample_ohlc",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+ranked AS (
+  SELECT user_id, event_id, ts_s, c,
+         (ts_s // 600) * 600 AS bucket_s,
+         row_number() OVER (PARTITION BY user_id, (ts_s // 600)
+                            ORDER BY ts_s, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, (ts_s // 600)
+                            ORDER BY ts_s DESC, event_id DESC) AS rn_d
+  FROM ev
+)
+SELECT user_id, bucket_s,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN rn_a = 1 THEN c END) AS open_c,
+       MAX(c) AS high_c,
+       MIN(c) AS low_c,
+       MAX(CASE WHEN rn_d = 1 THEN c END) AS close_c,
+       CAST(SUM(c) AS BIGINT) AS vol_c
+FROM ranked
+GROUP BY user_id, bucket_s
+""",
+    tags=("reshape", "timeseries", "events"),
+)
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to 10-minute OHLC bars (open / high /
+    low / close / volume per user per bucket) — the classic resample
+    shape. Open and close are first/last by (ts, event_id) inside the
+    bucket, expressed as row_number asc/desc + conditional MAX so both
+    engines pick the identical row under timestamp ties (no engine-
+    specific FIRST/arg_min semantics). Both window passes and the final
+    aggregate share the (user_id, bucket) grouping, so the whole query
+    rides one hash exchange; values compare as integer cents and bucket
+    boundaries as integer epoch math — exact cross-engine parity."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        cents("value").alias("c"),
+    )
+    ev = ev.withColumn(
+        "bucket_s", (F.floor(F.col("ts_s") / 600) * 600).cast("long")
+    )
+    wa = Window.partitionBy("user_id", "bucket_s").orderBy("ts_s", "event_id")
+    wd = Window.partitionBy("user_id", "bucket_s").orderBy(
+        F.col("ts_s").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "bucket_s",
+        "c",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("user_id", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("c"))).alias("open_c"),
+        F.max("c").alias("high_c"),
+        F.min("c").alias("low_c"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("c"))).alias("close_c"),
+        F.sum("c").alias("vol_c"),
+    )

@@ -386,3 +386,63 @@ def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@register(
+    "q_win_cumulative_distinct",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch({_DUCK_TS_SEC}) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts_s, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM ev
+)
+SELECT user_id, event_id, ts_s,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_types_seen
+FROM flagged
+""",
+    tags=("window", "events"),
+)
+def q_win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — a frame no SQL
+    window can express directly (DISTINCT aggregates reject ORDER BY
+    frames in both engines). The scalable rewrite: flag each row that is
+    the FIRST occurrence of its (user, event_type) with row_number()=1,
+    then running-sum the flags per user. Cost is two sort-window passes
+    (keys (user_id, event_type) then user_id) — no distinct state grows
+    with history, so the 100 TB shape is two exchanges regardless of
+    how many events each user accumulates. Times compare as epoch
+    seconds; event_id breaks ordering ties deterministically."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_s", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.sum("first_seen").over(w_cum).cast("long").alias("n_types_seen"),
+    )

@@ -66,7 +66,7 @@ def test_scd2_windows_share_one_exchange(spark):
     p = plan(spark, "q_etl_scd2")
     # both window passes partition by user_id: exactly one hash exchange
     # on user_id (the second exchange in the plan is the output sort)
-    assert p.count("Exchange hashpartitioning(user_id") <= 1
+    assert 1 <= p.count("hashpartitioning(user_id") <= 1
 
 
 def test_correlated_subquery_decorrelates(spark):
@@ -195,7 +195,7 @@ def test_sessionize_shares_one_user_exchange(spark):
     """lag window, cumsum window, and final aggregate all partition by
     user_id — at most one hash exchange end-to-end."""
     p = plan(spark, "q_etl_sessionize")
-    assert p.count("Exchange hashpartitioning(user_id") <= 1
+    assert 1 <= p.count("hashpartitioning(user_id") <= 1
 
 
 def test_partitioned_layout_prunes_partitions(spark):
@@ -311,7 +311,7 @@ def test_gap_fill_rides_one_user_exchange(spark):
     p = plan(spark, "q_ts_gap_fill")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert p.count("Exchange hashpartitioning(user_id") <= 2
+    assert 1 <= p.count("hashpartitioning(user_id") <= 2
 
 
 def test_mixture_sample_single_window_exchange(spark):
@@ -319,4 +319,87 @@ def test_mixture_sample_single_window_exchange(spark):
     # bounded-cardinality aggregate — at most those two hash exchanges
     p = plan(spark, "q_llm_mixture_sample")
     assert "CartesianProduct" not in p
-    assert p.count("Exchange hashpartitioning(lang") <= 2
+    assert 1 <= p.count("hashpartitioning(lang") <= 2
+
+
+def test_resample_ohlc_single_exchange(spark):
+    # both row_number passes and the OHLC aggregate key on
+    # (user_id, bucket_s): the whole resample must ride one hash
+    # exchange — re-partitioning between the window and the agg would
+    # double the shuffle volume at 100 TB for nothing
+    p = plan(spark, "q_ts_resample_ohlc")
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_cdc_apply_single_exchange(spark):
+    # last-writer-wins compaction: row_number + per-key audit windows +
+    # final filter all partition by user_id — one exchange total
+    p = plan(spark, "q_etl_cdc_apply")
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_funnel_windowed_single_exchange(spark):
+    # the three chained step windows and the per-user collapse share the
+    # user_id partition; the plan must not re-exchange per step and must
+    # never self-join the event table
+    p = plan(spark, "q_event_funnel_windowed")
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_posting_lists_single_term_exchange(spark):
+    # df window, head-of-list row_number, and the string_agg all key on
+    # term — index construction is one exchange on term (plus the final
+    # single-partition collect the driver adds, which is not hash)
+    p = plan(spark, "q_llm_posting_lists")
+    assert p.count("hashpartitioning(term") == 1
+
+
+def test_cumulative_distinct_two_exchanges(spark):
+    # first-seen flags need (user_id, event_type); the running sum needs
+    # user_id — exactly two window exchanges, nothing else
+    p = plan(spark, "q_win_cumulative_distinct")
+    assert p.count("hashpartitioning(") == 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """At 100 TB the win on a selective fact⋈filtered-dim join is NOT
+    the join algorithm — it's the runtime bloom filter Spark builds
+    from the filtered side and pushes into the big side's scan, so
+    non-matching rows die before the shuffle. The thresholds default to
+    cluster scale (10 GB application side); lowering them locally
+    proves the injection fires on our join shapes and stays wired in
+    this Spark build."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, SF_DIR, "lineitem")
+        df = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        p = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in p.lower() or "bloomfilter" in p.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
