@@ -422,3 +422,41 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "bitmap", "distinct"),
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap aggregation — the scale path for
+    COUNT(DISTINCT) over dense integer keys. A plain distinct-count
+    shuffles every (group, key) pair once and keeps per-key state; the
+    bitmap rewrite packs keys into fixed 4 KB bucket bitmaps
+    (bitmap_bit_position / bitmap_construct_agg), so the shuffle
+    carries one bitmap per (group, bucket) — bounded by the KEY RANGE,
+    not the row count — and bitmaps OR together associatively, so the
+    partial aggregation combines map-side. At 100 TB this is how
+    exact audience/user counts stay one shuffle of small state. The
+    oracle is the semantic definition (plain COUNT DISTINCT): the
+    bitmap path must reproduce it exactly — bit-exact, not approximate
+    (contrast q_agg_approx_distinct's HLL, which is rows-only)."""
+    orders = load(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_customers")
+    )

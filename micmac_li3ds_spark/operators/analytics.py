@@ -787,3 +787,55 @@ def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_click_7d"),
         F.count("t_purchase").alias("n_purchase_7d"),
     )
+
+
+@register(
+    "q_graph_pagerank_step",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+outdeg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+)
+SELECT e.dst AS supplier,
+       round(0.15 + 0.85 * SUM(1.0 / d), 6) AS rank,
+       CAST(COUNT(*) AS BIGINT) AS n_in_edges
+FROM edges e JOIN outdeg o ON e.src = o.src
+GROUP BY e.dst
+""",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step (damping 0.85, uniform initial
+    rank 1.0) over the customer→supplier purchase graph derived from
+    orders⋈lineitem. The superstep shape that iterates at 100 TB:
+    contributions = rank/out_degree flow along edges (join on src),
+    then aggregate by dst — two hash shuffles per iteration, state is
+    one rank per vertex, never an adjacency matrix. Out-degrees join
+    back to edges on the SAME src key the edge dedup grouped on, so
+    the contribution join reuses the dedup's partitioning; a full
+    multi-iteration run re-enters this exact plan with the previous
+    ranks as input (see q_llm_dedup_clusters for the fixpoint-loop
+    pattern). Ranks round to 6 dp — float association order across
+    engines differs below that."""
+    edges = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        edges.join(outdeg, "src")
+        .groupBy(F.col("dst").alias("supplier"))
+        .agg(
+            F.round(0.15 + 0.85 * F.sum(1.0 / F.col("d")), 6).alias("rank"),
+            F.count(F.lit(1)).cast("long").alias("n_in_edges"),
+        )
+    )

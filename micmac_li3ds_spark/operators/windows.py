@@ -446,3 +446,74 @@ def q_win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_s",
         F.sum("first_seen").over(w_cum).cast("long").alias("n_types_seen"),
     )
+
+
+@register(
+    "q_win_anomaly_zscore",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(epoch({_DUCK_TS_SEC}) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+scored AS (
+  SELECT user_id, event_id, ts_s, c,
+         avg(c)         OVER w AS mu,
+         stddev_samp(c) OVER w AS sigma,
+         COUNT(*)       OVER w AS n_frame
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts_s, c,
+       round((c - mu) / sigma, 4) AS z
+FROM scored
+WHERE n_frame >= 10 AND sigma > 0 AND abs((c - mu) / sigma) > 2.5
+""",
+    tags=("window", "events", "anomaly"),
+)
+def q_win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag events whose value is
+    more than 2.5 sample standard deviations from the mean of the
+    previous (up to) 19 events of the same user — the self-exclusive
+    frame (19 PRECEDING .. 1 PRECEDING) keeps an outlier from masking
+    itself by inflating its own baseline. One sort-window pass per
+    user: streamable state of 19 rows per key regardless of history,
+    the shape that scores an unbounded event log in one exchange.
+    Frames under 10 observations don't fire (cold-start guard).
+    Values compare as integer cents; z rounds to 4 dp (stddev float
+    association differs across engines below that)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "c",
+        F.avg("c").over(w).alias("mu"),
+        F.stddev_samp("c").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    )
+    z = (F.col("c") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_frame") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.5)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_s",
+            "c",
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -403,3 +403,27 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bitmap_distinct_avoids_expand_and_combines_partials(spark):
+    # the bitmap rewrite must NOT fall back to the Expand-based distinct
+    # aggregate (whose shuffle carries every (group, key) pair), and the
+    # bitmap build must have a partial phase that combines map-side
+    p = plan(spark, "q_agg_bitmap_distinct")
+    assert "Expand" not in p
+    assert "bitmap_construct_agg" in p
+    assert "partial_bitmap_construct_agg" in p.lower() or "ObjectHashAggregate" in p
+
+
+def test_pagerank_step_no_cartesian(spark):
+    # a superstep is joins+aggs on vertex keys; any nested-loop shape
+    # here would be quadratic in vertices at scale
+    p = plan(spark, "q_graph_pagerank_step")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_anomaly_zscore_single_exchange(spark):
+    # one trailing-frame window pass per user: one hash exchange
+    p = plan(spark, "q_win_anomaly_zscore")
+    assert p.count("hashpartitioning(user_id") == 1
