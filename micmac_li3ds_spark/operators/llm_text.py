@@ -799,8 +799,9 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- dedup cluster assembly
 
-_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {DUCK_SHINGLES_CTE},
+# Shared recursive-fixpoint prefix: LSH-equivalent duplicate pairs →
+# undirected edges → transitive reach → min-label component per doc.
+_CLUSTERS_CTE = f"""WITH RECURSIVE {DUCK_SHINGLES_CTE},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -819,7 +820,10 @@ reach AS (
 ),
 lab AS (
   SELECT doc, LEAST(doc, MIN(peer)) AS cluster_id FROM reach GROUP BY doc
-)
+)"""
+
+_CLUSTERS_ORACLE = f"""
+{_CLUSTERS_CTE}
 SELECT doc AS doc_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM lab
@@ -1291,4 +1295,57 @@ def q_llm_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("head_postings")
         )
+    )
+
+
+@register(
+    "q_llm_dedup_keep_best",
+    oracle=f"""
+{_CLUSTERS_CTE},
+sized AS (
+  SELECT doc, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n
+  FROM lab
+),
+scored AS (
+  SELECT s.cluster_id, s.n, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY s.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+  FROM sized s JOIN documents d ON d.doc_id = s.doc
+)
+SELECT cluster_id,
+       CAST(n AS BIGINT) AS cluster_size,
+       doc_id AS kept_doc_id,
+       CAST(n_chars AS BIGINT) AS kept_n_chars,
+       CAST(n - 1 AS BIGINT) AS n_dropped
+FROM scored
+WHERE rk = 1
+""",
+    tags=("llm", "dedup", "curation"),
+)
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution — the step after cluster
+    assembly: inside every near-duplicate cluster keep the highest-
+    quality member (here: longest document, doc_id as tiebreak) and
+    count the drops. Production dedup keeps the BEST copy, not the
+    arbitrary min-id one: boilerplate-stripped originals beat mirrored
+    truncations. Composition stays declarative end-to-end — the
+    component labels feed a keyed join against the document metadata
+    and one per-cluster top-1 window; clusters are tiny relative to
+    the corpus, so everything after the (already-bounded) label
+    fixpoint is one join plus one exchange on cluster_id."""
+    clusters = q_llm_dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    scored = clusters.join(docs, "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").cast("long").alias("kept_n_chars"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
     )

@@ -653,3 +653,217 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "label", "cos_sim", "rk")
     )
+
+
+def _pq_centroids(
+    m_sub: int = 8, k: int = 16, sub_dim: int = 8, seed: int = 97
+) -> list[list[list[int]]]:
+    """Deterministic integer PQ codebook via the same fixed LCG as
+    _hyperplanes: [subspace][centroid][dim] in [-2000, 2000], embedded
+    as identical literals in the Spark plan and the oracle SQL. (A
+    production codebook comes from k-means per subspace — q_llm_kmeans_
+    step is that trainer; the encode path is codebook-agnostic.)"""
+    x = seed
+    out = []
+    for _ in range(m_sub):
+        ks = []
+        for _ in range(k):
+            c = []
+            for _ in range(sub_dim):
+                x = (1103515245 * x + 12345) % (1 << 31)
+                c.append(int(x % 4001) - 2000)
+            ks.append(c)
+        out.append(ks)
+    return out
+
+
+_PQ_CODEBOOK = _pq_centroids()
+
+# Shared oracle prefix: codebook VALUES + integer-quantized subvectors +
+# per-(vector, subspace) squared distances to every centroid + the
+# deterministic argmin (ORDER BY d, k).
+_PQ_BASE_CTE = (
+    "WITH cent(m, k, c) AS (VALUES\n    "
+    + ",\n    ".join(
+        f"({m}, {k}, {cent!r})"
+        for m, ks in enumerate(_PQ_CODEBOOK)
+        for k, cent in enumerate(ks)
+    )
+    + """
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, ms.m AS m, qv[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
+  FROM q CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+),
+dist AS (
+  SELECT s.vec_id, s.m, cent.k,
+         list_sum(list_transform(range(1, 9),
+                                 j -> (sv[j] - c[j]) * (sv[j] - c[j]))) AS d
+  FROM sub s JOIN cent ON s.m = cent.m
+),
+best AS (
+  SELECT vec_id, m, k,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rk
+  FROM dist
+)"""
+)
+
+
+def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): embeddings with coordinates quantized to integer
+    thousandths — all downstream PQ math is exact integer arithmetic."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _pq_subvectors(df: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): map-side fan-out of each vector into its 8
+    subvectors (posexplode — narrow, no shuffle)."""
+    return df.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda m: F.slice("qv", m * 8 + 1, 8),
+            )
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_codebook_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (m, k, c)
+            for m, ks in enumerate(_PQ_CODEBOOK)
+            for k, c in enumerate(ks)
+        ],
+        "m int, k int, c array<bigint>",
+    )
+
+
+def _pq_sq_dist() -> F.Column:
+    """Σ (sv_j − c_j)² as exact long arithmetic (built lazily — Column
+    construction needs an active session)."""
+    return F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str, subs: DataFrame) -> DataFrame:
+    """(vec_id, m, k): nearest-centroid assignment per subspace — an
+    associative MIN over (distance, k) structs, partial-aggregable and
+    deterministic under ties."""
+    cent = _pq_codebook_df(spark)
+    return (
+        subs.join(F.broadcast(cent), "m")
+        .select(
+            "vec_id", "m", F.struct(_pq_sq_dist().alias("d"), "k").alias("dk")
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dk").alias("bk"))
+        .select("vec_id", "m", F.col("bk.d").alias("d"), F.col("bk.k").alias("k"))
+    )
+
+
+@register(
+    "q_llm_pq_encode",
+    oracle=f"""
+{_PQ_BASE_CTE}
+SELECT vec_id,
+       string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS pq_code
+FROM best
+WHERE rk = 1
+GROUP BY vec_id
+""",
+    tags=("llm", "vector", "ann", "compression"),
+)
+def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each 64-dim embedding splits into
+    8 subvectors; each subvector maps to its nearest of 16 codebook
+    centroids; the vector compresses to 8 small codes (here a
+    comma-joined string cell) — 64 floats → 8 nibbles, the 64×
+    compression that makes billion-vector ANN serving fit in memory.
+    Shape for 100 TB: subvector fan-out is a map-side posexplode, the
+    codebook (128 rows) broadcasts, nearest-centroid is an associative
+    MIN over (distance, k) structs — partial-aggregable, deterministic
+    under distance ties — and code assembly re-groups by vec_id.
+    Coordinates quantize to integer thousandths BEFORE the distance
+    math, so both engines compare identical integers (no float
+    association drift anywhere)."""
+    subs = _pq_subvectors(_pq_quantized(spark, sf_dir))
+    best = _pq_codes(spark, sf_dir, subs)
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "k"))),
+                lambda s: s.getField("k").cast("string"),
+            ),
+            ",",
+        ).alias("pq_code")
+    )
+
+
+@register(
+    "q_llm_knn_pq",
+    oracle=f"""
+{_PQ_BASE_CTE},
+codes AS (
+  SELECT vec_id, m, k FROM best WHERE rk = 1 AND vec_id <> 0
+),
+qlut AS (
+  SELECT s.m, cent.k,
+         list_sum(list_transform(range(1, 9),
+                                 j -> (sv[j] - c[j]) * (sv[j] - c[j]))) AS d
+  FROM sub s JOIN cent ON s.m = cent.m
+  WHERE s.vec_id = 0
+),
+scored AS (
+  SELECT codes.vec_id, CAST(SUM(qlut.d) AS BIGINT) AS adc_d
+  FROM codes JOIN qlut ON codes.m = qlut.m AND codes.k = qlut.k
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, adc_d FROM scored ORDER BY adc_d, vec_id LIMIT 10
+""",
+    tags=("llm", "vector", "ann", "knn"),
+)
+def q_llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN search with asymmetric distance computation
+    (ADC): the corpus is its 8-code PQ representation; the query (vec 0)
+    stays full precision and precomputes one 8×16 lookup table of
+    query-subvector→centroid distances. Scoring a vector is then 8
+    table lookups + a sum — never a 64-dim dot product — which is why
+    PQ serves billion-vector search: per-vector cost is O(M) integer
+    adds against an L1-resident LUT. Shape: the LUT (128 rows, built
+    from the broadcast query) broadcasts into a map-side join against
+    the codes, the per-vector sum is a partial-aggregable groupBy, and
+    the top-10 finishes as TakeOrderedAndProject — the corpus never
+    shuffles at full width. Integer math end-to-end: exact parity."""
+    subs = _pq_subvectors(_pq_quantized(spark, sf_dir))
+    codes = _pq_codes(spark, sf_dir, subs.filter(F.col("vec_id") != 0))
+    cent = _pq_codebook_df(spark)
+    qlut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cent), "m")
+        .select("m", "k", _pq_sq_dist().alias("qd"))
+    )
+    return (
+        codes.join(F.broadcast(qlut), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_d"))
+        .orderBy("adc_d", "vec_id")
+        .limit(10)
+    )

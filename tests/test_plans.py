@@ -427,3 +427,21 @@ def test_anomaly_zscore_single_exchange(spark):
     # one trailing-frame window pass per user: one hash exchange
     p = plan(spark, "q_win_anomaly_zscore")
     assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_pq_encode_broadcasts_codebook(spark):
+    # the 128-row codebook must broadcast into the subvector stream;
+    # nearest-centroid must be an aggregate (partial-combinable), and
+    # nothing may cartesian
+    p = plan(spark, "q_llm_pq_encode")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_pq_is_lut_join_plus_topk(spark):
+    # ADC serving shape: LUT broadcast join, top-k as
+    # TakeOrderedAndProject — the corpus never full-sorts
+    p = plan(spark, "q_llm_knn_pq")
+    assert "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
