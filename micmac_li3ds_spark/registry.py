@@ -80,7 +80,22 @@ _loaded = False
 #            never-tested remainder published in round 3 + every other
 #            events-reading query (re-prove the new loader under the
 #            driver's hash) + the headline/bench set. After this round
-#            every oracle-backed query has been driver-sampled ≥ once.
+#            every oracle-backed query REGISTERED BEFORE round 5 has
+#            been driver-sampled ≥ once.
+#   round 6 (rotate FIRST THING next round): the 22-query remainder =
+#            rows-only/never-sampled pre-round-5 queries
+#            (q_win_percent_rank, q_llm_chunk_split,
+#            q_llm_dup_ratio_by_source, q_llm_curate_pipeline,
+#            q_llm_mixture_sample, q_profile_columns_sketch,
+#            q_ts_gap_fill, q_etl_xml_normalize, q_scan_xml,
+#            q_mm_feature_extract, q_mm_frame_sample)
+#            + the round-5 additions (q_win_cumulative_distinct,
+#            q_ts_resample_ohlc, q_event_funnel_windowed,
+#            q_etl_cdc_apply, q_llm_posting_lists,
+#            q_agg_bitmap_distinct, q_graph_pagerank_step,
+#            q_win_anomaly_zscore, q_llm_dedup_keep_best,
+#            q_llm_pq_encode, q_llm_knn_pq), then headline/past-red
+#            continuity filling the window to 50.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # round-4 errors, repaired (events.ts µs encoding):
