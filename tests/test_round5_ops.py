@@ -1,0 +1,170 @@
+"""Semantic invariants for the round-5 operators — properties the
+DuckDB oracle parity can't see (it proves both engines agree; these
+prove the agreed-on answer means what the operator claims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark import registry
+from micmac_li3ds_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    return registry.registry()[name].fn(spark, SF_DIR)
+
+
+def test_cdc_apply_excludes_deleted_and_covers_survivors(spark):
+    ev = load(spark, SF_DIR, "events")
+    state = _q(spark, "q_etl_cdc_apply").cache()
+    # last_op is never a delete, and every key's op total matches the log
+    assert state.filter(F.col("last_op") == "D").count() == 0
+    # a user is absent iff their final event (by ts, event_id) is 'error'
+    last = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_s"),
+            "event_id",
+        )
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts_s", "event_id", "event_type")).alias("m"))
+        .select("user_id", F.col("m.event_type").alias("last_type"))
+    )
+    deleted = last.filter(F.col("last_type") == "error")
+    survivors = last.filter(F.col("last_type") != "error")
+    assert state.join(deleted, "user_id").count() == 0
+    assert state.count() == survivors.count()
+    # per-key op counts add back up to the full log
+    n_ops_total = state.agg(F.sum("n_ops")).collect()[0][0]
+    n_deleted_ops = (
+        ev.join(deleted, "user_id").count()
+    )
+    assert n_ops_total + n_deleted_ops == ev.count()
+    state.unpersist()
+
+
+def test_keep_best_one_keeper_per_cluster_and_is_max(spark):
+    kept = _q(spark, "q_llm_dedup_keep_best").cache()
+    # exactly one keeper per cluster
+    assert (
+        kept.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    # the keeper's n_chars is the cluster max
+    clusters = _q(spark, "q_llm_dedup_clusters")
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    cluster_max = (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("n_chars").alias("mx"))
+    )
+    bad = kept.join(cluster_max, "cluster_id").filter(
+        F.col("kept_n_chars") != F.col("mx")
+    )
+    assert bad.count() == 0
+    kept.unpersist()
+
+
+def test_pq_codes_shape_and_range(spark):
+    codes = _q(spark, "q_llm_pq_encode")
+    e_count = load(spark, SF_DIR, "embeddings").count()
+    rows = codes.collect()
+    assert len(rows) == e_count
+    for r in rows:
+        parts = r.pq_code.split(",")
+        assert len(parts) == 8
+        assert all(0 <= int(p) < 16 for p in parts)
+
+
+def test_knn_pq_orders_by_adc_distance(spark):
+    top = _q(spark, "q_llm_knn_pq").collect()
+    assert len(top) == 10
+    ds = [r.adc_d for r in top]
+    assert ds == sorted(ds)
+    assert all(r.vec_id != 0 for r in top)
+
+
+def test_cumulative_distinct_final_equals_exact_distinct(spark):
+    cum = _q(spark, "q_win_cumulative_distinct")
+    final = (
+        cum.groupBy("user_id").agg(F.max("n_types_seen").alias("n_cum"))
+    )
+    exact = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_exact"))
+    )
+    bad = final.join(exact, "user_id").filter(
+        F.col("n_cum") != F.col("n_exact")
+    )
+    assert bad.count() == 0
+
+
+def test_ohlc_bounds_and_totals(spark):
+    bars = _q(spark, "q_ts_resample_ohlc").cache()
+    bad = bars.filter(
+        (F.col("high_c") < F.col("low_c"))
+        | (F.col("open_c") > F.col("high_c"))
+        | (F.col("open_c") < F.col("low_c"))
+        | (F.col("close_c") > F.col("high_c"))
+        | (F.col("close_c") < F.col("low_c"))
+    )
+    assert bad.count() == 0
+    assert (
+        bars.agg(F.sum("n_events")).collect()[0][0]
+        == load(spark, SF_DIR, "events").count()
+    )
+    bars.unpersist()
+
+
+def test_funnel_windowed_steps_are_monotone(spark):
+    # each step can only lose users; no comparison against q_event_funnel
+    # is valid here — its click step uses the user's FIRST-EVER click
+    # (which may predate signup), so either funnel can exceed the other
+    row = _q(spark, "q_event_funnel_windowed").collect()[0]
+    assert row.n_users >= row.n_signup >= row.n_click_7d >= row.n_purchase_7d
+
+
+def test_pagerank_mass_conservation(spark):
+    ranks = _q(spark, "q_graph_pagerank_step")
+    n_sup, total = ranks.agg(
+        F.count(F.lit(1)), F.sum("rank")
+    ).collect()[0]
+    # every customer with out-degree ≥ 1 contributes exactly rank 1.0
+    # spread over its edges: Σ ranks = 0.15·|suppliers| + 0.85·|customers|
+    n_cust = (
+        load(spark, SF_DIR, "orders")
+        .join(
+            load(spark, SF_DIR, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    expected = 0.15 * n_sup + 0.85 * n_cust
+    assert abs(total - expected) < 1e-3
+
+
+def test_posting_lists_df_exact_and_heads_sorted(spark):
+    pl = _q(spark, "q_llm_posting_lists").cache()
+    docs = load(spark, SF_DIR, "documents")
+    exact_df = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), " "))
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_df"))
+    )
+    joined = pl.join(exact_df, "term")
+    assert joined.filter(F.col("df") != F.col("true_df")).count() == 0
+    for r in pl.collect():
+        ids = [int(x) for x in r.head_postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, 10)
+    pl.unpersist()
