@@ -867,3 +867,77 @@ def q_llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "q_llm_knn_pq_refine",
+    oracle=f"""
+{_PQ_BASE_CTE},
+codes AS (
+  SELECT vec_id, m, k FROM best WHERE rk = 1 AND vec_id <> 0
+),
+qlut AS (
+  SELECT s.m, cent.k,
+         list_sum(list_transform(range(1, 9),
+                                 j -> (sv[j] - c[j]) * (sv[j] - c[j]))) AS d
+  FROM sub s JOIN cent ON s.m = cent.m
+  WHERE s.vec_id = 0
+),
+shortlist AS (
+  SELECT codes.vec_id, CAST(SUM(qlut.d) AS BIGINT) AS adc_d
+  FROM codes JOIN qlut ON codes.m = qlut.m AND codes.k = qlut.k
+  GROUP BY codes.vec_id
+  ORDER BY adc_d, codes.vec_id
+  LIMIT 50
+),
+e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT s.vec_id, s.adc_d,
+       round(list_cosine_similarity(e.v, qv.v), 6) AS cos_sim
+FROM shortlist s JOIN e ON e.vec_id = s.vec_id CROSS JOIN qv
+ORDER BY cos_sim DESC, s.vec_id
+LIMIT 10
+""",
+    tags=("llm", "vector", "ann", "knn"),
+)
+def q_llm_knn_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving pattern: a cheap
+    PQ/ADC pass shortlists 50 candidates (8 integer lookups per corpus
+    vector, corpus never shuffled at width), then ONLY the shortlist is
+    re-ranked with exact full-precision cosine. At 100 TB the exact
+    pass touches 50 vectors regardless of corpus size — re-ranking cost
+    is constant, shortlist recall is the only tuning knob (widen the
+    shortlist, not the exact pass). The shortlist is tiny → broadcast
+    into the full-precision side; top-10 finishes as
+    TakeOrderedAndProject. Deterministic end-to-end: integer ADC with
+    (adc_d, vec_id) cutoff ordering, cosine rounded to 6 dp."""
+    subs = _pq_subvectors(_pq_quantized(spark, sf_dir))
+    codes = _pq_codes(spark, sf_dir, subs.filter(F.col("vec_id") != 0))
+    cent = _pq_codebook_df(spark)
+    qlut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cent), "m")
+        .select("m", "k", _pq_sq_dist().alias("qd"))
+    )
+    shortlist = (
+        codes.join(F.broadcast(qlut), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_d"))
+        .orderBy("adc_d", "vec_id")
+        .limit(50)
+    )
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    )
+    return (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "adc_d",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -445,3 +445,13 @@ def test_knn_pq_is_lut_join_plus_topk(spark):
     assert "BroadcastExchange" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_knn_pq_refine_exact_pass_is_shortlist_bounded(spark):
+    # two-stage retrieval: the exact cosine pass must ride a broadcast
+    # of the 50-row shortlist (never a corpus-wide join) and finish as
+    # TakeOrderedAndProject
+    p = plan(spark, "q_llm_knn_pq_refine")
+    assert "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
