@@ -144,3 +144,76 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def _ohlc_agg(grouped):
+    """Shared OHLC aggregate expressions (batch twin ≡ streaming job):
+    open/close via min_by/max_by over one BIGINT (second, event_id)
+    ordering key — declarative aggregates, so they run unchanged under
+    a streaming groupBy and partial-combine map-side in batch."""
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("c", "ord").alias("open_c"),
+        F.max("c").alias("high_c"),
+        F.min("c").alias("low_c"),
+        F.max_by("c", "ord").alias("close_c"),
+        F.sum("c").alias("vol_c"),
+    )
+
+
+def _with_ohlc_cols(df: DataFrame) -> DataFrame:
+    ts_s = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    return df.select(
+        "ts",
+        "event_type",
+        cents("value").alias("c"),
+        (ts_s * 1000000 + F.col("event_id")).alias("ord"),
+    )
+
+
+@register(
+    "q_stream_ohlc",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type,
+         ({_DUCK_EPOCH} // 600) * 600 AS w_start_s,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         ({_DUCK_EPOCH}) * 1000000 + event_id AS ord
+  FROM events
+)
+SELECT w_start_s, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       arg_min(c, ord) AS open_c,
+       MAX(c) AS high_c,
+       MIN(c) AS low_c,
+       arg_max(c, ord) AS close_c,
+       CAST(SUM(c) AS BIGINT) AS vol_c
+FROM ev
+GROUP BY w_start_s, event_type
+""",
+    tags=("streaming", "window", "timeseries"),
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute OHLC bars per event type — the streaming
+    market-data shape. Unlike q_ts_resample_ohlc's row_number
+    formulation (sort-window, batch-only), open/close here are
+    min_by/max_by over an integer (second, event_id) ordering key:
+    pure declarative aggregates, so the IDENTICAL expression runs under
+    readStream with a watermark (streaming/jobs.py ohlc_bars; state is
+    one partially-merged bar per open window) and partial-combines
+    map-side in batch — the dual-mode formulation. Exact integer math
+    throughout; the ordering key can't collide (event_id < 10⁶)."""
+    ev = _with_ohlc_cols(events_with_epoch(spark, sf_dir))
+    bars = _ohlc_agg(
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+    )
+    return bars.select(
+        F.unix_timestamp(F.col("w.start")).alias("w_start_s"),
+        "event_type",
+        "n_events",
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        "vol_c",
+    )

@@ -291,3 +291,30 @@ def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFram
         F.col("c.event_id").alias("click_id"),
         F.col("p.event_id").alias("purchase_id"),
     )
+
+
+def ohlc_bars(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling OHLC bars (streaming twin of q_stream_ohlc):
+    the same min_by/max_by-over-ordering-key aggregates — per-window
+    state is one partially-merged bar, evicted when the watermark passes
+    the window end."""
+    from micmac_li3ds_spark.operators.streaming_batch import (
+        _ohlc_agg,
+        _with_ohlc_cols,
+    )
+
+    bars = _ohlc_agg(
+        _with_ohlc_cols(stream.withWatermark("ts", watermark)).groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+    )
+    return bars.select(
+        F.unix_timestamp(F.col("w.start")).alias("w_start_s"),
+        "event_type",
+        "n_events",
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        "vol_c",
+    )

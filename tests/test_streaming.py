@@ -516,3 +516,18 @@ def test_stream_stream_left_outer_emits_unmatched(spark):
         assert (2, None) in got        # outer row emitted after watermark
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ohlc_batch_equals_stream(spark, sf_dir):
+    # open/close via min_by/max_by run IDENTICALLY under readStream —
+    # the dual-mode formulation q_stream_ohlc exists to prove
+    from micmac_li3ds_spark.operators.streaming_batch import q_stream_ohlc
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    q = jobs.run_to_memory(
+        jobs.ohlc_bars(stream), "t_ohlc", output_mode="complete"
+    )
+    _drain(q)
+    got = _rows(spark, "t_ohlc")
+    want = {tuple(r) for r in q_stream_ohlc(spark, sf_dir).collect()}
+    assert got == want
