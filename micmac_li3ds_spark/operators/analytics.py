@@ -839,3 +839,122 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_in_edges"),
         )
     )
+
+
+@register(
+    "q_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+    tags=("analytics", "composite"),
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top supplier(s) BY REVENUE, ties
+    included — which is why it is a scalar-subquery max, not LIMIT 1.
+    The revenue aggregate is computed once and reused for both the
+    scalar max and the equality filter (Catalyst plans the reuse; no
+    second scan of lineitem), then the one-row-ish winners join the
+    supplier dim. Exact-cents revenue keeps the tie comparison exact —
+    a float revenue would make 'equal to the max' engine-dependent."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_revenue().alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+WITH orders_rev AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         n_name AS supp_nation,
+         {duck_cents("l_extendedprice")} * (100 - {duck_pct("l_discount")})
+           AS rev_c4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c4 ELSE 0 END)
+                  AS DOUBLE)
+             / SUM(rev_c4), 6) AS mkt_share,
+       CAST(SUM(rev_c4) AS DOUBLE) / 10000.0 AS total_revenue
+FROM orders_rev
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("analytics", "composite"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): within the ASIA-supplied market,
+    the fraction of each year's revenue supplied by one nation (NATION_2) — a
+    conditional-sum-over-sum ratio per year. Dims broadcast, the
+    orders⋈lineitem shuffle is the only wide exchange, and the ratio's
+    numerator and denominator come out of ONE aggregation pass
+    (conditional SUM), not two plans joined. Revenue stays in integer
+    cents⁴ until the final ratio, so the share is a ratio of exact
+    integers — identical in both engines before the 6-dp round."""
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev_c4 = cents("l_extendedprice") * (100 - pct("l_discount"))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("n_name").alias("supp_nation"),
+            rev_c4.alias("rev_c4"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_2", F.col("rev_c4")
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("rev_c4"),
+                6,
+            ).alias("mkt_share"),
+            (F.sum("rev_c4").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )

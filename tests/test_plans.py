@@ -147,7 +147,13 @@ def test_small_qty_revenue_decorrelates_scalar_avg(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_llm_tfidf", "q_order_count_distribution", "q_idle_customer_balance"],
+    [
+        "q_llm_tfidf",
+        "q_order_count_distribution",
+        "q_idle_customer_balance",
+        "q_top_supplier",
+        "q_market_share",
+    ],
 )
 def test_new_composites_have_no_cartesian(spark, name):
     p = plan(spark, name)
