@@ -94,8 +94,9 @@ _loaded = False
 #            q_etl_cdc_apply, q_llm_posting_lists,
 #            q_agg_bitmap_distinct, q_graph_pagerank_step,
 #            q_win_anomaly_zscore, q_llm_dedup_keep_best,
-#            q_llm_pq_encode, q_llm_knn_pq), then headline/past-red
-#            continuity filling the window to 50.
+#            q_llm_pq_encode, q_llm_knn_pq, q_llm_knn_pq_refine,
+#            q_stream_ohlc, q_top_supplier, q_market_share), then
+#            headline/past-red continuity filling the window to 50.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # round-4 errors, repaired (events.ts µs encoding):
