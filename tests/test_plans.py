@@ -79,6 +79,7 @@ def test_correlated_subquery_decorrelates(spark):
     "name",
     [
         "q_llm_near_dedup",
+        "q_llm_containment",
         "q_llm_embed_dedup",
         "q_llm_knn",
         "q_llm_decontaminate",
