@@ -71,15 +71,41 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", tags=("agg", "approx"))
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_rows,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "approx"),
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — rows-only check (estimates
-    are engine-specific). At 100 TB this replaces exact distincts in
-    dashboards: mergeable sketch, no expand."""
+    """HyperLogLog++ approximate distinct, value-checked via a BANDED
+    oracle: the estimate itself is engine-specific (DuckDB has no HLL++
+    twin), so the query emits ``approx_ok`` = |approx − exact|/exact ≤
+    3·rsd alongside the exact count, and the oracle asserts the band
+    holds (literal TRUE). Spark's HLL is deterministic for a given
+    dataset, so this is a hard check of the sketch's accuracy contract,
+    not a flaky tolerance. At 100 TB the approx path replaces exact
+    distincts in dashboards: mergeable fixed-size sketch, no
+    (group, value) expand — the exact column here exists only to attest
+    the band; production drops it."""
     ev = load(spark, sf_dir, "events")
+    rsd = 0.02
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd)
+                - F.countDistinct("user_id")
+            )
+            <= 3 * rsd * F.countDistinct("user_id")
+        ).alias("approx_ok"),
     )
 
 
@@ -252,13 +278,58 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles with linear interpolation (Spark `percentile`
     ≡ DuckDB `quantile_cont`). l_quantity is integer-valued so results
     are exact halves — deterministic across engines. The approximate
-    variant (percentile_approx / KLL) is rows-only territory; at 100 TB
-    exact percentiles require a full sort per group — prefer sketches."""
+    variant (q_agg_approx_quantile) is banded-oracle territory; at
+    100 TB exact percentiles require a full sort per group — prefer
+    sketches."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 6).alias("med_qty"),
         F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
         F.round(F.percentile("l_quantity", 0.75), 6).alias("p75_qty"),
+    )
+
+
+@register(
+    "q_agg_approx_quantile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_exact,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_exact,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "approx", "percentile"),
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the GK sketch (percentile_approx,
+    accuracy 1000 → rank error ≤ n/1000), value-checked with a BANDED
+    oracle like q_agg_approx_distinct: the sketch value is
+    engine-specific, so the query emits booleans asserting the approx
+    value sits inside the exact-quantile envelope at p ± 5·(1/accuracy)
+    (floor/ceil-widened because the sketch returns an actual data
+    value, not an interpolation) and the oracle pins them literally
+    TRUE alongside the exact quantiles. At 100 TB the sketch replaces
+    the per-group full sort exact percentiles need: fixed-size
+    mergeable state, map-side combine — the exact columns here exist
+    to attest the band."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = 1000
+    eps = 5.0 / acc
+    apx = F.percentile_approx("l_quantity", [0.5, 0.9], acc)
+
+    def ok(i: int, p: float):
+        a = F.element_at(apx, i)
+        lo = F.floor(F.percentile("l_quantity", p - eps))
+        hi = F.ceil(F.percentile("l_quantity", p + eps))
+        return (a >= lo) & (a <= hi)
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50_exact"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_exact"),
+        ok(1, 0.5).alias("p50_ok"),
+        ok(2, 0.9).alias("p90_ok"),
     )
 
 

@@ -45,13 +45,30 @@ def _vec(col, n):
     return F.when(F.size(arr) == n, arr)
 
 
-@register("q_etl_xml_normalize", tags=("etl", "xml"))
+@register(
+    "q_etl_xml_normalize",
+    oracle=f"""
+SELECT sensor_name,
+       CAST(image_width AS INTEGER) AS image_width,
+       CAST(image_height AS INTEGER) AS image_height,
+       focal, ppx, ppy, dist_model,
+       CAST(unnest(range(1, len(dist_coeffs)+1)) AS INTEGER) AS coeff_idx,
+       unnest(list_transform(dist_coeffs, x -> x)) AS coeff
+FROM read_parquet('{os.path.join(PQ_DIR, "calibration.parquet")}')
+""",
+    tags=("etl", "xml"),
+)
 def q_etl_xml_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intrinsic-calibration XML → typed calibration table (the
     reference's AutoCal import). Native XML source, one row per
     CalibrationInternConique, vectors split+cast from the space-
-    separated encoding. Rows-only check (DuckDB has no XML reader); the
-    parquet twin is compared in tests/test_etl.py."""
+    separated encoding. DuckDB has no XML reader, so the oracle reads
+    the generator's parquet TWIN of the same fixtures — the XML parse
+    must round-trip the generator's doubles bitwise. The variable-
+    length distortion-coefficient vector is normalized to one row per
+    coefficient (posexplode) so every coefficient is value-hashed —
+    list cells are unhashable to the driver and a fixed-width unpack
+    would truncate the 7-coeff phgr_std model."""
     raw = (
         spark.read.format("xml")
         .option("rowTag", "CalibrationInternConique")
@@ -60,7 +77,7 @@ def q_etl_xml_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pp = _vec(F.col("PP"), 2)
     sz = _vec(F.col("SzIm"), 2)
-    return raw.select(
+    flat = raw.select(
         F.col("Name").alias("sensor_name"),
         F.element_at(sz, 1).cast("int").alias("image_width"),
         F.element_at(sz, 2).cast("int").alias("image_height"),
@@ -69,6 +86,26 @@ def q_etl_xml_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(pp, 2).alias("ppy"),
         F.col("CalibDistortion.ModUnif.TypeModele").alias("dist_model"),
         F.col("CalibDistortion.ModUnif.CoeffDist").alias("dist_coeffs"),
+    )
+    return flat.select(
+        "sensor_name",
+        "image_width",
+        "image_height",
+        "focal",
+        "ppx",
+        "ppy",
+        "dist_model",
+        F.posexplode("dist_coeffs").alias("idx0", "coeff"),
+    ).select(
+        "sensor_name",
+        "image_width",
+        "image_height",
+        "focal",
+        "ppx",
+        "ppy",
+        "dist_model",
+        (F.col("idx0") + 1).cast("int").alias("coeff_idx"),
+        "coeff",
     )
 
 

@@ -498,3 +498,109 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_totalprice > 400000.0
         """
     )
+
+
+_FUZZY_TAU = 2  # edit-distance threshold; τ+1 = 3 index segments
+
+
+@register(
+    "q_join_fuzzy",
+    oracle=f"""
+WITH names AS (SELECT DISTINCT p_name AS n FROM part)
+SELECT a.n AS name_a, b.n AS name_b,
+       CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+FROM names a JOIN names b
+  ON a.n < b.n
+ AND abs(length(a.n) - length(b.n)) <= {_FUZZY_TAU}
+ AND levenshtein(a.n, b.n) <= {_FUZZY_TAU}
+""",
+    tags=("join", "fuzzy", "similarity"),
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (entity resolution / fuzzy
+    match): all distinct part-name pairs within Levenshtein distance
+    τ=2, found WITHOUT an all-pairs comparison via PassJoin-style
+    segment blocking (Li, Deng, Feng — public literature).
+
+    Completeness argument (why no true pair can be missed): partition
+    each indexed string r (length L) into τ+1 = 3 contiguous segments.
+    Any s with lev(s, r) ≤ τ must contain at least one of r's segments
+    VERBATIM (pigeonhole: τ edit operations cannot touch all τ+1
+    segments), starting within ±τ of that segment's position in r, and
+    only strings with |len(s) − L| ≤ τ can qualify. So: the index side
+    emits (L, k, segmentₖ(r)); the probe side emits, for every target
+    length L within ±τ of its own and every k, the substrings at the
+    ±τ-shifted positions; candidates are the (L, k, substring) hash-
+    join matches; exact levenshtein verifies. Per string that is
+    3 index rows and ≤ (τ+1)·(2τ+1)² = 75 probe rows — CONSTANT
+    fan-out, one equi-join shuffle on the segment key, candidate count
+    driven by real similarity instead of n². That is the shape that
+    resolves a 10⁹-entity catalog where the brute-force join (the
+    oracle, fine at 64 names) is n² and unshippable."""
+    tau = _FUZZY_TAU
+    nseg = tau + 1
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("n"))
+        .distinct()
+        .select("n", F.length("n").alias("m"))
+    )
+
+    # One generator struct per (ΔL, k, shift) combination, fanned out by
+    # a single explode — NOT a unionAll per combination, which would
+    # re-scan the name set 75 times and blow the plan up.
+    def gen(d_l: int, k: int, shift: int):
+        big_l = F.col("m") + d_l
+        p = F.floor(big_l * k / nseg).cast("int")
+        q = F.floor(big_l * (k + 1) / nseg).cast("int")
+        return F.struct(
+            big_l.cast("int").alias("L"),
+            F.lit(k).alias("k"),
+            (p + shift).alias("p2"),
+            (q - p).alias("ln"),
+        )
+
+    def fan_out(gens, out_name: str):
+        g = F.col("g")
+        return (
+            names.select(
+                F.col("n").alias(out_name),
+                "m",
+                F.explode(F.array(*gens)).alias("g"),
+            )
+            .filter(
+                (g["ln"] >= 1) & (g["p2"] >= 0) & (g["p2"] + g["ln"] <= F.col("m"))
+            )
+            .select(
+                out_name,
+                g["L"].alias("L"),
+                g["k"].alias("k"),
+                F.col(out_name).substr(g["p2"] + 1, g["ln"]).alias("seg"),
+            )
+        )
+
+    index = fan_out([gen(0, k, 0) for k in range(nseg)], "name_idx")
+    probe = fan_out(
+        [
+            gen(d_l, k, shift)
+            for d_l in range(-tau, tau + 1)
+            for k in range(nseg)
+            for shift in range(-tau, tau + 1)
+        ],
+        "name_probe",
+    )
+
+    candidates = (
+        index.join(probe, ["L", "k", "seg"])
+        .filter(F.col("name_idx") < F.col("name_probe"))
+        .select(
+            F.col("name_idx").alias("name_a"),
+            F.col("name_probe").alias("name_b"),
+        )
+        .distinct()
+    )
+    return candidates.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= tau)

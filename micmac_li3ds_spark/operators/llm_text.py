@@ -35,6 +35,24 @@ from micmac_li3ds_spark.functions.text import (
 from micmac_li3ds_spark.registry import register
 from micmac_li3ds_spark.tables import load
 
+# Caches that must outlive their query function (the returned DataFrame
+# references them lazily; the caller collects after return, so the
+# function can't unpersist its own cache). Scoped instead: the NEXT
+# scoped-cache call unpersists them, so a long-lived session running
+# many queries back-to-back (the driver, tools/check.py) carries at
+# most one query's cached shingle sets instead of accumulating all of
+# them in executor memory. Unpersisting is always safe — it drops the
+# materialization, never the lineage.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _scoped_cache(df: DataFrame) -> DataFrame:
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+    _LIVE_CACHES.append(df)
+    return df.cache()
+
+
 # ------------------------------------------------------------ exact dedup
 
 
@@ -178,7 +196,7 @@ def q_llm_near_dedup(
         .filter(F.size(tokens("text")) >= 3)
         .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
-    d.cache()
+    _scoped_cache(d)
     banded = minhash_band_keys(d)
 
     # Candidates: group each band bucket and expand pairs INSIDE the
@@ -1389,7 +1407,7 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(tokens("text")) >= 3)
         .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
-    d.cache()
+    _scoped_cache(d)
     banded = minhash_band_keys(d)
     ids = F.array_sort(F.collect_set("doc_id")).alias("ids")
     pair_structs = F.flatten(
@@ -1432,4 +1450,74 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac"),
         )
         .filter(F.col("containment") >= 0.8)
+    )
+
+
+_SPAN_N = 12
+_DUCK_SPAN_EXPR = " || ' ' || ".join(f"t[i+{j}]" for j in range(_SPAN_N))
+
+
+@register(
+    "q_llm_substring_dup",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(t) - {_SPAN_N - 1}, 0) + 1),
+           i -> {_DUCK_SPAN_EXPR}))) AS span
+  FROM toks
+),
+df AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       COUNT(*) FILTER (WHERE df.n_docs >= 2) AS n_dup_spans,
+       round(CAST(COUNT(*) FILTER (WHERE df.n_docs >= 2) AS DOUBLE)
+             / COUNT(*), 6) AS dup_ratio
+FROM spans s JOIN df ON s.span = df.span
+GROUP BY s.doc_id
+""",
+    tags=("llm", "dedup", "substring"),
+)
+def q_llm_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication audit (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" shape):
+    exact duplicate detection at the granularity of 12-token spans
+    rather than whole documents — catches boilerplate headers, quoted
+    passages, and template text that document-level MinHash dilutes
+    away. Per document: how many of its distinct spans also occur in
+    at least one OTHER document, and the resulting dup ratio (the
+    usual drop/trim signal for span-level cleaning).
+
+    Scale shape: explode distinct spans → ONE groupBy(span) for global
+    document frequency → join back on span → per-doc aggregate. The
+    span df computation map-side combines; the join back is
+    key-partitioned on the same span column the df grouped on, so the
+    exchange is reused. At 100 TB you'd (a) hash spans to fixed-width
+    64-bit keys before the shuffle (here raw strings keep the oracle
+    byte-comparable) and (b) df-cap ultra-hot spans exactly like
+    q_llm_ngram_jaccard's posting-list cap — a span in d docs costs d
+    index rows, never d² pairs, which is what makes substring dedup
+    shippable where pairwise span comparison is not."""
+    d = load(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("t"))
+    spans = d.select(
+        "doc_id", F.explode(shingles(F.col("t"), _SPAN_N)).alias("span")
+    )
+    df_counts = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        spans.join(df_counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup_spans"),
+            F.round(
+                F.count(F.when(F.col("n_docs") >= 2, 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
     )

@@ -941,3 +941,135 @@ def q_llm_knn_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+def _kmeans_fix_oracle(k_iter: int) -> str:
+    """Chained-CTE oracle for k_iter quantized Lloyd iterations — the
+    SQL unrolling of the Spark driver loop in q_llm_kmeans_fix."""
+    ctes = [
+        f"e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings)",
+        f"""comp0 AS (
+  SELECT vec_id AS cid, t.i AS i,
+         CAST(round(v[t.i] * 10000) AS BIGINT) AS q
+  FROM e, range(1, 65) t(i)
+  WHERE vec_id < {_N_CENTROIDS}
+)""",
+    ]
+    for it in range(k_iter):
+        ctes.append(
+            f"c{it} AS (SELECT cid, list(q / 10000.0 ORDER BY i) AS cv"
+            f" FROM comp{it} GROUP BY cid)"
+        )
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_distance(e.v, c.cv), 6), c.cid) AS rk
+        FROM e CROSS JOIN c{it} c)
+  WHERE rk = 1
+)"""
+        )
+        ctes.append(
+            f"""comp{it + 1} AS (
+  SELECT cid, t.i AS i, CAST(round(AVG(v[t.i]) * 10000) AS BIGINT) AS q
+  FROM a{it}, range(1, 65) t(i)
+  GROUP BY cid, t.i
+)"""
+        )
+    last = k_iter
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT comp.cid AS centroid_id,
+       m.n_members,
+       array_to_string(list(CAST(q AS VARCHAR) ORDER BY i), ',') AS centroid_q
+FROM comp{last} comp
+JOIN (SELECT cid, COUNT(*) AS n_members FROM a{last - 1} GROUP BY cid) m
+  ON m.cid = comp.cid
+GROUP BY comp.cid, m.n_members
+"""
+    )
+
+
+def kmeans_fixpoint(spark: SparkSession, sf_dir: str, k_iter: int) -> DataFrame:
+    """k_iter Lloyd iterations with QUANTIZED hand-off: each iteration's
+    centroids are rounded to 1e-4 per dimension before the next
+    assignment consumes them, so both engines (and any partial-sum
+    association order) feed bit-identical centroid values into every
+    iteration — multi-step determinism by quantization at the state
+    boundary, the float analogue of q_graph_pagerank_fix's integer
+    fixed-point. Within an iteration the shape is q_llm_kmeans_step's:
+    broadcast centroids, map-side scoring, (k·64)-key partial-sum
+    shuffle for the means — vectors never shuffle. The driver loop
+    chains k_iter such plans; at production scale each iteration's
+    8×64-value centroid state would simply be collected to the driver
+    (it is KB-sized at any corpus size) and re-broadcast."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    comp = (
+        e.filter(F.col("vec_id") < _N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.posexplode("v").alias("i0", "x"))
+        .select("cid", (F.col("i0") + 1).alias("i"),
+                F.round(F.col("x") * 10000).cast("long").alias("q"))
+    )
+    assigned = None
+    for _ in range(k_iter):
+        cent = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "q"))),
+                lambda s: s.getField("q") / 10000.0,
+            ).alias("cv")
+        )
+        dist = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cid", dist.alias("dist"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        comp = (
+            assigned.select("cid", F.posexplode("v").alias("i0", "x"))
+            .select("cid", (F.col("i0") + 1).alias("i"), "x")
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("x") * 10000).cast("long").alias("q"))
+        )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    cent_str = comp.groupBy("cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "q"))),
+                lambda s: s.getField("q").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q")
+    )
+    return cent_str.join(members, "cid").select(
+        F.col("cid").alias("centroid_id"), "n_members", "centroid_q"
+    )
+
+
+@register(
+    "q_llm_kmeans_fix",
+    oracle=_kmeans_fix_oracle(3),
+    tags=("llm", "vector", "ann", "iterative"),
+)
+def q_llm_kmeans_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained Lloyd iterations (see kmeans_fixpoint): proves the
+    k-means inner loop COMPOSES — the oracle unrolls the identical
+    quantized recurrence as chained CTEs, so value parity covers the
+    assignment → mean → re-assignment cycle, not just one step.
+    Convergence (inertia monotone under quantization noise) is pinned
+    in tests/test_round6_ops.py."""
+    return kmeans_fixpoint(spark, sf_dir, 3)

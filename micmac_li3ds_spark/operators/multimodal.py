@@ -98,12 +98,9 @@ def q_mm_payload_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEAT_DIM = 8
 
 _FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("mime", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.DoubleType())),
-        T.StructField("decoder", T.StringType()),
-    ]
+    [T.StructField("media_id", T.LongType()), T.StructField("mime", T.StringType())]
+    + [T.StructField(f"f{i}", T.DoubleType()) for i in range(8)]
+    + [T.StructField("decoder", T.StringType())]
 )
 
 
@@ -115,43 +112,84 @@ def _decode_stub(payload: bytes, mime: str) -> list[float]:
     ffmpeg frame sample → per-frame features (video). None of those
     libraries exist in this container, so this produces a deterministic
     8-dim pseudo-feature from the payload's sha256 — stable across runs
-    and engines, which keeps the pipeline testable end-to-end.
+    AND engines: the hash is taken over the uppercase-hex encoding of
+    the payload (DuckDB's sha256 is VARCHAR-only) and each byte maps to
+    b/256.0, an exact dyadic double on both engines (no decimal
+    rounding to disagree on).
     """
-    h = hashlib.sha256(payload).digest()
-    return [round(b / 255.0, 6) for b in h[:_FEAT_DIM]]
+    h = hashlib.sha256(payload.hex().upper().encode()).digest()
+    return [b / 256.0 for b in h[:_FEAT_DIM]]
 
 
-@register("q_mm_feature_extract", tags=("multimodal", "mapinpandas"))
+def _feature_oracle() -> str:
+    cols = ",\n       ".join(
+        f"CAST('0x' || substring(sha256(hex(payload)), {i * 2 + 1}, 2) AS INTEGER)"
+        f" / 256.0 AS f{i}"
+        for i in range(_FEAT_DIM)
+    )
+    return f"""
+SELECT media_id, mime,
+       {cols},
+       'stub-sha256-v1' AS decoder
+FROM read_parquet('{MEDIA_PARQUET}')
+"""
+
+
+@register("q_mm_feature_extract", oracle=_feature_oracle(), tags=("multimodal", "mapinpandas"))
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas): the
     real multimodal hot path. Batch shape, schema, and iterator
     semantics are production-real; only the codec is stubbed
-    (_decode_stub). Rows-only check (the oracle has no decoder either)."""
+    (_decode_stub). The stub is deterministic hash algebra, so the
+    oracle recomputes it in SQL — full value parity on the whole
+    mapInPandas path. Feature dims are unpacked to scalar columns
+    f0..f7 (list cells are unhashable to the driver; real pipelines
+    would keep array<float>)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "mime": pdf["mime"],
-                    "feature": [
-                        _decode_stub(p, m)
-                        for p, m in zip(pdf["payload"], pdf["mime"])
-                    ],
-                    "decoder": "stub-sha256-v1",
-                }
-            )
+            feats = [
+                _decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            out = {"media_id": pdf["media_id"], "mime": pdf["mime"]}
+            for i in range(_FEAT_DIM):
+                out[f"f{i}"] = [f[i] for f in feats]
+            out["decoder"] = "stub-sha256-v1"
+            yield pd.DataFrame(out)
 
     m = load_media(spark).select("media_id", "mime", "payload")
     return m.mapInPandas(extract, _FEATURE_SCHEMA)
 
 
-@register("q_mm_frame_sample", tags=("multimodal", "mapinpandas"))
+@register(
+    "q_mm_frame_sample",
+    oracle=f"""
+WITH vids AS (
+  SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n_bytes,
+         duration_ms
+  FROM read_parquet('{MEDIA_PARQUET}')
+  WHERE mime = 'video/mp4'
+),
+frames AS (
+  SELECT media_id, hx, n_bytes,
+         CAST(unnest(range(greatest(1, duration_ms // 5000))) AS INTEGER) AS frame_idx
+  FROM vids
+)
+SELECT media_id, frame_idx,
+       CAST(frame_idx AS BIGINT) * 5000 AS frame_ts_ms,
+       sha256(substring(hx, (frame_idx % n_bytes) * 2 + 1, 32)) AS frame_sha
+FROM frames
+""",
+    tags=("multimodal", "mapinpandas"),
+)
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video rows: 1 row per sampled frame (every
-    ~5 s of duration), frame payload stubbed as a byte slice. The
-    explode-shaped output (media_id, frame_idx, frame_ts_ms, frame_sha)
-    is what a real ffmpeg-backed sampler would emit."""
+    ~5 s of duration), frame payload stubbed as a 16-byte slice at the
+    frame offset. The explode-shaped output (media_id, frame_idx,
+    frame_ts_ms, frame_sha) is what a real ffmpeg-backed sampler would
+    emit. The stub hashes the uppercase-hex encoding of the slice so
+    the oracle (VARCHAR-only sha256, no blob substring) can recompute
+    it — full value parity on the explode + per-frame path."""
 
     schema = T.StructType(
         [
@@ -167,13 +205,17 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_sha": []}
             for _, row in pdf.iterrows():
                 n_frames = max(1, int(row["duration_ms"] // 5000))
+                hx = bytes(row["payload"]).hex().upper()
+                n_bytes = len(row["payload"])
                 for k in range(n_frames):
                     # STUB: real impl seeks the container to ts and decodes
-                    fake_frame = bytes(row["payload"][k % len(row["payload"]) :][:16])
+                    slice_hex = hx[(k % n_bytes) * 2 : (k % n_bytes) * 2 + 32]
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(k)
                     out["frame_ts_ms"].append(k * 5000)
-                    out["frame_sha"].append(hashlib.sha256(fake_frame).hexdigest())
+                    out["frame_sha"].append(
+                        hashlib.sha256(slice_hex.encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     m = (

@@ -221,7 +221,37 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_profile_columns_sketch", tags=("reshape", "profiling", "sketch"))
+@register(
+    "q_profile_columns_sketch",
+    oracle="""
+WITH p AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS nn_key,
+         COUNT(DISTINCT o_orderkey) AS nd_key,
+         CAST(min(o_orderkey) AS DOUBLE) AS mn_key,
+         CAST(max(o_orderkey) AS DOUBLE) AS mx_key,
+         COUNT(o_custkey) AS nn_cust,
+         COUNT(DISTINCT o_custkey) AS nd_cust,
+         CAST(min(o_custkey) AS DOUBLE) AS mn_cust,
+         CAST(max(o_custkey) AS DOUBLE) AS mx_cust,
+         COUNT(o_totalprice) AS nn_tp,
+         COUNT(DISTINCT o_totalprice) AS nd_tp,
+         min(o_totalprice) AS mn_tp,
+         max(o_totalprice) AS mx_tp
+  FROM orders
+)
+SELECT 'o_orderkey' AS col, n_rows, n_rows - nn_key AS n_nulls,
+       nd_key AS n_distinct, TRUE AS sketch_ok, mn_key AS vmin, mx_key AS vmax
+FROM p
+UNION ALL
+SELECT 'o_custkey', n_rows, n_rows - nn_cust, nd_cust, TRUE, mn_cust, mx_cust
+FROM p
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - nn_tp, nd_tp, TRUE, mn_tp, mx_tp
+FROM p
+""",
+    tags=("reshape", "profiling", "sketch"),
+)
 def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of q_profile_columns: distinct counts via
     HyperLogLog++ (``approx_count_distinct``, 2% relative SD) instead of
@@ -229,41 +259,55 @@ def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate's state by the distinct-key volume of each column and
     forces a full dedup per column; HLL state is a fixed few-KB sketch
     per column regardless of cardinality, and it map-side combines —
-    the stats pass stays one cheap scan at any scale. Rows-only check
-    (approximate by construction); the exact twin stays value-checked.
-    The sanity columns bound the estimate against exact anchors that
-    stay cheap at scale (n_rows, min/max)."""
+    the stats pass stays one cheap scan at any scale.
+
+    Verification: the HLL estimate is engine-specific, so the checkable
+    surface is a BANDED oracle — ``sketch_ok`` asserts
+    |approx − exact| ≤ 3·rsd·exact per column (Spark's HLL is
+    deterministic for a dataset, so this is a hard row, not a flaky
+    tolerance) and the oracle emits literal TRUE; the exact distinct
+    rides along as ``n_distinct`` for value parity. Production profiling
+    drops the exact column — it exists here to attest the sketch."""
     orders = load(spark, sf_dir, "orders")
+    rsd = 0.02
+
+    def stats(c: str, suffix: str, cast_minmax: bool):
+        mn, mx = F.min(c), F.max(c)
+        if cast_minmax:
+            mn, mx = mn.cast("double"), mx.cast("double")
+        return [
+            F.count(c).alias(f"nn_{suffix}"),
+            F.countDistinct(c).alias(f"nd_{suffix}"),
+            F.approx_count_distinct(c, rsd).alias(f"nda_{suffix}"),
+            mn.alias(f"mn_{suffix}"),
+            mx.alias(f"mx_{suffix}"),
+        ]
+
     p = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count("o_orderkey").alias("nn_key"),
-        F.approx_count_distinct("o_orderkey", 0.02).alias("nd_key"),
-        F.min("o_orderkey").cast("double").alias("mn_key"),
-        F.max("o_orderkey").cast("double").alias("mx_key"),
-        F.count("o_custkey").alias("nn_cust"),
-        F.approx_count_distinct("o_custkey", 0.02).alias("nd_cust"),
-        F.min("o_custkey").cast("double").alias("mn_cust"),
-        F.max("o_custkey").cast("double").alias("mx_cust"),
-        F.count("o_totalprice").alias("nn_tp"),
-        F.approx_count_distinct("o_totalprice", 0.02).alias("nd_tp"),
-        F.min("o_totalprice").alias("mn_tp"),
-        F.max("o_totalprice").alias("mx_tp"),
+        *stats("o_orderkey", "key", True),
+        *stats("o_custkey", "cust", True),
+        *stats("o_totalprice", "tp", False),
     )
 
-    def row(col: str, nn: str, nd: str, mn: str, mx: str):
+    def row(col: str, s: str):
         return p.select(
             F.lit(col).alias("col"),
             F.col("n_rows"),
-            (F.col("n_rows") - F.col(nn)).alias("n_nulls"),
-            F.col(nd).alias("n_distinct_approx"),
-            F.col(mn).alias("vmin"),
-            F.col(mx).alias("vmax"),
+            (F.col("n_rows") - F.col(f"nn_{s}")).alias("n_nulls"),
+            F.col(f"nd_{s}").alias("n_distinct"),
+            (
+                F.abs(F.col(f"nda_{s}") - F.col(f"nd_{s}"))
+                <= 3 * rsd * F.col(f"nd_{s}")
+            ).alias("sketch_ok"),
+            F.col(f"mn_{s}").alias("vmin"),
+            F.col(f"mx_{s}").alias("vmax"),
         )
 
     return (
-        row("o_orderkey", "nn_key", "nd_key", "mn_key", "mx_key")
-        .unionByName(row("o_custkey", "nn_cust", "nd_cust", "mn_cust", "mx_cust"))
-        .unionByName(row("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
+        row("o_orderkey", "key")
+        .unionByName(row("o_custkey", "cust"))
+        .unionByName(row("o_totalprice", "tp"))
     )
 
 
@@ -487,4 +531,66 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("low_c"),
         F.max(F.when(F.col("rn_d") == 1, F.col("c"))).alias("close_c"),
         F.sum("c").alias("vol_c"),
+    )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id, ts_s, c,
+       list_reduce(
+         list(CAST(c AS DOUBLE))
+           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         (acc, x) -> acc / 2 + x) AS ewma_c
+FROM ev
+""",
+    tags=("reshape", "timeseries", "events"),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed moving sum (half-life decay 1/2 per
+    event) over each user's event stream — the trend-smoothing shape
+    behind EWMA dashboards and rate limiters. The recursion
+    s = s/2 + x is evaluated as a fold over the trailing 20-row frame
+    (collect_list preserves frame order; F.aggregate folds left-to-
+    right, matching DuckDB list_reduce's seeding with the first
+    element because acc₀=0 → 0/2+x₁ = x₁).
+
+    Determinism by construction, not by rounding: the decay factor is
+    EXACTLY representable (2⁻¹), inputs are integer cents, and every
+    partial s fits in ≤ 40 significand bits (20-bit cents × 2⁻¹⁹ tail
+    + 20-element sum), so the fold is EXACT dyadic arithmetic — the
+    same bits on any engine and any evaluation order of the plan, with
+    no float-association rounding to paper over. A bounded frame also
+    caps window state at 20 rows per key: the unbounded-history EWMA
+    recursion would need a true running state (see
+    applyInPandasWithState for that shape); truncating at 2⁻²⁰ ≈ 1e-6
+    of a cent is below any reportable precision. One hash exchange on
+    user_id end-to-end."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        cents("value").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.collect_list(F.col("c").cast("double")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "c",
+        F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc / 2 + x
+        ).alias("ewma_c"),
     )

@@ -128,12 +128,26 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_scan_xml", tags=("scan", "xml"))
+@register(
+    "q_scan_xml",
+    oracle=f"""
+SELECT sensor_name, frame, calib_name,
+       center[1] AS cx, center[2] AS cy, center[3] AS cz,
+       'eConvApero_DistM2C' AS conv
+FROM read_parquet('{os.path.join(_REPO, "fixtures", "parquet", "orientation.parquet")}')
+""",
+    tags=("scan", "xml"),
+)
 def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML scan — the reference's core input format (MicMac orientation
     files): nested document → typed rows via the native XML source.
-    Rows-only (DuckDB has no XML reader); the calibration variant is
-    twin-checked in tests."""
+    DuckDB has no XML reader, so the oracle reads the generator's
+    parquet TWIN of the same fixtures (fixtures/parquet/orientation
+    .parquet): the XML parse + space-separated-vector split must
+    round-trip the generator's doubles bitwise to pass. The center
+    vector is unpacked to scalar columns (the driver canonicalizer
+    cannot hash list cells); ``conv`` is a fixture-wide constant the
+    twin doesn't carry, pinned literally."""
     raw = (
         spark.read.format("xml")
         .option("rowTag", "OrientationConique")
@@ -150,7 +164,9 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("NameSensor").alias("sensor_name"),
         F.col("NameFrame").alias("frame"),
         F.col("FileInterne").alias("calib_name"),
-        center.alias("center"),
+        F.element_at(center, 1).alias("cx"),
+        F.element_at(center, 2).alias("cy"),
+        F.element_at(center, 3).alias("cz"),
         F.col("ConvOri.KnownConv").alias("conv"),
     )
 
@@ -296,4 +312,100 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.sha2(F.hex(F.col("content")), 256).alias("content_sha"),
+    )
+
+
+_TS_US_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+@register(
+    "q_sink_csv_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       CAST(min(epoch(date_trunc('second', o_orderdate))) AS BIGINT) AS min_ts_s,
+       CAST(max(epoch(date_trunc('second', o_orderdate))) AS BIGINT) AS max_ts_s
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("sink", "csv"),
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text interchange sink #1: write orders to headered CSV (explicit
+    µs timestamp format), read it back with the DECLARED schema (no
+    inference pass — an extra full scan at 100 TB), aggregate. The
+    oracle reads the ORIGINAL parquet, so value parity proves the
+    text round-trip is lossless for longs, strings, doubles (Spark
+    emits shortest-round-trip decimal reprs) and timestamps at µs.
+    CSV remains the interchange of last resort at scale — row-wise, no
+    pushdown, no stats — which is exactly why the round-trip contract
+    deserves a pinned check."""
+    out = os.path.join(SCRATCH, "orders_csv")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    (
+        o.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", _TS_US_FMT)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(o.schema)
+        .option("header", True)
+        .option("timestampFormat", _TS_US_FMT)
+        .csv(out)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ts_s = F.unix_timestamp(F.date_trunc("second", F.col("o_orderdate")))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents) / 100.0).alias("total_price"),
+        F.min(ts_s).alias("min_ts_s"),
+        F.max(ts_s).alias("max_ts_s"),
+    )
+
+
+@register(
+    "q_sink_json_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS min_ts_us,
+       CAST(max(epoch_ns(ts) // 1000) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY event_type
+""",
+    tags=("sink", "json"),
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text interchange sink #2: events → JSON lines → re-read with the
+    declared schema → aggregate, checked against the ORIGINAL parquet.
+    min/max ride MICROSECOND epochs on purpose: the default JSON
+    timestamp format truncates to milliseconds, so the round-trip is
+    only lossless with an explicit 6-digit fraction format on both
+    write and read — the exact bug class (silent sub-second loss) that
+    cost round 4 seven red rows when the corpus switched timestamp
+    encodings. JSON-lines shares CSV's scale caveats (row-wise, no
+    pushdown) but is schema-self-describing and splittable, the usual
+    landing format before columnar compaction."""
+    out = os.path.join(SCRATCH, "events_json")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .option("timestampFormat", _TS_US_FMT)
+        .json(out)
+    )
+    back = (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", _TS_US_FMT)
+        .json(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
     )

@@ -167,7 +167,7 @@ def _with_ohlc_cols(df: DataFrame) -> DataFrame:
         "ts",
         "event_type",
         cents("value").alias("c"),
-        (ts_s * 1000000 + F.col("event_id")).alias("ord"),
+        (ts_s * F.lit(1_000_000_000).cast("long") + F.col("event_id")).alias("ord"),
     )
 
 
@@ -178,7 +178,7 @@ WITH ev AS (
   SELECT event_type,
          ({_DUCK_EPOCH} // 600) * 600 AS w_start_s,
          CAST(round(value * 100) AS BIGINT) AS c,
-         ({_DUCK_EPOCH}) * 1000000 + event_id AS ord
+         ({_DUCK_EPOCH}) * 1000000000 + event_id AS ord
   FROM events
 )
 SELECT w_start_s, event_type,
@@ -202,7 +202,9 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream with a watermark (streaming/jobs.py ohlc_bars; state is
     one partially-merged bar per open window) and partial-combines
     map-side in batch — the dual-mode formulation. Exact integer math
-    throughout; the ordering key can't collide (event_id < 10⁶)."""
+    throughout; the ordering key is collision-free for event_id < 10⁹ (asserted in
+    tests/test_round5_ops.py) and stays inside BIGINT:
+    epoch-seconds (< 2³¹) × 10⁹ < 2⁶³."""
     ev = _with_ohlc_cols(events_with_epoch(spark, sf_dir))
     bars = _ohlc_agg(
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")

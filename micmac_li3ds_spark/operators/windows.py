@@ -469,7 +469,8 @@ scored AS (
 SELECT user_id, event_id, ts_s, c,
        round((c - mu) / sigma, 4) AS z
 FROM scored
-WHERE n_frame >= 10 AND sigma > 0 AND abs((c - mu) / sigma) > 2.5
+WHERE n_frame >= 10 AND sigma > 0
+  AND abs(round((c - mu) / sigma, 4)) > 2.5
 """,
     tags=("window", "events", "anomaly"),
 )
@@ -483,7 +484,10 @@ def q_win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape that scores an unbounded event log in one exchange.
     Frames under 10 observations don't fire (cold-start guard).
     Values compare as integer cents; z rounds to 4 dp (stddev float
-    association differs across engines below that)."""
+    association differs across engines below that) and the >2.5 CUT is
+    taken on the ROUNDED z in both engines — on the raw float a
+    borderline row could pass the threshold in one engine only, a
+    row-membership divergence that output rounding can't repair."""
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -504,16 +508,16 @@ def q_win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("c").over(w).alias("sigma"),
         F.count(F.lit(1)).over(w).alias("n_frame"),
     )
-    z = (F.col("c") - F.col("mu")) / F.col("sigma")
+    z4 = F.round((F.col("c") - F.col("mu")) / F.col("sigma"), 4)
     return (
         scored.filter(
-            (F.col("n_frame") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.5)
+            (F.col("n_frame") >= 10) & (F.col("sigma") > 0) & (F.abs(z4) > 2.5)
         )
         .select(
             "user_id",
             "event_id",
             "ts_s",
             "c",
-            F.round(z, 4).alias("z"),
+            z4.alias("z"),
         )
     )

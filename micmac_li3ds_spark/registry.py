@@ -76,84 +76,82 @@ _loaded = False
 #            window against a REGENERATED corpus whose events.ts switched
 #            parquet ns→µs encoding, erroring all 7 events-reading queries
 #            in-window (loader fixed round 5; bench also repaired).
-#   round 5 (this window): the 7 round-4 erred queries + the 15-query
-#            never-tested remainder published in round 3 + every other
-#            events-reading query (re-prove the new loader under the
-#            driver's hash) + the headline/bench set. After this round
-#            every oracle-backed query REGISTERED BEFORE round 5 has
-#            been driver-sampled ≥ once.
-#   round 6 (rotate FIRST THING next round): the 22-query remainder =
-#            rows-only/never-sampled pre-round-5 queries
-#            (q_win_percent_rank, q_llm_chunk_split,
-#            q_llm_dup_ratio_by_source, q_llm_curate_pipeline,
-#            q_llm_mixture_sample, q_profile_columns_sketch,
-#            q_ts_gap_fill, q_etl_xml_normalize, q_scan_xml,
-#            q_mm_feature_extract, q_mm_frame_sample)
-#            + the round-5 additions (q_win_cumulative_distinct,
-#            q_ts_resample_ohlc, q_event_funnel_windowed,
-#            q_etl_cdc_apply, q_llm_posting_lists,
-#            q_agg_bitmap_distinct, q_graph_pagerank_step,
-#            q_win_anomaly_zscore, q_llm_dedup_keep_best,
-#            q_llm_pq_encode, q_llm_knn_pq, q_llm_knn_pq_refine,
-#            q_stream_ohlc, q_top_supplier, q_market_share,
-#            q_llm_containment), then
-#            headline/past-red continuity filling the window to 50.
+#   round 5: the 7 round-4 erred queries + the 15-query never-tested
+#            remainder published in round 3 + every other events-reading
+#            query (re-prove the new loader under the driver's hash) +
+#            the headline/bench set — 50/50 green. After round 5 every
+#            oracle-backed query REGISTERED BEFORE round 5 had been
+#            driver-sampled ≥ once.
+#   round 6 (this window): the 28-query remainder with no driver row
+#            ever = q_agg_approx_distinct (erred no_oracle in r1; now
+#            re-registered with a BANDED oracle — |HLL − exact| ≤
+#            3·rsd·exact as a value-checked boolean) + the 11
+#            pre-round-5 never-sampled queries (the former rows-only
+#            keys all gained oracles this round: parquet-twin for the
+#            XML pair, hash-algebra for the multimodal pair, banded for
+#            the sketch profile) + the 16 round-5 additions. Then
+#            round-6 additions (driver rows in their birth round), then
+#            headline/bench continuity filling the window to 50 so the
+#            bench set is re-attested alongside the rotation.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # round-4 errors, repaired (events.ts µs encoding):
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_dedup_subset",
-    "q_udf_mapinpandas",
-    "q_event_retention",
-    "q_win_range_frame",  # + epoch() BIGINT cast (r3 hash-red)
-    "q_etl_sessionize",  # + epoch() BIGINT cast (r3 hash-red)
-    # never driver-tested remainder (published round 3):
-    "q_agg_listagg",
-    "q_agg_boolean",
-    "q_agg_mode",
-    "q_join_lateral",
-    "q_fn_bitwise",
-    "q_fn_hash",
-    "q_fn_interval",
-    "q_llm_token_count",
-    "q_llm_fingerprint",
-    "q_etl_transfo_closure_cte",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_sample_stratified",
-    "q_mm_payload_hash",
-    "q_mm_header_parse",
-    # remaining events-reading queries (loader re-validation):
-    "q_agg_pivot",
-    "q_agg_conditional",
-    "q_event_funnel",
-    "q_etl_fk_check",
-    "q_join_range",
-    "q_join_asof",
-    "q_join_self",
-    "q_etl_scd2",
-    "q_fn_json",
-    "q_fn_variant",
-    "q_stream_tumbling",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_moving",
-    "q_win_dedup_latest",
-    # headline/bench + past-red continuity:
+    # --- never-driver-sampled remainder (28) ---
+    # the once-no-oracle key, re-registered with a banded oracle:
+    "q_agg_approx_distinct",
+    # pre-round-5 never-sampled (11; oracles authored round 6 where noted):
+    "q_win_percent_rank",
+    "q_llm_chunk_split",
+    "q_llm_dup_ratio_by_source",
+    "q_llm_curate_pipeline",
+    "q_llm_mixture_sample",
+    "q_profile_columns_sketch",  # banded oracle (r6)
+    "q_ts_gap_fill",
+    "q_etl_xml_normalize",  # parquet-twin oracle (r6)
+    "q_scan_xml",  # parquet-twin oracle (r6)
+    "q_mm_feature_extract",  # hash-algebra oracle (r6)
+    "q_mm_frame_sample",  # hash-algebra oracle (r6)
+    # round-5 additions (16):
+    "q_win_cumulative_distinct",
+    "q_ts_resample_ohlc",
+    "q_event_funnel_windowed",
+    "q_etl_cdc_apply",
+    "q_llm_posting_lists",
+    "q_agg_bitmap_distinct",
+    "q_graph_pagerank_step",
+    "q_win_anomaly_zscore",
+    "q_llm_dedup_keep_best",
+    "q_llm_pq_encode",
+    "q_llm_knn_pq",
+    "q_llm_knn_pq_refine",
+    "q_stream_ohlc",
+    "q_top_supplier",
+    "q_market_share",
+    "q_llm_containment",
+    # --- round-6 additions (driver row in their birth round) ---
+    "q_agg_approx_quantile",
+    "q_ts_ewma",
+    "q_concurrent_sessions",
+    "q_graph_pagerank_fix",
+    "q_llm_substring_dup",
+    "q_llm_kmeans_fix",
+    "q_sink_csv_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_join_fuzzy",
+    # --- headline/bench continuity (fills to 50; dropped entries all
+    # hold ≥1 green row from earlier rounds) ---
     "q_pricing_summary",
-    "q_agg_grouping_sets",
-    "q_llm_train_split",
-    "q_llm_seq_pack",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_dedup_latest",
     "q_llm_exact_dedup",
     "q_llm_near_dedup",
     "q_llm_embed_dedup",
     "q_llm_knn",
-    "q_llm_tokenize_tf",
+    "q_stream_tumbling",
     "q_shipping_priority",
     "q_local_supplier_volume",
     "q_large_volume_customer",
-    "q_join_broadcast",
+    "q_etl_scd2",
 ]
 
 

@@ -7,10 +7,11 @@ from __future__ import annotations
 def test_xml_normalize_matches_parquet_twin(spark, sf_dir):
     from micmac_li3ds_spark.operators.etl import PQ_DIR, q_etl_xml_normalize
 
-    got = {
-        r["sensor_name"]: r.asDict()
-        for r in q_etl_xml_normalize(spark, sf_dir).collect()
-    }
+    rows = q_etl_xml_normalize(spark, sf_dir).collect()
+    got: dict[str, dict] = {}
+    for r in rows:  # re-assemble the posexploded coefficient rows
+        d = got.setdefault(r["sensor_name"], r.asDict() | {"coeffs": {}})
+        d["coeffs"][r["coeff_idx"]] = r["coeff"]
     want = {
         r["sensor_name"]: r.asDict()
         for r in spark.read.parquet(f"{PQ_DIR}/calibration.parquet").collect()
@@ -21,7 +22,10 @@ def test_xml_normalize_matches_parquet_twin(spark, sf_dir):
         assert g["image_width"] == w["image_width"]
         assert g["focal"] == w["focal"]  # exact repr round-trip
         assert g["dist_model"] == w["dist_model"]
-        assert g["dist_coeffs"] == w["dist_coeffs"]
+        assert [
+            g["coeffs"][i] for i in sorted(g["coeffs"])
+        ] == w["dist_coeffs"]
+        assert sorted(g["coeffs"]) == list(range(1, len(w["dist_coeffs"]) + 1))
         assert g["ppx"] == w["ppx"] and g["ppy"] == w["ppy"]
 
 

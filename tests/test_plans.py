@@ -86,6 +86,12 @@ def test_correlated_subquery_decorrelates(spark):
         "q_shipping_priority",
         "q_local_supplier_volume",
         "q_large_volume_customer",
+        # round-6: segment blocking / posting lists / sweep line must
+        # never degrade to a cartesian or the scale story is fiction
+        "q_join_fuzzy",
+        "q_llm_substring_dup",
+        "q_concurrent_sessions",
+        "q_graph_pagerank_fix",
     ],
 )
 def test_no_cartesian_product_in_scale_paths(spark, name):

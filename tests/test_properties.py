@@ -174,6 +174,65 @@ SELECT COUNT(*) FROM pairs WHERE jac >= 0.45 AND jac < 0.75
     assert fragile == 0
 
 
+def test_containment_pairs_share_a_band_bucket(spark, duck, sf_dir):
+    """Corpus contract behind q_llm_containment's oracle parity: the
+    probabilistic LSH candidate stage feeds an EXACT brute-force
+    oracle, and band-catch probability decays with the pair's length
+    ratio (~0.999 at 2:1, ~0.69 at 4:1) — exactly the truncated-mirror
+    shape containment exists to catch. Pin the real invariant directly:
+    every pair the oracle emits (containment >= 0.8, exact) must share
+    at least one MinHash band bucket on the actual banded assignment.
+    A regenerated corpus with higher-ratio containment pairs fails here
+    loudly instead of parity flaking silently."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.functions.text import (
+        DUCK_SHINGLES_CTE,
+        shingles,
+        tokens,
+    )
+    from micmac_li3ds_spark.operators.llm_text import minhash_band_keys
+    from micmac_li3ds_spark.tables import load
+
+    exact = duck.execute(
+        f"""
+WITH {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+           / least(length(a.s), length(b.s)) AS containment
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE length(a.s) > 0 AND length(b.s) > 0
+)
+SELECT doc_a, doc_b FROM pairs WHERE containment >= 0.8
+"""
+    ).fetchall()
+    assert exact, "corpus must plant containment pairs for this test to bite"
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
+    )
+    banded = minhash_band_keys(d)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            banded.alias("a")
+            .join(banded.alias("b"), "band_key")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    missed = [p for p in exact if p not in cand]
+    assert not missed, f"containment pairs with no shared band bucket: {missed}"
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(

@@ -119,6 +119,17 @@ def test_ohlc_bounds_and_totals(spark):
     bars.unpersist()
 
 
+def test_ohlc_ordering_key_bound_holds(spark):
+    # q_stream_ohlc's (second, event_id) ordering key ts_s*10⁹+event_id
+    # is collision-free only while event_id < 10⁹; pin the fixture-side
+    # bound so a corpus regeneration that breaks it fails loudly here
+    # instead of silently misordering open/close.
+    mx = (
+        load(spark, SF_DIR, "events").agg(F.max("event_id")).collect()[0][0]
+    )
+    assert mx < 1_000_000_000
+
+
 def test_funnel_windowed_steps_are_monotone(spark):
     # each step can only lose users; no comparison against q_event_funnel
     # is valid here — its click step uses the user's FIRST-EVER click

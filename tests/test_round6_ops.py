@@ -1,0 +1,121 @@
+"""Semantic tests for the round-6 additions beyond oracle parity:
+iterative fixpoint convergence (PageRank, k-means), EWMA exactness,
+and sweep-line concurrency invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark import registry
+from micmac_li3ds_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    return registry.get(name).fn(spark, SF_DIR)
+
+
+def test_pagerank_fixpoint_converges(spark):
+    # successive iterates must approach a fixed point: the max absolute
+    # rank change between iterations k and k+1 shrinks (damping 0.85
+    # contracts by ≥0.85 per step; fixed-point truncation adds < 1
+    # micro-rank of noise per in-edge, far below the contraction).
+    from micmac_li3ds_spark.operators.analytics import pagerank_fixpoint
+
+    r4 = pagerank_fixpoint(spark, SF_DIR, 4).select(
+        "node", F.col("rank_u").alias("r4")
+    )
+    r5 = pagerank_fixpoint(spark, SF_DIR, 5).select(
+        "node", F.col("rank_u").alias("r5")
+    )
+    r6 = pagerank_fixpoint(spark, SF_DIR, 6).select(
+        "node", F.col("rank_u").alias("r6")
+    )
+    j = r4.join(r5, "node").join(r6, "node")
+    deltas = j.agg(
+        F.max(F.abs(F.col("r5") - F.col("r4"))).alias("d45"),
+        F.max(F.abs(F.col("r6") - F.col("r5"))).alias("d56"),
+    ).collect()[0]
+    assert deltas["d56"] <= deltas["d45"]
+    # rank mass conservation (within fixed-point truncation): total rank
+    # stays near n_nodes × 1.0
+    tot = _q(spark, "q_graph_pagerank_fix").agg(F.sum("rank_u")).collect()[0][0]
+    n = r4.count()
+    assert abs(tot - n * 1_000_000) < n * 0.2 * 1_000_000
+
+
+def test_kmeans_fixpoint_inertia_non_increasing(spark):
+    # Lloyd's algorithm never increases inertia; inter-iteration
+    # quantization adds ≤1e-4 per dim of centroid noise, so allow a
+    # matching epsilon. Inertia is computed against each iteration's
+    # OWN assignment output.
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _N_CENTROIDS,
+        _emb,
+        kmeans_fixpoint,
+    )
+
+    def inertia(k_iter: int) -> float:
+        cent = kmeans_fixpoint(spark, SF_DIR, k_iter).select(
+            "centroid_id",
+            F.transform(
+                F.split("centroid_q", ","),
+                lambda s: s.cast("long") / 10000.0,
+            ).alias("cv"),
+        )
+        e = _emb(spark, SF_DIR).select("vec_id", "v")
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per_vec = (
+            e.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(F.min(d2).alias("best"))
+        )
+        return per_vec.agg(F.sum("best")).collect()[0][0]
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    eps = 1.0  # generous slack for 64-dim × 1e-4 quantization noise
+    assert i2 <= i1 + eps
+    assert i3 <= i2 + eps
+    # sanity: k centroids survive
+    assert _q(spark, "q_llm_kmeans_fix").count() == _N_CENTROIDS
+
+
+def test_ewma_exact_recursion(spark):
+    # spot-check the fold against the recursion s = s/2 + x computed in
+    # plain Python over one user's ordered events — must match BITWISE
+    # (the whole point of the dyadic-decay design).
+    rows = (
+        _q(spark, "q_ts_ewma")
+        .filter(F.col("user_id") == 7)
+        .orderBy("ts_s", "event_id")
+        .collect()
+    )
+    assert rows
+    hist: list[int] = []
+    for r in rows:
+        hist.append(r["c"])
+        s = 0.0
+        for x in hist[-20:]:
+            s = s / 2 + float(x)
+        assert s == r["ewma_c"], (r["event_id"], s, r["ewma_c"])
+
+
+def test_concurrent_sessions_bounds(spark):
+    # peak concurrency is at most the interval count and at least 1;
+    # n_intervals must equal the per-type event count.
+    got = {r["event_type"]: r for r in _q(spark, "q_concurrent_sessions").collect()}
+    counts = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(counts)
+    for t, r in got.items():
+        assert r["n_intervals"] == counts[t]
+        assert 1 <= r["max_concurrent"] <= r["n_intervals"]
