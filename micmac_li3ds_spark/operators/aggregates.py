@@ -531,3 +531,51 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_customers")
     )
+
+
+@register(
+    "q_agg_mad",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+med AS (
+  SELECT event_type, median(c) AS med_c FROM ev GROUP BY event_type
+)
+SELECT ev.event_type,
+       round(max(med.med_c) / 100.0, 6) AS median_value,
+       round(median(abs(ev.c - med.med_c)) / 100.0, 6) AS mad_value,
+       COUNT(*) AS n_events
+FROM ev JOIN med ON ev.event_type = med.event_type
+GROUP BY ev.event_type
+""",
+    tags=("agg", "robust"),
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation per event type —
+    the outlier-resistant alternative to stddev for dirty telemetry.
+    MAD needs TWO ordered passes (median, then median of absolute
+    deviations from it), expressed as agg → broadcast the per-group
+    medians back → second agg; both aggregates partition on the same
+    group key so the join is broadcast and the second exchange reuses
+    the first's key. Exactness: values are integer cents, medians of
+    integers are exact halves (dyadic), deviations |c − m| are exact
+    halves again — every number is engine-exact, rounding is display
+    only. At 100 TB exact medians imply per-group sorts; swap both
+    passes to approx_percentile under the q_agg_approx_quantile banded
+    pattern when groups stop fitting."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = ev.groupBy("event_type").agg(F.median("c").alias("med_c"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med_c") / 100.0, 6).alias("median_value"),
+            F.round(
+                F.median(F.abs(F.col("c") - F.col("med_c"))) / 100.0, 6
+            ).alias("mad_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1092,7 +1092,9 @@ FROM r{k}
     )
 
 
-def pagerank_fixpoint(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def pagerank_fixpoint(
+    spark: SparkSession, sf_dir: str, k: int, checkpoint: bool = False
+) -> DataFrame:
     """k supersteps of fixed-point PageRank (damping 0.85) over the
     SYMMETRIC customer↔supplier purchase graph (customers = 2·custkey,
     suppliers = 2·suppkey+1 — the bipartite edge set plus its reverse,
@@ -1146,6 +1148,12 @@ def pagerank_fixpoint(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
                 ).alias("rank_u")
             )
         )
+        if checkpoint:
+            # production iteration pattern: truncate lineage each
+            # superstep so plan depth (and recovery cost) stays O(1) in
+            # k instead of chaining k join+agg subtrees — identical
+            # results, asserted in tests/test_round6_ops.py
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",
         "rank_u",
@@ -1165,3 +1173,288 @@ def q_graph_pagerank_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point recurrence as six chained CTEs — value parity across
     a genuinely iterative plan, not just one superstep."""
     return pagerank_fixpoint(spark, sf_dir, 6)
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle=f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min({duck_cents("l_extendedprice")} // CAST(l_quantity AS BIGINT))
+           AS cost_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+scoped AS (
+  SELECT s.l_partkey, s.l_suppkey, s.cost_c,
+         sup.s_name, sup.s_acctbal, n.n_name
+  FROM supply s
+  JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+  JOIN nation n ON sup.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+best AS (SELECT l_partkey, min(cost_c) AS best_c FROM scoped GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_brand, sc.s_name, sc.n_name, sc.s_acctbal,
+       sc.cost_c / 100.0 AS min_cost
+FROM scoped sc
+JOIN best b ON sc.l_partkey = b.l_partkey AND sc.cost_c = b.best_c
+JOIN part p ON sc.l_partkey = p.p_partkey
+WHERE p.p_size >= 8
+""",
+    tags=("analytics", "composite", "tpch"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this corpus (which carries no partsupp
+    table): the cheapest EUROPE supplier(s) per sizable part, where
+    supply cost is the minimum observed unit price in lineitem
+    (integer cents div integer quantity — exact, so 'equal to the
+    minimum' is engine-independent, the same reason Q15's max uses
+    exact cents). Shape preserved from Q2: a correlated min over a
+    4-way dim join, decorrelated into aggregate + equality self-join;
+    ties kept. All dims broadcast; the only wide ops are the two
+    (part, supp) and (part) aggregates, both partitioned on the same
+    leading key."""
+    supply = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " div CAST(l_quantity AS BIGINT)"
+                )
+            ).alias("cost_c")
+        )
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    scoped = (
+        supply.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "cost_c", "s_name", "s_acctbal", "n_name")
+    )
+    best = scoped.groupBy("l_partkey").agg(F.min("cost_c").alias("best_c"))
+    parts = load(spark, sf_dir, "part").filter(F.col("p_size") >= 8)
+    return (
+        scoped.join(
+            best,
+            (scoped.l_partkey == best.l_partkey)
+            & (scoped.cost_c == best.best_c),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            (F.col("cost_c") / 100.0).alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q_product_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM({duck_cents("l_extendedprice")} * (100 - {duck_pct("l_discount")})
+            - {duck_cents("p_retailprice")} * CAST(l_quantity AS BIGINT) * 100)
+            AS BIGINT) / 10000.0 AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+""",
+    tags=("analytics", "composite", "tpch"),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by supplier nation and
+    year), with part retail price standing in for the absent
+    ps_supplycost: profit = revenue − retailprice·quantity, all in
+    exact c4 (hundredths-of-cent) integer units until the final
+    divide. The part filter (name contains 'red') prunes BEFORE the
+    join — at scale the broadcast of the filtered part dim plus the
+    pushed LIKE is what keeps the 5-way join from touching most of
+    lineitem's partkeys. Fact-fact join (lineitem⋈orders) shuffles on
+    orderkey; every dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_c4 = cents("l_extendedprice") * (100 - pct("l_discount")) - cents(
+        "p_retailprice"
+    ) * F.col("l_quantity").cast("long") * 100
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit_c4) / 10000.0).alias("profit"))
+    )
+
+
+@register(
+    "q_important_parts",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM({duck_cents("l_extendedprice")}) AS BIGINT) AS value_c
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_c / 100.0 AS part_value
+FROM pv
+WHERE value_c * (SELECT COUNT(*) FROM pv) * 10
+      > (SELECT CAST(SUM(value_c) AS BIGINT) FROM pv) * 12
+""",
+    tags=("analytics", "composite", "tpch"),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock value): parts whose traded
+    value exceeds 1.2x the average per-part share, with the threshold
+    as a scalar subquery. (Q11's literal 0.1%-of-total cut and its
+    nation scope are both re-based: the corpus' near-uniform part
+    values and supplier-less small-SF nations would make either
+    vacuously empty at test scale; a relative-to-average cut keeps the
+    scalar-subquery shape selective at EVERY SF.) The significance
+    cut is EXACT integer arithmetic — value_c·1000 > total_c — not a
+    float fraction compare, so borderline parts cannot flip between
+    engines. The per-part aggregate is computed once and reused for
+    both the values and the scalar total (one broadcast of a 1-row
+    aggregate); the integer spelling value_c·n·10 > total·12 avoids the
+    decimal/double coercion a float-fraction threshold would smuggle
+    in, so borderline parts cannot flip between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_extendedprice")).alias("value_c")
+    )
+    total = pv.agg(
+        F.sum("value_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.join(
+            F.broadcast(total),
+            F.col("value_c") * F.col("n_parts") * 10 > F.col("total_c") * 12,
+        )
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("part_value"))
+    )
+
+
+@register(
+    "q_supplier_part_count",
+    oracle="""
+WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT r.l_suppkey) AS supplier_cnt
+FROM rel r JOIN part p ON r.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#9' AND p.p_type NOT LIKE 'PROMO%'
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("analytics", "composite", "tpch"),
+)
+def q_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class): how many
+    distinct suppliers serve each (brand, type, size), excluding a
+    denylist (here: suppliers in arrears, s_acctbal < 0) via NOT IN —
+    which Catalyst plans as a null-aware anti join, broadcast because
+    the denylist is tiny. The supply relation is the DISTINCT
+    (part, supp) projection of lineitem (the corpus' stand-in for
+    partsupp); the dedup and the final count-distinct both partition
+    on partkey-leading keys. Part filters land in the dim scan before
+    its broadcast."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    rel = (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .distinct()
+    )
+    parts = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (~F.col("p_type").like("PROMO%"))
+    )
+    return (
+        rel.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_excess_volume_supplier",
+    oracle="""
+WITH vol AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_ps
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, CAST(SUM(qty_ps) AS BIGINT) AS qty_p
+        FROM vol GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT v.l_suppkey
+  FROM vol v JOIN tot t ON v.l_partkey = t.l_partkey
+  WHERE v.qty_ps * 2 > t.qty_p
+)
+SELECT s.s_name, n.n_name
+FROM dominant d
+JOIN supplier s ON d.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+    tags=("analytics", "composite", "tpch"),
+)
+def q_excess_volume_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the nested semi-join chain): suppliers who
+    DOMINATED the 1997 supply of at least one part — shipped more than
+    half that part's total volume. Adapted from availqty>half-demand
+    to observed volume (no partsupp in the corpus); the chain
+    structure survives: inner aggregate per (part, supp) → per part →
+    ratio filter → DISTINCT supplier semi-set → join the supplier dim.
+    The >50% cut is exact integer math (qty_ps·2 > qty_p). Both
+    aggregates share the partkey-leading partitioning, the dominance
+    join is partkey-colocated, and only the tiny distinct supplier
+    set reaches the dim join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_ps")
+    )
+    tot = vol.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_p"))
+    dominant = (
+        vol.join(tot, "l_partkey")
+        .filter(F.col("qty_ps") * 2 > F.col("qty_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        dominant.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )

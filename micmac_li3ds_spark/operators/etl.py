@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from micmac_li3ds_spark.functions.exact import cents
 from micmac_li3ds_spark.registry import register
 from micmac_li3ds_spark.tables import load
 
@@ -575,5 +576,183 @@ def q_etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("last_c"),
             F.col("n_ops").cast("long").alias("n_ops"),
             "first_insert_s",
+        )
+    )
+
+
+@register(
+    "q_etl_dq_summary",
+    oracle="""
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE o_custkey IS NULL) AS v_null,
+         COUNT(*) FILTER (WHERE o_totalprice <= 0.0
+                             OR o_totalprice > 1000000.0) AS v_range,
+         COUNT(*) FILTER (WHERE o_orderdate <  TIMESTAMP '1992-01-01'
+                             OR o_orderdate >= TIMESTAMP '1999-01-01') AS v_date,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dupkey
+  FROM orders
+),
+l AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.5) AS v_disc,
+         COUNT(*) FILTER (WHERE l_quantity < 1.0) AS v_qty
+  FROM lineitem
+),
+fk AS (
+  SELECT COUNT(*) AS v_orphan
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT 'orders_custkey_not_null' AS rule_id, 'orders' AS table_name,
+       n AS n_checked, v_null AS n_violations FROM o
+UNION ALL
+SELECT 'orders_totalprice_range', 'orders', n, v_range FROM o
+UNION ALL
+SELECT 'orders_orderdate_window', 'orders', n, v_date FROM o
+UNION ALL
+SELECT 'orders_orderkey_unique', 'orders', n, v_dupkey FROM o
+UNION ALL
+SELECT 'lineitem_discount_range', 'lineitem', n, v_disc FROM l
+UNION ALL
+SELECT 'lineitem_quantity_min', 'lineitem', n, v_qty FROM l
+UNION ALL
+SELECT 'lineitem_orderkey_fk', 'lineitem',
+       (SELECT n FROM l), v_orphan FROM fk
+""",
+    tags=("etl", "quality"),
+)
+def q_etl_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine — the contract-check pass a
+    warehouse runs after every load (the reference's import-time sanity
+    checks, generalized): one row per rule with checked/violation
+    counts. Rules of three classes, each with its cheapest-correct
+    plan shape: column predicates (null, range, window) ride ONE
+    conditional-aggregate scan per table — adding a rule adds a column,
+    not a pass; key uniqueness is COUNT(*) − COUNT(DISTINCT key) on the
+    same scan; referential integrity is the only rule needing a second
+    input (anti-join, which Catalyst turns into a broadcast null-aware
+    anti join when the key side fits). All counts are exact integers;
+    a healthy corpus reports zeros, and the driver hash pins that —
+    a regeneration that breaks a contract fails THIS row, naming the
+    rule, instead of erring some downstream query."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v_null"),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") <= 0.0)
+                | (F.col("o_totalprice") > 1000000.0),
+                1,
+            )
+        ).alias("v_range"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("1999-01-01").cast("timestamp")
+                ),
+                1,
+            )
+        ).alias("v_date"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_dupkey"),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5), 1)
+        ).alias("v_disc"),
+        F.count(F.when(F.col("l_quantity") < 1.0, 1)).alias("v_qty"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"),
+              "left_anti")
+        .agg(F.count(F.lit(1)).alias("v_orphan"))
+    )
+
+    def rule(src, rid: str, tbl: str, n_col: str, v_col: str):
+        return src.select(
+            F.lit(rid).alias("rule_id"),
+            F.lit(tbl).alias("table_name"),
+            F.col(n_col).alias("n_checked"),
+            F.col(v_col).alias("n_violations"),
+        )
+
+    li_n = l_agg.select("n")
+    return (
+        rule(o_agg, "orders_custkey_not_null", "orders", "n", "v_null")
+        .unionByName(rule(o_agg, "orders_totalprice_range", "orders", "n", "v_range"))
+        .unionByName(rule(o_agg, "orders_orderdate_window", "orders", "n", "v_date"))
+        .unionByName(rule(o_agg, "orders_orderkey_unique", "orders", "n", "v_dupkey"))
+        .unionByName(rule(l_agg, "lineitem_discount_range", "lineitem", "n", "v_disc"))
+        .unionByName(rule(l_agg, "lineitem_quantity_min", "lineitem", "n", "v_qty"))
+        .unionByName(
+            rule(
+                orphans.crossJoin(F.broadcast(li_n)),
+                "lineitem_orderkey_fk",
+                "lineitem",
+                "n",
+                "v_orphan",
+            )
+        )
+    )
+
+
+@register(
+    "q_etl_incremental_agg",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+         AS n_from_delta
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("etl", "incremental"),
+)
+def q_etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate: a
+    materialized per-status summary is brought current by aggregating
+    ONLY the new batch (orders since the cutoff) and merging its
+    partial states with the stored ones — sum-of-sums, sum-of-counts —
+    never rescanning the base. Correctness of the merge IS the parity
+    claim: the oracle recomputes from the full table, so merge ≡
+    recompute must hold exactly (integer cents make the sums
+    associative). Here the 'stored' aggregate is computed from the
+    pre-cutoff slice to keep the query self-contained; in production
+    it is read back from the summary sink and only the delta scan
+    (partition-pruned by ingest date at 100 TB) touches data. This is
+    the maintenance loop for every distributive/algebraic dashboard
+    aggregate; holistic aggregates (exact medians, distincts) need
+    sketch state instead (see q_agg_bitmap_distinct / approx family)."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderdate",
+        cents("o_totalprice").alias("c"),
+    )
+
+    def partial(df, from_delta: bool):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum("c").alias("p_c"),
+            (
+                F.count(F.lit(1)) if from_delta else F.lit(0).cast("long")
+            ).alias("p_delta"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff), False)
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff), True)
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            (F.sum("p_c") / 100.0).alias("total_price"),
+            F.sum("p_delta").alias("n_from_delta"),
         )
     )

@@ -521,3 +521,136 @@ def q_win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z4.alias("z"),
         )
     )
+
+
+@register(
+    "q_event_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch({_DUCK_TS_SEC}) AS BIGINT) AS ts_s
+  FROM events
+),
+tagged AS (
+  SELECT user_id, event_id, event_type, ts_s,
+         max(CASE WHEN event_type = 'click' THEN ts_s END)
+           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_s
+  FROM ev
+)
+SELECT user_id, event_id, ts_s,
+       CASE WHEN last_click_s >= ts_s - 604800 THEN last_click_s END
+         AS attributed_click_s,
+       coalesce(last_click_s >= ts_s - 604800, FALSE) AS attributed
+FROM tagged
+WHERE event_type = 'purchase'
+""",
+    tags=("window", "events", "attribution"),
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: credit each purchase to the
+    user's most recent PRIOR click, provided it happened within the
+    7-day lookback. Expressed as one conditional running MAX over each
+    user's event stream (max click-time over the self-exclusive
+    unbounded-preceding frame) — the classic attribution self-join
+    ("purchases × earlier clicks, keep latest") collapses into a
+    single window pass: one exchange on user_id, state of one
+    timestamp per row, no join, no per-user explosion for heavy
+    clickers. Strictly-prior frame (…, 1 PRECEDING) keeps a same-
+    second click from attributing its own purchase row under ties;
+    integer epoch-second math end-to-end."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "last_click_s",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts_s"))).over(w),
+    )
+    week = 604800
+    in_window = F.col("last_click_s") >= F.col("ts_s") - week
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.when(in_window, F.col("last_click_s")).alias("attributed_click_s"),
+        F.coalesce(in_window, F.lit(False)).alias("attributed"),
+    )
+
+
+@register(
+    "q_win_streaks",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch({_DUCK_TS_SEC}) AS BIGINT) AS ts_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY {_DUCK_TS_SEC}, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY {_DUCK_TS_SEC}, event_id) AS rn_t
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS streak_len,
+         min(ts_s) AS streak_start_s,
+         min(event_id) AS first_event_id
+  FROM ev
+  GROUP BY user_id, event_type, rn - rn_t
+)
+SELECT user_id, event_type, streak_len, streak_start_s
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY streak_len DESC, streak_start_s, first_event_id) AS rk
+      FROM islands)
+WHERE rk = 1
+""",
+    tags=("window", "events", "islands"),
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-run detection (gaps-and-islands): each
+    user's longest unbroken streak of same-type events. The island key
+    is the classic row_number difference — rn over the user's whole
+    timeline minus rn within (user, type) is constant exactly while
+    consecutive rows share a type — turning an inherently sequential
+    'consecutive runs' question into two window passes plus a groupBy,
+    all partitioned by user_id (the two row_numbers and the island
+    aggregate ride ONE exchange; no self-join, no iteration). Ties on
+    streak length resolve by earliest start then event id, so the
+    per-user winner is engine-deterministic."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_s", "event_id"
+    )
+    islands = (
+        ev.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("ts_s").alias("streak_start_s"),
+            F.min("event_id").alias("first_event_id"),
+        )
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "streak_start_s", "first_event_id"
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "streak_len", "streak_start_s")
+    )

@@ -137,20 +137,20 @@ _PRIORITY: list[str] = [
     "q_sink_csv_roundtrip",
     "q_sink_json_roundtrip",
     "q_join_fuzzy",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_important_parts",
+    "q_supplier_part_count",
+    "q_excess_volume_supplier",
+    "q_etl_dq_summary",
+    "q_event_attribution",
+    "q_win_streaks",
+    "q_agg_mad",
+    "q_etl_incremental_agg",
     # --- headline/bench continuity (fills to 50; dropped entries all
     # hold ≥1 green row from earlier rounds) ---
     "q_pricing_summary",
-    "q_join_broadcast",
-    "q_join_asof",
-    "q_win_dedup_latest",
-    "q_llm_exact_dedup",
     "q_llm_near_dedup",
-    "q_llm_embed_dedup",
-    "q_llm_knn",
-    "q_stream_tumbling",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_large_volume_customer",
     "q_etl_scd2",
 ]
 

@@ -92,6 +92,11 @@ def test_correlated_subquery_decorrelates(spark):
         "q_llm_substring_dup",
         "q_concurrent_sessions",
         "q_graph_pagerank_fix",
+        "q_min_cost_supplier",
+        "q_product_profit",
+        "q_supplier_part_count",
+        "q_excess_volume_supplier",
+        "q_event_attribution",
     ],
 )
 def test_no_cartesian_product_in_scale_paths(spark, name):

@@ -119,3 +119,20 @@ def test_concurrent_sessions_bounds(spark):
     for t, r in got.items():
         assert r["n_intervals"] == counts[t]
         assert 1 <= r["max_concurrent"] <= r["n_intervals"]
+
+
+def test_pagerank_checkpointed_loop_matches_chained_plan(spark):
+    # the localCheckpoint variant (lineage truncated per superstep — the
+    # production pattern) must produce bit-identical fixed-point ranks
+    # to the lazily-chained plan the oracle checks.
+    from micmac_li3ds_spark.operators.analytics import pagerank_fixpoint
+
+    chained = {
+        r["node"]: r["rank_u"]
+        for r in pagerank_fixpoint(spark, SF_DIR, 4).collect()
+    }
+    ckpt = {
+        r["node"]: r["rank_u"]
+        for r in pagerank_fixpoint(spark, SF_DIR, 4, checkpoint=True).collect()
+    }
+    assert chained == ckpt
