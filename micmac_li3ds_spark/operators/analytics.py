@@ -1008,9 +1008,13 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     join: each interval contributes a +1 at its start and a −1 at its
     (exclusive) end, deltas collapse by timestamp, and a running sum
     over time yields the concurrency profile; its max is the answer.
-    Cost is O(n) rows and ONE exchange on event_type — the interval-
-    overlap self-join it replaces is O(n²) in dense regions and
-    unshippable at 100 TB. Collapsing deltas per timestamp BEFORE the
+    Cost is O(n) rows and two exchanges — one on (series, timestamp)
+    for the delta collapse (map-side combined, well-distributed), then
+    one on the series key carrying only the COLLAPSED rows into the
+    running-sum window. That order is deliberate: collapsing first
+    shrinks what the low-cardinality series exchange must move; the
+    interval-overlap self-join this replaces is O(n²) in dense regions
+    and unshippable at 100 TB. Collapsing deltas per timestamp BEFORE the
     running sum both shrinks the window input and makes the profile
     well-defined under ties (ends apply before starts at the same
     second ⇔ exclusive interval ends), so peak value and first peak
@@ -1210,10 +1214,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer cents div integer quantity — exact, so 'equal to the
     minimum' is engine-independent, the same reason Q15's max uses
     exact cents). Shape preserved from Q2: a correlated min over a
-    4-way dim join, decorrelated into aggregate + equality self-join;
-    ties kept. All dims broadcast; the only wide ops are the two
-    (part, supp) and (part) aggregates, both partitioned on the same
-    leading key."""
+    4-way dim join, decorrelated into a per-part window min + equality
+    filter (ties kept). All dims broadcast; the wide ops are the
+    (part, supp) supply aggregate and one window exchange on partkey —
+    the aggregate + equality-self-join spelling of the same semantics
+    costs three more exchanges (measured), because neither join side
+    can reuse the (part, supp) partitioning for a (part)-keyed join."""
     supply = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
@@ -1235,15 +1241,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("l_partkey", "cost_c", "s_name", "s_acctbal", "n_name")
     )
-    best = scoped.groupBy("l_partkey").agg(F.min("cost_c").alias("best_c"))
     parts = load(spark, sf_dir, "part").filter(F.col("p_size") >= 8)
+    # correlated min as a window, not an aggregate + equality self-join:
+    # the window formulation keeps ties and costs ONE exchange on
+    # l_partkey instead of the self-join's three (agg + both join
+    # sides) — measured 5 exchanges down to 2 for the whole query
+    w_part = Window.partitionBy("l_partkey")
     return (
-        scoped.join(
-            best,
-            (scoped.l_partkey == best.l_partkey)
-            & (scoped.cost_c == best.best_c),
-        )
-        .drop(best.l_partkey)
+        scoped.withColumn("best_c", F.min("cost_c").over(w_part))
+        .filter(F.col("cost_c") == F.col("best_c"))
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",

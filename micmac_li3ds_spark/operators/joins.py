@@ -536,15 +536,26 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out, one equi-join shuffle on the segment key, candidate count
     driven by real similarity instead of n². That is the shape that
     resolves a 10⁹-entity catalog where the brute-force join (the
-    oracle, fine at 64 names) is n² and unshippable."""
-    tau = _FUZZY_TAU
-    nseg = tau + 1
+    oracle, fine at 64 names) is n² and unshippable.
+
+    Completeness is additionally property-tested on a DENSE workload
+    (customer names, ~20k true pairs) in tests/test_round6_ops.py via
+    the reusable fuzzy_self_join helper."""
     names = (
         load(spark, sf_dir, "part")
         .select(F.col("p_name").alias("n"))
         .distinct()
-        .select("n", F.length("n").alias("m"))
     )
+    return fuzzy_self_join(names, _FUZZY_TAU)
+
+
+def fuzzy_self_join(names: DataFrame, tau: int) -> DataFrame:
+    """PassJoin-style edit-distance self-join over a single-column
+    DataFrame of distinct strings named ``n`` — see q_join_fuzzy for
+    the completeness argument. Returns (name_a, name_b, dist) with
+    name_a < name_b and dist ≤ tau."""
+    nseg = tau + 1
+    names = names.select("n", F.length("n").alias("m"))
 
     # One generator struct per (ΔL, k, shift) combination, fanned out by
     # a single explode — NOT a unionAll per combination, which would

@@ -318,3 +318,65 @@ def ohlc_bars(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         "close_c",
         "vol_c",
     )
+
+
+def attribution_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_event_attribution (last-touch attribution)
+    via ``applyInPandasWithState``: state per user is ONE integer — the
+    latest click time seen — and each purchase row emits its
+    attribution against the state as of strictly-earlier events. The
+    batch query's conditional running-MAX window becomes a running
+    scalar here; rows are processed in (ts_s, event_id) order inside
+    each micro-batch, so with in-order arrival the stream output is
+    row-identical to the batch window (asserted in
+    tests/test_streaming.py). Late/out-of-order arrivals would need
+    the event-time-timeout + reordering-buffer pattern; the state per
+    key stays O(1) either way — this is the shape that attributes an
+    unbounded clickstream."""
+    import pandas as pd  # local: only the python workers need it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    week = 604800
+
+    def fn(key, pdfs, state: GroupState):
+        (last_click_s,) = state.get if state.exists else (None,)
+        out = {"user_id": [], "event_id": [], "ts_s": [],
+               "attributed_click_s": [], "attributed": []}
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_s", "event_id"])
+        for _, r in rows.iterrows():
+            if r["event_type"] == "purchase":
+                ok = (
+                    last_click_s is not None
+                    and last_click_s >= r["ts_s"] - week
+                )
+                out["user_id"].append(key[0])
+                out["event_id"].append(r["event_id"])
+                out["ts_s"].append(r["ts_s"])
+                out["attributed_click_s"].append(
+                    last_click_s if ok else None
+                )
+                out["attributed"].append(bool(ok))
+            if r["event_type"] == "click":
+                if last_click_s is None or r["ts_s"] > last_click_s:
+                    last_click_s = int(r["ts_s"])
+        if last_click_s is not None:
+            state.update((int(last_click_s),))
+        yield pd.DataFrame(out)
+
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, event_id long, ts_s long,"
+            " attributed_click_s long, attributed boolean"
+        ),
+        stateStructType="last_click_s long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -473,3 +473,33 @@ def test_knn_pq_refine_exact_pass_is_shortlist_bounded(spark):
     assert "BroadcastExchange" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_win_streaks", 1),          # both windows + island agg share user_id
+        ("q_event_attribution", 1),    # one conditional running-MAX window
+        ("q_ts_ewma", 1),              # bounded-frame fold, one user_id exchange
+        ("q_min_cost_supplier", 2),    # supply agg + window min (NOT the
+                                       # 5-exchange agg+self-join spelling)
+        ("q_concurrent_sessions", 2),  # delta collapse, then collapsed rows
+                                       # only into the series window
+        ("q_agg_mad", 2),              # two ordered passes, broadcast medians
+        ("q_llm_substring_dup", 3),    # span df agg + join probe side + doc agg
+    ],
+)
+def test_round6_exchange_budgets(spark, name, max_exchanges):
+    """Pin the shuffle budget of the round-6 operators: an innocent
+    refactor that loses exchange reuse (e.g. rewriting the window min
+    back into an aggregate + equality self-join) multiplies cluster
+    traffic at 100 TB — fail here, not in production."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.registry()[name].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert p.count("Exchange hashpartitioning") <= max_exchanges
+    assert "Exchange SinglePartition" not in p

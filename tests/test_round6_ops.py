@@ -136,3 +136,32 @@ def test_pagerank_checkpointed_loop_matches_chained_plan(spark):
         for r in pagerank_fixpoint(spark, SF_DIR, 4, checkpoint=True).collect()
     }
     assert chained == ckpt
+
+
+def test_fuzzy_join_blocking_complete_on_dense_workload(spark, duck):
+    # PassJoin completeness under load: customer names differ by digit
+    # substitutions, so tau=1 yields ~20k true pairs at sf0.01 — every
+    # one must survive the segment-blocking candidate stage (the
+    # registered query's 64-name part workload is too sparse to stress
+    # this). Compare against DuckDB brute force.
+    from micmac_li3ds_spark.operators.joins import fuzzy_self_join
+
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            """
+WITH names AS (SELECT DISTINCT c_name AS n FROM customer)
+SELECT a.n, b.n FROM names a JOIN names b
+  ON a.n < b.n AND levenshtein(a.n, b.n) <= 1
+"""
+        ).fetchall()
+    }
+    names = load(spark, SF_DIR, "customer").select(
+        F.col("c_name").alias("n")
+    ).distinct()
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_self_join(names, 1).collect()
+    }
+    assert want, "dense workload must produce true pairs"
+    assert got == want

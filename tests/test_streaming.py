@@ -531,3 +531,19 @@ def test_ohlc_batch_equals_stream(spark, sf_dir):
     got = _rows(spark, "t_ohlc")
     want = {tuple(r) for r in q_stream_ohlc(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_attribution_batch_equals_stream(spark, sf_dir):
+    # last-touch attribution: the batch conditional running-MAX window
+    # and the streaming one-scalar-state twin must emit identical rows
+    # for in-order arrival
+    from micmac_li3ds_spark.operators.windows import q_event_attribution
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    q = jobs.run_to_memory(
+        jobs.attribution_stream(stream), "t_attr", output_mode="append"
+    )
+    _drain(q)
+    got = _rows(spark, "t_attr")
+    want = {tuple(r) for r in q_event_attribution(spark, sf_dir).collect()}
+    assert got == want
