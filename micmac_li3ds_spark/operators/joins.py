@@ -615,3 +615,96 @@ def fuzzy_self_join(names: DataFrame, tau: int) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= tau)
+
+
+_CELL = 16  # grid cell edge ≥ box edge ⇒ a box overlaps ≤ 2 cells per axis
+
+
+@register(
+    "q_join_spatial_grid",
+    oracle="""
+WITH pts AS (
+  SELECT l_orderkey * 10 + l_linenumber AS point_id,
+         l_partkey % 1000 AS px, l_suppkey % 1000 AS py,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+boxes AS (
+  SELECT s_suppkey AS box_id,
+         (s_suppkey * 97) % 1000 AS cx, (s_suppkey * 53) % 1000 AS cy
+  FROM supplier
+)
+SELECT b.box_id,
+       COUNT(*) AS n_points,
+       CAST(SUM(p.qty) AS BIGINT) AS sum_qty
+FROM boxes b JOIN pts p
+  ON p.px BETWEEN b.cx - 8 AND b.cx + 8
+ AND p.py BETWEEN b.cy - 8 AND b.cy + 8
+GROUP BY b.box_id
+""",
+    tags=("join", "spatial", "range"),
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D spatial containment join (points-in-boxes) via GRID-CELL
+    decomposition — the LiDAR/photogrammetry workload shape behind the
+    reference's sensor data (which points does each sensor footprint
+    see?), and the standard rewrite that keeps a spatial join off the
+    BroadcastNestedLoop/cartesian path: snap each point to its grid
+    cell (one row), explode each query box to the ≤4 cells it can
+    overlap (cell edge ≥ box edge), equi-join on the cell id, then
+    verify exact containment with the BETWEEN predicate. The fan-out
+    is constant (≤4 per box, 1 per point), the join is a plain hash
+    join on an integer cell key, and the per-box aggregate partitions
+    on the same key the verify filter preserved. At 100 TB the cell id
+    doubles as the partition/bucket key (Morton/Z-order interleave for
+    locality across both axes); skewed cells (a downtown of points)
+    get the same salting levers as any hot hash key. Coordinates are
+    integers derived deterministically from corpus keys, so both
+    engines compute identical geometry; the oracle is the brute-force
+    range join this decomposition replaces."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        (F.col("l_partkey") % 1000).alias("px"),
+        (F.col("l_suppkey") % 1000).alias("py"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).withColumn(
+        "cell",
+        (F.col("px") / _CELL).cast("long") * 1000
+        + (F.col("py") / _CELL).cast("long"),
+    )
+    boxes = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("box_id"),
+        ((F.col("s_suppkey") * 97) % 1000).alias("cx"),
+        ((F.col("s_suppkey") * 53) % 1000).alias("cy"),
+    )
+    cell_x = lambda c: (c / _CELL).cast("long")  # noqa: E731
+    box_cells = boxes.select(
+        "box_id",
+        "cx",
+        "cy",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        cell_x(F.greatest(F.col("cx") + dx, F.lit(0))) * 1000
+                        + cell_x(F.greatest(F.col("cy") + dy, F.lit(0)))
+                        for dx in (-8, 8)
+                        for dy in (-8, 8)
+                    ]
+                )
+            )
+        ).alias("cell"),
+    )
+    return (
+        pts.join(F.broadcast(box_cells), "cell")
+        .filter(
+            F.col("px").between(F.col("cx") - 8, F.col("cx") + 8)
+            & F.col("py").between(F.col("cy") - 8, F.col("cy") + 8)
+        )
+        .groupBy("box_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("qty").alias("sum_qty"),
+        )
+    )

@@ -147,11 +147,11 @@ _PRIORITY: list[str] = [
     "q_win_streaks",
     "q_agg_mad",
     "q_etl_incremental_agg",
+    "q_join_spatial_grid",
     # --- headline/bench continuity (fills to 50; dropped entries all
     # hold ≥1 green row from earlier rounds) ---
     "q_pricing_summary",
     "q_llm_near_dedup",
-    "q_etl_scd2",
 ]
 
 

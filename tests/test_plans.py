@@ -487,6 +487,7 @@ def test_knn_pq_refine_exact_pass_is_shortlist_bounded(spark):
                                        # only into the series window
         ("q_agg_mad", 2),              # two ordered passes, broadcast medians
         ("q_llm_substring_dup", 3),    # span df agg + join probe side + doc agg
+        ("q_join_spatial_grid", 1),    # broadcast cell join + box_id agg only
     ],
 )
 def test_round6_exchange_budgets(spark, name, max_exchanges):
