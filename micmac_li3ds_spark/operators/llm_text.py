@@ -1521,3 +1521,67 @@ def q_llm_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+_VOCAB_SIZE = 256
+
+
+@register(
+    "q_llm_vocab_induction",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM counts
+  ) WHERE rk <= {_VOCAB_SIZE}
+)
+SELECT t.lang,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+       round(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.lang
+""",
+    tags=("llm", "tokenizer"),
+)
+def q_llm_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction + coverage audit: build the
+    top-V vocabulary by global token frequency (deterministic tiebreak
+    on the token itself), then measure per-language out-of-vocabulary
+    rates — the go/no-go report before freezing a tokenizer on a new
+    corpus mix. Shape: one explode → one token-count aggregate
+    (map-side combined; token space is zipf, so partials collapse
+    hard) → top-V via TakeOrderedAndProject semantics (V rows, never a
+    global sort of the vocabulary) → broadcast the V-row vocab back as
+    a LEFT join for the coverage pass. The corpus streams through
+    twice but shuffles only token partials and (lang) partials; the
+    vocab itself is KB-sized at any corpus scale, which is what makes
+    the coverage join broadcastable forever."""
+    toks_df = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens("text")).alias("tok"))
+    )
+    counts = toks_df.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks_df.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -148,9 +148,10 @@ _PRIORITY: list[str] = [
     "q_agg_mad",
     "q_etl_incremental_agg",
     "q_join_spatial_grid",
-    # --- headline/bench continuity (fills to 50; dropped entries all
-    # hold ≥1 green row from earlier rounds) ---
-    "q_pricing_summary",
+    "q_llm_vocab_induction",
+    # --- headline/bench continuity (fills to 50; every dropped entry
+    # holds ≥1 green row from earlier rounds, and the flagship
+    # q_pricing_summary stays smoke-checked every round via entry()) ---
     "q_llm_near_dedup",
 ]
 
