@@ -1457,26 +1457,47 @@ _SPAN_N = 12
 _DUCK_SPAN_EXPR = " || ' ' || ".join(f"t[i+{j}]" for j in range(_SPAN_N))
 
 
+# 60-bit md5-fold span key (15 hex digits → < 2^60, safely inside
+# BIGINT on both engines). Hashing BEFORE the shuffle cuts the df
+# exchange from ~80-byte span strings to 8-byte longs. Collisions:
+# birthday math expects O(1) merged keys around 10⁹ distinct spans —
+# a merge nudges two spans' df counts (noise for dup-ratio statistics;
+# widen the key if exactness at that scale matters) and can never
+# break cross-engine parity, because both engines hash identically.
+_SPAN_HEX = 15
+
+
+def _span_key(col):
+    return F.conv(F.substring(F.md5(col), 1, _SPAN_HEX), 16, 10).cast("long")
+
+
+_DUCK_SPAN_KEY = (
+    f"list_reduce(list_transform(string_split(substr(md5(span), 1, {_SPAN_HEX}), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
 @register(
     "q_llm_substring_dup",
     oracle=f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-spans AS (
+spans0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            range(1, greatest(length(t) - {_SPAN_N - 1}, 0) + 1),
            i -> {_DUCK_SPAN_EXPR}))) AS span
   FROM toks
 ),
+spans AS (SELECT doc_id, {_DUCK_SPAN_KEY} AS span_h FROM spans0),
 df AS (
-  SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span
+  SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span_h
 )
 SELECT s.doc_id,
        COUNT(*) AS n_spans,
        COUNT(*) FILTER (WHERE df.n_docs >= 2) AS n_dup_spans,
        round(CAST(COUNT(*) FILTER (WHERE df.n_docs >= 2) AS DOUBLE)
              / COUNT(*), 6) AS dup_ratio
-FROM spans s JOIN df ON s.span = df.span
+FROM spans s JOIN df ON s.span_h = df.span_h
 GROUP BY s.doc_id
 """,
     tags=("llm", "dedup", "substring"),
@@ -1491,25 +1512,28 @@ def q_llm_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one OTHER document, and the resulting dup ratio (the
     usual drop/trim signal for span-level cleaning).
 
-    Scale shape: explode distinct spans → ONE groupBy(span) for global
-    document frequency → join back on span → per-doc aggregate. The
-    span df computation map-side combines; the join back is
-    key-partitioned on the same span column the df grouped on, so the
-    exchange is reused. At 100 TB you'd (a) hash spans to fixed-width
-    64-bit keys before the shuffle (here raw strings keep the oracle
-    byte-comparable) and (b) df-cap ultra-hot spans exactly like
-    q_llm_ngram_jaccard's posting-list cap — a span in d docs costs d
-    index rows, never d² pairs, which is what makes substring dedup
-    shippable where pairwise span comparison is not."""
+    Scale shape: explode distinct spans → hash each span to a 60-bit
+    md5-fold key BEFORE the shuffle (8-byte longs instead of ~80-byte
+    strings through both the df exchange and the join — the hash is
+    engine-portable, so the oracle hashes identically and parity holds
+    bit-for-bit) → ONE groupBy(span_h) for global document frequency →
+    join back on span_h (same partitioning, exchange reused) → per-doc
+    aggregate. At 100 TB add the df-cap for ultra-hot boilerplate
+    spans exactly like q_llm_ngram_jaccard's posting-list cap — a span
+    in d docs costs d index rows, never d² pairs, which is what makes
+    substring dedup shippable where pairwise span comparison is not."""
     d = load(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("t"))
     spans = d.select(
-        "doc_id", F.explode(shingles(F.col("t"), _SPAN_N)).alias("span")
+        "doc_id",
+        F.explode(
+            F.transform(shingles(F.col("t"), _SPAN_N), _span_key)
+        ).alias("span_h"),
     )
-    df_counts = spans.groupBy("span").agg(
+    df_counts = spans.groupBy("span_h").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
     return (
-        spans.join(df_counts, "span")
+        spans.join(df_counts, "span_h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

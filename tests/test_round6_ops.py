@@ -165,3 +165,68 @@ SELECT a.n, b.n FROM names a JOIN names b
     }
     assert want, "dense workload must produce true pairs"
     assert got == want
+
+
+def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
+    # The 100 TB file-layout lever behind q_join_spatial_grid: writing
+    # the point table ordered by an interleaved-bit (Morton/Z-order)
+    # key makes parquet row-group min/max envelopes tight on BOTH
+    # spatial axes, so a 2-D predicate can skip most row groups —
+    # a 1-D sort only tightens its own axis. Assert it on real parquet
+    # footer statistics: mean per-row-group (px, py) envelope AREA
+    # under Z-order must be a fraction of the unsorted layout's.
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.tables import load
+
+    pts = load(spark, SF_DIR, "lineitem").select(
+        (F.col("l_partkey") % 1000).alias("px"),
+        (F.col("l_suppkey") % 1000).alias("py"),
+    )
+    # 10-bit Morton interleave of the two axes, pure column algebra
+    def morton(x, y):
+        z = F.lit(0).cast("long")
+        for b in range(10):
+            z = (
+                z
+                + (F.shiftright(x, b).bitwiseAND(1).cast("long") * (2 ** (2 * b)))
+                + (F.shiftright(y, b).bitwiseAND(1).cast("long") * (2 ** (2 * b + 1)))
+            )
+        return z
+
+    def mean_envelope_area(path):
+        areas, total = [], 0
+        for f in __import__("os").listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{path}/{f}").metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                sx = g.column(cols["px"]).statistics
+                sy = g.column(cols["py"]).statistics
+                areas.append(
+                    (sx.max - sx.min + 1) * (sy.max - sy.min + 1)
+                )
+                total += 1
+        return sum(areas) / total
+
+    base = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    pts.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(base)
+    (
+        pts.repartitionByRange(4, morton(F.col("px"), F.col("py")).alias("z"))
+        .sortWithinPartitions(morton(F.col("px"), F.col("py")))
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(zord)
+    )
+    plain_area = mean_envelope_area(base)
+    z_area = mean_envelope_area(zord)
+    assert z_area < plain_area / 2, (z_area, plain_area)
