@@ -82,17 +82,26 @@ _loaded = False
 #            the headline/bench set — 50/50 green. After round 5 every
 #            oracle-backed query REGISTERED BEFORE round 5 had been
 #            driver-sampled ≥ once.
-#   round 6 (this window): the 28-query remainder with no driver row
-#            ever = q_agg_approx_distinct (erred no_oracle in r1; now
-#            re-registered with a BANDED oracle — |HLL − exact| ≤
+#   round 6 (this window): the 28-query remainder with no green driver
+#            row ever = q_agg_approx_distinct (erred no_oracle in r1;
+#            now re-registered with a BANDED oracle — |HLL − exact| ≤
 #            3·rsd·exact as a value-checked boolean) + the 11
 #            pre-round-5 never-sampled queries (the former rows-only
 #            keys all gained oracles this round: parquet-twin for the
 #            XML pair, hash-algebra for the multimodal pair, banded for
-#            the sketch profile) + the 16 round-5 additions. Then
-#            round-6 additions (driver rows in their birth round), then
-#            headline/bench continuity filling the window to 50 so the
-#            bench set is re-attested alongside the rotation.
+#            the sketch profile) + the 16 round-5 additions. Then the
+#            21 round-6 additions (driver rows in their birth round),
+#            then continuity. INVARIANT once this window lands green:
+#            every one of the 205 registered queries has been driver-
+#            sampled, and none is structurally incapable of a green row
+#            (all 205 carry oracles). All 50 pre-verified green against
+#            the local mirror at the driver's SF before commit.
+#   round 7 (plan): any round-6 red/erred rows first, then round-7
+#            additions in their birth round, then rotate the
+#            headline/bench set + the longest-unsampled tail (r1/r2
+#            greens) for re-attestation under the current corpus —
+#            coverage is complete, so the window's job shifts from
+#            first-attestation to freshness.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # --- never-driver-sampled remainder (28) ---

@@ -23,6 +23,15 @@ def test_query_parity(spark, duck, sf_dir, name):
     if res["status"] == "rows-only":
         # weaker check: must at least produce a well-formed result
         assert res["rows"] >= 0
+    # Non-vacuity: 0 = 0 parity proves nothing, and a corpus
+    # regeneration that empties a value-dependent filter (the round-4
+    # failure class) would otherwise pass silently. Every registered
+    # query returns rows on every shipped corpus generation — keep it
+    # that way or re-base the query's constants. Two queries are
+    # allowlisted: their selective filters legitimately drain below
+    # sf0.01 (both verified non-empty at the driver's SF).
+    if name not in ("q_nation_trade_volume", "q_subquery_corr_agg"):
+        assert res["rows"] > 0, f"{name} became vacuous on this corpus"
 
 
 def test_entry_smoke(spark):
