@@ -87,10 +87,13 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct, value-checked via a BANDED
     oracle: the estimate itself is engine-specific (DuckDB has no HLL++
     twin), so the query emits ``approx_ok`` = |approx − exact|/exact ≤
-    3·rsd alongside the exact count, and the oracle asserts the band
+    4·rsd alongside the exact count, and the oracle asserts the band
     holds (literal TRUE). Spark's HLL is deterministic for a given
     dataset, so this is a hard check of the sketch's accuracy contract,
-    not a flaky tolerance. At 100 TB the approx path replaces exact
+    not a flaky tolerance; 4σ (not 3σ) because rsd is a standard
+    deviation, not a hard bound — a regenerated corpus draws fresh
+    hash noise per group, and 4σ cuts the per-group breach odds from
+    ~3e-3 to ~6e-5 while still attesting the contract. At 100 TB the approx path replaces exact
     distincts in dashboards: mergeable fixed-size sketch, no
     (group, value) expand — the exact column here exists only to attest
     the band; production drops it."""
@@ -104,7 +107,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.approx_count_distinct("user_id", rsd)
                 - F.countDistinct("user_id")
             )
-            <= 3 * rsd * F.countDistinct("user_id")
+            <= 4 * rsd * F.countDistinct("user_id")
         ).alias("approx_ok"),
     )
 

@@ -263,7 +263,8 @@ def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verification: the HLL estimate is engine-specific, so the checkable
     surface is a BANDED oracle — ``sketch_ok`` asserts
-    |approx − exact| ≤ 3·rsd·exact per column (Spark's HLL is
+    |approx − exact| ≤ 4·rsd·exact per column (4σ: rsd is a standard
+    deviation, not a hard bound — see q_agg_approx_distinct) (Spark's HLL is
     deterministic for a dataset, so this is a hard row, not a flaky
     tolerance) and the oracle emits literal TRUE; the exact distinct
     rides along as ``n_distinct`` for value parity. Production profiling
@@ -298,7 +299,7 @@ def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"nd_{s}").alias("n_distinct"),
             (
                 F.abs(F.col(f"nda_{s}") - F.col(f"nd_{s}"))
-                <= 3 * rsd * F.col(f"nd_{s}")
+                <= 4 * rsd * F.col(f"nd_{s}")
             ).alias("sketch_ok"),
             F.col(f"mn_{s}").alias("vmin"),
             F.col(f"mx_{s}").alias("vmax"),
