@@ -1464,3 +1464,105 @@ def q_excess_volume_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+@register(
+    "q_event_rfm",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+horizon AS (SELECT max(ts_s) AS t_now FROM ev),
+per_user AS (
+  SELECT user_id,
+         (SELECT t_now FROM horizon) - max(ts_s) AS recency_s,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS frequency,
+         coalesce(SUM(c) FILTER (WHERE event_type = 'purchase'), 0)
+           AS monetary_c
+  FROM ev GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, monetary_c,
+         ntile(4) OVER (ORDER BY recency_s ASC,  user_id) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_score
+  FROM per_user
+)
+SELECT user_id, recency_s, frequency, monetary_c / 100.0 AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm
+FROM scored
+""",
+    tags=("analytics", "composite", "events"),
+)
+def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    standard marketing-analytics composite: per user, seconds since
+    last activity, purchase count, and purchase value, each quartiled
+    into a 1–4 score and concatenated into the segment label
+    ('111' = best across all three). Recency anchors to the corpus'
+    own max timestamp (a scalar-subquery broadcast), keeping the query
+    reproducible — wall-clock 'now' would change the answer every run.
+
+    The quartile windows are deliberately GLOBAL (that is RFM's
+    definition: scores rank against the whole customer base), which
+    serializes one WindowExec per score at 100 TB — the documented
+    fix, identical to q_win_ntile's note, is computing the three
+    cutpoint triples via approx_percentile (a KB-sized broadcast)
+    and scoring map-side; the per-user aggregate underneath partitions
+    by user_id and is scale-safe as-is. ntile ties break on user_id on
+    both engines, so quartile boundaries are engine-deterministic;
+    money rides integer cents."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        cents("value").alias("c"),
+    )
+    t_now = ev.agg(F.max("ts_s").alias("t_now"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts_s").alias("last_s"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "frequency"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("c"))
+                ),
+                F.lit(0),
+            ).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(t_now))
+        .select(
+            "user_id",
+            (F.col("t_now") - F.col("last_s")).alias("recency_s"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_s").asc(), F.col("user_id"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    w_m = Window.orderBy(F.col("monetary_c").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        (F.col("monetary_c") / 100.0).alias("monetary"),
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    ).withColumn(
+        "rfm",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
