@@ -409,3 +409,63 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("min_ts_us"),
         F.max(F.unix_micros("ts")).alias("max_ts_us"),
     )
+
+
+@register(
+    "q_audit_small_files",
+    oracle=f"""
+WITH per_file AS (
+  SELECT o_orderstatus, filename, COUNT(*) AS rows_in_file
+  FROM read_parquet('{os.path.join(SCRATCH, "orders_compaction")}/*/*.parquet',
+                    filename = true, hive_partitioning = true)
+  GROUP BY o_orderstatus, filename
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_files,
+       CAST(SUM(rows_in_file) AS BIGINT) AS n_rows,
+       CAST(min(rows_in_file) AS BIGINT) AS min_file_rows,
+       CAST(max(rows_in_file) AS BIGINT) AS max_file_rows,
+       COUNT(*) FILTER (WHERE rows_in_file < 1000) AS n_small_files
+FROM per_file
+GROUP BY o_orderstatus
+""",
+    tags=("sink", "maintenance"),
+)
+def q_audit_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file audit — the table-maintenance report that decides
+    when a partitioned dataset needs compaction (small files are the
+    classic silent killer of 100 TB scan throughput: per-file open
+    cost, starved row groups, metadata bloat). Writes orders
+    partitioned by status with a FIXED 4-way repartition on the
+    partition key (deterministic file layout regardless of session
+    parallelism — the unpinned default would make file counts vary
+    with spark.sql.shuffle.partitions), then audits the layout it
+    wrote via input_file_name(): files, rows, per-file row spread, and
+    the under-threshold count that triggers compaction. The oracle
+    reads the same files with DuckDB's filename=true, so file-level
+    parity proves both engines see the identical physical layout. At
+    scale this query IS the compaction planner's input; the fix it
+    feeds is a repartition-and-rewrite of exactly the flagged
+    partitions."""
+    out = os.path.join(SCRATCH, "orders_compaction")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    (
+        o.repartition(4, "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("fname", F.input_file_name())
+    per_file = back.groupBy("o_orderstatus", "fname").agg(
+        F.count(F.lit(1)).alias("rows_in_file")
+    )
+    return per_file.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows_in_file").alias("n_rows"),
+        F.min("rows_in_file").alias("min_file_rows"),
+        F.max("rows_in_file").alias("max_file_rows"),
+        F.count(F.when(F.col("rows_in_file") < 1000, 1)).alias(
+            "n_small_files"
+        ),
+    )

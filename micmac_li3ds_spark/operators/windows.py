@@ -654,3 +654,44 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "event_type", "streak_len", "streak_start_s")
     )
+
+
+@register(
+    "q_win_pct_of_total",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, c / 100.0 AS order_total,
+       round(CAST(c AS DOUBLE)
+             / SUM(c) OVER (PARTITION BY o_custkey), 6) AS pct_of_customer,
+       CAST(SUM(c) OVER (PARTITION BY o_custkey) AS BIGINT) / 100.0
+         AS customer_total
+FROM o
+""",
+    tags=("window", "ratio"),
+)
+def q_win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's lifetime
+    total — the per-entity normalization window (feature scaling,
+    contribution reports). One unordered window partition per
+    customer; the denominator is an integer-cents sum so the only
+    float is the final ratio, rounded identically on both engines.
+    Unordered partition-wide frames need no sort at all — cheaper than
+    any ordered window at scale."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("c")
+    )
+    w = Window.partitionBy("o_custkey")
+    total = F.sum("c").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("c") / 100.0).alias("order_total"),
+        F.round(F.col("c").cast("double") / total, 6).alias(
+            "pct_of_customer"
+        ),
+        (total.cast("long") / 100.0).alias("customer_total"),
+    )

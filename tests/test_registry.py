@@ -121,6 +121,9 @@ def test_oracle_output_has_no_hugeint(duck, name):
         "q_join_lateral",
         "q_scan_python_datasource",
         "q_agg_grouping_sets",
+        "q_sink_csv_roundtrip",
+        "q_sink_json_roundtrip",
+        "q_audit_small_files",
     ],
 )
 def test_side_effectful_queries_are_rerun_idempotent(spark, sf_dir, name):
