@@ -1466,6 +1466,84 @@ def q_excess_volume_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quartile_cuts(per_user: DataFrame, pos_df: DataFrame) -> DataFrame:
+    """Exact order statistics of the three RFM metrics, scale-safely.
+
+    ``pos_df`` is a 3-row frame (metric, p1, p2, p3) of 1-based
+    ascending rank positions per metric tag ('r'/'f'/'m'). Returns a
+    1-row frame cr1..cr3, cf1..cf3, cm1..cm3 where e.g. cr_k = the
+    value of recency_s at ascending rank p_k — exact, and a pure
+    function of the value multiset (no tie-order dependence).
+
+    The scalable selection plan (no global WindowExec anywhere); all
+    three metrics ride ONE pipeline via a stack() tag column:
+      1. per-(metric,value) histogram — groupBy, parallel shuffle
+      2. range-partition by (metric, value) — partition ids ascend
+         with the sort key
+      3. per-partition cumsum — Window PARTITIONED by (pid, metric)
+      4. cross-partition offsets — broadcast self-join over the
+         ≤ 3·P-row totals table (P = partition count, bounded by
+         cluster size, not data size)
+      5. boundary lookup — min(value where cum ≥ p_k) per metric,
+         then a 3-row pivot to one broadcast-able row of 9 cuts.
+    Every stage is parallel; the only driver-sized object is the
+    offsets table.
+    """
+    nparts = int(
+        per_user.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    stacked = per_user.selectExpr(
+        "stack(3, 'r', recency_s, 'f', frequency, 'm', monetary_c)"
+        " AS (metric, v)"
+    )
+    hist = stacked.groupBy("metric", "v").agg(F.count("*").alias("cnt"))
+    h = hist.repartitionByRange(
+        nparts, F.col("metric"), F.col("v").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    h = h.withColumn(
+        "cum_in",
+        F.sum("cnt").over(Window.partitionBy("pid", "metric").orderBy("v")),
+    )
+    totals = h.groupBy("pid", "metric").agg(F.sum("cnt").alias("tot"))
+    offs = (
+        totals.join(
+            F.broadcast(
+                totals.select(
+                    F.col("pid").alias("bpid"),
+                    F.col("metric").alias("bmetric"),
+                    F.col("tot").alias("btot"),
+                )
+            ),
+            (F.col("bmetric") == F.col("metric"))
+            & (F.col("bpid") < F.col("pid")),
+            "left",
+        )
+        .groupBy("pid", "metric")
+        .agg(F.coalesce(F.sum("btot"), F.lit(0)).alias("off"))
+    )
+    h = h.join(F.broadcast(offs), ["pid", "metric"]).withColumn(
+        "cum", F.col("cum_in") + F.col("off")
+    )
+    h = h.join(F.broadcast(pos_df), "metric")
+    per_metric = h.groupBy("metric").agg(
+        *[
+            F.min(F.when(F.col("cum") >= F.col(f"p{k}"), F.col("v"))).alias(
+                f"c{k}"
+            )
+            for k in (1, 2, 3)
+        ]
+    )
+    return per_metric.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("metric") == tag, F.col(f"c{k}"))
+            ).alias(f"c{tag}{k}")
+            for tag in ("r", "f", "m")
+            for k in (1, 2, 3)
+        ]
+    )
+
+
 @register(
     "q_event_rfm",
     oracle="""
@@ -1484,12 +1562,45 @@ per_user AS (
            AS monetary_c
   FROM ev GROUP BY user_id
 ),
-scored AS (
-  SELECT user_id, recency_s, frequency, monetary_c,
-         ntile(4) OVER (ORDER BY recency_s ASC,  user_id) AS r_score,
-         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
-         ntile(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_score
+nn AS (SELECT COUNT(*) AS n FROM per_user),
+pos AS (
+  SELECT k,
+         k * (n // 4) + least(k, n % 4) AS p_asc,
+         n - (k * (n // 4) + least(k, n % 4)) + 1 AS p_desc
+  FROM nn, (VALUES (1), (2), (3)) t(k)
+),
+rk AS (
+  SELECT recency_s, frequency, monetary_c,
+         row_number() OVER (ORDER BY recency_s)  AS rr,
+         row_number() OVER (ORDER BY frequency)  AS rf,
+         row_number() OVER (ORDER BY monetary_c) AS rm
   FROM per_user
+),
+cuts AS (
+  SELECT
+    max(CASE WHEN r.rr = p.p_asc  AND p.k = 1 THEN r.recency_s  END) AS cr1,
+    max(CASE WHEN r.rr = p.p_asc  AND p.k = 2 THEN r.recency_s  END) AS cr2,
+    max(CASE WHEN r.rr = p.p_asc  AND p.k = 3 THEN r.recency_s  END) AS cr3,
+    max(CASE WHEN r.rf = p.p_desc AND p.k = 1 THEN r.frequency  END) AS cf1,
+    max(CASE WHEN r.rf = p.p_desc AND p.k = 2 THEN r.frequency  END) AS cf2,
+    max(CASE WHEN r.rf = p.p_desc AND p.k = 3 THEN r.frequency  END) AS cf3,
+    max(CASE WHEN r.rm = p.p_desc AND p.k = 1 THEN r.monetary_c END) AS cm1,
+    max(CASE WHEN r.rm = p.p_desc AND p.k = 2 THEN r.monetary_c END) AS cm2,
+    max(CASE WHEN r.rm = p.p_desc AND p.k = 3 THEN r.monetary_c END) AS cm3
+  FROM rk r, pos p
+),
+scored AS (
+  SELECT u.user_id, u.recency_s, u.frequency, u.monetary_c,
+         1 + CAST(u.recency_s > c.cr1 AS INT)
+           + CAST(u.recency_s > c.cr2 AS INT)
+           + CAST(u.recency_s > c.cr3 AS INT) AS r_score,
+         1 + CAST(u.frequency < c.cf1 AS INT)
+           + CAST(u.frequency < c.cf2 AS INT)
+           + CAST(u.frequency < c.cf3 AS INT) AS f_score,
+         1 + CAST(u.monetary_c < c.cm1 AS INT)
+           + CAST(u.monetary_c < c.cm2 AS INT)
+           + CAST(u.monetary_c < c.cm3 AS INT) AS m_score
+  FROM per_user u, cuts c
 )
 SELECT user_id, recency_s, frequency, monetary_c / 100.0 AS monetary,
        r_score, f_score, m_score,
@@ -1500,23 +1611,29 @@ FROM scored
     tags=("analytics", "composite", "events"),
 )
 def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation (recency / frequency / monetary), the
-    standard marketing-analytics composite: per user, seconds since
-    last activity, purchase count, and purchase value, each quartiled
-    into a 1–4 score and concatenated into the segment label
-    ('111' = best across all three). Recency anchors to the corpus'
-    own max timestamp (a scalar-subquery broadcast), keeping the query
-    reproducible — wall-clock 'now' would change the answer every run.
+    """RFM customer segmentation (recency / frequency / monetary): per
+    user, seconds since last activity, purchase count, and purchase
+    value, each quartiled into a 1–4 score and concatenated into the
+    segment label ('111' = best across all three). Recency anchors to
+    the corpus' own max timestamp (a scalar broadcast), keeping the
+    query reproducible — wall-clock 'now' would change the answer.
 
-    The quartile windows are deliberately GLOBAL (that is RFM's
-    definition: scores rank against the whole customer base), which
-    serializes one WindowExec per score at 100 TB — the documented
-    fix, identical to q_win_ntile's note, is computing the three
-    cutpoint triples via approx_percentile (a KB-sized broadcast)
-    and scoring map-side; the per-user aggregate underneath partitions
-    by user_id and is scale-safe as-is. ntile ties break on user_id on
-    both engines, so quartile boundaries are engine-deterministic;
-    money rides integer cents."""
+    Scale rewrite (round 7, replacing three global ntile windows):
+    the quartile CUTPOINTS are exact order statistics at the ntile-4
+    boundary positions p_k = k·⌊n/4⌋ + min(k, n mod 4), computed by
+    the scalable selection in ``_quartile_cuts`` (per-value histogram
+    → range-partitioned partial cumsum → P-row offset join → boundary
+    aggregate), then the 9 cutpoints are broadcast and every user is
+    scored MAP-SIDE: score = 1 + Σ (value strictly past cutpoint_k).
+    No WindowExec touches the per-user table, so the plan has no
+    single-partition stage and survives 10⁸ users.
+
+    Tie semantics differ from ntile deliberately: users with EQUAL
+    metric values get equal scores (ntile splits tie groups by rank
+    position, which is order-dependent and inherently serial). Because
+    the cutpoints are exact order statistics of the same integer
+    multiset, both engines compute identical scores — no float, no
+    tie-break nondeterminism. Money rides integer cents."""
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1546,23 +1663,49 @@ def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    w_r = Window.orderBy(F.col("recency_s").asc(), F.col("user_id"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    w_m = Window.orderBy(F.col("monetary_c").desc(), F.col("user_id"))
-    return per_user.select(
-        "user_id",
-        "recency_s",
-        "frequency",
-        (F.col("monetary_c") / 100.0).alias("monetary"),
-        F.ntile(4).over(w_r).alias("r_score"),
-        F.ntile(4).over(w_f).alias("f_score"),
-        F.ntile(4).over(w_m).alias("m_score"),
-    ).withColumn(
-        "rfm",
-        F.concat_ws(
-            "",
-            F.col("r_score").cast("string"),
-            F.col("f_score").cast("string"),
-            F.col("m_score").cast("string"),
-        ),
+    n_df = per_user.agg(F.count("*").alias("n"))
+
+    def _pasc(k: int) -> str:  # ntile-4 boundary position k, ascending
+        return f"{k} * (n div 4) + least({k}, n % 4)"
+
+    def _pdesc(k: int) -> str:  # desc rank p ↔ asc rank n - p + 1
+        return f"n - ({_pasc(k)}) + 1"
+
+    pos_df = n_df.selectExpr(
+        "stack(3, "
+        f"'r', {_pasc(1)}, {_pasc(2)}, {_pasc(3)}, "
+        f"'f', {_pdesc(1)}, {_pdesc(2)}, {_pdesc(3)}, "
+        f"'m', {_pdesc(1)}, {_pdesc(2)}, {_pdesc(3)}"
+        ") AS (metric, p1, p2, p3)"
+    )
+    cuts = _quartile_cuts(per_user, pos_df)
+
+    def _score(v: str, pre: str, desc: bool) -> F.Column:
+        s = F.lit(1)
+        for k in (1, 2, 3):
+            cut = F.col(f"{pre}{k}")
+            hit = (F.col(v) < cut) if desc else (F.col(v) > cut)
+            s = s + hit.cast("int")
+        return s
+
+    return (
+        per_user.crossJoin(F.broadcast(cuts))
+        .select(
+            "user_id",
+            "recency_s",
+            "frequency",
+            (F.col("monetary_c") / 100.0).alias("monetary"),
+            _score("recency_s", "cr", False).alias("r_score"),
+            _score("frequency", "cf", True).alias("f_score"),
+            _score("monetary_c", "cm", True).alias("m_score"),
+        )
+        .withColumn(
+            "rfm",
+            F.concat_ws(
+                "",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
     )

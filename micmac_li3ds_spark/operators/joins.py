@@ -553,7 +553,17 @@ def fuzzy_self_join(names: DataFrame, tau: int) -> DataFrame:
     """PassJoin-style edit-distance self-join over a single-column
     DataFrame of distinct strings named ``n`` — see q_join_fuzzy for
     the completeness argument. Returns (name_a, name_b, dist) with
-    name_a < name_b and dist ≤ tau."""
+    name_a < name_b and dist ≤ tau.
+
+    Short-string completeness (round-7 fix): the pigeonhole argument
+    needs the INDEX string to have τ+1 non-empty segments, i.e.
+    length ≥ τ+1 — a shorter index string can have every non-empty
+    segment touched by an edit. Any pair that blocking could miss
+    therefore has its lexicographically-smaller member of length ≤ τ,
+    and the |Δlen| ≤ τ constraint caps the other member at 2τ. Those
+    strings are routed through a brute-force broadcast self-join over
+    the length ≤ 2τ subset — a set that is tiny for any natural corpus
+    (and quadratic only in its own size, never in n)."""
     nseg = tau + 1
     names = names.select("n", F.length("n").alias("m"))
 
@@ -601,15 +611,29 @@ def fuzzy_self_join(names: DataFrame, tau: int) -> DataFrame:
         "name_probe",
     )
 
-    candidates = (
+    blocked = (
         index.join(probe, ["L", "k", "seg"])
         .filter(F.col("name_idx") < F.col("name_probe"))
         .select(
             F.col("name_idx").alias("name_a"),
             F.col("name_probe").alias("name_b"),
         )
-        .distinct()
     )
+    shortish = names.filter(F.col("m") <= 2 * tau)
+    brute = (
+        shortish.select(F.col("n").alias("name_a"), F.col("m").alias("ma"))
+        .join(
+            F.broadcast(
+                shortish.select(
+                    F.col("n").alias("name_b"), F.col("m").alias("mb")
+                )
+            ),
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("ma") - F.col("mb")) <= tau),
+        )
+        .select("name_a", "name_b")
+    )
+    candidates = blocked.unionAll(brute).distinct()
     return candidates.select(
         "name_a",
         "name_b",

@@ -943,38 +943,52 @@ def q_llm_knn_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_B = 1_000_000  # offset making integer-mean numerators nonnegative
+
+
 def _kmeans_fix_oracle(k_iter: int) -> str:
-    """Chained-CTE oracle for k_iter quantized Lloyd iterations — the
-    SQL unrolling of the Spark driver loop in q_llm_kmeans_fix."""
+    """Chained-CTE oracle for k_iter integer Lloyd iterations — the
+    SQL unrolling of the Spark driver loop in q_llm_kmeans_fix. Every
+    arithmetic step is BIGINT: quantized coordinates, squared
+    distances, and round-half-up means via offset integer division
+    (numerators are nonnegative by the _KM_B shift, so truncating and
+    floor division agree in both engines)."""
     ctes = [
         f"e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings)",
-        f"""comp0 AS (
-  SELECT vec_id AS cid, t.i AS i,
-         CAST(round(v[t.i] * 10000) AS BIGINT) AS q
+        """eq AS (
+  SELECT vec_id, t.i AS i, CAST(round(v[t.i] * 10000) AS BIGINT) AS vq
   FROM e, range(1, 65) t(i)
-  WHERE vec_id < {_N_CENTROIDS}
+)""",
+        f"""comp0 AS (
+  SELECT vec_id AS cid, i, vq AS q FROM eq WHERE vec_id < {_N_CENTROIDS}
 )""",
     ]
     for it in range(k_iter):
         ctes.append(
-            f"c{it} AS (SELECT cid, list(q / 10000.0 ORDER BY i) AS cv"
-            f" FROM comp{it} GROUP BY cid)"
+            f"""d{it} AS (
+  SELECT eq.vec_id, c.cid,
+         SUM((eq.vq - c.q) * (eq.vq - c.q)) AS d2
+  FROM eq JOIN comp{it} c USING (i)
+  GROUP BY eq.vec_id, c.cid
+)"""
         )
         ctes.append(
             f"""a{it} AS (
-  SELECT vec_id, v, cid
-  FROM (SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_distance(e.v, c.cv), 6), c.cid) AS rk
-        FROM e CROSS JOIN c{it} c)
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, cid) AS rk
+        FROM d{it})
   WHERE rk = 1
 )"""
         )
         ctes.append(
             f"""comp{it + 1} AS (
-  SELECT cid, t.i AS i, CAST(round(AVG(v[t.i]) * 10000) AS BIGINT) AS q
-  FROM a{it}, range(1, 65) t(i)
-  GROUP BY cid, t.i
+  SELECT a.cid, eq.i,
+         (2 * (SUM(eq.vq) + {_KM_B} * COUNT(*)) + COUNT(*))
+           // (2 * COUNT(*)) - {_KM_B} AS q
+  FROM a{it} a JOIN eq ON eq.vec_id = a.vec_id
+  GROUP BY a.cid, eq.i
 )"""
         )
     last = k_iter
@@ -994,56 +1008,70 @@ GROUP BY comp.cid, m.n_members
 
 
 def kmeans_fixpoint(spark: SparkSession, sf_dir: str, k_iter: int) -> DataFrame:
-    """k_iter Lloyd iterations with QUANTIZED hand-off: each iteration's
-    centroids are rounded to 1e-4 per dimension before the next
-    assignment consumes them, so both engines (and any partial-sum
-    association order) feed bit-identical centroid values into every
-    iteration — multi-step determinism by quantization at the state
-    boundary, the float analogue of q_graph_pagerank_fix's integer
-    fixed-point. Within an iteration the shape is q_llm_kmeans_step's:
-    broadcast centroids, map-side scoring, (k·64)-key partial-sum
-    shuffle for the means — vectors never shuffle. The driver loop
-    chains k_iter such plans; at production scale each iteration's
-    8×64-value centroid state would simply be collected to the driver
-    (it is KB-sized at any corpus size) and re-broadcast."""
-    e = _emb(spark, sf_dir).select("vec_id", "v")
+    """k_iter Lloyd iterations as an EXACT INTEGER recurrence: vectors
+    are quantized once to 1e-4 long coordinates, assignment compares
+    integer SQUARED distances (ties → lower cid), and the mean update
+    is round-half-up in pure integer math (offset division — the
+    numerator is made nonnegative so truncating and floor division
+    agree everywhere). No float touches any state or comparison, so
+    both engines (and any partial-sum association order) compute
+    bit-identical centroids at every iteration — the same hard
+    determinism guarantee as q_graph_pagerank_fix's integer fixed
+    point, closing the round-6 advice note that round(distance, 6)
+    parity was only probabilistic. Within an iteration the shape is
+    q_llm_kmeans_step's: broadcast centroids, map-side scoring,
+    (k·64)-key partial-sum shuffle for the means — vectors never
+    shuffle. The driver loop chains k_iter such plans; at production
+    scale each iteration's 8×64-value centroid state would simply be
+    collected to the driver (KB-sized at any corpus size) and
+    re-broadcast."""
+    e = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.transform(
+                "v", lambda x: F.round(x * 10000).cast("long")
+            ).alias("vq"),
+        )
+    )
     comp = (
         e.filter(F.col("vec_id") < _N_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.posexplode("v").alias("i0", "x"))
-        .select("cid", (F.col("i0") + 1).alias("i"),
-                F.round(F.col("x") * 10000).cast("long").alias("q"))
+        .select(
+            F.col("vec_id").alias("cid"), F.posexplode("vq").alias("i0", "q")
+        )
+        .select("cid", (F.col("i0") + 1).alias("i"), "q")
     )
     assigned = None
     for _ in range(k_iter):
         cent = comp.groupBy("cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "q"))),
-                lambda s: s.getField("q") / 10000.0,
-            ).alias("cv")
+                lambda s: s.getField("q"),
+            ).alias("cq")
         )
-        dist = F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-            6,
+        d2 = F.aggregate(
+            F.zip_with("vq", "cq", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
         assigned = (
             e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", "cid", dist.alias("dist"))
+            .select("vec_id", "vq", "cid", d2.alias("d2"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
-            .select("vec_id", "v", "cid")
+            .select("vec_id", "vq", "cid")
         )
         comp = (
-            assigned.select("cid", F.posexplode("v").alias("i0", "x"))
+            assigned.select("cid", F.posexplode("vq").alias("i0", "x"))
             .select("cid", (F.col("i0") + 1).alias("i"), "x")
             .groupBy("cid", "i")
-            .agg(F.round(F.avg("x") * 10000).cast("long").alias("q"))
+            .agg(
+                F.expr(
+                    f"(2 * (sum(x) + {_KM_B} * count(*)) + count(*))"
+                    f" div (2 * count(*)) - {_KM_B}"
+                ).alias("q")
+            )
         )
     members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     cent_str = comp.groupBy("cid").agg(

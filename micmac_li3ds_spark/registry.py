@@ -82,86 +82,88 @@ _loaded = False
 #            the headline/bench set — 50/50 green. After round 5 every
 #            oracle-backed query REGISTERED BEFORE round 5 had been
 #            driver-sampled ≥ once.
-#   round 6 (this window): the 28-query remainder with no green driver
-#            row ever = q_agg_approx_distinct (erred no_oracle in r1;
-#            now re-registered with a BANDED oracle — |HLL − exact| ≤
-#            3·rsd·exact as a value-checked boolean) + the 11
-#            pre-round-5 never-sampled queries (the former rows-only
-#            keys all gained oracles this round: parquet-twin for the
-#            XML pair, hash-algebra for the multimodal pair, banded for
-#            the sketch profile) + the 16 round-5 additions. Then the
-#            21 round-6 additions (driver rows in their birth round),
-#            then continuity. INVARIANT once this window lands green:
-#            every one of the 205 registered queries has been driver-
-#            sampled, and none is structurally incapable of a green row
-#            (all 205 carry oracles). All 50 pre-verified green against
-#            the local mirror at the driver's SF before commit.
-#   round 7 (plan): any round-6 red/erred rows first, then round-7
-#            additions in their birth round, then rotate the
-#            headline/bench set + the longest-unsampled tail (r1/r2
-#            greens) for re-attestation under the current corpus —
-#            coverage is complete, so the window's job shifts from
-#            first-attestation to freshness.
+#   round 6: the 28-query never-green remainder = q_agg_approx_distinct
+#            (erred no_oracle in r1; re-registered with a BANDED oracle
+#            — |HLL − exact| ≤ 4·rsd·exact as a value-checked boolean;
+#            rsd is a std-dev, 3σ risked spurious reds on corpus
+#            regen) + the 11 pre-round-5 never-sampled queries (the
+#            former rows-only keys all gained oracles: parquet-twin for
+#            the XML pair, hash-algebra for the multimodal pair, banded
+#            for the sketch profile) + the 16 round-5 additions. Then
+#            the 21 round-6 additions, then continuity — 50/50 green.
+#            The 3 queries committed AFTER this window froze
+#            (q_event_rfm, q_win_pct_of_total, q_audit_small_files)
+#            got no round-6 row; they lead the round-7 window below.
+#   round 7 (this window): first driver attestation for the 3 post-
+#            freeze round-6 additions (q_event_rfm carries its scale
+#            rewrite: broadcast order-statistic cutpoints replace the
+#            three global ntile windows — same green bar, 100×-safe
+#            plan) + any round-7 additions in their birth round + the
+#            longest-unsampled greens for freshness: all 31 queries
+#            whose newest row is round 1 and the oldest round-2 tail
+#            (fn/relational/profile families first). Two corpus
+#            regenerations have happened since those r1/r2 rows; the
+#            round-4 events.ts re-encoding showed stale greens can rot
+#            silently. Remaining r2 tail rotates in round 8.
+#            Window composition is asserted against the live registry
+#            by tests/test_registry.py (ledger cannot drift from code).
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- never-driver-sampled remainder (28) ---
-    # the once-no-oracle key, re-registered with a banded oracle:
-    "q_agg_approx_distinct",
-    # pre-round-5 never-sampled (11; oracles authored round 6 where noted):
-    "q_win_percent_rank",
-    "q_llm_chunk_split",
-    "q_llm_dup_ratio_by_source",
-    "q_llm_curate_pipeline",
-    "q_llm_mixture_sample",
-    "q_profile_columns_sketch",  # banded oracle (r6)
-    "q_ts_gap_fill",
-    "q_etl_xml_normalize",  # parquet-twin oracle (r6)
-    "q_scan_xml",  # parquet-twin oracle (r6)
-    "q_mm_feature_extract",  # hash-algebra oracle (r6)
-    "q_mm_frame_sample",  # hash-algebra oracle (r6)
-    # round-5 additions (16):
-    "q_win_cumulative_distinct",
-    "q_ts_resample_ohlc",
-    "q_event_funnel_windowed",
-    "q_etl_cdc_apply",
-    "q_llm_posting_lists",
-    "q_agg_bitmap_distinct",
-    "q_graph_pagerank_step",
-    "q_win_anomaly_zscore",
-    "q_llm_dedup_keep_best",
-    "q_llm_pq_encode",
-    "q_llm_knn_pq",
-    "q_llm_knn_pq_refine",
-    "q_stream_ohlc",
-    "q_top_supplier",
-    "q_market_share",
-    "q_llm_containment",
-    # --- round-6 additions (driver row in their birth round) ---
-    "q_agg_approx_quantile",
-    "q_ts_ewma",
-    "q_concurrent_sessions",
-    "q_graph_pagerank_fix",
-    "q_llm_substring_dup",
-    "q_llm_kmeans_fix",
-    "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip",
-    "q_join_fuzzy",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_important_parts",
-    "q_supplier_part_count",
-    "q_excess_volume_supplier",
-    "q_etl_dq_summary",
-    "q_event_attribution",
-    "q_win_streaks",
-    "q_agg_mad",
-    "q_etl_incremental_agg",
-    "q_join_spatial_grid",
-    "q_llm_vocab_induction",
-    # --- headline/bench continuity (fills to 50; every dropped entry
-    # holds ≥1 green row from earlier rounds, and the flagship
-    # q_pricing_summary stays smoke-checked every round via entry()) ---
-    "q_llm_near_dedup",
+    # --- first-ever driver attestation (3; registered late round 6) ---
+    "q_event_rfm",
+    "q_win_pct_of_total",
+    "q_audit_small_files",
+    # --- round-7 additions (driver row in their birth round) ---
+    # (appended as they land; displace the r2-freshness tail below)
+    # --- freshness: the 31 queries last attested in round 1 ---
+    "q_project_select",
+    "q_filter_simple",
+    "q_filter_compound",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_project_distinct",
+    "q_agg_basic",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_join_sortmerge",
+    "q_join_shuffle_hash",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross_theta",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_fn_regex",
+    "q_fn_datetime",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_sort_multi",
+    "q_limit",
+    # --- freshness: oldest round-2 tail (16 of 35; rest → round 8) ---
+    "q_agg_collect",
+    "q_fn_string",
+    "q_fn_array",
+    "q_fn_map",
+    "q_jdbc_roundtrip",
+    "q_agg_histogram",
+    "q_profile_columns",
+    "q_mm_binary_stats",
+    "q_sample_hash",
+    "q_reshape_unpivot",
+    "q_returned_items",
+    "q_forecast_revenue",
+    "q_promo_revenue",
+    "q_nation_trade_volume",
+    "q_waiting_supplier",
+    "q_etl_explode_block",
 ]
 
 

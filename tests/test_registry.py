@@ -135,3 +135,12 @@ def test_side_effectful_queries_are_rerun_idempotent(spark, sf_dir, name):
     first = sorted(map(tuple, fn(spark, sf_dir).collect()))
     second = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert first == second
+
+
+def test_every_registered_query_has_oracle():
+    """Global invariant since round 6: no rows-only keys anywhere —
+    every registered query is value-hash checkable. A new query landing
+    without an oracle fails here, not as a wasted driver slot."""
+    regs = R.registry()
+    no_oracle = [n for n, q in regs.items() if q.oracle is None]
+    assert not no_oracle, f"queries without oracles: {no_oracle}"

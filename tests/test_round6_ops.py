@@ -167,6 +167,48 @@ SELECT a.n, b.n FROM names a JOIN names b
     assert got == want
 
 
+def test_fuzzy_join_complete_on_short_strings(spark):
+    # Round-7 fix for the round-6 advice finding: strings shorter than
+    # tau+1 have empty index segments, so segment blocking alone can
+    # miss pairs whose edits touch every non-empty segment (e.g.
+    # 'a' vs 'xz' at tau=2 shares no segment). The brute-force branch
+    # over the length <= 2*tau subset must recover them. Compare the
+    # full result against an in-Python brute force on a corpus dense
+    # in 0-2 char strings.
+    import itertools
+
+    from micmac_li3ds_spark.operators.joins import fuzzy_self_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    corpus = ["", "a", "b", "ab", "ba", "xz", "abc", "abd", "xyz",
+              "q", "qq", "qqq", "abcd", "bcd", "zz"]
+    corpus = sorted(set(corpus))
+    tau = 2
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(corpus, 2)
+        if a < b and abs(len(a) - len(b)) <= tau and lev(a, b) <= tau
+    }
+    names = spark.createDataFrame([(s,) for s in corpus], ["n"])
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_self_join(names, tau).collect()
+    }
+    assert want, "short-string workload must produce true pairs"
+    assert got == want
+
+
 def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
     # The 100 TB file-layout lever behind q_join_spatial_grid: writing
     # the point table ordered by an interleaved-bit (Morton/Z-order)
