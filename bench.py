@@ -54,6 +54,17 @@ HEADLINE = [
     "q_etl_scd2",               # SCD2 intervals: 2 windows, 1 shuffle
 ]
 
+# Second bench group (round 7): the expensive specialist operators the
+# headline set under-represents. Reported under separate JSON keys so
+# the headline total stays comparable across every round since r1.
+EXTENDED = [
+    "q_join_fuzzy",             # PassJoin segment-blocked edit-distance join
+    "q_join_spatial_grid",      # grid-cell broadcast spatial join
+    "q_llm_substring_dup",      # posting-list substring-level dedup
+    "q_llm_knn_pq_refine",      # PQ/ADC shortlist + exact re-rank
+    "q_llm_curate_pipeline",    # end-to-end curation composite
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,28 +86,44 @@ def main() -> None:
     # Best-of-2 per query: single-run wall-clock on a shared local[32]
     # JVM varies ±40% with scheduler noise; the min of two runs is the
     # engine's actual cost (standard best-of-N benchmark practice).
-    timings: dict[str, float] = {}
-    first_timings: dict[str, float] = {}
-    total = 0.0
-    first_total = 0.0
-    for name in names:
-        best, first, n = float("inf"), 0.0, 0
-        for run in range(2):
-            # queries that cache intermediates (near-dedup) must rebuild
-            # them each run or the second run measures a cache hit
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df = reg[name].fn(spark, sf_dir)
-            n = df.count() if name.startswith("q_scan") else len(df.collect())
-            elapsed = time.time() - t0
-            if run == 0:
-                first = elapsed
-            best = min(best, elapsed)
-        timings[name] = round(best, 3)
-        first_timings[name] = round(first, 3)
-        total += best
-        first_total += first
-        print(f"# {name}: best={best:.3f}s first={first:.3f}s rows={n}", file=sys.stderr)
+    def run_group(group_names):
+        timings: dict[str, float] = {}
+        first_timings: dict[str, float] = {}
+        total = 0.0
+        first_total = 0.0
+        for name in group_names:
+            best, first, n = float("inf"), 0.0, 0
+            for run in range(2):
+                # queries that cache intermediates (near-dedup) must
+                # rebuild them each run or the second run measures a
+                # cache hit
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = reg[name].fn(spark, sf_dir)
+                n = (
+                    df.count()
+                    if name.startswith("q_scan")
+                    else len(df.collect())
+                )
+                elapsed = time.time() - t0
+                if run == 0:
+                    first = elapsed
+                best = min(best, elapsed)
+            timings[name] = round(best, 3)
+            first_timings[name] = round(first, 3)
+            total += best
+            first_total += first
+            print(
+                f"# {name}: best={best:.3f}s first={first:.3f}s rows={n}",
+                file=sys.stderr,
+            )
+        return timings, first_timings, total, first_total
+
+    timings, first_timings, total, first_total = run_group(names)
+    ext_names = [n for n in EXTENDED if n in reg]
+    ext_timings, ext_first_timings, ext_total, ext_first_total = run_group(
+        ext_names
+    )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -116,6 +143,13 @@ def main() -> None:
                 "timing": "best_of_n",
                 "first_run_total": round(first_total, 3),
                 "first_run_queries": first_timings,
+                # round-7 second group: specialist operators, reported
+                # separately so `value` (the headline total) remains
+                # comparable with rounds 1-6
+                "extended_total": round(ext_total, 3),
+                "extended_queries": ext_timings,
+                "extended_first_run_total": round(ext_first_total, 3),
+                "extended_first_run_queries": ext_first_timings,
             }
         )
     )

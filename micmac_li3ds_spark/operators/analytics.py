@@ -1165,6 +1165,113 @@ def pagerank_fixpoint(
     )
 
 
+def pagerank_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    eps_rel: float = 1e-3,
+    max_iter: int = 60,
+) -> tuple[DataFrame, int]:
+    """PageRank driven to CONVERGENCE: iterate the q_graph_pagerank_fix
+    superstep until the RELATIVE L1 residual ‖r' − r‖₁ / ‖r'‖₁ drops
+    below ``eps_rel`` (the classical PageRank stopping criterion —
+    scale-free, unlike an absolute per-node cut, which a single
+    high-in-degree hub's large rank would inflate past any fixed
+    threshold), or ``max_iter``. Returns (ranks DataFrame, iterations
+    executed) — the production form of the fixed-count demo, with the
+    stopping rule the demo's docstring promises.
+
+    Driver-loop mechanics, each the standard iterate-until-converge
+    pattern at any scale:
+    * the edge/out-degree table is persisted once (it is re-read every
+      superstep);
+    * each iteration localCheckpoints its rank state so plan depth and
+      recovery cost stay O(1) in the iteration count;
+    * the stopping test reads ONE aggregated row per iteration
+      (Σ|Δrank|, Σrank) — a driver-side O(1) read, not a data collect;
+      the rank table itself never leaves the executors.
+    The integer fixed-point recurrence makes the iterate sequence
+    bit-deterministic, so the stopping iteration is reproducible —
+    damping 0.85 contracts the residual geometrically, giving
+    convergence in O(log(1/eps)) supersteps regardless of graph size
+    (fixed-point truncation adds ≤ 0.85·|E| µ-units of L1 noise per
+    step, a vanishing fraction of ‖r‖₁ ≈ n·10⁶ for any graph with
+    average degree ≪ 10⁶)."""
+    pairs = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib_edges = edges.join(outdeg, "src").persist()
+    ranks = (
+        edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.lit(1000000).cast("long").alias("rank_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    iters = 0
+    try:
+        for iters in range(1, max_iter + 1):
+            nxt = (
+                contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+                .select("dst", F.expr("rank_u div d").alias("contrib"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.expr(
+                        "CAST(150000 + (850 * SUM(contrib)) div 1000"
+                        " AS BIGINT)"
+                    ).alias("rank_u")
+                )
+                .localCheckpoint(eager=True)
+            )
+            res = (
+                nxt.join(
+                    ranks.select(
+                        "node", F.col("rank_u").alias("prev_u")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.sum(F.abs(F.col("rank_u") - F.col("prev_u"))).alias(
+                        "l1_delta"
+                    ),
+                    F.sum("rank_u").alias("l1_rank"),
+                )
+                .head()
+            )
+            ranks = nxt
+            if (
+                res["l1_rank"]
+                and res["l1_delta"] is not None
+                and res["l1_delta"] < eps_rel * res["l1_rank"]
+            ):
+                break
+    finally:
+        contrib_edges.unpersist()
+    return (
+        ranks.select(
+            "node",
+            "rank_u",
+            F.round(F.col("rank_u") / 1000000.0, 6).alias("rank"),
+        ),
+        iters,
+    )
+
+
 @register(
     "q_graph_pagerank_fix",
     oracle=_pagerank_oracle(6),
@@ -1172,10 +1279,13 @@ def pagerank_fixpoint(
 )
 def q_graph_pagerank_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six chained PageRank supersteps run to near-convergence (see
-    pagerank_fixpoint; convergence itself is pinned in
-    tests/test_round6_ops.py). The oracle unrolls the identical
-    fixed-point recurrence as six chained CTEs — value parity across
-    a genuinely iterative plan, not just one superstep."""
+    pagerank_fixpoint). The oracle unrolls the identical fixed-point
+    recurrence as six chained CTEs — value parity across a genuinely
+    iterative plan, not just one superstep. The REAL driver loop with
+    the relative-L1 stopping rule is ``pagerank_converged`` (same
+    superstep, iterate-until-‖Δ‖₁/‖r‖₁ < ε); both its convergence on
+    the corpus graph and the bit-determinism of its stopping iteration
+    are pinned in tests/test_round6_ops.py."""
     return pagerank_fixpoint(spark, sf_dir, 6)
 
 

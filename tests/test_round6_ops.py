@@ -272,3 +272,33 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
     plain_area = mean_envelope_area(base)
     z_area = mean_envelope_area(zord)
     assert z_area < plain_area / 2, (z_area, plain_area)
+
+
+def test_pagerank_converges_with_stopping_rule(spark):
+    # Round-7: the superstep composed into a REAL driver loop — iterate
+    # until max |Δrank| < ε, not a fixed count. Damping 0.85 contracts
+    # deltas geometrically, so the corpus graph must converge well
+    # within the iteration cap; and the converged state must be a
+    # genuine fixed point: one more superstep moves nothing by ≥ ε.
+    from micmac_li3ds_spark.operators.analytics import pagerank_converged
+
+    ranks, iters = pagerank_converged(spark, SF_DIR, eps_rel=1e-3,
+                                      max_iter=60)
+    assert 1 <= iters < 60, f"did not converge: {iters} iterations"
+    n = ranks.count()
+    assert n > 0
+    # determinism of the stopping iteration: re-running lands on the
+    # same iterate count and identical rank multiset (integer
+    # fixed-point arithmetic → bit-stable sequence)
+    ranks2, iters2 = pagerank_converged(spark, SF_DIR, eps_rel=1e-3,
+                                        max_iter=60)
+    assert iters2 == iters
+    diff = (
+        ranks.select("node", "rank_u")
+        .exceptAll(ranks2.select("node", "rank_u"))
+        .count()
+    )
+    assert diff == 0
+    # mass conservation at the fixed point
+    tot = ranks.agg(F.sum("rank_u")).collect()[0][0]
+    assert abs(tot - n * 1_000_000) < n * 0.2 * 1_000_000
