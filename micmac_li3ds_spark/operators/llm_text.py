@@ -1609,3 +1609,205 @@ def q_llm_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_BM25_QUERY = ("join", "scan", "window")  # fixed query terms
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "q_llm_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tfq AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks_ne
+  WHERE term IN {str(tuple(_BM25_QUERY))}
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         SUM(
+           ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({_BM25_K1} + 1))
+           / (t.tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * l.dl / c.avgdl))
+         ) AS s
+  FROM tfq t
+  JOIN dft d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+    tags=("llm", "text", "search", "ranking"),
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-20 documents for a fixed 3-term
+    query under the classic Okapi weighting (k1=1.2, b=0.75,
+    idf = ln(1 + (N−df+0.5)/(df+0.5))) — the lexical-search
+    counterpart to the cosine ANN family, composing tokenize → tf →
+    df → length-normalized score end-to-end.
+
+    Scale shape: the token explosion is filtered to the QUERY terms
+    before any aggregation, so the tf pass shuffles only matching
+    postings (|query| ≈ 3 terms, not the vocabulary); document length
+    is a second linear aggregate over the same exploded scan (one
+    shared exchange under reuse); df and the corpus constants are
+    KB-sized broadcasts; the finish is a top-k
+    (TakeOrderedAndProject), never a global sort. Float posture
+    follows the llm_vector convention: scores are compared ROUNDED to
+    6 dp with doc_id tie-breaks — ln/÷ are IEEE-identical on both
+    engines for identical inputs, so only a score landing within an
+    ulp of a rounding boundary could differ (the same accepted
+    residual risk as every cosine query)."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("long")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tfq = (
+        toks.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tfq.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * (F.col("tf") * (_BM25_K1 + 1)) / norm).alias("s")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("s", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+_CROSS_DEDUP_ORACLE = f"""
+WITH {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+               / length(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM sh a JOIN sh b
+    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+)
+SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5
+"""
+
+
+@register(
+    "q_llm_cross_dedup",
+    oracle=_CROSS_DEDUP_ORACLE,
+    tags=("llm", "dedup", "lsh", "decontamination"),
+)
+def q_llm_cross_dedup(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = 4096
+) -> DataFrame:
+    """CROSS-corpus near-duplicate join — the near-dup form of
+    train/eval decontamination (q_llm_decontaminate catches exact
+    shingle hits; this catches paraphrase-level overlap): all
+    (train, eval) document pairs with Jaccard ≥ 0.5, where the two
+    corpora are the even/odd doc_id halves of the documents table.
+
+    Same 100-TB shape as q_llm_near_dedup — per-row signature algebra,
+    ONE band-key groupBy, pair expansion inside buckets — but the
+    bucket expansion is the A×B bipartite product only: each bucket
+    collects its two sides separately and never pairs two documents
+    from the same corpus, so candidate work is |A∩bucket|·|B∩bucket|
+    rather than C(k,2), and the asymmetric common case (small eval
+    set vs huge train corpus) costs |bucket_B| per train doc. The
+    per-side ``bucket_cap`` skew guard and the exact-Jaccard
+    verification pass carry over unchanged; the oracle brute-forces
+    the bipartite product."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
+    )
+    _scoped_cache(d)
+    banded = minhash_band_keys(d).withColumn(
+        "side", F.pmod(F.col("doc_id"), F.lit(2))
+    )
+    ids_a = F.array_sort(
+        F.collect_set(F.when(F.col("side") == 0, F.col("doc_id")))
+    ).alias("ids_a")
+    ids_b = F.array_sort(
+        F.collect_set(F.when(F.col("side") == 1, F.col("doc_id")))
+    ).alias("ids_b")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids_a"),
+            lambda x: F.transform(
+                F.col("ids_b"),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    candidates = (
+        banded.groupBy("band_key")
+        .agg(ids_a, ids_b)
+        .filter(
+            (F.size("ids_a") >= 1)
+            & (F.size("ids_b") >= 1)
+            & (F.size("ids_a") <= bucket_cap)
+            & (F.size("ids_b") <= bucket_cap)
+        )
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )

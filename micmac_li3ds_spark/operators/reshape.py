@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from micmac_li3ds_spark.functions.exact import cents
+from micmac_li3ds_spark.functions.exact import cents, duck_cents
+from micmac_li3ds_spark.functions.selection import exact_rank_values
 from micmac_li3ds_spark.registry import register
 from micmac_li3ds_spark.tables import load
 
@@ -594,4 +595,86 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             arr, F.lit(0.0), lambda acc, x: acc / 2 + x
         ).alias("ewma_c"),
+    )
+
+
+_EDH_B = 8  # equi-depth bucket count
+_EDH_CUTS = ", ".join(f"({k})" for k in range(1, _EDH_B))
+
+
+@register(
+    "q_agg_equidepth_hist",
+    oracle=f"""
+WITH src AS (SELECT {duck_cents("o_totalprice")} AS v FROM orders),
+nn AS (SELECT COUNT(*) AS n FROM src),
+pos AS (
+  SELECT k, k * (n // {_EDH_B}) + least(k, n % {_EDH_B}) AS p
+  FROM nn, (VALUES {_EDH_CUTS}) t(k)
+),
+rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM src),
+cut AS (SELECT p.k AS k, min(rk.v) AS c FROM pos p JOIN rk ON rk.r = p.p
+        GROUP BY p.k),
+cc AS (
+  SELECT {", ".join(f"max(CASE WHEN k = {k} THEN c END) AS c{k}"
+                    for k in range(1, _EDH_B))}
+  FROM cut
+),
+scored AS (
+  SELECT v,
+         1 {" ".join(f"+ CAST(v > c{k} AS INT)" for k in range(1, _EDH_B))}
+           AS bucket
+  FROM src, cc
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       min(v) AS lo_c, max(v) AS hi_c
+FROM scored GROUP BY bucket
+""",
+    tags=("agg", "histogram", "quantile"),
+)
+def q_agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals — the
+    dual of q_agg_histogram's equi-WIDTH bins, and the harder one at
+    scale because the bucket EDGES are order statistics of the data
+    rather than arithmetic on min/max. The 8-quantile edges come
+    from functions/selection.py's exact distributed selection (value
+    histogram → range-partitioned partial cumsum → broadcast offsets →
+    boundary aggregate — no global sort, no single-partition window,
+    no driver-side value buffering), are broadcast as one row, and
+    every order scores its bucket map-side: 1 + Σ(v > edge_k). Rows
+    with EQUAL totals land in the same bucket (value-quantile
+    semantics — deterministic in any engine, unlike ntile's positional
+    tie split), so bucket populations deviate from n/8 exactly
+    where ties straddle an edge; lo_c/hi_c expose the realized edges.
+    All arithmetic is integer cents."""
+    src = load(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("v")
+    )
+    n_df = src.agg(F.count("*").alias("n"))
+    stack_args = ", ".join(
+        f"{k}, CAST({k} * (n div {_EDH_B}) + least({k}, n % {_EDH_B})"
+        " AS BIGINT)"
+        for k in range(1, _EDH_B)
+    )
+    pos = n_df.selectExpr(
+        f"stack({_EDH_B - 1}, {stack_args}) AS (k, p)"
+    )
+    cuts = exact_rank_values(src, "v", pos)
+    cuts_row = cuts.groupBy().agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("c"))).alias(f"c{k}")
+            for k in range(1, _EDH_B)
+        ]
+    )
+    bucket = F.lit(1)
+    for k in range(1, _EDH_B):
+        bucket = bucket + (F.col("v") > F.col(f"c{k}")).cast("int")
+    return (
+        src.crossJoin(F.broadcast(cuts_row))
+        .select("v", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo_c"),
+            F.max("v").alias("hi_c"),
+        )
     )

@@ -114,7 +114,10 @@ _PRIORITY: list[str] = [
     "q_win_pct_of_total",
     "q_audit_small_files",
     # --- round-7 additions (driver row in their birth round) ---
-    # (appended as they land; displace the r2-freshness tail below)
+    "q_graph_triangles",
+    "q_agg_equidepth_hist",
+    "q_llm_bm25",
+    "q_llm_cross_dedup",
     # --- freshness: the 31 queries last attested in round 1 ---
     "q_project_select",
     "q_filter_simple",
@@ -147,7 +150,7 @@ _PRIORITY: list[str] = [
     "q_fn_cond",
     "q_sort_multi",
     "q_limit",
-    # --- freshness: oldest round-2 tail (16 of 35; rest → round 8) ---
+    # --- freshness: oldest round-2 tail (12 of 35; rest → round 8) ---
     "q_agg_collect",
     "q_fn_string",
     "q_fn_array",
@@ -160,10 +163,6 @@ _PRIORITY: list[str] = [
     "q_reshape_unpivot",
     "q_returned_items",
     "q_forecast_revenue",
-    "q_promo_revenue",
-    "q_nation_trade_volume",
-    "q_waiting_supplier",
-    "q_etl_explode_block",
 ]
 
 
