@@ -539,3 +539,34 @@ def test_rfm_has_no_global_window(spark):
     # SinglePartition exchanges over partial-agg output — those carry
     # bytes, not the customer base, so they are not pinned away here)
     assert "ntile" not in plan.toString()
+
+
+@pytest.mark.parametrize(
+    "name,max_hash_exchanges",
+    [
+        ("q_graph_triangles", 20),     # grp/e/deg branches pre-AQE; the
+                                       # o1/o2 wedge self-join reuses one
+                                       # exchange at runtime (AQE)
+        ("q_agg_equidepth_hist", 7),   # histogram agg + cumsum machinery;
+                                       # offsets/pos/cuts are broadcast
+        ("q_llm_bm25", 6),             # dl + tfq aggs + df broadcast join
+        ("q_llm_cross_dedup", 5),      # ONE band groupBy + verify joins —
+                                       # the near-dedup shape
+    ],
+)
+def test_round7_exchange_budgets(spark, name, max_hash_exchanges):
+    """Pin the shuffle budgets of the round-7 operators (the round-6
+    budget test's charter): a refactor that silently loses a broadcast
+    or adds an avoidable wide stage fails here, not at 100 TB. All
+    BroadcastNestedLoopJoins in these plans are 1-row/KB-sized
+    broadcast singletons (cut tables, corpus constants) — a
+    CartesianProduct anywhere is an instant failure."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.registry()[name].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert p.count("Exchange hashpartitioning") <= max_hash_exchanges
+    assert "CartesianProduct" not in p
