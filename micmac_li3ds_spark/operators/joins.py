@@ -641,6 +641,114 @@ def fuzzy_self_join(names: DataFrame, tau: int) -> DataFrame:
     ).filter(F.col("dist") <= tau)
 
 
+@register(
+    "q_er_resolve",
+    oracle="""
+WITH RECURSIVE names AS (SELECT DISTINCT c_name AS n FROM customer),
+pairs AS (
+  SELECT a.n AS na, b.n AS nb
+  FROM names a JOIN names b
+    ON a.n < b.n
+   AND abs(length(a.n) - length(b.n)) <= 1
+   AND levenshtein(a.n, b.n) <= 1
+),
+edges AS (
+  SELECT na AS a, nb AS b FROM pairs
+  UNION ALL
+  SELECT nb AS a, na AS b FROM pairs
+),
+reach AS (
+  SELECT a AS nm, b AS peer FROM edges
+  UNION
+  SELECT r.nm, e.b FROM reach r JOIN edges e ON e.a = r.peer
+),
+lab AS (SELECT nm, LEAST(nm, MIN(peer)) AS canonical FROM reach GROUP BY nm),
+allnames AS (
+  SELECT n.n AS name, coalesce(l.canonical, n.n) AS canonical
+  FROM names n LEFT JOIN lab l ON l.nm = n.n
+)
+SELECT name, canonical,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+         AS cluster_size
+FROM allnames
+""",
+    tags=("join", "fuzzy", "composite", "entity-resolution"),
+)
+def q_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the production composite the
+    pieces exist for: fuzzy duplicate DETECTION (PassJoin segment
+    blocking, tau=1) chained into duplicate-cluster RESOLUTION
+    (iterative min-label propagation, q_llm_dedup_clusters' Pregel
+    shape) to emit the canonical-name mapping every MDM/dedup pipeline
+    ends with: one row per distinct customer name with its cluster
+    representative (lexicographic min — deterministic in any engine
+    for ASCII keys) and cluster size. Singleton names map to
+    themselves, so the output is a TOTAL canonicalization map, ready
+    to broadcast-join against the fact tables.
+
+    Scale: candidate pairs come from the blocked fuzzy join (constant
+    per-string fan-out, one segment-key shuffle — never n^2); each
+    propagation round is one keyed join + groupBy on the name key and
+    converges in O(cluster diameter) rounds (near-duplicate clusters
+    are near-cliques); the driver loop reads only a changed-row count
+    per round. The oracle reaches the identical fixpoint by
+    UNION-distinct recursion."""
+    names = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("n"))
+        .distinct()
+    )
+    pairs = fuzzy_self_join(names, 1).select("name_a", "name_b")
+    edges = (
+        pairs.select(F.col("name_a").alias("a"), F.col("name_b").alias("b"))
+        .unionByName(
+            pairs.select(
+                F.col("name_b").alias("a"), F.col("name_a").alias("b")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    # state rides localCheckpoint, not cache: each round's labels are a
+    # MATERIALIZED leaf, so plan depth (and per-round planning cost)
+    # stays O(1) in the round count — the pagerank_converged pattern;
+    # with cache the nested lineage made late rounds dominate wall time
+    labels = names.select(
+        F.col("n").alias("name"), F.col("n").alias("lbl")
+    ).localCheckpoint(eager=True)
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.name)
+            .groupBy(F.col("b").alias("name2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.name == F.col("name2"), "left"
+            )
+            .select(
+                "name",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("nw")
+            .join(labels.alias("old"), "name")
+            .filter(F.col("nw.lbl") != F.col("old.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("canonical")
+    return (
+        labels.select("name", F.col("lbl").alias("canonical"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+
+
 _CELL = 16  # grid cell edge ≥ box edge ⇒ a box overlaps ≤ 2 cells per axis
 
 

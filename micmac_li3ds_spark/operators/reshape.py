@@ -678,3 +678,75 @@ def q_agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("hi_c"),
         )
     )
+
+
+@register(
+    "q_agg_winsorize",
+    oracle=f"""
+WITH src AS (SELECT {duck_cents("l_extendedprice")} AS v FROM lineitem),
+nn AS (SELECT COUNT(*) AS n FROM src),
+pos AS (
+  SELECT greatest(1, (5 * n) // 100) AS p_lo,
+         least(n, (95 * n) // 100 + 1) AS p_hi
+  FROM nn
+),
+rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM src),
+cuts AS (
+  SELECT max(CASE WHEN r.r = p.p_lo THEN r.v END) AS lo_c,
+         max(CASE WHEN r.r = p.p_hi THEN r.v END) AS hi_c
+  FROM rk r, pos p
+)
+SELECT (SELECT n FROM nn) AS n_rows,
+       c.lo_c, c.hi_c,
+       (SELECT CAST(SUM(v) AS BIGINT) FROM src) AS sum_raw_c,
+       (SELECT CAST(SUM(least(greatest(v, c.lo_c), c.hi_c)) AS BIGINT)
+        FROM src) AS sum_clipped_c,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+        WHERE v < c.lo_c OR v > c.hi_c) AS n_clipped
+FROM cuts c
+""",
+    tags=("agg", "quantile", "dataprep"),
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit — the standard outlier-robust data-prep
+    step: clip extended prices to the exact [p05, p95] order
+    statistics and report the clip bounds, raw vs clipped sums, and
+    how many rows were clipped. The two cut values come from
+    functions/selection.py's exact distributed selection (same
+    machinery as q_agg_equidepth_hist — no global sort, no
+    single-partition window), broadcast as one row, and the clip +
+    re-aggregation is one map-side-combining pass. Everything is
+    integer cents, so both engines agree bit-for-bit: the cuts are
+    pure functions of the value multiset and the clipped sum is
+    integer arithmetic."""
+    src = load(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("v")
+    )
+    n_df = src.agg(F.count("*").alias("n"))
+    pos = n_df.selectExpr(
+        "stack(2, 'lo', CAST(greatest(1, (5 * n) div 100) AS BIGINT), "
+        "'hi', CAST(least(n, (95 * n) div 100 + 1) AS BIGINT)) AS (k, p)"
+    )
+    cuts = exact_rank_values(src, "v", pos)
+    cuts_row = cuts.groupBy().agg(
+        F.max(F.when(F.col("k") == "lo", F.col("c"))).alias("lo_c"),
+        F.max(F.when(F.col("k") == "hi", F.col("c"))).alias("hi_c"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("lo_c")), F.col("hi_c"))
+    return (
+        src.crossJoin(F.broadcast(cuts_row))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("lo_c").alias("lo_c"),
+            F.max("hi_c").alias("hi_c"),
+            F.sum("v").alias("sum_raw_c"),
+            F.sum(clipped).alias("sum_clipped_c"),
+            F.count(
+                F.when(
+                    (F.col("v") < F.col("lo_c"))
+                    | (F.col("v") > F.col("hi_c")),
+                    1,
+                )
+            ).alias("n_clipped"),
+        )
+    )

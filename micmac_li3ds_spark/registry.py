@@ -118,6 +118,8 @@ _PRIORITY: list[str] = [
     "q_agg_equidepth_hist",
     "q_llm_bm25",
     "q_llm_cross_dedup",
+    "q_agg_winsorize",
+    "q_er_resolve",
     # --- freshness: the 31 queries last attested in round 1 ---
     "q_project_select",
     "q_filter_simple",
@@ -150,7 +152,7 @@ _PRIORITY: list[str] = [
     "q_fn_cond",
     "q_sort_multi",
     "q_limit",
-    # --- freshness: oldest round-2 tail (12 of 35; rest → round 8) ---
+    # --- freshness: oldest round-2 tail (10 of 35; rest → round 8) ---
     "q_agg_collect",
     "q_fn_string",
     "q_fn_array",
@@ -161,8 +163,6 @@ _PRIORITY: list[str] = [
     "q_mm_binary_stats",
     "q_sample_hash",
     "q_reshape_unpivot",
-    "q_returned_items",
-    "q_forecast_revenue",
 ]
 
 
