@@ -63,6 +63,9 @@ EXTENDED = [
     "q_llm_substring_dup",      # posting-list substring-level dedup
     "q_llm_knn_pq_refine",      # PQ/ADC shortlist + exact re-rank
     "q_llm_curate_pipeline",    # end-to-end curation composite
+    "q_abc_pareto",             # distributed global prefix-sum scan
+    "q_skyline",                # strict prefix-min Pareto frontier
+    "q_er_resolve",             # fuzzy-join + label-propagation composite
 ]
 
 

@@ -29,6 +29,92 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def with_global_prefix(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    agg: str = "sum",
+    inclusive: bool = True,
+    out: str = "cum",
+    rank_out: str | None = None,
+) -> DataFrame:
+    """Exact GLOBAL prefix aggregate (running sum / running min) and
+    optional global 1-based row rank over ``df`` ordered by
+    ``order_cols`` — with no single-partition ``Window.orderBy``.
+
+    Same plan family as :func:`exact_rank_values`: range-partition on
+    the order (partition ids ascend with the sort), per-partition
+    window (parallel), then a broadcast join against the P-row
+    per-partition totals to add cross-partition offsets. P is bounded
+    by cluster size, never data size, so the shape survives 10⁹ rows
+    where a global window serializes onto one reducer.
+
+    ``order_cols`` must define a TOTAL order (include a tiebreaker
+    key): the result is then a pure function of the data, independent
+    of how the range sampler draws partition boundaries.
+
+    ``agg='sum'`` → ``out`` = running sum of ``val_col``;
+    ``agg='min'`` → ``out`` = running min. ``inclusive=False`` makes
+    the prefix STRICT (rows strictly before the current row; NULL for
+    the global first row) — the primitive behind skyline dominance.
+    """
+    if agg not in ("sum", "min"):
+        raise ValueError(f"unsupported prefix agg: {agg}")
+    fn = F.sum if agg == "sum" else F.min
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    frame = (
+        w.rowsBetween(Window.unboundedPreceding, 0)
+        if inclusive
+        else w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_in", fn(val_col).over(frame)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    totals = d.groupBy("_pid").agg(
+        fn(val_col).alias("_tot"), F.count(F.lit(1)).alias("_cnt")
+    )
+    prior = F.col("_bpid") < F.col("_pid")
+    offs = (
+        totals.join(
+            F.broadcast(
+                totals.select(
+                    F.col("_pid").alias("_bpid"),
+                    F.col("_tot").alias("_btot"),
+                    F.col("_cnt").alias("_bcnt"),
+                )
+            ),
+            prior,
+            "left",
+        )
+        .groupBy("_pid")
+        .agg(
+            (F.sum("_btot") if agg == "sum" else F.min("_btot")).alias("_off"),
+            F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("_roff"),
+        )
+    )
+    d = d.join(F.broadcast(offs), "_pid")
+    if agg == "sum":
+        combined = F.col("_in") + F.coalesce(F.col("_off"), F.lit(0))
+        # strict prefix of the global first row is an empty sum → NULL
+        if not inclusive:
+            combined = F.when(
+                F.col("_in").isNull() & F.col("_off").isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(F.col("_in"), F.lit(0))
+                + F.coalesce(F.col("_off"), F.lit(0))
+            )
+        d = d.withColumn(out, combined)
+    else:
+        d = d.withColumn(out, F.least("_in", "_off"))
+    if rank_out is not None:
+        d = d.withColumn(rank_out, F.col("_rn") + F.col("_roff"))
+    return d.drop("_pid", "_in", "_rn", "_off", "_roff")
+
+
 def exact_rank_values(df: DataFrame, col: str, pos_df: DataFrame) -> DataFrame:
     """Exact order statistics of ``df[col]`` at multiple rank positions.
 

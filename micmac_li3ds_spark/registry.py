@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "micmac_li3ds_spark.operators.subqueries",
     "micmac_li3ds_spark.operators.sampling",
     "micmac_li3ds_spark.operators.reshape",
+    "micmac_li3ds_spark.operators.mining",
 ]
 
 _loaded = False
@@ -98,13 +99,18 @@ _loaded = False
 #            freeze round-6 additions (q_event_rfm carries its scale
 #            rewrite: broadcast order-statistic cutpoints replace the
 #            three global ntile windows — same green bar, 100×-safe
-#            plan) + any round-7 additions in their birth round + the
-#            longest-unsampled greens for freshness: all 31 queries
-#            whose newest row is round 1 and the oldest round-2 tail
-#            (fn/relational/profile families first). Two corpus
-#            regenerations have happened since those r1/r2 rows; the
-#            round-4 events.ts re-encoding showed stale greens can rot
-#            silently. Remaining r2 tail rotates in round 8.
+#            plan) + the 14 round-7 additions in their birth round
+#            (graph/hist/BM25/cross-dedup/winsorize/ER batch, then the
+#            mining batch: ABC-Pareto, Gini, Markov transitions,
+#            cohort LTV, skyline, interpolation, moment-exact corr,
+#            multires time rollup) + freshness: 29 of the 31 queries
+#            whose newest row is round 1 (q_sort_multi and q_limit —
+#            the two most rot-resistant, no events/complex output —
+#            defer to round 8) and the 4 oldest round-2 complex-output
+#            queries. Two corpus regenerations have happened since
+#            those r1/r2 rows; the round-4 events.ts re-encoding
+#            showed stale greens can rot silently. Remaining r1/r2
+#            tail rotates in round 8.
 #            Window composition is asserted against the live registry
 #            by tests/test_registry.py (ledger cannot drift from code).
 DRIVER_WINDOW = 50
@@ -120,6 +126,14 @@ _PRIORITY: list[str] = [
     "q_llm_cross_dedup",
     "q_agg_winsorize",
     "q_er_resolve",
+    "q_abc_pareto",
+    "q_agg_gini",
+    "q_event_transitions",
+    "q_event_cohort_ltv",
+    "q_skyline",
+    "q_ts_interpolate",
+    "q_agg_corr",
+    "q_ts_rollup_multires",
     # --- freshness: the 31 queries last attested in round 1 ---
     "q_project_select",
     "q_filter_simple",
@@ -150,19 +164,13 @@ _PRIORITY: list[str] = [
     "q_fn_datetime",
     "q_fn_math",
     "q_fn_cond",
-    "q_sort_multi",
-    "q_limit",
-    # --- freshness: oldest round-2 tail (10 of 35; rest → round 8) ---
+    # --- freshness: oldest round-2 tail (4 of 35; rest → round 8 — the
+    # canonicalizer-sensitive complex-output four go first, they are
+    # the ones a corpus regen is most likely to silently rot) ---
     "q_agg_collect",
     "q_fn_string",
     "q_fn_array",
     "q_fn_map",
-    "q_jdbc_roundtrip",
-    "q_agg_histogram",
-    "q_profile_columns",
-    "q_mm_binary_stats",
-    "q_sample_hash",
-    "q_reshape_unpivot",
 ]
 
 

@@ -552,6 +552,17 @@ def test_rfm_has_no_global_window(spark):
         ("q_llm_bm25", 6),             # dl + tfq aggs + df broadcast join
         ("q_llm_cross_dedup", 5),      # ONE band groupBy + verify joins —
                                        # the near-dedup shape
+        # mining batch: hash budget = per-key agg + scaffold joins; the
+        # 3 printed range exchanges of the prefix scan dedupe to ONE at
+        # runtime (ReusedExchange, verified on the final adaptive plan)
+        ("q_abc_pareto", 6),
+        ("q_agg_gini", 4),
+        ("q_skyline", 5),
+        ("q_event_transitions", 3),    # user window + matrix agg
+        ("q_event_cohort_ltv", 3),     # first-touch agg + join + rollup
+        ("q_ts_interpolate", 2),       # hourly agg + span agg
+        ("q_agg_corr", 0),             # pure map-side moments, 1-row merge
+        ("q_ts_rollup_multires", 1),   # one expand-then-partial-agg shuffle
     ],
 )
 def test_round7_exchange_budgets(spark, name, max_hash_exchanges):

@@ -1,0 +1,312 @@
+"""Semantic tests for the round-7 mining batch, beyond oracle parity:
+prefix-scan correctness at scale shape (no global windows), Pareto
+classification algebra, skyline dominance, transition-matrix row
+normalization, cohort-LTV conservation, and interpolation bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark import registry
+from micmac_li3ds_spark.functions.selection import with_global_prefix
+from micmac_li3ds_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    return registry.get(name).fn(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------- helper
+
+
+def test_with_global_prefix_matches_global_window(spark):
+    """The range-partitioned prefix scan must equal the (small-data)
+    global-window truth for sum, rank, and strict min."""
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("k")
+    )
+    got = (
+        with_global_prefix(
+            df,
+            [F.col("v").asc(), F.col("k").asc()],
+            "v",
+            agg="sum",
+            out="cum",
+            rank_out="rk",
+        )
+        .orderBy("rk")
+        .collect()
+    )
+    rows = sorted((r["v"], r["k"]) for r in df.collect())
+    cum = 0
+    for i, (v, k) in enumerate(rows, start=1):
+        cum += v
+        assert got[i - 1]["cum"] == cum
+        assert got[i - 1]["rk"] == i
+        assert (got[i - 1]["v"], got[i - 1]["k"]) == (v, k)
+
+
+def test_with_global_prefix_strict_min(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), ((F.col("id") * 17) % 59).alias("s")
+    )
+    got = {
+        r["k"]: r["pm"]
+        for r in with_global_prefix(
+            df, [F.col("k").asc()], "s", agg="min", inclusive=False, out="pm"
+        ).collect()
+    }
+    rows = sorted((r["k"], r["s"]) for r in df.collect())
+    run = None
+    for k, s in rows:
+        assert got[k] == run
+        run = s if run is None else min(run, s)
+
+
+# ------------------------------------------------------------ ABC / Gini
+
+
+def test_abc_partitions_all_parts(spark):
+    out = {r["abc_class"]: r for r in _q(spark, "q_abc_pareto").collect()}
+    n_parts = (
+        load(spark, SF_DIR, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in out.values()) == n_parts
+    # class A's revenue share is ≤ 80% plus at most one part's revenue
+    # (the boundary part), and per-part revenue density must be
+    # monotone A ≥ B ≥ C — the defining Pareto property.
+    tot = sum(r["class_revenue"] for r in out.values())
+    if "A" in out and "B" in out:
+        dens = {
+            c: out[c]["class_revenue"] / out[c]["n_parts"]
+            for c in out
+        }
+        assert dens["A"] >= dens["B"]
+        if "C" in out:
+            assert dens["B"] >= dens["C"]
+        # the A boundary overshoots 80 % by at most one part's revenue
+        li = load(spark, SF_DIR, "lineitem")
+        top_part = (
+            li.groupBy("l_partkey")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100).cast("long")
+                        * (
+                            100
+                            - F.round(F.col("l_discount") * 100).cast("long")
+                        )
+                    )
+                    / 10000.0
+                ).alias("r")
+            )
+            .agg(F.max("r"))
+            .collect()[0][0]
+        )
+        assert out["A"]["class_revenue"] <= 0.8 * tot + top_part + 1e-6
+
+
+def test_gini_in_unit_interval(spark):
+    row = _q(spark, "q_agg_gini").collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["n_customers"] > 0 and row["total_spend"] > 0
+
+
+# ------------------------------------------------------------ transitions
+
+
+def test_transition_rows_normalize(spark):
+    out = _q(spark, "q_event_transitions").collect()
+    by_prev = {}
+    for r in out:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rows in by_prev.items():
+        assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-4, prev
+    # total transitions = total events − one per user (each user's
+    # sequence head has no predecessor)
+    ev = load(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in out) == n_events - n_users
+
+
+# ------------------------------------------------------------- cohort LTV
+
+
+def test_cohort_ltv_conserves_revenue(spark):
+    out = _q(spark, "q_event_cohort_ltv")
+    ev = load(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    total = ev.agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("t")
+    ).collect()[0]["t"]
+    got = out.agg(F.sum("revenue").alias("t")).collect()[0]["t"]
+    assert abs(got - total) < 1e-6
+    assert out.filter(F.col("month_offset") < 0).count() == 0
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def test_skyline_dominance(spark):
+    sky = _q(spark, "q_skyline").collect()
+    pts = [(round(r["p_retailprice"] * 100), r["p_size"]) for r in sky]
+    # no skyline point strictly dominates another skyline point
+    for a in pts:
+        for b in pts:
+            if a != b:
+                assert not (
+                    a[0] <= b[0]
+                    and a[1] <= b[1]
+                    and (a[0] < b[0] or a[1] < b[1])
+                ), (a, b)
+    # every part is dominated-or-equal by some skyline point
+    parts = [
+        (round(r["p_retailprice"] * 100), r["p_size"])
+        for r in load(spark, SF_DIR, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    for p in parts:
+        assert any(s[0] <= p[0] and s[1] <= p[1] for s in pts), p
+
+
+# ----------------------------------------------------------- interpolate
+
+
+def test_interpolate_grid_and_bounds(spark):
+    out = _q(spark, "q_ts_interpolate")
+    rows = out.collect()
+    # dense grid: per type, row count == span hours + 1
+    spans = {}
+    for r in rows:
+        t = r["event_type"]
+        spans.setdefault(t, []).append(r)
+    for t, rs in spans.items():
+        hs = sorted(r["hour"] for r in rs)
+        n_expected = int((hs[-1] - hs[0]).total_seconds() // 3600) + 1
+        assert len(rs) == n_expected, t
+        assert len(set(hs)) == len(hs), t
+        # interpolated values lie between their observed neighbours
+        obs = [(r["hour"], r["value_mc"]) for r in rs if r["src"] == "obs"]
+        obs_h = sorted(h for h, _ in obs)
+        vals = dict(obs)
+        for r in rs:
+            if r["src"] == "interp":
+                prev_h = max(h for h in obs_h if h < r["hour"])
+                next_h = min(h for h in obs_h if h > r["hour"])
+                lo = min(vals[prev_h], vals[next_h])
+                hi = max(vals[prev_h], vals[next_h])
+                assert lo <= r["value_mc"] <= hi
+
+
+# ------------------------------------------------------------- plan pins
+
+
+@pytest.mark.parametrize(
+    "name", ["q_abc_pareto", "q_agg_gini", "q_skyline"]
+)
+def test_prefix_scan_queries_have_no_global_window(spark, name):
+    """The mining prefix-scan queries must never regress to a global
+    ``Window.orderBy`` (single-partition WindowExec) — the same pin
+    that guards the RFM rewrite. Every WindowExec in the plan must be
+    partitioned (by the range-scan pid)."""
+    df = registry.registry()[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(n):
+        yield n
+        for i in range(n.children().size()):
+            yield from walk(n.children().apply(i))
+
+    nodes = []
+    for n in walk(plan):
+        if n.nodeName() == "AdaptiveSparkPlan":
+            nodes.extend(walk(n.initialPlan()))
+        else:
+            nodes.append(n)
+    windows = [n for n in nodes if n.nodeName() == "Window"]
+    assert windows, f"{name}: expected a pid-partitioned window"
+    for w in windows:
+        assert not w.partitionSpec().isEmpty(), (
+            f"global (unpartitioned) WindowExec found in {name}"
+        )
+
+
+# ------------------------------------------------------- corr / rollup
+
+
+def test_corr_matches_builtin_and_bounds(spark):
+    row = _q(spark, "q_agg_corr").collect()[0]
+    assert -1.0 <= row["corr_qty_price"] <= 1.0
+    # the moment formula must agree with Spark's float corr to well
+    # within float-accumulation noise on the quantized columns
+    li = load(spark, SF_DIR, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    ref = li.agg(F.corr("x", "y")).collect()[0][0]
+    assert abs(row["corr_qty_price"] - ref) < 1e-6
+
+
+def test_rollup_multires_levels_conserve(spark):
+    out = _q(spark, "q_ts_rollup_multires")
+    by_level = {
+        r["level"]: (r["n_events_sum"], round(r["value_sum"], 2))
+        for r in out.groupBy("level")
+        .agg(
+            F.sum("n_events").alias("n_events_sum"),
+            F.sum("total_value").alias("value_sum"),
+        )
+        .collect()
+    }
+    # every resolution is a partition of the same event set
+    assert (
+        by_level["hour"] == by_level["day"] == by_level["month"]
+        == by_level["total"]
+    )
+
+
+def test_prefix_scan_partitioning_independent(spark):
+    """The prefix scan's claim is that the result is a pure function of
+    the data and the total order — independent of how the range sampler
+    draws boundaries. Re-running under radically different shuffle
+    parallelism (1, 3, 8 partitions) must give identical cum/rank/min
+    columns. This is the local stand-in for 'same answer on a
+    1000-executor cluster'."""
+    df = spark.range(0, 400).select(
+        ((F.col("id") * 73) % 97).alias("v"), F.col("id").alias("k")
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for nparts in ("1", "3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            cum = with_global_prefix(
+                df,
+                [F.col("v").asc(), F.col("k").asc()],
+                "v",
+                agg="sum",
+                out="cum",
+                rank_out="rk",
+            )
+            pm = with_global_prefix(
+                df,
+                [F.col("k").asc()],
+                "v",
+                agg="min",
+                inclusive=False,
+                out="pm",
+            )
+            results.append(
+                (
+                    sorted(map(tuple, cum.collect())),
+                    sorted(map(tuple, pm.collect())),
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert results[0] == results[1] == results[2]
