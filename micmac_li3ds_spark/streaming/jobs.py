@@ -380,3 +380,55 @@ def attribution_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transitions_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_event_transitions (first-order Markov
+    transition pairs) via ``applyInPandasWithState``: state per user is
+    one (ts_us, event_id, event_type) triple — the latest event seen —
+    and every arriving event emits its (prev_type, next_type) pair
+    against that state. The batch query's per-user lag window becomes a
+    single carried scalar; with in-order arrival the emitted pair
+    multiset is identical to the batch lag's (asserted in
+    tests/test_streaming.py, where the downstream count/normalize
+    aggregation is also compared). State stays O(1) per user forever —
+    this is the shape that maintains a LIVE transition matrix over an
+    unbounded clickstream, with the k×k count aggregation running as an
+    ordinary streaming groupBy downstream."""
+    import pandas as pd  # local: only the python workers need it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, last_id, last_type = state.get
+        else:
+            last_ts, last_id, last_type = None, None, None
+        out = {"user_id": [], "prev_type": [], "next_type": []}
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for _, r in rows.iterrows():
+            if last_type is not None:
+                out["user_id"].append(key[0])
+                out["prev_type"].append(last_type)
+                out["next_type"].append(r["event_type"])
+            last_ts, last_id, last_type = (
+                int(r["ts_us"]),
+                int(r["event_id"]),
+                str(r["event_type"]),
+            )
+        state.update((last_ts, last_id, last_type))
+        yield pd.DataFrame(out)
+
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, prev_type string, next_type string",
+        stateStructType="last_ts long, last_id long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -547,3 +547,40 @@ def test_attribution_batch_equals_stream(spark, sf_dir):
     got = _rows(spark, "t_attr")
     want = {tuple(r) for r in q_event_attribution(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_transitions_batch_equals_stream(spark, sf_dir):
+    # the batch per-user lag window and the streaming one-triple-state
+    # twin must produce the identical transition-pair multiset for
+    # in-order arrival; the downstream k×k aggregation then matches the
+    # registered batch query row-for-row
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.mining import q_event_transitions
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    q = jobs.run_to_memory(
+        jobs.transitions_stream(stream), "t_trans", output_mode="append"
+    )
+    _drain(q)
+    pairs = spark.table("t_trans")
+    wt = Window.partitionBy("prev_type")
+    got = {
+        tuple(r)
+        for r in pairs.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wt),
+                6,
+            ).alias("p"),
+        )
+        .collect()
+    }
+    want = {tuple(r) for r in q_event_transitions(spark, sf_dir).collect()}
+    assert got == want
