@@ -65,7 +65,10 @@ EXTENDED = [
     "q_llm_curate_pipeline",    # end-to-end curation composite
     "q_abc_pareto",             # distributed global prefix-sum scan
     "q_skyline",                # strict prefix-min Pareto frontier
-    "q_er_resolve",             # fuzzy-join + label-propagation composite
+    # q_er_resolve is deliberately NOT benched: its wall time is an
+    # iterative driver loop whose round count is corpus-dependent
+    # (~24 s at sf0.1 after the τ=1 deletion-blocking fix) — a bad
+    # bench citizen; the convergence behavior is pytest-pinned instead
 ]
 
 

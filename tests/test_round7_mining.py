@@ -310,3 +310,63 @@ def test_prefix_scan_partitioning_independent(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert results[0] == results[1] == results[2]
+
+
+# ------------------------------------------------ fuzzy τ=1 blocking
+
+
+def test_del1_blocking_selective_on_shared_affix_corpus(spark):
+    """Round-7 perf fix pin: position-segment (PassJoin) blocking
+    degenerates to a quadratic bucket on corpora sharing a constant
+    affix (sequential 'Customer#000…' names made one half-segment a
+    full-corpus bucket: ~225M candidates, 350 s at sf0.1). The τ=1
+    deletion-neighbourhood path must (a) stay exactly complete and
+    (b) keep every blocking bucket bounded by the real neighbourhood
+    density — for sequential IDs, about the digit alphabet — never
+    the corpus size."""
+    from micmac_li3ds_spark.operators.joins import fuzzy_self_join
+
+    corpus = [f"Customer#{i:09d}" for i in range(1, 601)]
+    names = spark.createDataFrame([(s,) for s in corpus], ["n"])
+
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_self_join(names, 1).collect()
+    }
+    # τ=1 on equal-length sequential IDs = Hamming distance 1
+    want = {
+        (a, b)
+        for i, a in enumerate(corpus)
+        for b in corpus[i + 1 :]
+        if sum(x != y for x, y in zip(a, b)) == 1
+    }
+    assert want and got == want
+
+    # blocking-bucket bound: every deletion-variant key's bucket is a
+    # CONSTANT of the ID format (digit choices at the deleted position,
+    # plus run-collisions where deleting any of k equal consecutive
+    # chars yields the same variant — measured 24 here), never a
+    # function of corpus size (600 names; PassJoin's degenerate bucket
+    # would hold all 600)
+    keyed = names.select(
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("n")),
+                    F.expr(
+                        "transform(sequence(1, length(n)),"
+                        " i -> concat(substring(n, 1, i-1),"
+                        " substring(n, i+1, length(n)-i)))"
+                    ),
+                )
+            )
+        ).alias("key"),
+    )
+    max_bucket = (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    assert max_bucket <= 30, max_bucket
