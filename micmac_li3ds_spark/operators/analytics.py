@@ -1939,3 +1939,136 @@ def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def cc_fixpoint(e: DataFrame) -> tuple:
+    """Min-label + pointer-jumping connected-components fixpoint over
+    an undirected edge list (u, v). Returns (labels DataFrame with
+    (node, lbl), round count). Each round: hash-min over neighbours,
+    then one label-of-label self-join (path halving) — O(log d)
+    rounds; see q_graph_cc for the full argument."""
+    sym = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    rounds = 0
+    while True:
+        neighbor_min = (
+            sym.join(lbl, sym.b == lbl.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        hashed = (
+            lbl.join(neighbor_min, lbl.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        jumped = (
+            hashed.alias("c")
+            .join(
+                hashed.select(
+                    F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
+                ),
+                F.col("c.lbl") == F.col("pnode"),
+            )
+            .select(F.col("c.node").alias("node"), F.col("plbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("nw")
+            .join(lbl.alias("old"), "node")
+            .filter(F.col("nw.lbl") != F.col("old.lbl"))
+            .count()
+        )
+        lbl = jumped
+        rounds += 1
+        if changed == 0:
+            break
+    return lbl, rounds
+
+
+@register(
+    "q_graph_cc",
+    oracle="""
+WITH RECURSIVE grp AS (
+  SELECT DISTINCT l_partkey AS p, date_trunc('month', o_orderdate) AS m,
+         o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT DISTINCT a.c AS u, b.c AS v
+  FROM grp a JOIN grp b ON a.p = b.p AND a.m = b.m AND a.c < b.c
+),
+edges AS (
+  SELECT u AS a, v AS b FROM e
+  UNION ALL
+  SELECT v AS a, u AS b FROM e
+),
+reach AS (
+  SELECT a AS nm, b AS peer FROM edges
+  UNION
+  SELECT r.nm, e2.b FROM reach r JOIN edges e2 ON e2.a = r.peer
+),
+lab AS (
+  SELECT nm, LEAST(nm, MIN(peer)) AS comp FROM reach GROUP BY nm
+),
+sizes AS (SELECT comp, COUNT(*) AS component_size FROM lab GROUP BY comp)
+SELECT CAST(component_size AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY component_size
+""",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the customer co-purchase graph (same
+    edge set as q_graph_triangles), summarized as the component-size
+    histogram (component_size, n_components).
+
+    The iteration is min-label propagation WITH POINTER JUMPING: each
+    round first takes every node's min over its neighbours' labels
+    (the O(diameter) hash-min step q_er_resolve uses), then
+    short-circuits chains by one label-of-label self-join
+    (lbl ← lbl[lbl], the path-halving step), which makes label depth
+    collapse geometrically — O(log d) rounds instead of O(d), the
+    difference between 8 and 250 supersteps on a 100-TB graph with
+    long chains. Labels always point at real node ids, so the jump
+    join is a plain keyed self-join; per-round state rides eager
+    ``localCheckpoint`` (O(1) plan depth — the pagerank_converged
+    pattern) and the driver reads one changed-count scalar per round.
+    All keys are BIGINT node ids: the fixpoint, and therefore the
+    histogram, is engine-exact. The oracle reaches the same fixpoint
+    by UNION-distinct recursion."""
+    grp = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+    )
+    e = (
+        grp.select("p", "m", F.col("c").alias("u"))
+        .join(grp.select("p", "m", F.col("c").alias("v")), ["p", "m"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    lbl, _rounds = cc_fixpoint(e)
+    sizes = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("component_size"))
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )

@@ -99,14 +99,15 @@ _loaded = False
 #            freeze round-6 additions (q_event_rfm carries its scale
 #            rewrite: broadcast order-statistic cutpoints replace the
 #            three global ntile windows — same green bar, 100×-safe
-#            plan) + the 14 round-7 additions in their birth round
+#            plan) + the 15 round-7 additions in their birth round
 #            (graph/hist/BM25/cross-dedup/winsorize/ER batch, then the
 #            mining batch: ABC-Pareto, Gini, Markov transitions,
 #            cohort LTV, skyline, interpolation, moment-exact corr,
-#            multires time rollup) + freshness: 29 of the 31 queries
-#            whose newest row is round 1 (q_sort_multi and q_limit —
-#            the two most rot-resistant, no events/complex output —
-#            defer to round 8) and the 4 oldest round-2 complex-output
+#            multires time rollup, pointer-jumping CC) + freshness: 28
+#            of the 31 queries whose newest row is round 1
+#            (q_sort_multi, q_limit, q_fn_cond — the most
+#            rot-resistant, no events/complex output — defer to
+#            round 8) and the 4 oldest round-2 complex-output
 #            queries. Two corpus regenerations have happened since
 #            those r1/r2 rows; the round-4 events.ts re-encoding
 #            showed stale greens can rot silently. Remaining r1/r2
@@ -134,6 +135,7 @@ _PRIORITY: list[str] = [
     "q_ts_interpolate",
     "q_agg_corr",
     "q_ts_rollup_multires",
+    "q_graph_cc",
     # --- freshness: the 31 queries last attested in round 1 ---
     "q_project_select",
     "q_filter_simple",
@@ -163,7 +165,6 @@ _PRIORITY: list[str] = [
     "q_fn_regex",
     "q_fn_datetime",
     "q_fn_math",
-    "q_fn_cond",
     # --- freshness: oldest round-2 tail (4 of 35; rest → round 8 — the
     # canonicalizer-sensitive complex-output four go first, they are
     # the ones a corpus regen is most likely to silently rot) ---

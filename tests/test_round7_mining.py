@@ -370,3 +370,31 @@ def test_del1_blocking_selective_on_shared_affix_corpus(spark):
         .collect()[0][0]
     )
     assert max_bucket <= 30, max_bucket
+
+
+# -------------------------------------------------- connected components
+
+
+def test_cc_pointer_jumping_logarithmic_on_chain(spark):
+    """The O(log d) claim, executed: on a path graph of 256 nodes
+    (diameter 255 — plain min-label propagation needs ~255 rounds),
+    the pointer-jumping fixpoint must converge in ≤ 12 rounds and
+    label every node with the chain head."""
+    from micmac_li3ds_spark.operators.analytics import cc_fixpoint
+
+    n = 256
+    e = spark.range(0, n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    lbl, rounds = cc_fixpoint(e)
+    assert rounds <= 12, rounds
+    rows = lbl.collect()
+    assert len(rows) == n
+    assert all(r["lbl"] == 0 for r in rows)
+
+
+def test_graph_cc_histogram_conserves_nodes(spark):
+    out = _q(spark, "q_graph_cc").collect()
+    n_from_hist = sum(r["component_size"] * r["n_components"] for r in out)
+    tri = _q(spark, "q_graph_triangles").collect()[0]
+    assert n_from_hist == tri["n_nodes"]
