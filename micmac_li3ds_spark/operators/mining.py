@@ -622,3 +622,59 @@ def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q_profile_entropy",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+n AS (
+  SELECT c_nationkey, SUM(cnt) AS tot, COUNT(*) AS n_segments
+  FROM c GROUP BY c_nationkey
+)
+SELECT c.c_nationkey,
+       CAST(MAX(n.tot) AS BIGINT) AS n_customers,
+       CAST(MAX(n.n_segments) AS BIGINT) AS n_segments,
+       round(SUM(-(CAST(c.cnt AS DOUBLE) / n.tot)
+                 * log2(CAST(c.cnt AS DOUBLE) / n.tot)), 6) AS entropy_bits
+FROM c JOIN n USING (c_nationkey)
+GROUP BY c.c_nationkey
+""",
+    tags=("mining", "profile", "statistics"),
+)
+def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the market-segment distribution within each
+    nation — the information-theoretic column profile (0 bits = one
+    segment dominates totally, log₂k = uniform over k segments) that
+    drives skew detection, join-key diagnostics, and feature-selection
+    heuristics.
+
+    Two cheap aggregations on the same grouping prefix (the (nation,
+    segment) count reuses its shuffle for the per-nation totals via
+    partial re-aggregation), then a per-group sum of −p·log₂p over at
+    most |segments| terms. The probabilities are divisions of exact
+    integers and the term count per group is the segment cardinality
+    (a schema constant), so the float sum has O(k) terms regardless of
+    data volume; round(,6) absorbs the ≤ 1-ulp association difference
+    between engines."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = c.groupBy("c_nationkey").agg(
+        F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("n_segments")
+    )
+    p = F.col("cnt").cast("double") / F.col("tot")
+    return (
+        c.join(n, "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("tot").alias("n_customers"),
+            F.max("n_segments").alias("n_segments"),
+            F.round(F.sum(-p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )

@@ -99,15 +99,16 @@ _loaded = False
 #            freeze round-6 additions (q_event_rfm carries its scale
 #            rewrite: broadcast order-statistic cutpoints replace the
 #            three global ntile windows — same green bar, 100×-safe
-#            plan) + the 15 round-7 additions in their birth round
+#            plan) + the 16 round-7 additions in their birth round
 #            (graph/hist/BM25/cross-dedup/winsorize/ER batch, then the
 #            mining batch: ABC-Pareto, Gini, Markov transitions,
 #            cohort LTV, skyline, interpolation, moment-exact corr,
-#            multires time rollup, pointer-jumping CC) + freshness: 28
-#            of the 31 queries whose newest row is round 1
-#            (q_sort_multi, q_limit, q_fn_cond — the most
-#            rot-resistant, no events/complex output — defer to
-#            round 8) and the 4 oldest round-2 complex-output
+#            multires time rollup, pointer-jumping CC, segment
+#            entropy) + freshness: 27 of the 31 queries whose newest
+#            row is round 1 (q_sort_multi, q_limit, q_fn_cond,
+#            q_fn_math — the most rot-resistant, no events/complex
+#            output — defer to round 8) and the 4 oldest round-2
+#            complex-output
 #            queries. Two corpus regenerations have happened since
 #            those r1/r2 rows; the round-4 events.ts re-encoding
 #            showed stale greens can rot silently. Remaining r1/r2
@@ -136,6 +137,7 @@ _PRIORITY: list[str] = [
     "q_agg_corr",
     "q_ts_rollup_multires",
     "q_graph_cc",
+    "q_profile_entropy",
     # --- freshness: the 31 queries last attested in round 1 ---
     "q_project_select",
     "q_filter_simple",
@@ -164,7 +166,6 @@ _PRIORITY: list[str] = [
     "q_win_topk_group",
     "q_fn_regex",
     "q_fn_datetime",
-    "q_fn_math",
     # --- freshness: oldest round-2 tail (4 of 35; rest → round 8 — the
     # canonicalizer-sensitive complex-output four go first, they are
     # the ones a corpus regen is most likely to silently rot) ---
