@@ -398,3 +398,48 @@ def test_graph_cc_histogram_conserves_nodes(spark):
     n_from_hist = sum(r["component_size"] * r["n_components"] for r in out)
     tri = _q(spark, "q_graph_triangles").collect()[0]
     assert n_from_hist == tri["n_nodes"]
+
+
+def test_del1_blocking_complete_on_random_corpus(spark):
+    """Deletion-neighbourhood completeness beyond the sequential-ID
+    shape: random short strings over a 3-letter alphabet (dense in
+    substitutions, insertions, AND deletions — length differences
+    exercise the variant-containment case) must reproduce the brute
+    τ=1 pair set exactly."""
+    import itertools
+    import random
+
+    from micmac_li3ds_spark.operators.joins import fuzzy_self_join
+
+    rng = random.Random(407)
+    corpus = sorted(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 5)))
+            for _ in range(220)
+        }
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(corpus, 2)
+        if lev(a, b) <= 1
+    }
+    names = spark.createDataFrame([(s,) for s in corpus], ["n"])
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_self_join(names, 1).collect()
+    }
+    assert want and got == want
