@@ -398,12 +398,13 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edges carry the single available neighbour). src labels each row
     obs / interp / edge.
 
-    Exactness: hourly means are integer milli-cents via a positive
-    integer division ((Σcents·1000) div n — Spark `div` truncates,
-    DuckDB `//` floors; operands are non-negative so both agree), and
-    the interpolation uses the cross-multiplied form
-    (pv·(nt−t) + nv·(t−pt)) div (nt−pt), keeping every operand a
-    non-negative long → bit-exact parity, no float drift.
+    Exactness: hourly means are integer milli-cents via integer
+    division, and the interpolation uses the cross-multiplied form
+    (pv·(nt−t) + nv·(t−pt)) div (nt−pt) — all-long arithmetic, no
+    float drift. Spark's `div` and DuckDB's `//` BOTH truncate toward
+    zero (probed: −7//2 = −3 in DuckDB), so the division parity is
+    unconditional — it does not depend on the corpus keeping `value`
+    non-negative across regenerations.
 
     Scale: windows partition by the series key; real telemetry has
     millions of series so the neighbour-scan parallelizes naturally

@@ -115,6 +115,14 @@ _loaded = False
 #            tail rotates in round 8.
 #            Window composition is asserted against the live registry
 #            by tests/test_registry.py (ledger cannot drift from code).
+#   round 8 (planned): any round-8 additions in their birth round,
+#            then the remaining round-2 tail (31 queries: scans/sinks,
+#            UDF/UDTF surface, LLM text/vector remainder, multimodal,
+#            analytics composites not yet refreshed), then the 4
+#            deferred rot-resistant r1 queries (q_sort_multi, q_limit,
+#            q_fn_cond, q_fn_math), then continuity with the
+#            longest-unsampled greens. After round 8 every query's
+#            newest row is round 5 or later.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # --- first-ever driver attestation (3; registered late round 6) ---
