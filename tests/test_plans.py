@@ -563,6 +563,8 @@ def test_rfm_has_no_global_window(spark):
         ("q_ts_interpolate", 2),       # hourly agg + span agg
         ("q_agg_corr", 0),             # pure map-side moments, 1-row merge
         ("q_ts_rollup_multires", 1),   # one expand-then-partial-agg shuffle
+        ("q_profile_entropy", 3),      # (nation,segment) agg + totals +
+                                       # final per-nation agg
     ],
 )
 def test_round7_exchange_budgets(spark, name, max_hash_exchanges):

@@ -443,3 +443,22 @@ def test_del1_blocking_complete_on_random_corpus(spark):
         for r in fuzzy_self_join(names, 1).collect()
     }
     assert want and got == want
+
+
+def test_with_global_prefix_inclusive_min(spark):
+    # the fourth helper mode (inclusive running min) — unused by the
+    # registered queries but part of the primitive's contract
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), ((F.col("id") * 29) % 43).alias("s")
+    )
+    got = {
+        r["k"]: r["rm"]
+        for r in with_global_prefix(
+            df, [F.col("k").asc()], "s", agg="min", inclusive=True, out="rm"
+        ).collect()
+    }
+    rows = sorted((r["k"], r["s"]) for r in df.collect())
+    run = None
+    for k, s in rows:
+        run = s if run is None else min(run, s)
+        assert got[k] == run
