@@ -269,9 +269,21 @@ def q_llm_ngram_jaccard(
     near-entirely boilerplate, exactly the pairs near-dedup pipelines
     drop anyway (and on this corpus the oracle confirms zero loss). The
     DF pass pre-aggregates on the same key as the posting join, so it
-    rides the identical shuffle partitioning."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", shingles(tokens("text")).alias("sh")
+    rides the identical shuffle partitioning.
+
+    Round-7 perf note (timing audit): the corpus ships as ONE parquet
+    row group, so the CPU-heavy shingling expression ran single-
+    threaded and — referenced by the posting branch and both verify
+    branches — recomputed three times (~35 s at sf0.1). The
+    repartition spreads the text work across the cluster (shuffle
+    cost = the tiny raw text; compute is the expensive part) and the
+    scoped cache materializes shingle sets once — the same plan
+    discipline q_llm_near_dedup uses."""
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = _scoped_cache(
+        load(spark, sf_dir, "documents")
+        .repartition(sp, "doc_id")
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
     post = d.select("doc_id", F.explode("sh").alias("s"))
     rare = (
@@ -655,9 +667,17 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions) → broadcast semi-join against the training corpus'
     exploded shingles: map-side hash probe, no corpus shuffle; the only
     exchange is the per-doc overlap count. This is the shape that scans
-    100 TB of training text against a benchmark suite in one pass."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", shingles(tokens("text")).alias("sh")
+    100 TB of training text against a benchmark suite in one pass.
+
+    Round-7 perf note: the one-row-group corpus file made the CPU-heavy
+    shingling single-threaded, and the bench/train branches recomputed
+    it (~13 s at sf0.1); repartition + scoped cache spreads and
+    materializes it once (~4 s) — see q_llm_ngram_jaccard."""
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = _scoped_cache(
+        load(spark, sf_dir, "documents")
+        .repartition(sp, "doc_id")
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
     post = d.filter(F.size("sh") > 0).select(
         "doc_id",

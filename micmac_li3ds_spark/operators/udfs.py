@@ -260,26 +260,49 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     — which is also the 100 TB answer whenever the logic is expressible;
     cogroup costs two shuffles plus Arrow transfer of both sides.
     Exact integer cents inside pandas keep parity bit-stable."""
-    c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_custkey") % 100).alias("bkt")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_custkey") % 100).alias("bkt"),
+    )
 
+    # Cogroup on a BUCKET of keys, not the raw key: applyInPandas pays a
+    # Python call + two Arrow transfers PER GROUP, so per-customer groups
+    # (15k calls at sf0.1, ~2 ms each) spent ~34 s in pure invocation
+    # overhead (round-7 timing audit). Bucketing to ~100 groups amortizes
+    # that to ~100 calls with substantial frames, and the per-key logic
+    # becomes a vectorized pandas groupby INSIDE the bucket — the
+    # standard production shape for cogrouped python logic. Same output,
+    # same oracle; measured ~6× faster.
     def merge(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
-        if cust.empty:  # orders-only key: outside the oracle's LEFT join
+        if cust.empty:  # orders-only bucket: outside the oracle's LEFT join
             return pd.DataFrame(
                 {"c_custkey": [], "n_orders": [], "total_spent": []}
             )
-        cents = orders["o_totalprice"].mul(100).round().astype("int64").sum()
+        cents = orders.assign(
+            c=orders["o_totalprice"].mul(100).round().astype("int64")
+        )
+        per_key = cents.groupby("o_custkey").agg(
+            n_orders=("o_orderkey", "size"), tot=("c", "sum")
+        )
+        out = cust.merge(
+            per_key, left_on="c_custkey", right_index=True, how="left"
+        )
         return pd.DataFrame(
             {
-                "c_custkey": [key[0]],
-                "n_orders": [len(orders)],
-                "total_spent": [cents / 100.0],
+                "c_custkey": out["c_custkey"],
+                "n_orders": out["n_orders"].fillna(0).astype("int64"),
+                "total_spent": out["tot"].fillna(0).astype("int64") / 100.0,
             }
         )
 
     return (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("o_custkey"))
+        c.groupBy("bkt")
+        .cogroup(o.groupBy("bkt"))
         .applyInPandas(
             merge, "c_custkey long, n_orders long, total_spent double"
         )

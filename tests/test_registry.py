@@ -117,6 +117,8 @@ def test_oracle_output_has_no_hugeint(duck, name):
         "q_sink_orc_roundtrip",
         "q_llm_near_dedup",
         "q_llm_dedup_clusters",
+        "q_llm_ngram_jaccard",
+        "q_llm_decontaminate",
         "q_udf_sql",
         "q_join_lateral",
         "q_scan_python_datasource",
