@@ -584,3 +584,70 @@ def test_transitions_batch_equals_stream(spark, sf_dir):
     }
     want = {tuple(r) for r in q_event_transitions(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_transitions_stream_state_carries_across_batches(
+    spark, sf_dir, tmp_path
+):
+    # the single-corpus-file test drains in ONE micro-batch, which never
+    # exercises the per-user state between batches. Split the corpus at
+    # the median day into two time-ordered files (mtimes force oldest-
+    # first pickup), force one file per trigger, and require (a) at
+    # least two micro-batches actually ran and (b) the pair multiset
+    # still equals the batch lag's — which can only hold if the last
+    # event of batch 1 was carried in state and paired with the first
+    # event of batch 2 for every user active in both.
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    stream_dir = tmp_path / "evstream"
+    stream_dir.mkdir()
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") < cutoff), ev.filter(F.col("ts") >= cutoff))
+    ):
+        scratch = str(tmp_path / f"w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(scratch)
+        src = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dst = str(stream_dir / f"e{i}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = jobs.run_to_memory(
+        jobs.transitions_stream(stream), "t_trans_mb", output_mode="append"
+    )
+    _drain(q)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, n_batches
+
+    got = sorted(
+        map(tuple, spark.table("t_trans_mb").collect())
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .select(
+                "user_id",
+                "prev_type",
+                F.col("event_type").alias("next_type"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
