@@ -651,3 +651,48 @@ def test_transitions_stream_state_carries_across_batches(
         )
     )
     assert got == want
+
+
+def test_attribution_stream_state_carries_across_batches(
+    spark, sf_dir, tmp_path
+):
+    # same two-file harness as the transitions test: a purchase in
+    # batch 2 must attribute to a click seen in batch 1 through the
+    # carried one-scalar state, reproducing the batch window exactly
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.windows import q_event_attribution
+    from micmac_li3ds_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    stream_dir = tmp_path / "evstream_attr"
+    stream_dir.mkdir()
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") < cutoff), ev.filter(F.col("ts") >= cutoff))
+    ):
+        scratch = str(tmp_path / f"wa{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(scratch)
+        src = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dst = str(stream_dir / f"e{i}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = jobs.run_to_memory(
+        jobs.attribution_stream(stream), "t_attr_mb", output_mode="append"
+    )
+    _drain(q)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, n_batches
+    got = {tuple(r) for r in spark.table("t_attr_mb").collect()}
+    want = {tuple(r) for r in q_event_attribution(spark, sf_dir).collect()}
+    assert got == want
