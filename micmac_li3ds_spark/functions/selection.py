@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from micmac_li3ds_spark.session import shuffle_partitions
+
 
 def with_global_prefix(
     df: DataFrame,
@@ -61,7 +63,7 @@ def with_global_prefix(
     if agg not in ("sum", "min"):
         raise ValueError(f"unsupported prefix agg: {agg}")
     fn = F.sum if agg == "sum" else F.min
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(df.sparkSession)
     d = df.repartitionByRange(nparts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -122,7 +124,7 @@ def exact_rank_values(df: DataFrame, col: str, pos_df: DataFrame) -> DataFrame:
     Returns rows (k, c) where c = the value of ``col`` at rank p —
     NULL if p is out of range (p < 1 or p > n).
     """
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(df.sparkSession)
     hist = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
     h = hist.repartitionByRange(nparts, F.col("v").asc()).withColumn(
         "pid", F.spark_partition_id()

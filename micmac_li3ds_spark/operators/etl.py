@@ -756,3 +756,85 @@ def q_etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_delta").alias("n_from_delta"),
         )
     )
+
+
+@register(
+    "q_etl_merge_upsert",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 17 <> 0
+),
+source AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) + 50 AS price_c,
+         'M' AS status,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(t.k, s.k) AS k,
+       CASE WHEN s.k IS NULL THEN t.price_c ELSE s.price_c END AS price_c,
+       CASE WHEN s.k IS NULL THEN t.status ELSE s.status END AS status,
+       CASE WHEN s.k IS NULL THEN 'keep'
+            WHEN t.k IS NULL THEN 'insert'
+            ELSE 'update' END AS action
+FROM target t FULL OUTER JOIN source s ON t.k = s.k
+WHERE s.k IS NULL OR s.op <> 'D'
+""",
+    tags=("etl", "cdc", "merge"),
+)
+def q_etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID-style MERGE INTO as one relational op — the surface Delta/
+    Iceberg expose, composed from this module's snapshot_diff (full-
+    outer key reconciliation) and cdc_apply (op-coded change batch)
+    semantics:
+
+        MERGE INTO target t USING source s ON t.k = s.k
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED               THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+
+    (a NOT-MATCHED delete is a no-op, per the standard). Inputs are
+    derived deterministically from orders: the target snapshot excludes
+    every 17th key; the change batch covers every 3rd key — so it mixes
+    updates of existing rows with inserts of missing ones — with every
+    5th key op-coded as a delete and a planted +50¢ price drift marking
+    updated rows. The output is the complete post-MERGE table plus an
+    `action` audit column (keep/update/insert), value-hashed against
+    DuckDB's CTE emulation of the same MERGE.
+
+    Scale: a MERGE is exactly one full-outer hash join on the table
+    key — at 100 TB, target and change batch are both bucketed on k
+    and the join is co-located, so the rewrite cost is the changed
+    files' IO, not a table scan + random updates. Money compares as
+    integer cents (exact.cents); no floats anywhere."""
+    o = load(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 17 != 0).select(
+        F.col("o_orderkey").alias("tk"),
+        cents("o_totalprice").alias("t_price_c"),
+        F.col("o_orderstatus").alias("t_status"),
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("sk"),
+        (cents("o_totalprice") + 50).alias("s_price_c"),
+        F.lit("M").alias("s_status"),
+        F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U").alias("op"),
+    )
+    merged = target.join(source, target.tk == source.sk, "full_outer")
+    # WHEN MATCHED AND op='D' → delete; NOT MATCHED source-side 'D' → no-op
+    survived = merged.filter(F.col("sk").isNull() | (F.col("op") != "D"))
+    return survived.select(
+        F.coalesce(F.col("tk"), F.col("sk")).alias("k"),
+        F.when(F.col("sk").isNull(), F.col("t_price_c"))
+        .otherwise(F.col("s_price_c"))
+        .alias("price_c"),
+        F.when(F.col("sk").isNull(), F.col("t_status"))
+        .otherwise(F.col("s_status"))
+        .alias("status"),
+        F.when(F.col("sk").isNull(), "keep")
+        .when(F.col("tk").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    )

@@ -33,6 +33,7 @@ from micmac_li3ds_spark.functions.text import (
     tokens,
 )
 from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.session import shuffle_partitions
 from micmac_li3ds_spark.tables import load
 
 # Caches that must outlive their query function (the returned DataFrame
@@ -279,7 +280,7 @@ def q_llm_ngram_jaccard(
     cost = the tiny raw text; compute is the expensive part) and the
     scoped cache materializes shingle sets once — the same plan
     discipline q_llm_near_dedup uses."""
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sp = shuffle_partitions(spark)
     d = _scoped_cache(
         load(spark, sf_dir, "documents")
         .repartition(sp, "doc_id")
@@ -673,7 +674,7 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling single-threaded, and the bench/train branches recomputed
     it (~13 s at sf0.1); repartition + scoped cache spreads and
     materializes it once (~4 s) — see q_llm_ngram_jaccard."""
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sp = shuffle_partitions(spark)
     d = _scoped_cache(
         load(spark, sf_dir, "documents")
         .repartition(sp, "doc_id")

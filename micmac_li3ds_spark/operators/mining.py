@@ -126,8 +126,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets) — not a global window. Ties rank deterministically by
     (x, custkey), and since Σ i·xᵢ sums i over equal x in both engines
     the tie permutation cancels: the statistic is a pure function of
-    the multiset. All sums are long-integer; the single closing
-    division is the only float op, identical IEEE in both engines."""
+    the multiset. Σ i·xᵢ is accumulated as decimal(38,0): at sf1+
+    (rank ~1.5e5 × cents ~5e8) the running sum crosses int64's 9.2e18
+    ceiling, where Spark's non-ANSI bigint sum wraps silently while
+    DuckDB promotes to HUGEINT — decimal(38,0) keeps both engines
+    exact to ~1e38. The single closing division is the only float op,
+    identical IEEE in both engines."""
     spend = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -146,7 +150,10 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("x").cast("double") / 100.0).alias("total_spend"),
         F.round(
             (
-                2 * F.sum(F.col("rk") * F.col("x"))
+                2
+                * F.sum(
+                    F.col("rk").cast("decimal(38,0)") * F.col("x")
+                )
                 - (F.count(F.lit(1)) + 1) * F.sum("x")
             ).cast("double")
             / (F.count(F.lit(1)).cast("double") * F.sum("x")),

@@ -115,72 +115,90 @@ _loaded = False
 #            tail rotates in round 8.
 #            Window composition is asserted against the live registry
 #            by tests/test_registry.py (ledger cannot drift from code).
-#   round 8 (planned): any round-8 additions in their birth round,
-#            then the remaining round-2 tail (31 queries: scans/sinks,
-#            UDF/UDTF surface, LLM text/vector remainder, multimodal,
-#            analytics composites not yet refreshed), then the 4
-#            deferred rot-resistant r1 queries (q_sort_multi, q_limit,
-#            q_fn_cond, q_fn_math), then continuity with the
-#            longest-unsampled greens. After round 8 every query's
-#            newest row is round 5 or later.
+#   round 8 (this window): the round-8 addition in its birth round
+#            (q_etl_merge_upsert, the MERGE-shaped full-outer upsert)
+#            + 2 re-attestations of round-7 greens whose code/oracle
+#            changed THIS round and whose old rows therefore no longer
+#            attest the shipped artifact (q_agg_gini — Σ rk·x now
+#            accumulates as decimal(38,0) against the int64 wrap at
+#            sf1+, ADVICE r7; q_graph_cc — oracle rewritten from
+#            transitive closure to linear min-label propagation,
+#            ADVICE r7) + the ENTIRE remaining stale tail: the 31
+#            round-2 queries (ETL fixture family, LLM text remainder,
+#            TPC-H-derived reports, profile/forecast/sample, JDBC
+#            round-trip, multimodal stats, unpivot) and the 4 deferred
+#            rot-resistant r1 queries (q_sort_multi, q_limit,
+#            q_fn_cond, q_fn_math). All 35 were pre-flighted green
+#            through tools/check.py at sf0.01 before this window was
+#            cut. Remaining 12 slots: continuity with the longest-
+#            unsampled greens (round-4 rows — set ops, subqueries,
+#            UDF surface, scans, topk, IVF, snapshot-diff, skew join).
+#            After round 8 no query's newest row predates round 4,
+#            and no r1/r2 row remains live (the round-4 events.ts
+#            incident's risk class is closed: every surviving
+#            attestation postdates both corpus regenerations).
+#   round 9 (planned): any round-9 additions in their birth round,
+#            then the 28 remaining round-4 rows, then continuity
+#            (oldest round-5 rows). Steady state from here: birth-
+#            round attestation for new queries + oldest-first
+#            rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- first-ever driver attestation (3; registered late round 6) ---
-    "q_event_rfm",
-    "q_win_pct_of_total",
-    "q_audit_small_files",
-    # --- round-7 additions (driver row in their birth round) ---
-    "q_graph_triangles",
-    "q_agg_equidepth_hist",
-    "q_llm_bm25",
-    "q_llm_cross_dedup",
-    "q_agg_winsorize",
-    "q_er_resolve",
-    "q_abc_pareto",
+    # --- round-8 addition (driver row in its birth round) ---
+    "q_etl_merge_upsert",
+    # --- re-attest: code/oracle changed this round (ADVICE r7) ---
     "q_agg_gini",
-    "q_event_transitions",
-    "q_event_cohort_ltv",
-    "q_skyline",
-    "q_ts_interpolate",
-    "q_agg_corr",
-    "q_ts_rollup_multires",
     "q_graph_cc",
-    "q_profile_entropy",
-    # --- freshness: the 31 queries last attested in round 1 ---
-    "q_project_select",
-    "q_filter_simple",
-    "q_filter_compound",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_project_distinct",
-    "q_agg_basic",
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_join_sortmerge",
-    "q_join_shuffle_hash",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross_theta",
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_first_last",
-    "q_win_topk_group",
-    "q_fn_regex",
-    "q_fn_datetime",
-    # --- freshness: oldest round-2 tail (4 of 35; rest → round 8 — the
-    # canonicalizer-sensitive complex-output four go first, they are
-    # the ones a corpus regen is most likely to silently rot) ---
-    "q_agg_collect",
-    "q_fn_string",
-    "q_fn_array",
-    "q_fn_map",
+    # --- freshness: the 31 queries last attested in round 2 ---
+    "q_agg_histogram",
+    "q_etl_distortion_poly",
+    "q_etl_explode_block",
+    "q_etl_get_or_create",
+    "q_etl_pose_apply",
+    "q_etl_surrogate_keys",
+    "q_etl_transfo_closure",
+    "q_forecast_revenue",
+    "q_jdbc_roundtrip",
+    "q_llm_corpus_filter",
+    "q_llm_cosine",
+    "q_llm_decontaminate",
+    "q_llm_dedup_clusters",
+    "q_llm_embed_norm",
+    "q_llm_knn_per_label",
+    "q_llm_lang_id",
+    "q_llm_ngram_jaccard",
+    "q_llm_pii_scrub",
+    "q_llm_quality_score",
+    "q_llm_repetition",
+    "q_llm_simhash",
+    "q_llm_text_stats",
+    "q_llm_tfidf",
+    "q_mm_binary_stats",
+    "q_nation_trade_volume",
+    "q_profile_columns",
+    "q_promo_revenue",
+    "q_reshape_unpivot",
+    "q_returned_items",
+    "q_sample_hash",
+    "q_waiting_supplier",
+    # --- freshness: the 4 deferred rot-resistant round-1 queries ---
+    "q_sort_multi",
+    "q_limit",
+    "q_fn_cond",
+    "q_fn_math",
+    # --- continuity: longest-unsampled greens (newest row = round 4) ---
+    "q_set_intersect",
+    "q_set_except",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_scan_parquet",
+    "q_scan_csv",
+    "q_topk_global",
+    "q_llm_knn_ivf",
+    "q_etl_snapshot_diff",
+    "q_join_skew_salted",
 ]
 
 

@@ -42,6 +42,18 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition count as an int, tolerant of
+    deployments that set ``spark.sql.shuffle.partitions=auto`` (AQE
+    advisory mode): non-numeric values fall back to the cluster's
+    ``defaultParallelism`` instead of raising ValueError."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable conventions to an externally
     provided session (the driver owns its own SparkSession)."""

@@ -293,6 +293,34 @@ def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFram
     )
 
 
+def stream_stream_full_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last §2.9 join mode:
+    matched (click, purchase-within-1h) pairs emit immediately; an
+    unmatched row on EITHER side emits with NULLs for the other side
+    only once the watermark proves its match window is closed. Both
+    sides therefore hold state, and both sides' finalization is driven
+    by the same min-across-inputs watermark; the interval condition
+    (p.ts in [c.ts, c.ts + 1h]) is what bounds that state — without a
+    time bound a full-outer stream join could never evict anything and
+    Spark rejects the plan. At 100 TB/day this is the canonical
+    "late-arriving fact vs late-arriving dimension-event" reconciler:
+    state per key is bounded by (watermark + interval) wall-time, not
+    by stream length."""
+    c = clicks.withWatermark("ts", "2 hours").alias("c")
+    p = purchases.withWatermark("ts", "2 hours").alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )
+
+
 def ohlc_bars(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling OHLC bars (streaming twin of q_stream_ohlc):
     the same min_by/max_by-over-ordering-key aggregates — per-window
@@ -391,7 +419,15 @@ def transitions_stream(stream: DataFrame) -> DataFrame:
     single carried scalar; with in-order arrival the emitted pair
     multiset is identical to the batch lag's (asserted in
     tests/test_streaming.py, where the downstream count/normalize
-    aggregation is also compared). State stays O(1) per user forever —
+    aggregation is also compared). The in-order invariant is ENFORCED,
+    not assumed: an arriving row whose (ts_us, event_id) is ≤ the
+    carried state is a straggler from a past micro-batch whose
+    successor pair was already emitted — it is dropped rather than
+    allowed to emit a pair out of sequence (a duplicate redelivery is
+    the (==) case of the same rule). Dropped-row counts are observable
+    via the standard streaming metrics (numRowsDroppedByWatermark does
+    not apply here, so the test asserts the drop behavior directly).
+    State stays O(1) per user forever —
     this is the shape that maintains a LIVE transition matrix over an
     unbounded clickstream, with the k×k count aggregation running as an
     ordinary streaming groupBy downstream."""
@@ -407,6 +443,15 @@ def transitions_stream(stream: DataFrame) -> DataFrame:
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_us", "event_id"])
         for _, r in rows.iterrows():
+            if last_ts is not None and (int(r["ts_us"]), int(r["event_id"])) <= (
+                last_ts,
+                last_id,
+            ):
+                # Straggler (or redelivered duplicate) older than the
+                # carried state: its successor pair was already emitted
+                # in a previous micro-batch — emitting now would insert
+                # a pair out of sequence. Drop it.
+                continue
             if last_type is not None:
                 out["user_id"].append(key[0])
                 out["prev_type"].append(last_type)

@@ -638,3 +638,26 @@ def test_aqe_skew_join_mitigation_activates(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name,max_hash_exchanges",
+    [
+        ("q_etl_merge_upsert", 2),   # ONE full-outer SMJ on the table key
+                                     # (one exchange per side); a regression
+                                     # to scan+diff+apply multi-join fails
+    ],
+)
+def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
+    """Round-8 operators' shuffle budgets (same charter as the round-6/7
+    pins): MERGE must stay exactly one co-locatable full-outer join."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.registry()[name].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert p.count("Exchange hashpartitioning") <= max_hash_exchanges
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p

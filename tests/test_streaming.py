@@ -696,3 +696,130 @@ def test_attribution_stream_state_carries_across_batches(
     got = {tuple(r) for r in spark.table("t_attr_mb").collect()}
     want = {tuple(r) for r in q_event_attribution(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_stream_stream_full_outer_finalizes_both_sides(spark):
+    """FULL OUTER interval join: the matched pair emits as in the inner
+    join; an unmatched CLICK emits (click_id, NULL) and an unmatched
+    PURCHASE emits (NULL, purchase_id) — each only after the watermark
+    closes its match window. This is the one §2.9 join mode the
+    left-outer test doesn't cover: state finalization on BOTH sides."""
+    tmp = tempfile.mkdtemp(prefix="ssfj_")
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, uid, kind, minutes):
+        return (i, t0 + datetime.timedelta(minutes=minutes), uid, kind, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "click", 0),      # matched by purchase 10 at +30m
+        ev(2, 2, "click", 0),      # never matched → (2, NULL)
+        ev(10, 1, "purchase", 30),
+        ev(11, 3, "purchase", 30),  # user with no click → (NULL, 11)
+    ]
+    # sentinel waves on both streams: wave 1 advances the min-watermark
+    # past every row's join horizon; wave 2 runs one more batch WITH the
+    # advanced watermark so finalized outer state actually evicts
+    wave1 = [ev(99, 9, "purchase", 60 * 24), ev(98, 9, "click", 60 * 24)]
+    wave2 = [ev(100, 9, "purchase", 60 * 48), ev(101, 9, "click", 60 * 48)]
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = spark.readStream.schema(cols).parquet(f"{tmp}/in")
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        q = (
+            jobs.stream_stream_full_join(clicks, purchases)
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(tuple(r) for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/in")
+        run_once()
+        # neither outer row may emit before the watermark finalizes it
+        early = {(r[1], r[2]) for r in emitted}
+        assert (2, None) not in early
+        assert (None, 11) not in early
+        for wave in (wave1, wave2):
+            spark.createDataFrame(wave, cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+            run_once()
+        got = {(r[1], r[2]) for r in emitted}
+        assert (1, 10) in got        # matched pair
+        assert (2, None) in got      # click side finalized
+        assert (None, 11) in got     # purchase side finalized
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_transitions_stream_drops_out_of_order_stragglers(spark, tmp_path):
+    """The in-order invariant of transitions_stream is enforced, not
+    assumed: a micro-batch delivering an event OLDER than the carried
+    (ts, event_id) state must be dropped — its successor pair was
+    already emitted — and a redelivered duplicate (== state) likewise.
+    In-order rows arriving in the same late batch still pair against
+    the carried state."""
+    import os
+
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, kind, minutes):
+        return (i, t0 + datetime.timedelta(minutes=minutes), 1, kind, 1.0, "{}")
+
+    batch1 = [ev(1, "view", 0), ev(2, "click", 10), ev(3, "purchase", 20)]
+    batch2 = [
+        ev(9, "search", 15),     # straggler: older than state (t=20) → drop
+        ev(3, "purchase", 20),   # duplicate redelivery (== state) → drop
+        ev(4, "refund", 30),     # in-order: pairs against carried purchase
+    ]
+    stream_dir = tmp_path / "ooo"
+    stream_dir.mkdir()
+    for i, batch in enumerate((batch1, batch2)):
+        scratch = str(tmp_path / f"s{i}")
+        spark.createDataFrame(batch, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        import glob as _glob
+        import shutil as _shutil
+
+        src = _glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dst = str(stream_dir / f"b{i}.parquet")
+        _shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = jobs.run_to_memory(
+        jobs.transitions_stream(stream), "t_trans_ooo", output_mode="append"
+    )
+    _drain(q)
+    got = sorted(
+        (r["prev_type"], r["next_type"])
+        for r in spark.table("t_trans_ooo").collect()
+    )
+    assert got == [
+        ("click", "purchase"),
+        ("purchase", "refund"),
+        ("view", "click"),
+    ], got
