@@ -1941,21 +1941,41 @@ def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cc_fixpoint(e: DataFrame) -> tuple:
+def cc_fixpoint(
+    e: DataFrame, state=None, fail_after: int | None = None
+) -> tuple:
     """Min-label + pointer-jumping connected-components fixpoint over
     an undirected edge list (u, v). Returns (labels DataFrame with
-    (node, lbl), round count). Each round: hash-min over neighbours,
-    then one label-of-label self-join (path halving) — O(log d)
-    rounds; see q_graph_cc for the full argument."""
+    (node, lbl), round count — rounds executed THIS call, so a resumed
+    run reports only its own work). Each round: hash-min over
+    neighbours, then one label-of-label self-join (path halving) —
+    O(log d) rounds; see q_graph_cc for the full argument.
+
+    Restart semantics (SCALE.md §"Iterative loops under failure"): by
+    default per-round state rides eager localCheckpoint — O(1) plan
+    depth, NOT replayable; an executor loss mid-loop fails the job and
+    the loop restarts from round 0 (cheap at O(log d) rounds). Passing
+    a :class:`~micmac_li3ds_spark.functions.iterate.DurableLoopState`
+    switches each round to a committed parquet round-trip and makes the
+    call RESUMABLE: a re-invocation with the same state dir continues
+    from the highest committed round instead of round 0. ``fail_after``
+    is the test hook that simulates a mid-loop crash (raises AFTER
+    committing that many rounds)."""
     sym = (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
-        eager=True
-    )
+    if state is not None and state.latest_round() is not None:
+        start = state.latest_round()
+        lbl = state.load(start)
+    else:
+        start = 0
+        lbl = nodes.select("node", F.col("node").alias("lbl"))
+        lbl = state.save(lbl, 0) if state is not None else lbl.localCheckpoint(
+            eager=True
+        )
     rounds = 0
     while True:
         neighbor_min = (
@@ -1981,7 +2001,11 @@ def cc_fixpoint(e: DataFrame) -> tuple:
                 F.col("c.lbl") == F.col("pnode"),
             )
             .select(F.col("c.node").alias("node"), F.col("plbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+        )
+        jumped = (
+            state.save(jumped, start + rounds + 1)
+            if state is not None
+            else jumped.localCheckpoint(eager=True)
         )
         changed = (
             jumped.alias("nw")
@@ -1991,6 +2015,10 @@ def cc_fixpoint(e: DataFrame) -> tuple:
         )
         lbl = jumped
         rounds += 1
+        if fail_after is not None and rounds >= fail_after and changed != 0:
+            raise RuntimeError(
+                f"simulated driver crash after {rounds} committed rounds"
+            )
         if changed == 0:
             break
     return lbl, rounds

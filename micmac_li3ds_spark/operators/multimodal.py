@@ -121,6 +121,52 @@ def _decode_stub(payload: bytes, mime: str) -> list[float]:
     return [b / 256.0 for b in h[:_FEAT_DIM]]
 
 
+def _decode_pil_image(payload: bytes, mime: str) -> list[float]:
+    """REAL image decode path — import-gated on PIL, which this
+    container lacks. The decode-or-skip probe
+    (tests/test_connector_probe.py::test_pil_decode_or_skip) feeds a
+    real PNG through the same ``feature_extract`` mapInPandas plumbing
+    with this decoder the moment the environment gains PIL — the
+    Kafka/Avro probe policy applied to codecs. Features: decode →
+    grayscale → resize to an ``_FEAT_DIM``-pixel strip → [0,1]
+    intensities (a stand-in for a CNN/CLIP embedding with the same
+    shape contract as ``_decode_stub``)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((_FEAT_DIM, 1))
+    return [p / 255.0 for p in img.getdata()]
+
+
+def feature_extract(
+    media: DataFrame,
+    decode=_decode_stub,
+    decoder_name: str = "stub-sha256-v1",
+) -> DataFrame:
+    """The multimodal hot path, decoder-agnostic: Arrow-batched
+    mapInPandas over (media_id, mime, payload), one ``decode`` call per
+    item, features unpacked to scalar columns f0..f7. Batch shape,
+    schema, and iterator semantics are identical whichever decoder is
+    plugged in — q_mm_feature_extract registers the deterministic stub
+    (oracle-checkable), the PIL probe plugs in ``_decode_pil_image``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            out = {"media_id": pdf["media_id"], "mime": pdf["mime"]}
+            for i in range(_FEAT_DIM):
+                out[f"f{i}"] = [f[i] for f in feats]
+            out["decoder"] = decoder_name
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        extract, _FEATURE_SCHEMA
+    )
+
+
 def _feature_oracle() -> str:
     cols = ",\n       ".join(
         f"CAST('0x' || substring(sha256(hex(payload)), {i * 2 + 1}, 2) AS INTEGER)"
@@ -144,21 +190,9 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes it in SQL — full value parity on the whole
     mapInPandas path. Feature dims are unpacked to scalar columns
     f0..f7 (list cells are unhashable to the driver; real pipelines
-    would keep array<float>)."""
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [
-                _decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
-            ]
-            out = {"media_id": pdf["media_id"], "mime": pdf["mime"]}
-            for i in range(_FEAT_DIM):
-                out[f"f{i}"] = [f[i] for f in feats]
-            out["decoder"] = "stub-sha256-v1"
-            yield pd.DataFrame(out)
-
-    m = load_media(spark).select("media_id", "mime", "payload")
-    return m.mapInPandas(extract, _FEATURE_SCHEMA)
+    would keep array<float>). The identical plumbing runs with a REAL
+    PIL decoder in the decode-or-skip probe (see _decode_pil_image)."""
+    return feature_extract(load_media(spark))
 
 
 @register(

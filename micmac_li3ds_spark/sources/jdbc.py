@@ -71,6 +71,29 @@ def derby_config(db_dir: str) -> JdbcConfig:
     )
 
 
+def postgres_config(
+    url: Optional[str] = None,
+    user: Optional[str] = None,
+    password: Optional[str] = None,
+) -> JdbcConfig:
+    """PostgreSQL config — the networked-warehouse twin of
+    ``derby_config`` (the reference's real target engine). Defaults come
+    from the ``SPARK_GRAFT_PG_URL`` / ``SPARK_GRAFT_PG_USER`` /
+    ``SPARK_GRAFT_PG_PASSWORD`` environment variables so the
+    execute-or-skip probe (tests/test_connector_probe.py) runs the
+    identical staging+MERGE code path the moment a reachable database
+    is configured; nothing else in the engine changes between Derby and
+    Postgres — that swap being config-only is the design point."""
+    return JdbcConfig(
+        url=url or os.environ.get(
+            "SPARK_GRAFT_PG_URL", "jdbc:postgresql://localhost:5432/postgres"
+        ),
+        driver="org.postgresql.Driver",
+        user=user or os.environ.get("SPARK_GRAFT_PG_USER"),
+        password=password or os.environ.get("SPARK_GRAFT_PG_PASSWORD"),
+    )
+
+
 def read_table(
     spark: SparkSession,
     cfg: JdbcConfig,

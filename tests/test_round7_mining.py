@@ -462,3 +462,60 @@ def test_with_global_prefix_inclusive_min(spark):
     for k, s in rows:
         run = s if run is None else min(run, s)
         assert got[k] == run
+
+
+def test_cc_fixpoint_restarts_from_durable_state(spark, tmp_path):
+    """Driver-loop restart semantics (SCALE.md "Iterative loops under
+    failure"): with a DurableLoopState, a loop killed mid-iteration
+    resumes from the highest COMMITTED round — not round 0 — and
+    converges to the identical fixpoint as an uninterrupted run. The
+    simulated crash fires after 2 committed rounds on a chain graph
+    that needs more than 2, so the resume branch is genuinely
+    exercised (asserted via the resumed round count)."""
+    import pytest as _pytest
+
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+    from micmac_li3ds_spark.operators.analytics import cc_fixpoint
+
+    n = 256
+    e = spark.range(0, n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    # uninterrupted reference run (localCheckpoint path)
+    ref_lbl, ref_rounds = cc_fixpoint(e)
+    ref = sorted(map(tuple, ref_lbl.collect()))
+    assert ref_rounds > 2  # crash point must interrupt a real prefix
+
+    state = DurableLoopState(spark, str(tmp_path / "cc_state"))
+    with _pytest.raises(RuntimeError, match="simulated driver crash"):
+        cc_fixpoint(e, state=state, fail_after=2)
+    committed = state.latest_round()
+    assert committed == 2, committed
+
+    # "new driver": resume against the same state dir — must do only
+    # the remaining rounds and land on the identical fixpoint
+    state2 = DurableLoopState(spark, str(tmp_path / "cc_state"))
+    lbl, resumed_rounds = cc_fixpoint(e, state=state2)
+    assert resumed_rounds < ref_rounds, (resumed_rounds, ref_rounds)
+    assert sorted(map(tuple, lbl.collect())) == ref
+
+
+def test_durable_loop_state_ignores_uncommitted_round(spark, tmp_path):
+    """Write-then-commit protocol: a round directory WITHOUT its
+    _COMMIT_k marker (crash between write and commit) is invisible to
+    resume — latest_round() reports the last committed one and save()
+    safely overwrites the dangling directory."""
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+
+    st = DurableLoopState(spark, str(tmp_path / "st"))
+    df = spark.range(5).select(
+        F.col("id").alias("node"), F.col("id").alias("lbl")
+    )
+    st.save(df, 0)
+    # simulate a crash mid-round-1: parquet written, marker never created
+    df.write.mode("overwrite").parquet(str(tmp_path / "st" / "round=1"))
+    assert st.latest_round() == 0
+    # retry of round 1 overwrites the dangling dir and commits
+    out = st.save(df.withColumn("lbl", F.lit(0)), 1)
+    assert st.latest_round() == 1
+    assert out.count() == 5
