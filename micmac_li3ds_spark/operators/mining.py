@@ -686,3 +686,87 @@ def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(-p * F.log2(p)), 6).alias("entropy_bits"),
         )
     )
+
+
+@register(
+    "q_ts_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+win AS (
+  SELECT event_type, h, cnt,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+         CAST(coalesce(SUM(cnt) OVER w, 0) AS BIGINT) AS sum_win,
+         CAST(coalesce(SUM(cnt * cnt) OVER w, 0) AS BIGINT) AS sumsq_win
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h AS hour_start, cnt, n_win, sum_win, sumsq_win,
+       (n_win >= 12
+        AND (n_win * cnt - sum_win) * (n_win * cnt - sum_win) * (n_win - 1)
+            > 9 * n_win * (n_win * sumsq_win - sum_win * sum_win))
+         AS is_anomaly
+FROM win
+""",
+    tags=("mining", "timeseries", "anomaly", "window"),
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event-rate series —
+    the standard telemetry alert: flag an hour whose event count
+    deviates > 3σ from the trailing 24 observed hours' mean (needing
+    ≥ 12 trailing hours so cold starts don't alert).
+
+    Cross-engine determinism is the design point: the z-test fires on
+    FLOATS in every textbook spelling, and windowed stddev is exactly
+    where engines disagree (DuckDB's segment-tree window aggregation
+    associates float sums differently from Spark's streaming frame
+    fold). So the test is algebraically cleared of division and
+    square root: with n = trailing count, S = Σcnt, Q = Σcnt², flag
+        (n·x − S)² · (n−1)  >  9 · n · (n·Q − S²)
+    — identical to (x−μ)²>9σ² but pure BIGINT, so the boolean (and
+    every output column) is engine-exact with no rounding escape
+    hatch. Magnitudes stay < 2⁶³ up to ~10⁸ events/hour (n ≤ 24).
+
+    Scale: one groupBy onto the (type, hour) bucket grid — partial
+    aggregation compresses map-side, the shuffle carries bucket counts
+    not events — then a window PARTITIONED by event_type over ~10³
+    rows per type-year. The frame is ROWS (observed hours), so gaps
+    don't stretch memory; at 100 TB the bucket grid is still tiny."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    q = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0)).cast(
+        "long"
+    )
+    d = hourly.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        "cnt",
+        n.cast("long").alias("n_win"),
+        s.alias("sum_win"),
+        q.alias("sumsq_win"),
+    )
+    dev = F.col("n_win") * F.col("cnt") - F.col("sum_win")
+    var_n = F.col("n_win") * F.col("sumsq_win") - F.col("sum_win") * F.col(
+        "sum_win"
+    )
+    return d.withColumn(
+        "is_anomaly",
+        (F.col("n_win") >= 12)
+        & (dev * dev * (F.col("n_win") - 1) > 9 * F.col("n_win") * var_n),
+    )

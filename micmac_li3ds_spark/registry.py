@@ -115,8 +115,9 @@ _loaded = False
 #            tail rotates in round 8.
 #            Window composition is asserted against the live registry
 #            by tests/test_registry.py (ledger cannot drift from code).
-#   round 8 (this window): the round-8 addition in its birth round
-#            (q_etl_merge_upsert, the MERGE-shaped full-outer upsert)
+#   round 8 (this window): the round-8 additions in their birth round
+#            (q_etl_merge_upsert, the MERGE-shaped full-outer upsert;
+#            q_ts_anomaly, integer-algebra rolling z-score alerting)
 #            + 2 re-attestations of round-7 greens whose code/oracle
 #            changed THIS round and whose old rows therefore no longer
 #            attest the shipped artifact (q_agg_gini — Σ rk·x now
@@ -130,22 +131,24 @@ _loaded = False
 #            rot-resistant r1 queries (q_sort_multi, q_limit,
 #            q_fn_cond, q_fn_math). All 35 were pre-flighted green
 #            through tools/check.py at sf0.01 before this window was
-#            cut. Remaining 12 slots: continuity with the longest-
+#            cut. Remaining 11 slots: continuity with the longest-
 #            unsampled greens (round-4 rows — set ops, subqueries,
-#            UDF surface, scans, topk, IVF, snapshot-diff, skew join).
+#            UDF surface, scans, topk, IVF, snapshot-diff).
 #            After round 8 no query's newest row predates round 4,
 #            and no r1/r2 row remains live (the round-4 events.ts
 #            incident's risk class is closed: every surviving
 #            attestation postdates both corpus regenerations).
 #   round 9 (planned): any round-9 additions in their birth round,
-#            then the 28 remaining round-4 rows, then continuity
+#            then the 29 remaining round-4 rows (incl. the deferred
+#            q_join_skew_salted), then continuity
 #            (oldest round-5 rows). Steady state from here: birth-
 #            round attestation for new queries + oldest-first
 #            rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- round-8 addition (driver row in its birth round) ---
+    # --- round-8 additions (driver row in their birth round) ---
     "q_etl_merge_upsert",
+    "q_ts_anomaly",
     # --- re-attest: code/oracle changed this round (ADVICE r7) ---
     "q_agg_gini",
     "q_graph_cc",
@@ -198,7 +201,6 @@ _PRIORITY: list[str] = [
     "q_topk_global",
     "q_llm_knn_ivf",
     "q_etl_snapshot_diff",
-    "q_join_skew_salted",
 ]
 
 

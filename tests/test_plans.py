@@ -646,6 +646,8 @@ def test_aqe_skew_join_mitigation_activates(spark):
         ("q_etl_merge_upsert", 2),   # ONE full-outer SMJ on the table key
                                      # (one exchange per side); a regression
                                      # to scan+diff+apply multi-join fails
+        ("q_ts_anomaly", 2),         # bucket-grid agg + per-type window;
+                                     # the z-test is pure row-local algebra
     ],
 )
 def test_round8_exchange_budgets(spark, name, max_hash_exchanges):

@@ -519,3 +519,27 @@ def test_durable_loop_state_ignores_uncommitted_round(spark, tmp_path):
     out = st.save(df.withColumn("lbl", F.lit(0)), 1)
     assert st.latest_round() == 1
     assert out.count() == 5
+
+
+def test_ts_anomaly_integer_test_matches_float_zscore(spark):
+    """The BIGINT spelling (n·x−S)²(n−1) > 9n(nQ−S²) must agree with
+    the textbook float z-test everywhere the float test is numerically
+    unambiguous — verified over every output row at sf0.001, plus the
+    flag actually fires somewhere (non-vacuous)."""
+    import math
+
+    rows = _q(spark, "q_ts_anomaly").collect()
+    assert rows
+    fired = 0
+    for r in rows:
+        n, s, q, x = r["n_win"], r["sum_win"], r["sumsq_win"], r["cnt"]
+        if n < 12:
+            assert not r["is_anomaly"]
+            continue
+        mu = s / n
+        var = (n * q - s * s) / (n * (n - 1))
+        lhs, rhs = (x - mu) ** 2, 9 * var
+        if abs(lhs - rhs) > 1e-9 * max(lhs, rhs, 1.0):
+            assert r["is_anomaly"] == (lhs > rhs), r
+        fired += bool(r["is_anomaly"])
+    assert fired > 0

@@ -7,27 +7,61 @@ candidate explosion that only shows at 10× scale (q_join_range matched
 ~500M pairs and took 69 s at sf0.1 while passing every correctness
 check). This audit makes cost visible where correctness checks cannot.
 
+Since round 8 the audit is a STANDING PER-ROUND GATE with a durable
+artifact: ``--json TIMING_r8.json`` writes the full ranking, and the
+run auto-compares against the newest committed ``TIMING_r*.json`` —
+any query slower than ``--regression-factor`` (default 2×) its recorded
+time is listed in the artifact's ``regressions`` map and fails the exit
+code, so cost can be diffed across rounds the way CORRECTNESS is.
+A legitimate slowdown (query rewritten to do more work) is recorded by
+committing the new artifact — the next run baselines against it.
+
 Usage:
     python tools/timing_audit.py [--sf /root/testdata/sf0.1] [--top 20]
+        [--json TIMING_r8.json] [--baseline TIMING_r7.json]
+        [--regression-factor 2.0] [query ...]
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
+import json
 import os
+import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from micmac_li3ds_spark import registry  # noqa: E402
 from micmac_li3ds_spark.session import get_spark  # noqa: E402
 
+#: ignore regressions under this many seconds — JVM/GC noise floor for
+#: sub-second queries dominates any real signal down there
+MIN_REGRESSION_SEC = 2.0
 
-def main() -> None:
+
+def _newest_committed_artifact() -> str | None:
+    arts = glob.glob(os.path.join(_REPO, "TIMING_r*.json"))
+
+    def rnd(p: str) -> int:
+        m = re.search(r"TIMING_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(arts, key=rnd) if arts else None
+
+
+def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--baseline", default=None,
+                    help="TIMING_r*.json to compare against "
+                         "(default: newest committed)")
+    ap.add_argument("--regression-factor", type=float, default=2.0)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -37,12 +71,14 @@ def main() -> None:
     names = args.queries or list(regs)
 
     timings: list[tuple[float, str, int | str]] = []
+    errors: dict[str, str] = {}
     for name in names:
         spark.catalog.clearCache()
         t0 = time.time()
         try:
             n = len(regs[name].fn(spark, args.sf).collect())
         except Exception as exc:  # keep auditing the rest
+            errors[name] = str(exc)[:200]
             timings.append((time.time() - t0, name, f"ERR {exc}"[:60]))
             continue
         timings.append((time.time() - t0, name, n))
@@ -55,6 +91,59 @@ def main() -> None:
     print(f"\ntotal {total:.1f}s over {len(timings)} queries")
     spark.stop()
 
+    # --- regression gate against the newest committed artifact ---
+    baseline_path = args.baseline or _newest_committed_artifact()
+    if baseline_path == args.json_out:  # don't baseline against ourselves
+        baseline_path = None
+    regressions: dict[str, dict] = {}
+    if baseline_path and os.path.exists(baseline_path):
+        base = json.load(open(baseline_path)).get("queries", {})
+        for sec, name, _ in timings:
+            b = base.get(name)
+            if (
+                b
+                and sec > args.regression_factor * b
+                and sec >= MIN_REGRESSION_SEC
+            ):
+                regressions[name] = {
+                    "now_sec": round(sec, 2),
+                    "baseline_sec": round(b, 2),
+                    "ratio": round(sec / b, 2),
+                }
+        if regressions:
+            print(f"\n=== REGRESSIONS vs {os.path.basename(baseline_path)} ===")
+            for name, r in sorted(
+                regressions.items(), key=lambda kv: -kv[1]["ratio"]
+            ):
+                print(
+                    f"{name:36s} {r['baseline_sec']:7.2f}s -> "
+                    f"{r['now_sec']:7.2f}s ({r['ratio']}x)"
+                )
+
+    if args.json_out:
+        out = {
+            "sf": args.sf,
+            "total_sec": round(total, 1),
+            "n_queries": len(timings),
+            "baseline": os.path.basename(baseline_path)
+            if baseline_path
+            else None,
+            "regression_factor": args.regression_factor,
+            "queries": {
+                name: round(sec, 3) for sec, name, _ in sorted(timings)
+            },
+            "rows": {
+                name: n for _, name, n in timings if not isinstance(n, str)
+            },
+            "errors": errors,
+            "regressions": regressions,
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"\nwrote {args.json_out}")
+
+    return 1 if (regressions or errors) else 0
+
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
