@@ -146,3 +146,27 @@ def test_every_registered_query_has_oracle():
     regs = R.registry()
     no_oracle = [n for n, q in regs.items() if q.oracle is None]
     assert not no_oracle, f"queries without oracles: {no_oracle}"
+
+
+def test_timing_artifact_clean():
+    """The newest committed TIMING_r*.json (tools/timing_audit.py --json,
+    the per-round cost gate) must record zero errors and zero
+    >2x regressions vs its own baseline: a legitimate slowdown is
+    committed WITH a ledger note and a fresh artifact, never silently."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(repo, "TIMING_r*.json"))
+    assert arts, "no TIMING_r*.json committed — run tools/timing_audit.py"
+    newest = max(
+        arts, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
+    )
+    d = json.load(open(newest))
+    assert d["errors"] == {}, d["errors"]
+    assert d["regressions"] == {}, d["regressions"]
+    # the artifact must cover the registry of its day (tolerate queries
+    # registered after the audit ran in the same round)
+    assert d["n_queries"] >= 200
