@@ -543,3 +543,22 @@ def test_ts_anomaly_integer_test_matches_float_zscore(spark):
             assert r["is_anomaly"] == (lhs > rhs), r
         fired += bool(r["is_anomaly"])
     assert fired > 0
+
+
+def test_bfs_distances_exact_on_chain(spark):
+    """BFS hop distances on a path graph must equal the node index from
+    the source (= node 0, the min id), and the round count must equal
+    the source's eccentricity — the metric pointer jumping cannot
+    preserve, which is q_graph_sssp's reason to exist next to
+    cc_fixpoint."""
+    from micmac_li3ds_spark.operators.analytics import bfs_distances
+
+    n = 40
+    e = spark.range(0, n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    dist, src, rounds = bfs_distances(e)
+    assert src == 0
+    got = {r["node"]: r["dist"] for r in dist.collect()}
+    assert got == {i: i for i in range(n)}
+    assert rounds == n  # n-1 expansion rounds + the empty closing round
