@@ -582,3 +582,61 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "q_agg_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT date_trunc('month', ts)) AS BIGINT) AS n_months,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merge_ok
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "approx", "sketch", "rollup"),
+)
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern that makes distinct counts
+    affordable at 100 TB: build one Datasketches HLL per
+    (event_type, month) partial (``hll_sketch_agg``), then answer the
+    coarser per-type question by UNION-MERGING the stored sketches
+    (``hll_union_agg``) instead of re-scanning raw events. This is the
+    continuous-aggregate story for distinct counts: daily/monthly
+    partials are small fixed-size binaries; any coarser rollup —
+    month→quarter→year, or across tenants — is a merge of partials,
+    never a raw re-scan, and (unlike exact distinct partial counts)
+    sketches compose losslessly under union.
+
+    Like q_agg_approx_distinct the estimate is engine-specific, so the
+    value-checked output is the BANDED contract: merge_ok asserts the
+    merged estimate lands within 4·rsd of the exact per-type count
+    (rsd ≈ 1.04/√2¹² ≈ 1.63 % at the default lgConfigK=12) — a hard
+    check that union-merging partials preserves the accuracy contract,
+    exactly what a 100-TB rollup relies on. Exact count rides along to
+    attest the band (production drops it); n_months attests the
+    partial grid the merge consumed."""
+    ev = load(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type", F.date_trunc("month", F.col("ts")).alias("m")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = monthly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rsd = 1.04 / (2 ** 12) ** 0.5
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_months",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 4 * rsd * F.col("exact_users")
+            ).alias("merge_ok"),
+        )
+    )

@@ -388,3 +388,33 @@ def test_embed_dedup_planes_and_bands_scale_knobs(spark):
     }
     assert base_strong <= multi, f"multi-band lost strong pairs: {base_strong - multi}"
     assert n_candidates(12, 4) < c6
+
+
+def test_hll_sketch_union_is_partition_path_independent(spark, sf_dir):
+    """The mergeability contract q_agg_sketch_rollup sells: union-
+    merging HLL partials must give the IDENTICAL estimate whatever
+    grid the partials were built on (month vs day vs an arbitrary
+    user_id%7 split) — register-max union is commutative/associative,
+    so the rollup lattice can be re-cut freely without re-scanning raw
+    data. Exact equality, not a band: path independence is algebraic,
+    only the estimate-vs-truth gap is statistical."""
+    from micmac_li3ds_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+
+    def est(part_col):
+        p = ev.groupBy("event_type", part_col.alias("g")).agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        return {
+            r["event_type"]: r["e"]
+            for r in p.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+            .collect()
+        }
+
+    by_month = est(F.date_trunc("month", F.col("ts")))
+    by_day = est(F.date_trunc("day", F.col("ts")))
+    by_hash = est(F.col("user_id") % 7)
+    assert by_month == by_day == by_hash
+    assert by_month  # non-vacuous
