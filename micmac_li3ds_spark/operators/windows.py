@@ -695,3 +695,43 @@ def q_win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (total.cast("long") / 100.0).alias("customer_total"),
     )
+
+
+@register(
+    "q_win_moving_median",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.5)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_c
+FROM orders
+""",
+    tags=("window", "percentile", "robust"),
+)
+def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN — the robust-statistics window the moving average
+    (q_win_moving) can't be: a single whale order drags a trailing mean
+    for its whole frame lifetime but moves the median at most one rank.
+    Per customer, the median of the trailing 5 orders' totals in order
+    date sequence — the shape behind robust baselines and
+    median-absolute-deviation alerting.
+
+    Spark has no median window function, but ``F.percentile(x, 0.5)``
+    IS frameable (exact percentile over the frame); DuckDB's twin is
+    ``quantile_cont``. Both engines interpolate the even-count midpoint
+    as the mean of the two central values — on integer cents that is
+    k.0 or k.5 exactly (a dyadic double), so parity is exact with no
+    rounding fence. Frames are ROWS-bounded (≤ 5 values buffered per
+    row), the window is customer-partitioned — fully parallel, state
+    O(frame), the same 100-TB posture as every other §2.5 window."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percentile(cents("o_totalprice"), F.lit(0.5)).over(w).alias("med_c"),
+    )

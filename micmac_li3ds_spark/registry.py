@@ -119,7 +119,8 @@ _loaded = False
 #            (q_etl_merge_upsert, the MERGE-shaped full-outer upsert;
 #            q_ts_anomaly, integer-algebra rolling z-score alerting;
 #            q_graph_sssp, frontier-BFS hop-distance histogram;
-#            q_agg_sketch_rollup, banded HLL partial-sketch union)
+#            q_agg_sketch_rollup, banded HLL partial-sketch union;
+#            q_win_moving_median, frameable exact percentile)
 #            + 2 re-attestations of round-7 greens whose code/oracle
 #            changed THIS round and whose old rows therefore no longer
 #            attest the shipped artifact (q_agg_gini — Σ rk·x now
@@ -133,17 +134,17 @@ _loaded = False
 #            rot-resistant r1 queries (q_sort_multi, q_limit,
 #            q_fn_cond, q_fn_math). All 35 were pre-flighted green
 #            through tools/check.py at sf0.01 before this window was
-#            cut. Remaining 9 slots: continuity with the longest-
+#            cut. Remaining 8 slots: continuity with the longest-
 #            unsampled greens (round-4 rows — set ops, subqueries,
-#            UDF surface, scans, topk).
+#            UDF surface, scans).
 #            After round 8 no query's newest row predates round 4,
 #            and no r1/r2 row remains live (the round-4 events.ts
 #            incident's risk class is closed: every surviving
 #            attestation postdates both corpus regenerations).
 #   round 9 (planned): any round-9 additions in their birth round,
-#            then the 31 remaining round-4 rows (incl. the deferred
-#            q_join_skew_salted, q_etl_snapshot_diff, q_llm_knn_ivf),
-#            then continuity
+#            then the 32 remaining round-4 rows (incl. the deferred
+#            q_join_skew_salted, q_etl_snapshot_diff, q_llm_knn_ivf,
+#            q_topk_global), then continuity
 #            (oldest round-5 rows). Steady state from here: birth-
 #            round attestation for new queries + oldest-first
 #            rotation keeps every green ≤ 4 rounds old.
@@ -154,6 +155,7 @@ _PRIORITY: list[str] = [
     "q_ts_anomaly",
     "q_graph_sssp",
     "q_agg_sketch_rollup",
+    "q_win_moving_median",
     # --- re-attest: code/oracle changed this round (ADVICE r7) ---
     "q_agg_gini",
     "q_graph_cc",
@@ -203,7 +205,6 @@ _PRIORITY: list[str] = [
     "q_udf_pandas",
     "q_scan_parquet",
     "q_scan_csv",
-    "q_topk_global",
 ]
 
 
