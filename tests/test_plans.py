@@ -648,6 +648,11 @@ def test_aqe_skew_join_mitigation_activates(spark):
                                      # to scan+diff+apply multi-join fails
         ("q_ts_anomaly", 2),         # bucket-grid agg + per-type window;
                                      # the z-test is pure row-local algebra
+        ("q_agg_sketch_rollup", 4),  # monthly-partial agg + type merge +
+                                     # exact-attest agg; exact side joins
+                                     # by broadcast (25 types)
+        ("q_win_moving_median", 1),  # ONE customer-partitioned window,
+                                     # frame-bounded percentile state
     ],
 )
 def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
