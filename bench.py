@@ -65,6 +65,9 @@ EXTENDED = [
     "q_llm_curate_pipeline",    # end-to-end curation composite
     "q_abc_pareto",             # distributed global prefix-sum scan
     "q_skyline",                # strict prefix-min Pareto frontier
+    "q_etl_merge_upsert",       # round 8: MERGE as one full-outer join
+    "q_ts_anomaly",             # round 8: integer-algebra rolling z-score
+    "q_agg_sketch_rollup",      # round 8: HLL partial-sketch union rollup
     # q_er_resolve is deliberately NOT benched: its wall time is an
     # iterative driver loop whose round count is corpus-dependent
     # (~24 s at sf0.1 after the τ=1 deletion-blocking fix) — a bad
