@@ -1101,3 +1101,64 @@ def q_llm_kmeans_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Convergence (inertia monotone under quantization noise) is pinned
     in tests/test_round6_ops.py."""
     return kmeans_fixpoint(spark, sf_dir, 3)
+
+
+@register(
+    "q_llm_knn_recall",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {DUCK_VEC} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact AS (
+  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e, q WHERE e.vec_id <> 0
+  ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+),
+comp AS (
+  SELECT label, t.i AS i, AVG(v[t.i]) AS m
+  FROM e, range(1, 65) t(i) GROUP BY label, t.i
+),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM comp GROUP BY label),
+probe AS (
+  SELECT label FROM cent, q
+  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, label
+  LIMIT 3
+),
+ivf AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e JOIN probe USING (label), q
+  WHERE e.vec_id <> 0
+  ORDER BY cos_sim DESC, vec_id LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       round((SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) / 10.0, 6)
+         AS recall_at_k
+""",
+    tags=("llm", "vector", "knn", "ann", "quality"),
+)
+def q_llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF approximate search against the exact
+    brute-force baseline — the ANN quality gauge every production
+    vector deployment monitors (probe-count and cell-count tuning are
+    recall/cost trades; this op is the measurement side of that dial).
+
+    Both sides are deterministic (round-6dp score tiebreaks pin the
+    top-k sets in either engine), so unlike the banded sketch
+    contracts the recall itself is FULL-value-checked: the oracle
+    recomputes exact top-10, the IVF pipeline (centroids → probe-3 →
+    in-cell scan), and the overlap. A code change that silently drops
+    IVF recall shows up as a hash red, not a quiet quality loss. Cost
+    is one exact scan + one IVF probe — exactly the two registered
+    queries it audits (the exact side exists only to measure; at
+    production scale this runs on a sampled query set, not per
+    request)."""
+    exact = q_llm_knn(spark, sf_dir).select("vec_id")
+    ivf = q_llm_knn_ivf(spark, sf_dir).select("vec_id")
+    overlap = exact.join(ivf, "vec_id")
+    return overlap.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_k"),
+    )
