@@ -270,6 +270,55 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def tws_user_totals_ttl(stream: DataFrame, ttl_ms: int) -> DataFrame:
+    """``tws_user_totals`` with a processing-time TTL on the value
+    state — the memory-boundedness story for unbounded key spaces: a
+    100 TB clickstream has an effectively infinite user id domain, and
+    without TTL (or event-time timers) per-key state grows forever.
+    ``ttlDurationMs`` makes the state store itself expire idle keys —
+    eviction is the store's job, not hand-rolled bookkeeping. Semantics
+    under TTL: a user idle longer than the TTL restarts from zero —
+    asserted across checkpoint-restarted micro-batches in
+    tests/test_streaming.py (state carries within the TTL, resets
+    beyond it)."""
+    import pandas as pd  # local: only the python workers need it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsTtl(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, cents long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._totals.get()
+            n, cents_total = prior if prior is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents_total += int(pdf["value"].mul(100).round().sum())
+            self._totals.update((n, cents_total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents_total / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsTtl(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     """Stream-stream LEFT OUTER join: matched pairs emit immediately;
     an unmatched click emits with NULL purchase columns only once the

@@ -823,3 +823,109 @@ def test_transitions_stream_drops_out_of_order_stragglers(spark, tmp_path):
         ("purchase", "refund"),
         ("view", "click"),
     ], got
+
+
+def test_transform_with_state_ttl_expires_idle_keys(spark, tmp_path):
+    """State TTL — the memory-boundedness contract for unbounded key
+    domains: a key re-arriving WITHIN the TTL accumulates onto carried
+    state; the same key re-arriving AFTER idling past the TTL restarts
+    from zero because the store itself expired the value. Proven with
+    three checkpoint-chained availableNow runs with a > TTL pause
+    before the last one."""
+    import os
+    import time
+
+    pytest.importorskip("google.protobuf.descriptor")
+    tmp = str(tmp_path / "ttl")
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, uid, val):
+        return (i, t0 + datetime.timedelta(minutes=i), uid, "click", val, "{}")
+
+    emitted: list[tuple] = []
+    ttl_ms = 2000
+
+    def run_once(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(cols).parquet(f"{tmp}/in")
+        q = (
+            jobs.tws_user_totals_ttl(stream, ttl_ms)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.extend(tuple(r) for r in df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once([ev(1, 1, 1.00)])
+    # within TTL: state carries, totals accumulate
+    run_once([ev(2, 1, 2.00)])
+    within = [r for r in emitted if r[0] == 1]
+    assert within[-1] == (1, 2, 3.0), within
+    # idle past the TTL: the store expires user 1's value state
+    time.sleep((ttl_ms / 1000) + 2)
+    run_once([ev(3, 1, 5.00)])
+    after = [r for r in emitted if r[0] == 1]
+    assert after[-1] == (1, 1, 5.0), after
+
+
+def test_anomaly_grid_from_stream_matches_batch(spark, sf_dir):
+    """The production alerting shape behind q_ts_anomaly: streaming
+    ingest MATERIALIZES the (event_type, hour) count grid as a
+    continuous aggregate; the rolling z-test is then a batch window
+    scan over that tiny grid, not over raw events. Proven by building
+    the grid via readStream (hourly tumbling counts, complete mode)
+    and asserting the z-test over the streamed grid is row-identical
+    to the batch operator's output on the same corpus."""
+    from pyspark.sql.window import Window as W
+
+    from micmac_li3ds_spark.operators.mining import q_ts_anomaly
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    grid = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "cnt"
+        )
+    )
+    q = jobs.run_to_memory(grid, "t_anom_grid", output_mode="complete")
+    _drain(q)
+
+    g = spark.table("t_anom_grid")
+    w = W.partitionBy("event_type").orderBy("hour_start").rowsBetween(-24, -1)
+    n = F.count(F.lit(1)).over(w).cast("long")
+    s = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    qq = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0)).cast(
+        "long"
+    )
+    d = g.select(
+        "event_type", "hour_start", "cnt",
+        n.alias("n_win"), s.alias("sum_win"), qq.alias("sumsq_win"),
+    )
+    dev = F.col("n_win") * F.col("cnt") - F.col("sum_win")
+    var_n = (
+        F.col("n_win") * F.col("sumsq_win")
+        - F.col("sum_win") * F.col("sum_win")
+    )
+    streamed = d.withColumn(
+        "is_anomaly",
+        (F.col("n_win") >= 12)
+        & (dev * dev * (F.col("n_win") - 1) > 9 * F.col("n_win") * var_n),
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, q_ts_anomaly(spark, sf_dir).collect()))
+    assert got == want
