@@ -526,3 +526,84 @@ def transitions_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Event-time-TIMER sessionization on ``transformWithStateInPandas``
+    — the last §2.9 state primitive: instead of the built-in
+    ``session_window`` (which owns eviction internally), the processor
+    carries (start_s, last_s, n) per user and re-registers an event-time
+    timer at last_s + gap on every arrival; when the WATERMARK passes
+    the registered expiry the runtime calls ``handleExpiredTimer``,
+    which emits the closed session and clears state. This is the
+    building block for state machines the built-ins can't express
+    (multi-stage timeouts, per-key escalation schedules, delayed
+    side-effects) with the same memory contract as session_window:
+    state per key is O(1) and leaves the store the moment its timer
+    fires. Requires ``timeMode="EventTime"`` and a watermark on the
+    input; emission timing is therefore watermark-driven exactly like
+    the built-in session twin (q_stream_session), which the test uses
+    as the equivalence baseline for closed sessions."""
+    import pandas as pd  # local: only the python workers need it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionTimer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_s long, last_s long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._sess.get()
+            start_s, last_s, n = prior if prior is not None else (None, None, 0)
+            for pdf in rows:
+                for ts_s in pdf["ts_s"]:
+                    t = int(ts_s)
+                    if start_s is None:
+                        start_s, last_s = t, t
+                    else:
+                        start_s, last_s = min(start_s, t), max(last_s, t)
+                    n += 1
+            # one live timer per key: move the horizon to the newest gap
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer((last_s + gap_s) * 1000)
+            self._sess.update((start_s, last_s, n))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            prior = self._sess.get()
+            if prior is None:
+                return iter(())
+            start_s, last_s, n = prior
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_s": [start_s],
+                    "session_end_s": [last_s],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream.withWatermark("ts", "0 seconds").select(
+        "user_id",
+        F.col("ts"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimer(),
+        outputStructType=(
+            "user_id long, session_start_s long, session_end_s long,"
+            " n_events long"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -929,3 +929,51 @@ def test_anomaly_grid_from_stream_matches_batch(spark, sf_dir):
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, q_ts_anomaly(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_tws_event_time_timer_closes_sessions(spark, tmp_path):
+    """Event-time timers (transformWithState): sessions close when the
+    WATERMARK passes last_event + gap — the hand-rolled twin of
+    session_window, proving the timer/eviction primitive. A session
+    whose gap has not been passed by the watermark must NOT emit."""
+    pytest.importorskip("google.protobuf.descriptor")
+    tmp = str(tmp_path / "timer")
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, uid, minutes):
+        return (i, t0 + datetime.timedelta(minutes=minutes), uid, "click", 1.0, "{}")
+
+    emitted: list[tuple] = []
+
+    def run_once(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(cols).parquet(f"{tmp}/in")
+        q = (
+            jobs.tws_session_timer(stream, gap_s=1800)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.extend(tuple(r) for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # user 1: two events 10 min apart (one session); user 2: one event
+    run_once([ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5)])
+    assert emitted == []  # watermark has not passed any gap yet
+    # advance the watermark far past both gaps with a sentinel user
+    run_once([ev(99, 9, 240)])
+    run_once([ev(100, 9, 480)])
+    got = {r[0]: r for r in emitted}
+    t_base = int(t0.timestamp())
+    assert got[1] == (1, t_base, t_base + 600, 2)
+    assert got[2] == (2, t_base + 300, t_base + 300, 1)
