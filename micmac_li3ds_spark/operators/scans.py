@@ -469,3 +469,105 @@ def q_audit_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_small_files"
         ),
     )
+
+
+def _zorder_spark_expr(xcol: str, ycol: str, bits: int = 16) -> str:
+    """Spark SQL expression interleaving the low ``bits`` bits of two
+    non-negative ints into a Z-value (x even positions, y odd)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({xcol}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({ycol}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_duck_expr(xcol: str, ycol: str, bits: int = 16) -> str:
+    """DuckDB spelling of the same interleave (operators, not fns)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_layout_zorder",
+    oracle=f"""
+WITH d AS (
+  SELECT o_custkey AS ck,
+         CAST(datediff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+  FROM orders
+),
+mm AS (
+  SELECT MIN(ck) AS ck0, MAX(ck) AS ck1, MIN(dd) AS dd0, MAX(dd) AS dd1
+  FROM d
+),
+nrm AS (
+  SELECT ck, dd,
+         ((ck - ck0) * 1024) // (ck1 - ck0 + 1) AS cn,
+         ((dd - dd0) * 1024) // (dd1 - dd0 + 1) AS dn
+  FROM d, mm
+),
+z AS (
+  SELECT ck, dd, {_zorder_duck_expr('cn', 'dn', 10)} AS zval FROM nrm
+),
+b AS (SELECT ck, dd, zval >> 14 AS zbucket FROM z)
+SELECT CAST(zbucket AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(ck) AS min_custkey, MAX(ck) AS max_custkey,
+       MIN(dd) AS min_day, MAX(dd) AS max_day
+FROM b GROUP BY zbucket
+""",
+    tags=("layout", "zorder", "data-skipping"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit — the multi-dimensional
+    data-skipping layout behind Delta/Iceberg OPTIMIZE ZORDER: single-
+    column sort bounds min/max skipping to ONE dimension, while
+    interleaving bits of (custkey, order-day) into a Z-value and
+    range-bucketing on it keeps EVERY interleaved dimension's min/max
+    tight per bucket. Each dimension is first NORMALIZED to a common
+    10-bit rank scale from its broadcast min/max (the step naive
+    Z-ordering botches: interleaving dims of unequal bit width puts
+    only the wide dim in the high bits and degenerates to a
+    single-key sort — observed and fixed here, then pinned by the
+    both-dims-bounded test), then the Z-value is pure integer bit
+    algebra and the top 6 bits split the curve into 64 buckets (the
+    file-boundary stand-in). Output is per-bucket row counts and
+    per-dimension min/max envelopes — exactly the parquet footer
+    stats a scan planner prunes against; both envelopes are narrow
+    simultaneously, which no single-key sort achieves.
+
+    Scale: the Z-value is a map-side expression; clustering a real
+    table is `repartitionByRange(zval) + sortWithinPartitions(zval)`
+    on write (same machinery as the partitioned sinks here), after
+    which min/max pruning works on BOTH join/filter dims. One
+    aggregation on the bucket id; exact integer output, exact oracle."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("dd"),
+    )
+    mm = d.agg(
+        F.min("ck").alias("ck0"), F.max("ck").alias("ck1"),
+        F.min("dd").alias("dd0"), F.max("dd").alias("dd1"),
+    )
+    nrm = d.crossJoin(F.broadcast(mm)).select(
+        "ck", "dd",
+        F.expr("((ck - ck0) * 1024) div (ck1 - ck0 + 1)").alias("cn"),
+        F.expr("((dd - dd0) * 1024) div (dd1 - dd0 + 1)").alias("dn"),
+    )
+    z = nrm.withColumn("zval", F.expr(_zorder_spark_expr("cn", "dn", 10)))
+    b = z.withColumn("zbucket", F.expr("zval >> 14"))
+    return b.groupBy(F.col("zbucket").cast("long").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ck").alias("min_custkey"),
+        F.max("ck").alias("max_custkey"),
+        F.min("dd").alias("min_day"),
+        F.max("dd").alias("max_day"),
+    )

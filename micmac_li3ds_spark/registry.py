@@ -121,7 +121,8 @@ _loaded = False
 #            q_graph_sssp, frontier-BFS hop-distance histogram;
 #            q_agg_sketch_rollup, banded HLL partial-sketch union;
 #            q_win_moving_median, frameable exact percentile;
-#            q_llm_knn_recall, full-value-checked ANN recall gauge)
+#            q_llm_knn_recall, full-value-checked ANN recall gauge;
+#            q_layout_zorder, normalized Morton-curve skipping audit)
 #            + 2 re-attestations of round-7 greens whose code/oracle
 #            changed THIS round and whose old rows therefore no longer
 #            attest the shipped artifact (q_agg_gini — Σ rk·x now
@@ -135,7 +136,7 @@ _loaded = False
 #            rot-resistant r1 queries (q_sort_multi, q_limit,
 #            q_fn_cond, q_fn_math). All 35 were pre-flighted green
 #            through tools/check.py at sf0.01 before this window was
-#            cut. Remaining 7 slots: continuity with the longest-
+#            cut. Remaining 6 slots: continuity with the longest-
 #            unsampled greens (round-4 rows — set ops, subqueries,
 #            UDF surface, scans).
 #            After round 8 no query's newest row predates round 4,
@@ -143,9 +144,10 @@ _loaded = False
 #            incident's risk class is closed: every surviving
 #            attestation postdates both corpus regenerations).
 #   round 9 (planned): any round-9 additions in their birth round,
-#            then the 33 remaining round-4 rows (incl. the deferred
+#            then the 34 remaining round-4 rows (incl. the deferred
 #            q_join_skew_salted, q_etl_snapshot_diff, q_llm_knn_ivf,
-#            q_topk_global, q_scan_csv), then continuity
+#            q_topk_global, q_scan_csv, q_scan_parquet), then
+#            continuity
 #            (oldest round-5 rows). Steady state from here: birth-
 #            round attestation for new queries + oldest-first
 #            rotation keeps every green ≤ 4 rounds old.
@@ -158,6 +160,7 @@ _PRIORITY: list[str] = [
     "q_agg_sketch_rollup",
     "q_win_moving_median",
     "q_llm_knn_recall",
+    "q_layout_zorder",
     # --- re-attest: code/oracle changed this round (ADVICE r7) ---
     "q_agg_gini",
     "q_graph_cc",
@@ -205,7 +208,6 @@ _PRIORITY: list[str] = [
     "q_subquery_in",
     "q_udf_python",
     "q_udf_pandas",
-    "q_scan_parquet",
 ]
 
 

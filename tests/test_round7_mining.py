@@ -562,3 +562,23 @@ def test_bfs_distances_exact_on_chain(spark):
     got = {r["node"]: r["dist"] for r in dist.collect()}
     assert got == {i: i for i in range(n)}
     assert rounds == n  # n-1 expansion rounds + the empty closing round
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The reason Z-order exists: per-bucket min/max envelopes must be
+    narrow in BOTH interleaved dimensions simultaneously (mean width
+    well under half the global range per dim) — a single-column sort
+    gives a narrow envelope in one dim and full-range in the other."""
+    rows = _q(spark, "q_layout_zorder").collect()
+    assert len(rows) >= 8
+    g_ck = max(r["max_custkey"] for r in rows) - min(
+        r["min_custkey"] for r in rows
+    )
+    g_dd = max(r["max_day"] for r in rows) - min(r["min_day"] for r in rows)
+    n = sum(r["n_rows"] for r in rows)
+    mean_ck = sum(
+        (r["max_custkey"] - r["min_custkey"]) * r["n_rows"] for r in rows
+    ) / n
+    mean_dd = sum((r["max_day"] - r["min_day"]) * r["n_rows"] for r in rows) / n
+    assert mean_ck < 0.5 * g_ck, (mean_ck, g_ck)
+    assert mean_dd < 0.5 * g_dd, (mean_dd, g_dd)
