@@ -838,3 +838,80 @@ def q_etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+@register(
+    "q_etl_asof_snapshot",
+    oracle="""
+WITH ops AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error'  THEN 'D'
+                         ELSE 'U' END AS op,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_s DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM ops
+)
+SELECT user_id, op AS last_op, ts_s AS last_ts_s, c AS last_c,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+    tags=("etl", "cdc", "time-travel"),
+)
+def q_etl_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a change log — ``SELECT * FROM t AS OF T`` with
+    the log as the source of truth: replay the CDC stream (the
+    q_etl_cdc_apply op coding) but only for operations at or before
+    the AS-OF horizon, collapsing to last-writer-wins state per key.
+    With q_etl_merge_upsert (MERGE), q_etl_snapshot_diff (diff), and
+    q_etl_cdc_apply (compact-to-now), this completes the query-level
+    ACID-table surface: any historical state is one predicate away,
+    and the plan is IDENTICAL to compact-to-now — the horizon filter
+    pushes down to the scan (PushedFilters on ts), so time travel
+    reads strictly LESS data than the full compaction, not more. At
+    100 TB the log is time-partitioned and the filter prunes whole
+    partitions before the single per-key hash exchange."""
+    horizon = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    ops = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < horizon)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias(
+                "ts_s"
+            ),
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    key = Window.partitionBy("user_id")
+    ranked = ops.select(
+        "user_id",
+        "op",
+        "ts_s",
+        "c",
+        F.row_number()
+        .over(key.orderBy(F.col("ts_s").desc(), F.col("event_id").desc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(key).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts_s").alias("last_ts_s"),
+        F.col("c").alias("last_c"),
+        F.col("n_ops").cast("long").alias("n_ops"),
+    )
