@@ -640,3 +640,64 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_ok"),
         )
     )
+
+
+@register(
+    "q_agg_bitmap_rollup",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT user_id) AS n_users_rollup
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "bitmap", "distinct", "rollup"),
+)
+def q_agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct ROLLUP via bitmap aggregates — the
+    precision twin of q_agg_sketch_rollup (and the partial-merge
+    extension of q_agg_bitmap_distinct, which proves the single-level
+    bitmap count): where HLL trades ~1.6 % error for a
+    fixed 4 KB sketch, dense bitmaps are exact and still MERGEABLE
+    (union = bitwise OR), at a size linear in the id domain instead of
+    constant. The Spark 3.5+ surface: ids bucket by
+    ``bitmap_bucket_number`` (32768-bit segments), each
+    (group, bucket) partial is one ``bitmap_construct_agg`` binary,
+    any coarser group re-aggregates partials with ``bitmap_or_agg``
+    and counts set bits with ``bitmap_count`` — no re-scan of raw
+    rows, no expand, exactly the warehouse "precomputed distinct
+    users per (type, month) → any rollup" pattern when approximation
+    is not acceptable (billing, dedup audits).
+
+    Both columns are checked against plain COUNT(DISTINCT): n_users
+    is the direct bitmap count per type; n_users_rollup re-derives it
+    by OR-merging the finer (type, month) partials — the mergeability
+    proof riding in the value hash itself. Shuffle carries one bitmap
+    per (group, bucket), compressing the id list ~64× dense."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("month", F.col("ts")).alias("m"),
+        F.col("user_id").alias("uid"),
+    )
+    # direct: per (type, bucket) bitmap -> count -> sum per type
+    direct = (
+        ev.groupBy(
+            "event_type", F.bitmap_bucket_number("uid").alias("bkt")
+        )
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid")).alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+    )
+    # rollup: finer (type, month, bucket) partials OR-merged up
+    partials = ev.groupBy(
+        "event_type", "m", F.bitmap_bucket_number("uid").alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid")).alias("bm"))
+    merged = (
+        partials.groupBy("event_type", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users_rollup"))
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type", "n_users", "n_users_rollup"
+    )
