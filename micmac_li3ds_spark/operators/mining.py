@@ -770,3 +770,148 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_win") >= 12)
         & (dev * dev * (F.col("n_win") - 1) > 9 * F.col("n_win") * var_n),
     )
+
+
+@register(
+    "q_ts_downsample_lttb",
+    oracle="""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+pts AS (
+  SELECT event_type, t, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+okpts AS (SELECT * FROM pts WHERE n >= 40),
+interior AS (
+  SELECT event_type, t, v,
+         ((r - 2) * 18) // (n - 2) + 1 AS b
+  FROM okpts WHERE r BETWEEN 2 AND n - 1
+),
+lastpt AS (SELECT event_type, t, v FROM okpts WHERE r = n),
+bsum AS (
+  SELECT event_type, b, COUNT(*) AS cn, SUM(t) AS sx, SUM(v) AS sy
+  FROM interior GROUP BY event_type, b
+),
+nxtc AS (
+  SELECT event_type, b - 1 AS j, cn, sx, sy FROM bsum WHERE b >= 2
+  UNION ALL
+  SELECT event_type, 18 AS j, 1 AS cn, t AS sx, v AS sy FROM lastpt
+),
+walk AS (
+  SELECT event_type, 0 AS k, t AS at, v AS av FROM okpts WHERE r = 1
+  UNION
+  SELECT w.event_type, w.k + 1 AS k, s.t AS at, s.v AS av
+  FROM walk w
+  JOIN nxtc x ON x.event_type = w.event_type AND x.j = w.k + 1,
+  LATERAL (
+    SELECT p.t, p.v
+    FROM interior p
+    WHERE p.event_type = w.event_type AND p.b = w.k + 1
+    ORDER BY abs((w.at * x.cn - x.sx) * (p.v - w.av)
+                 - (w.at - p.t) * (x.sy - w.av * x.cn)) DESC, p.t
+    LIMIT 1
+  ) s
+  WHERE w.k < 18
+)
+SELECT event_type, CAST(k AS INTEGER) AS pick_k, at AS t, av AS v FROM walk
+UNION ALL
+SELECT event_type, 19 AS pick_k, t, v FROM lastpt
+""",
+    tags=("mining", "timeseries", "downsample", "applyinpandas"),
+)
+def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    the standard dashboard decimation: keep the 20 points per series
+    that best preserve visual shape). First/last points always kept;
+    interior points split into 18 equal-count rank buckets; walking
+    left→right, each bucket contributes the point forming the largest
+    triangle with the PREVIOUSLY SELECTED point and the NEXT bucket's
+    centroid — an inherently sequential per-series recurrence, which
+    makes this the registered showcase for the grouped-pandas pattern:
+    ``applyInPandas`` per series key runs the O(n) loop vectorized-ish
+    in Python while Spark parallelizes ACROSS series (millions of
+    series at 100 TB; the per-series loop is the part that cannot be
+    a join, and series fit executors by construction after the tiny
+    hourly pre-aggregation).
+
+    Cross-engine exactness: triangle areas compare as the integer
+    |cross product| scaled by the next-bucket count (centroids never
+    materialize as floats — A' = |(aₜ·cₙ−Σx)(pᵥ−aᵥ) − (aₜ−pₜ)(Σy−aᵥ·cₙ)|),
+    ties break toward the earlier timestamp, so the pick sequence is
+    a pure integer function of the series in both engines. The oracle
+    runs the SAME walk as a recursive CTE with a LATERAL argmax per
+    step. Series shorter than 40 points are passed over (downsampling
+    to 20 would distort, and empty rank buckets would stall the
+    walk); the corpus series are ~700 points."""
+    import pandas as pd
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("t"),
+            F.col("v").cast("long"),
+        )
+    )
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        n = len(pdf)
+        out = {"event_type": [], "pick_k": [], "t": [], "v": []}
+        if n < 40:
+            return pd.DataFrame(out)
+        et = pdf["event_type"].iloc[0]
+        ts = [int(x) for x in pdf["t"]]
+        vs = [int(x) for x in pdf["v"]]
+        n_int = n - 2
+        # interior rank buckets 1..18 (same integer split as the oracle)
+        buckets: dict[int, list[int]] = {}
+        for idx0 in range(n_int):
+            b = (idx0 * 18) // n_int + 1
+            buckets.setdefault(b, []).append(idx0 + 1)  # point index
+        at, av = ts[0], vs[0]
+        out["event_type"].append(et)
+        out["pick_k"].append(0)
+        out["t"].append(at)
+        out["v"].append(av)
+        for j in range(1, 19):
+            if j < 18:
+                nxt = buckets[j + 1]
+                cn = len(nxt)
+                sx = sum(ts[i] for i in nxt)
+                sy = sum(vs[i] for i in nxt)
+            else:
+                cn, sx, sy = 1, ts[n - 1], vs[n - 1]
+            best = None
+            for i in buckets[j]:
+                a2 = abs(
+                    (at * cn - sx) * (vs[i] - av)
+                    - (at - ts[i]) * (sy - av * cn)
+                )
+                cand = (-a2, ts[i], i)
+                if best is None or cand < best:
+                    best = cand
+            i = best[2]
+            at, av = ts[i], vs[i]
+            out["event_type"].append(et)
+            out["pick_k"].append(j)
+            out["t"].append(at)
+            out["v"].append(av)
+        out["event_type"].append(et)
+        out["pick_k"].append(19)
+        out["t"].append(ts[n - 1])
+        out["v"].append(vs[n - 1])
+        return pd.DataFrame(out)
+
+    return hourly.groupBy("event_type").applyInPandas(
+        lttb, "event_type string, pick_k int, t long, v long"
+    )
