@@ -653,6 +653,12 @@ def test_aqe_skew_join_mitigation_activates(spark):
                                      # by broadcast (25 types)
         ("q_win_moving_median", 1),  # ONE customer-partitioned window,
                                      # frame-bounded percentile state
+        ("q_etl_asof_snapshot", 1),  # horizon-filtered CDC replay: one
+                                     # per-key exchange, filter at the scan
+        ("q_llm_knn_recall", 2),     # exact + IVF shortlists (both
+                                     # broadcast-query map-side scans)
+        ("q_ts_downsample_lttb", 2), # hourly grid agg + per-series
+                                     # applyInPandas regroup
     ],
 )
 def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
