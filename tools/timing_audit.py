@@ -93,7 +93,9 @@ def main() -> int:
 
     # --- regression gate against the newest committed artifact ---
     baseline_path = args.baseline or _newest_committed_artifact()
-    if baseline_path == args.json_out:  # don't baseline against ourselves
+    if baseline_path and args.json_out and os.path.abspath(
+        baseline_path
+    ) == os.path.abspath(args.json_out):  # don't baseline against ourselves
         baseline_path = None
     regressions: dict[str, dict] = {}
     if baseline_path and os.path.exists(baseline_path):
