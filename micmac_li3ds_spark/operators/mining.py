@@ -772,6 +772,63 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lttb_kernel(pdf):
+    """The per-series LTTB pick walk (grouped-pandas kernel of
+    q_ts_downsample_lttb, module-level so the hypothesis property test
+    exercises the SHIPPED code against an independent reference).
+    Expects columns (event_type, t, v); emits the 20 picks or nothing
+    for series shorter than 40 points."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("t").reset_index(drop=True)
+    n = len(pdf)
+    out = {"event_type": [], "pick_k": [], "t": [], "v": []}
+    if n < 40:
+        return pd.DataFrame(out)
+    et = pdf["event_type"].iloc[0]
+    ts = [int(x) for x in pdf["t"]]
+    vs = [int(x) for x in pdf["v"]]
+    n_int = n - 2
+    # interior rank buckets 1..18 (same integer split as the oracle)
+    buckets: dict[int, list[int]] = {}
+    for idx0 in range(n_int):
+        b = (idx0 * 18) // n_int + 1
+        buckets.setdefault(b, []).append(idx0 + 1)  # point index
+    at, av = ts[0], vs[0]
+    out["event_type"].append(et)
+    out["pick_k"].append(0)
+    out["t"].append(at)
+    out["v"].append(av)
+    for j in range(1, 19):
+        if j < 18:
+            nxt = buckets[j + 1]
+            cn = len(nxt)
+            sx = sum(ts[i] for i in nxt)
+            sy = sum(vs[i] for i in nxt)
+        else:
+            cn, sx, sy = 1, ts[n - 1], vs[n - 1]
+        best = None
+        for i in buckets[j]:
+            a2 = abs(
+                (at * cn - sx) * (vs[i] - av)
+                - (at - ts[i]) * (sy - av * cn)
+            )
+            cand = (-a2, ts[i], i)
+            if best is None or cand < best:
+                best = cand
+        i = best[2]
+        at, av = ts[i], vs[i]
+        out["event_type"].append(et)
+        out["pick_k"].append(j)
+        out["t"].append(at)
+        out["v"].append(av)
+    out["event_type"].append(et)
+    out["pick_k"].append(19)
+    out["t"].append(ts[n - 1])
+    out["v"].append(vs[n - 1])
+    return pd.DataFrame(out)
+
+
 @register(
     "q_ts_downsample_lttb",
     oracle="""
@@ -848,8 +905,6 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     step. Series shorter than 40 points are passed over (downsampling
     to 20 would distort, and empty rank buckets would stall the
     walk); the corpus series are ~700 points."""
-    import pandas as pd
-
     hourly = (
         load(spark, sf_dir, "events")
         .groupBy(
@@ -862,56 +917,6 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("long"),
         )
     )
-
-    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t").reset_index(drop=True)
-        n = len(pdf)
-        out = {"event_type": [], "pick_k": [], "t": [], "v": []}
-        if n < 40:
-            return pd.DataFrame(out)
-        et = pdf["event_type"].iloc[0]
-        ts = [int(x) for x in pdf["t"]]
-        vs = [int(x) for x in pdf["v"]]
-        n_int = n - 2
-        # interior rank buckets 1..18 (same integer split as the oracle)
-        buckets: dict[int, list[int]] = {}
-        for idx0 in range(n_int):
-            b = (idx0 * 18) // n_int + 1
-            buckets.setdefault(b, []).append(idx0 + 1)  # point index
-        at, av = ts[0], vs[0]
-        out["event_type"].append(et)
-        out["pick_k"].append(0)
-        out["t"].append(at)
-        out["v"].append(av)
-        for j in range(1, 19):
-            if j < 18:
-                nxt = buckets[j + 1]
-                cn = len(nxt)
-                sx = sum(ts[i] for i in nxt)
-                sy = sum(vs[i] for i in nxt)
-            else:
-                cn, sx, sy = 1, ts[n - 1], vs[n - 1]
-            best = None
-            for i in buckets[j]:
-                a2 = abs(
-                    (at * cn - sx) * (vs[i] - av)
-                    - (at - ts[i]) * (sy - av * cn)
-                )
-                cand = (-a2, ts[i], i)
-                if best is None or cand < best:
-                    best = cand
-            i = best[2]
-            at, av = ts[i], vs[i]
-            out["event_type"].append(et)
-            out["pick_k"].append(j)
-            out["t"].append(at)
-            out["v"].append(av)
-        out["event_type"].append(et)
-        out["pick_k"].append(19)
-        out["t"].append(ts[n - 1])
-        out["v"].append(vs[n - 1])
-        return pd.DataFrame(out)
-
     return hourly.groupBy("event_type").applyInPandas(
-        lttb, "event_type string, pick_k int, t long, v long"
+        lttb_kernel, "event_type string, pick_k int, t long, v long"
     )

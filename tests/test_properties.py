@@ -418,3 +418,71 @@ def test_hll_sketch_union_is_partition_path_independent(spark, sf_dir):
     by_hash = est(F.col("user_id") % 7)
     assert by_month == by_day == by_hash
     assert by_month  # non-vacuous
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10_000), min_size=40, max_size=120)
+)
+def test_lttb_spark_matches_bruteforce_reference(spark, vals):
+    """The SHIPPED grouped-pandas LTTB kernel (mining.lttb_kernel, the
+    exact function q_ts_downsample_lttb hands to applyInPandas), run
+    through Spark, must equal an independently written reference on
+    arbitrary series — guarding the bucket-split and argmax-tiebreak
+    algebra the corpus alone can't stress (ties, flat segments,
+    spikes at bucket borders)."""
+    from micmac_li3ds_spark.operators.mining import lttb_kernel
+
+    n = len(vals)
+    ts = [3600 * i for i in range(n)]
+
+    # reference: direct transliteration of the LTTB definition
+    def ref():
+        n_int = n - 2
+        buckets = {}
+        for idx0 in range(n_int):
+            b = (idx0 * 18) // n_int + 1
+            buckets.setdefault(b, []).append(idx0 + 1)
+        picks = [(0, ts[0], vals[0])]
+        at, av = ts[0], vals[0]
+        for j in range(1, 19):
+            if j < 18:
+                nxt = buckets[j + 1]
+                cn, sx, sy = (
+                    len(nxt),
+                    sum(ts[i] for i in nxt),
+                    sum(vals[i] for i in nxt),
+                )
+            else:
+                cn, sx, sy = 1, ts[-1], vals[-1]
+            best = None
+            for i in buckets[j]:
+                a2 = abs(
+                    (at * cn - sx) * (vals[i] - av)
+                    - (at - ts[i]) * (sy - av * cn)
+                )
+                c = (-a2, ts[i], i)
+                if best is None or c < best:
+                    best = c
+            at, av = ts[best[2]], vals[best[2]]
+            picks.append((j, at, av))
+        picks.append((19, ts[-1], vals[-1]))
+        return picks
+
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in zip(ts, vals)],
+        "event_type string, t long, v long",
+    )
+    got = sorted(
+        (r["pick_k"], r["t"], r["v"])
+        for r in df.groupBy("event_type")
+        .applyInPandas(
+            lttb_kernel, "event_type string, pick_k int, t long, v long"
+        )
+        .collect()
+    )
+    assert got == ref()
