@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from micmac_li3ds_spark.functions.exact import cents, duck_cents, duck_pct, pct
 from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.session import shuffle_partitions
 from micmac_li3ds_spark.tables import load
 
 _REV = "SUM({p} * (100 - {d})) / 10000.0".format(
@@ -1719,9 +1720,7 @@ def _quartile_cuts(per_user: DataFrame, pos_df: DataFrame) -> DataFrame:
     Every stage is parallel; the only driver-sized object is the
     offsets table.
     """
-    nparts = int(
-        per_user.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    nparts = shuffle_partitions(per_user.sparkSession)
     stacked = per_user.selectExpr(
         "stack(3, 'r', recency_s, 'f', frequency, 'm', monetary_c)"
         " AS (metric, v)"

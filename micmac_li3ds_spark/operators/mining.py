@@ -126,12 +126,13 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets) — not a global window. Ties rank deterministically by
     (x, custkey), and since Σ i·xᵢ sums i over equal x in both engines
     the tie permutation cancels: the statistic is a pure function of
-    the multiset. Σ i·xᵢ is accumulated as decimal(38,0): at sf1+
-    (rank ~1.5e5 × cents ~5e8) the running sum crosses int64's 9.2e18
-    ceiling, where Spark's non-ANSI bigint sum wraps silently while
-    DuckDB promotes to HUGEINT — decimal(38,0) keeps both engines
-    exact to ~1e38. The single closing division is the only float op,
-    identical IEEE in both engines."""
+    the multiset. BOTH large terms run as decimal(38,0): Σ i·xᵢ
+    (rank ~1.5e5 × cents ~5e8 crosses int64's 9.2e18 ceiling at sf1+)
+    AND (n+1)·Σx (~1.1e19 at the same magnitudes) — Spark's non-ANSI
+    bigint arithmetic wraps silently where DuckDB promotes to
+    HUGEINT, so every multiply that can exceed int64 is widened, not
+    just the flagged sum. The single closing division is the only
+    float op, identical IEEE in both engines."""
     spend = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -154,7 +155,8 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sum(
                     F.col("rk").cast("decimal(38,0)") * F.col("x")
                 )
-                - (F.count(F.lit(1)) + 1) * F.sum("x")
+                - (F.count(F.lit(1)) + 1)
+                * F.sum("x").cast("decimal(38,0)")
             ).cast("double")
             / (F.count(F.lit(1)).cast("double") * F.sum("x")),
             6,
@@ -707,8 +709,11 @@ win AS (
 )
 SELECT event_type, h AS hour_start, cnt, n_win, sum_win, sumsq_win,
        (n_win >= 12
-        AND (n_win * cnt - sum_win) * (n_win * cnt - sum_win) * (n_win - 1)
-            > 9 * n_win * (n_win * sumsq_win - sum_win * sum_win))
+        AND CAST(n_win * cnt - sum_win AS HUGEINT)
+            * CAST(n_win * cnt - sum_win AS HUGEINT) * (n_win - 1)
+            > 9 * n_win
+              * (CAST(n_win AS HUGEINT) * sumsq_win
+                 - CAST(sum_win AS HUGEINT) * sum_win))
          AS is_anomaly
 FROM win
 """,
@@ -727,9 +732,13 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold). So the test is algebraically cleared of division and
     square root: with n = trailing count, S = Σcnt, Q = Σcnt², flag
         (n·x − S)² · (n−1)  >  9 · n · (n·Q − S²)
-    — identical to (x−μ)²>9σ² but pure BIGINT, so the boolean (and
+    — identical to (x−μ)²>9σ² but pure integer, so the boolean (and
     every output column) is engine-exact with no rounding escape
-    hatch. Magnitudes stay < 2⁶³ up to ~10⁸ events/hour (n ≤ 24).
+    hatch. The comparison's products cross int64 near ~6·10⁶
+    events/hour (dev² · 23 at x=10⁸ is ~10²⁰), where Spark's
+    non-ANSI longs would wrap silently and DuckDB would error — so
+    BOTH sides run the comparison wide (decimal(38,0) / HUGEINT),
+    good to ~10¹² events/hour; the emitted stat columns stay BIGINT.
 
     Scale: one groupBy onto the (type, hour) bucket grid — partial
     aggregation compresses map-side, the shuffle carries bucket counts
@@ -761,10 +770,11 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("sum_win"),
         q.alias("sumsq_win"),
     )
-    dev = F.col("n_win") * F.col("cnt") - F.col("sum_win")
-    var_n = F.col("n_win") * F.col("sumsq_win") - F.col("sum_win") * F.col(
+    dec = "decimal(38,0)"
+    dev = (F.col("n_win") * F.col("cnt") - F.col("sum_win")).cast(dec)
+    var_n = F.col("n_win").cast(dec) * F.col("sumsq_win") - F.col(
         "sum_win"
-    )
+    ).cast(dec) * F.col("sum_win")
     return d.withColumn(
         "is_anomaly",
         (F.col("n_win") >= 12)

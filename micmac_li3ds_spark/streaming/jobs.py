@@ -217,7 +217,7 @@ def run_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint: str):
     )
 
 
-def tws_user_totals(stream: DataFrame) -> DataFrame:
+def tws_user_totals(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Per-user running totals on the Spark 4 ``transformWithStateInPandas``
     API — the successor to ``applyInPandasWithState`` (same semantics as
     ``stateful_user_totals``, so tests can assert the two APIs agree).
@@ -233,7 +233,19 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
     state server over protobuf, so ``google.protobuf`` must be
     installed on executors; the test suite skips (not fails) where it
     is absent and ``stateful_user_totals`` remains the
-    dependency-free fallback with identical semantics."""
+    dependency-free fallback with identical semantics.
+
+    ``ttl_ms`` switches on state TTL — the memory-boundedness story
+    for unbounded key domains (a 100 TB clickstream's user-id space is
+    effectively infinite; without TTL or timers per-key state grows
+    forever). TTL requires ``timeMode="ProcessingTime"`` (Spark
+    rejects ttlConfig under timeMode None —
+    StatefulProcessorCannotAssignTTLInTimeMode), so the time mode
+    follows the argument; semantics under TTL: a key idle longer than
+    the TTL restarts from zero because the STORE expired it, not
+    hand-rolled bookkeeping. Asserted by a probe-gated test
+    (tests/test_streaming.py, runs where google.protobuf exists;
+    skips in this container)."""
     import pandas as pd  # local: only the python workers need it
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -241,53 +253,6 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
     )
 
     class UserTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "n long, cents long")
-
-        def handleInputRows(self, key, rows, timerValues):
-            prior = self._totals.get()
-            n, cents_total = prior if prior is not None else (0, 0)
-            for pdf in rows:
-                n += len(pdf)
-                cents_total += int(pdf["value"].mul(100).round().sum())
-            self._totals.update((n, cents_total))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [cents_total / 100.0],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
-    return stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserTotals(),
-        outputStructType="user_id long, n_events long, total_value double",
-        outputMode="Update",
-        timeMode="None",
-    )
-
-
-def tws_user_totals_ttl(stream: DataFrame, ttl_ms: int) -> DataFrame:
-    """``tws_user_totals`` with a processing-time TTL on the value
-    state — the memory-boundedness story for unbounded key spaces: a
-    100 TB clickstream has an effectively infinite user id domain, and
-    without TTL (or event-time timers) per-key state grows forever.
-    ``ttlDurationMs`` makes the state store itself expire idle keys —
-    eviction is the store's job, not hand-rolled bookkeeping. Semantics
-    under TTL: a user idle longer than the TTL restarts from zero —
-    asserted across checkpoint-restarted micro-batches in
-    tests/test_streaming.py (state carries within the TTL, resets
-    beyond it)."""
-    import pandas as pd  # local: only the python workers need it
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class UserTotalsTtl(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
                 "totals", "n long, cents long", ttlDurationMs=ttl_ms
@@ -312,10 +277,11 @@ def tws_user_totals_ttl(stream: DataFrame, ttl_ms: int) -> DataFrame:
             pass
 
     return stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserTotalsTtl(),
+        statefulProcessor=UserTotals(),
         outputStructType="user_id long, n_events long, total_value double",
         outputMode="Update",
-        timeMode="None",
+        # TTL state legally exists only under a running time mode
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
 
 
@@ -558,22 +524,43 @@ def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # worker-side
+
             prior = self._sess.get()
             start_s, last_s, n = prior if prior is not None else (None, None, 0)
-            for pdf in rows:
-                for ts_s in pdf["ts_s"]:
-                    t = int(ts_s)
-                    if start_s is None:
-                        start_s, last_s = t, t
-                    else:
-                        start_s, last_s = min(start_s, t), max(last_s, t)
+            closed = []
+            # process in event order so a > gap jump INSIDE a batch
+            # closes the running session inline (two events an hour
+            # apart in one availableNow catch-up batch are two
+            # sessions, exactly as session_window splits them — the
+            # timer only handles the session left open at batch end)
+            ts_all = sorted(
+                int(t) for pdf in rows for t in pdf["ts_s"]
+            )
+            for t in ts_all:
+                if start_s is None:
+                    start_s, last_s, n = t, t, 1
+                elif t > last_s + gap_s:
+                    closed.append((key[0], start_s, last_s, n))
+                    start_s, last_s, n = t, t, 1
+                else:
+                    start_s = min(start_s, t)
+                    last_s = max(last_s, t)
                     n += 1
             # one live timer per key: move the horizon to the newest gap
             for old in self._handle.listTimers():
                 self._handle.deleteTimer(old)
             self._handle.registerTimer((last_s + gap_s) * 1000)
             self._sess.update((start_s, last_s, n))
-            return iter(())
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [c[0] for c in closed],
+                        "session_start_s": [c[1] for c in closed],
+                        "session_end_s": [c[2] for c in closed],
+                        "n_events": [c[3] for c in closed],
+                    }
+                )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             prior = self._sess.get()

@@ -440,36 +440,49 @@ def test_lttb_spark_matches_bruteforce_reference(spark, vals):
     n = len(vals)
     ts = [3600 * i for i in range(n)]
 
-    # reference: direct transliteration of the LTTB definition
+    # reference: textbook LTTB with EXACT rational centroids
+    # (fractions.Fraction) — a genuinely different code path and
+    # formula from the kernel's count-scaled integer cross product:
+    # area = |(a−c) × (p−a)| with c the true centroid (the kernel's
+    # A' equals cn·area). Equal mathematically, so picks and ties
+    # must coincide; a bucket-split or algebra bug in the kernel
+    # cannot reproduce here by construction.
     def ref():
+        from fractions import Fraction
+
         n_int = n - 2
+
+        # bucket edges via rational floor, not the kernel's integer
+        # division: bucket j holds interior idx0 with
+        # floor(idx0·18/n_int) = j−1
+        def bucket_of(idx0):
+            return int(Fraction(idx0 * 18, n_int)) + 1
+
         buckets = {}
         for idx0 in range(n_int):
-            b = (idx0 * 18) // n_int + 1
-            buckets.setdefault(b, []).append(idx0 + 1)
+            buckets.setdefault(bucket_of(idx0), []).append(idx0 + 1)
         picks = [(0, ts[0], vals[0])]
-        at, av = ts[0], vals[0]
+        ax, ay = ts[0], vals[0]
         for j in range(1, 19):
             if j < 18:
                 nxt = buckets[j + 1]
-                cn, sx, sy = (
-                    len(nxt),
-                    sum(ts[i] for i in nxt),
-                    sum(vals[i] for i in nxt),
-                )
+                cx = Fraction(sum(ts[i] for i in nxt), len(nxt))
+                cy = Fraction(sum(vals[i] for i in nxt), len(nxt))
             else:
-                cn, sx, sy = 1, ts[-1], vals[-1]
-            best = None
+                cx, cy = Fraction(ts[-1]), Fraction(vals[-1])
+            best_i, best_area = None, None
             for i in buckets[j]:
-                a2 = abs(
-                    (at * cn - sx) * (vals[i] - av)
-                    - (at - ts[i]) * (sy - av * cn)
+                area = abs(
+                    (ax - cx) * (vals[i] - ay) - (ax - ts[i]) * (cy - ay)
                 )
-                c = (-a2, ts[i], i)
-                if best is None or c < best:
-                    best = c
-            at, av = ts[best[2]], vals[best[2]]
-            picks.append((j, at, av))
+                if (
+                    best_area is None
+                    or area > best_area
+                    or (area == best_area and ts[i] < ts[best_i])
+                ):
+                    best_i, best_area = i, area
+            ax, ay = ts[best_i], vals[best_i]
+            picks.append((j, ax, ay))
         picks.append((19, ts[-1], vals[-1]))
         return picks
 

@@ -855,7 +855,7 @@ def test_transform_with_state_ttl_expires_idle_keys(spark, tmp_path):
         ).parquet(f"{tmp}/in")
         stream = spark.readStream.schema(cols).parquet(f"{tmp}/in")
         q = (
-            jobs.tws_user_totals_ttl(stream, ttl_ms)
+            jobs.tws_user_totals(stream, ttl_ms=ttl_ms)
             .writeStream.foreachBatch(
                 lambda df, bid: emitted.extend(tuple(r) for r in df.collect())
             )
@@ -967,13 +967,19 @@ def test_tws_event_time_timer_closes_sessions(spark, tmp_path):
         q.awaitTermination(120)
         q.stop()
 
-    # user 1: two events 10 min apart (one session); user 2: one event
-    run_once([ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5)])
-    assert emitted == []  # watermark has not passed any gap yet
-    # advance the watermark far past both gaps with a sentinel user
-    run_once([ev(99, 9, 240)])
-    run_once([ev(100, 9, 480)])
-    got = {r[0]: r for r in emitted}
+    # user 1: two events 10 min apart (one session); user 2: one event;
+    # user 3: two events 90 min apart IN THE SAME BATCH — a > gap jump
+    # that must close inline as TWO sessions (the availableNow
+    # catch-up case), not merge into one
+    run_once([ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5), ev(4, 3, 0), ev(5, 3, 90)])
     t_base = int(t0.timestamp())
-    assert got[1] == (1, t_base, t_base + 600, 2)
-    assert got[2] == (2, t_base + 300, t_base + 300, 1)
+    early = set(emitted)
+    assert (3, t_base, t_base, 1) in early  # user 3's first session closed inline
+    assert not any(r[0] in (1, 2) for r in early)  # open sessions wait for the timer
+    # advance the watermark far past both gaps with a sentinel user
+    run_once([ev(99, 9, 480)])
+    run_once([ev(100, 9, 960)])
+    got = {(r[0], r[1]): r for r in emitted}
+    assert got[(1, t_base)] == (1, t_base, t_base + 600, 2)
+    assert got[(2, t_base + 300)] == (2, t_base + 300, t_base + 300, 1)
+    assert got[(3, t_base + 5400)] == (3, t_base + 5400, t_base + 5400, 1)
