@@ -494,6 +494,35 @@ def transitions_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def fold_session_events(
+    state: tuple | None, ts_sorted: list, gap_s: int
+) -> tuple:
+    """Pure session fold shared by ``tws_session_timer`` and its
+    dependency-free unit test (the TWS runtime needs protobuf, absent
+    in some environments — this keeps the session ALGEBRA under
+    unconditional test while the wiring stays probe-gated).
+
+    ``state`` = (start_s, last_s, n) or None; ``ts_sorted`` = event
+    seconds in ascending order. Returns (closed, new_state) where
+    closed = [(start_s, last_s, n), ...] for every session whose gap
+    was exceeded INSIDE the batch, and new_state is the still-open
+    session. In-gap stragglers extend the open session backward."""
+    start_s, last_s, n = state if state is not None else (None, None, 0)
+    closed = []
+    for t in ts_sorted:
+        t = int(t)
+        if start_s is None:
+            start_s, last_s, n = t, t, 1
+        elif t > last_s + gap_s:
+            closed.append((start_s, last_s, n))
+            start_s, last_s, n = t, t, 1
+        else:
+            start_s = min(start_s, t)
+            last_s = max(last_s, t)
+            n += 1
+    return closed, (start_s, last_s, n)
+
+
 def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Event-time-TIMER sessionization on ``transformWithStateInPandas``
     — the last §2.9 state primitive: instead of the built-in
@@ -527,26 +556,16 @@ def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
             import pandas as pd  # worker-side
 
             prior = self._sess.get()
-            start_s, last_s, n = prior if prior is not None else (None, None, 0)
-            closed = []
-            # process in event order so a > gap jump INSIDE a batch
-            # closes the running session inline (two events an hour
-            # apart in one availableNow catch-up batch are two
-            # sessions, exactly as session_window splits them — the
-            # timer only handles the session left open at batch end)
-            ts_all = sorted(
-                int(t) for pdf in rows for t in pdf["ts_s"]
+            # event order matters: a > gap jump INSIDE a batch closes
+            # the running session inline (two events an hour apart in
+            # one availableNow catch-up batch are two sessions, as
+            # session_window splits them); the timer only handles the
+            # session left open at batch end. The fold itself is the
+            # unconditionally-tested fold_session_events.
+            ts_all = sorted(int(t) for pdf in rows for t in pdf["ts_s"])
+            closed, (start_s, last_s, n) = fold_session_events(
+                prior, ts_all, gap_s
             )
-            for t in ts_all:
-                if start_s is None:
-                    start_s, last_s, n = t, t, 1
-                elif t > last_s + gap_s:
-                    closed.append((key[0], start_s, last_s, n))
-                    start_s, last_s, n = t, t, 1
-                else:
-                    start_s = min(start_s, t)
-                    last_s = max(last_s, t)
-                    n += 1
             # one live timer per key: move the horizon to the newest gap
             for old in self._handle.listTimers():
                 self._handle.deleteTimer(old)
@@ -555,10 +574,10 @@ def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
             if closed:
                 yield pd.DataFrame(
                     {
-                        "user_id": [c[0] for c in closed],
-                        "session_start_s": [c[1] for c in closed],
-                        "session_end_s": [c[2] for c in closed],
-                        "n_events": [c[3] for c in closed],
+                        "user_id": [key[0]] * len(closed),
+                        "session_start_s": [c[0] for c in closed],
+                        "session_end_s": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
                     }
                 )
 

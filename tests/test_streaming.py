@@ -983,3 +983,32 @@ def test_tws_event_time_timer_closes_sessions(spark, tmp_path):
     assert got[(1, t_base)] == (1, t_base, t_base + 600, 2)
     assert got[(2, t_base + 300)] == (2, t_base + 300, t_base + 300, 1)
     assert got[(3, t_base + 5400)] == (3, t_base + 5400, t_base + 5400, 1)
+
+
+def test_fold_session_events_pure_logic():
+    """Unconditional coverage of the session algebra the TWS processor
+    ships (the processor wiring itself is probe-gated on protobuf):
+    batch-internal gap splits, cross-batch state carry, backward
+    extension by in-gap stragglers, and ordering invariance via the
+    caller's sort contract."""
+    from micmac_li3ds_spark.streaming.jobs import fold_session_events
+
+    gap = 100
+    # fresh key, one session
+    closed, st = fold_session_events(None, [10, 20, 30], gap)
+    assert closed == [] and st == (10, 30, 3)
+    # carried state + in-gap continuation
+    closed, st = fold_session_events((10, 30, 3), [90, 120], gap)
+    assert closed == [] and st == (10, 120, 5)
+    # > gap jump inside the batch closes inline
+    closed, st = fold_session_events(None, [0, 50, 400, 420], gap)
+    assert closed == [(0, 50, 2)] and st == (400, 420, 2)
+    # two jumps → two closed sessions
+    closed, st = fold_session_events(None, [0, 400, 900], gap)
+    assert closed == [(0, 0, 1), (400, 400, 1)] and st == (900, 900, 1)
+    # in-gap straggler extends the open session backward
+    closed, st = fold_session_events((100, 150, 2), [60, 160], gap)
+    assert closed == [] and st == (60, 160, 4)
+    # carried state closed by a far-future event
+    closed, st = fold_session_events((0, 10, 2), [500], gap)
+    assert closed == [(0, 10, 2)] and st == (500, 500, 1)
