@@ -735,10 +735,14 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     — identical to (x−μ)²>9σ² but pure integer, so the boolean (and
     every output column) is engine-exact with no rounding escape
     hatch. The comparison's products cross int64 near ~6·10⁶
-    events/hour (dev² · 23 at x=10⁸ is ~10²⁰), where Spark's
-    non-ANSI longs would wrap silently and DuckDB would error — so
-    BOTH sides run the comparison wide (decimal(38,0) / HUGEINT),
-    good to ~10¹² events/hour; the emitted stat columns stay BIGINT.
+    events/hour, where Spark's non-ANSI longs would wrap silently and
+    DuckDB would error — so the comparison runs wide on BOTH sides
+    (decimal(38,0) / HUGEINT). The binding limit is now the BIGINT
+    sumsq accumulation feeding it (Σcnt², wraps near ~6·10⁸
+    events/hour per type — far beyond any real per-type rate); past
+    that, the audit columns themselves migrate to decimal(38,0), the
+    q_agg_corr pattern (the driver canonicalizer hashes BIGINT
+    columns, so the wide type is a deployment choice, not a default).
 
     Scale: one groupBy onto the (type, hour) bucket grid — partial
     aggregation compresses map-side, the shuffle carries bucket counts

@@ -504,23 +504,29 @@ def fold_session_events(
 
     ``state`` = (start_s, last_s, n) or None; ``ts_sorted`` = event
     seconds in ascending order. Returns (closed, new_state) where
-    closed = [(start_s, last_s, n), ...] for every session whose gap
-    was exceeded INSIDE the batch, and new_state is the still-open
-    session. In-gap stragglers extend the open session backward."""
-    start_s, last_s, n = state if state is not None else (None, None, 0)
+    closed = [(start_s, last_s, n), ...] in chronological order for
+    every session whose gap closed INSIDE the batch, and new_state is
+    the still-open (latest) session. The carried state participates as
+    an interval in a single gap-merge over {intervals} ∪ {points}, so
+    an in-gap straggler extends a session backward while a straggler
+    more than gap_s before it forms (and immediately closes) its OWN
+    session — exactly session_window's split, whatever the interleaving
+    of late data and carried state."""
+    items = [(int(t), int(t), 1) for t in ts_sorted]
+    if state is not None:
+        items.append((int(state[0]), int(state[1]), int(state[2])))
+    items.sort()
     closed = []
-    for t in ts_sorted:
-        t = int(t)
-        if start_s is None:
-            start_s, last_s, n = t, t, 1
-        elif t > last_s + gap_s:
-            closed.append((start_s, last_s, n))
-            start_s, last_s, n = t, t, 1
+    cur = None
+    for it in items:
+        if cur is None:
+            cur = it
+        elif it[0] <= cur[1] + gap_s:
+            cur = (cur[0], max(cur[1], it[1]), cur[2] + it[2])
         else:
-            start_s = min(start_s, t)
-            last_s = max(last_s, t)
-            n += 1
-    return closed, (start_s, last_s, n)
+            closed.append(cur)
+            cur = it
+    return closed, cur
 
 
 def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
@@ -553,8 +559,6 @@ def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd  # worker-side
-
             prior = self._sess.get()
             # event order matters: a > gap jump INSIDE a batch closes
             # the running session inline (two events an hour apart in

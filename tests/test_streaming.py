@@ -1012,3 +1012,10 @@ def test_fold_session_events_pure_logic():
     # carried state closed by a far-future event
     closed, st = fold_session_events((0, 10, 2), [500], gap)
     assert closed == [(0, 10, 2)] and st == (500, 500, 1)
+    # straggler FAR BEFORE the carried session: its own (closed)
+    # session, never a backward mega-merge
+    closed, st = fold_session_events((5000, 5010, 2), [60], gap)
+    assert closed == [(60, 60, 1)] and st == (5000, 5010, 2)
+    # straggler bridges two far-apart points into the carried session
+    closed, st = fold_session_events((200, 210, 2), [50, 130], gap)
+    assert closed == [] and st == (50, 210, 4)
