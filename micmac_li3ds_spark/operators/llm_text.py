@@ -1832,3 +1832,118 @@ def q_llm_cross_dedup(
         )
         .filter(F.col("jac") >= 0.5)
     )
+
+
+@register(
+    "q_llm_winnowing",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(toks, w -> list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(w, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007)) AS tv
+  FROM t
+  WHERE greatest(length(toks) - 2, 0) >= 4
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(tv) - 2 + 1),
+           i -> (((tv[i] * 131 + tv[i+1]) % 1000000007) * 131 + tv[i+2])
+                % 1000000007) AS hs
+  FROM th
+),
+sel AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(range(4, length(hs) + 1),
+           e -> list_max(list_transform(range(e - 3, e + 1),
+                  j -> CASE WHEN hs[j] = list_min(hs[e-3:e])
+                            THEN j ELSE 0 END)))) AS pos_list
+  FROM h
+)
+SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, hs[u.pos] AS fp
+FROM sel, UNNEST(pos_list) AS u(pos)
+""",
+    tags=("llm", "text", "fingerprint", "winnowing"),
+)
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    fingerprint selector): per document, hash every 3-token shingle,
+    slide a window of w=4 hashes, and keep the window minimum (ties →
+    RIGHTMOST position), distinct over windows. The winnowing
+    guarantee: any shared token run of ≥ w+k−1 = 6 tokens between two
+    documents shares at least one selected fingerprint — so matching
+    selected (fp) sets finds LOCAL plagiarism/boilerplate overlap at
+    ~2/(w+1) the full k-gram index size; MinHash bounds global
+    resemblance, winnowing bounds local containment — different tool.
+
+    Hashing is two composed cross-engine polynomial folds: per-token
+    char hash (base 31 mod 1e9+7 — one O(chars) pass per doc), then a
+    3-term base-131 mix per shingle — O(1) per gram instead of
+    re-folding each gram's characters (~10× on this corpus). Both
+    levels are bound as lambda variables via transform(array(x), ...)
+    because CollapseProject otherwise INLINES the array expressions
+    into every nested window reference and the plan goes quadratic
+    (measured: 217 s → ~1 s at sf0.001 for the char-fold variant).
+    Everything is per-row array algebra — zero shuffle, zero UDF;
+    emitted (doc_id, pos, fp) rows feed the standard posting-list
+    machinery for the cross-doc match join. Docs shorter than
+    w+k−1 = 6 tokens emit nothing. The oracle replays the identical
+    selection in DuckDB list algebra; bit-exact integer parity."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_g = F.greatest(F.size(toks) - 2, F.lit(0))
+    P = F.lit(1000000007)
+    tok_hash = lambda w: F.aggregate(  # noqa: E731
+        F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, P),
+    )
+    tok_h = F.transform(toks, tok_hash)
+
+    def _sel(hsv):
+        win_min = lambda e: F.array_min(F.slice(hsv, e - 3, 4))  # noqa: E731
+        pick = lambda e: F.aggregate(  # noqa: E731
+            F.sequence(e - 3, e),
+            F.lit(0),
+            lambda acc, j: F.when(
+                F.element_at(hsv, j) == win_min(e), F.greatest(acc, j)
+            ).otherwise(acc),
+        )
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(4), F.size(hsv)),
+                lambda e: F.struct(
+                    pick(e).cast("int").alias("pos"),
+                    win_min(e).alias("fp"),
+                ),
+            )
+        )
+
+    def _pairs(thv):
+        hs = F.transform(
+            F.sequence(F.lit(1), F.size(thv) - 2),
+            lambda i: F.pmod(
+                F.pmod(
+                    F.element_at(thv, i) * 131 + F.element_at(thv, i + 1), P
+                )
+                * 131
+                + F.element_at(thv, i + 2),
+                P,
+            ),
+        )
+        return F.element_at(F.transform(F.array(hs), _sel), 1)
+
+    pairs = F.element_at(F.transform(F.array(tok_h), _pairs), 1)
+    # one-row-group corpus file → repartition so the CPU-heavy hash
+    # selection runs across the cluster (the q_llm_ngram_jaccard fix)
+    base = (
+        d.filter(n_g >= 4)
+        .repartition(shuffle_partitions(spark), "doc_id")
+        .select("doc_id", pairs.alias("pairs"))
+    )
+    return base.select(
+        "doc_id", F.explode("pairs").alias("p")
+    ).select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
