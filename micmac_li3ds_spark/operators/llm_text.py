@@ -1947,3 +1947,89 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", F.explode("pairs").alias("p")
     ).select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+
+
+@register(
+    "q_llm_winnow_matches",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(toks, w -> list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(w, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007)) AS tv
+  FROM t
+  WHERE greatest(length(toks) - 2, 0) >= 4
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(tv) - 2 + 1),
+           i -> (((tv[i] * 131 + tv[i+1]) % 1000000007) * 131 + tv[i+2])
+                % 1000000007) AS hs
+  FROM th
+),
+sel AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(range(4, length(hs) + 1),
+           e -> list_max(list_transform(range(e - 3, e + 1),
+                  j -> CASE WHEN hs[j] = list_min(hs[e-3:e])
+                            THEN j ELSE 0 END)))) AS pos_list
+  FROM h
+),
+fps AS (
+  SELECT DISTINCT doc_id, hs[u.pos] AS fp
+  FROM sel, UNNEST(pos_list) AS u(pos)
+),
+okfp AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 32
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+  FROM fps a JOIN fps b USING (fp) JOIN okfp USING (fp)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pairs GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= 2
+""",
+    tags=("llm", "text", "fingerprint", "winnowing", "dedup"),
+)
+def q_llm_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LOCAL-overlap detection from winnowing
+    fingerprints — the second half of the MOSS pipeline: invert the
+    selected (doc, fp) set into postings, drop stop-prints (fps in >32
+    docs — ubiquitous boilerplate, the df_cap discipline of
+    q_llm_ngram_jaccard), expand pairs inside each posting, and keep
+    pairs sharing ≥ 2 fingerprints. By the winnowing guarantee every
+    surviving pair shares at least two ≥6-token runs — contiguous
+    plagiarism/quotation/boilerplate the global-resemblance dedups
+    (MinHash/SimHash) are blind to when it sits inside otherwise
+    different documents.
+
+    Scale: candidate work is Σ_fp df(fp)² with df ≤ 32 — bounded
+    per-posting expansion, one shuffle on fp, one on the pair key;
+    identical cost envelope to the LSH-bucket joins (SCALE.md §5).
+    Distinct-before-join keeps a doc repeating a fingerprint from
+    inflating counts."""
+    fps = (
+        q_llm_winnowing(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 32))
+        .select("fp")
+    )
+    a = fps.join(ok, "fp").select("fp", F.col("doc_id").alias("doc_a"))
+    b = fps.join(ok, "fp").select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -934,3 +934,80 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy("event_type").applyInPandas(
         lttb_kernel, "event_type string, pick_k int, t long, v long"
     )
+
+
+@register(
+    "q_ts_seasonal_profile",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+hod AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour_of_day,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS n_events
+  FROM hourly GROUP BY event_type, EXTRACT(hour FROM h)
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(n_hours) AS BIGINT) AS t_hours,
+         CAST(SUM(n_events) AS BIGINT) AS t_events
+  FROM hod GROUP BY event_type
+)
+SELECT h.event_type, h.hour_of_day, h.n_hours, h.n_events,
+       round(CAST(h.n_events AS DOUBLE) / h.n_hours, 6) AS mean_per_hour,
+       round((CAST(h.n_events AS DOUBLE) * t.t_hours)
+             / (CAST(h.n_hours AS DOUBLE) * t.t_events), 6)
+         AS seasonal_factor
+FROM hod h JOIN tot t ON h.event_type = t.event_type
+""",
+    tags=("mining", "timeseries", "seasonal"),
+)
+def q_ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type — the decomposition
+    step under load forecasting and the denominator q_ts_anomaly would
+    use to alert on SEASONALLY-ADJUSTED deviations (a 9am spike is
+    news at 3am): for each (type, hour-of-day), observed hours, total
+    events, mean events/hour, and the seasonal factor = hod mean ÷
+    the type's overall hourly mean (>1 = peak hour, <1 = trough).
+
+    Exactness: the factor is a ratio of two integer ratios, computed
+    as ONE double expression over four exact BIGINTs
+    ((n_events·t_hours)/(n_hours·t_events)) — products stay < 2⁶³ at
+    any realistic rate and avoid the engine-divergent
+    double÷double-of-divisions spelling; round(,6) belts. Scale: the
+    bucket-grid aggregation compresses map-side; everything after the
+    first groupBy runs on ≤ |types|·24 rows."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hod = hourly.groupBy(
+        "event_type", F.hour("h").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("n_events"),
+    )
+    tot = hod.groupBy("event_type").agg(
+        F.sum("n_hours").alias("t_hours"),
+        F.sum("n_events").alias("t_events"),
+    )
+    return hod.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_hours",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_hours"), 6
+        ).alias("mean_per_hour"),
+        F.round(
+            (F.col("n_events").cast("double") * F.col("t_hours"))
+            / (F.col("n_hours").cast("double") * F.col("t_events")),
+            6,
+        ).alias("seasonal_factor"),
+    )
