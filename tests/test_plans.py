@@ -659,6 +659,12 @@ def test_aqe_skew_join_mitigation_activates(spark):
                                      # broadcast-query map-side scans)
         ("q_ts_downsample_lttb", 2), # hourly grid agg + per-series
                                      # applyInPandas regroup
+        ("q_llm_winnowing", 1),      # per-row array algebra; the one
+                                     # exchange is the corpus spread
+        ("q_llm_winnow_matches", 4), # winnow spread + distinct + df cap
+                                     # + pair agg, all on fp/pair keys
+        ("q_ts_seasonal_profile", 4),# grid agg + hod agg + tiny totals
+                                     # + broadcast factor join
     ],
 )
 def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
