@@ -122,7 +122,14 @@ _loaded = False
 #            q_agg_sketch_rollup, banded HLL partial-sketch union;
 #            q_win_moving_median, frameable exact percentile;
 #            q_llm_knn_recall, full-value-checked ANN recall gauge;
-#            q_layout_zorder, normalized Morton-curve skipping audit)
+#            q_layout_zorder, normalized Morton-curve skipping audit;
+#            q_etl_asof_snapshot, AS-OF time travel over the CDC log;
+#            q_agg_bitmap_rollup, exact bitmap partial-merge distinct;
+#            q_ts_downsample_lttb, integer-exact LTTB decimation whose
+#            oracle replays the same walk as a recursive LATERAL
+#            argmax; q_llm_winnowing + q_llm_winnow_matches, the MOSS
+#            local-overlap selector and its bounded posting-expansion
+#            match join; q_ts_seasonal_profile, hour-of-day factors)
 #            + 2 re-attestations of round-7 greens whose code/oracle
 #            changed THIS round and whose old rows therefore no longer
 #            attest the shipped artifact (q_agg_gini — Σ rk·x now
@@ -136,21 +143,24 @@ _loaded = False
 #            rot-resistant r1 queries (q_sort_multi, q_limit,
 #            q_fn_cond, q_fn_math). All 35 were pre-flighted green
 #            through tools/check.py at sf0.01 before this window was
-#            cut. Remaining 6 slots: continuity with the longest-
-#            unsampled greens (round-4 rows — set ops, subqueries,
-#            UDF surface, scans).
+#            cut. The 13 round-8 additions consumed every slot beyond
+#            the stale tail — birth-round attestation outranks
+#            continuity, so the longest-unsampled greens (round-4
+#            rows: set ops, subqueries, UDF surface, scans) rotate in
+#            round 9 instead.
 #            After round 8 no query's newest row predates round 4,
 #            and no r1/r2 row remains live (the round-4 events.ts
 #            incident's risk class is closed: every surviving
 #            attestation postdates both corpus regenerations).
 #   round 9 (planned): any round-9 additions in their birth round,
-#            then the 34 remaining round-4 rows (incl. the deferred
-#            q_join_skew_salted, q_etl_snapshot_diff, q_llm_knn_ivf,
-#            q_topk_global, q_scan_csv, q_scan_parquet), then
-#            continuity
-#            (oldest round-5 rows). Steady state from here: birth-
-#            round attestation for new queries + oldest-first
-#            rotation keeps every green ≤ 4 rounds old.
+#            then the 40 round-4 rows (incl. the 12 deferred
+#            continuity keys: q_join_skew_salted, q_etl_snapshot_diff,
+#            q_llm_knn_ivf, q_topk_global, q_scan_csv, q_scan_parquet,
+#            q_udf_pandas, q_udf_python, q_subquery_in,
+#            q_subquery_scalar, q_set_intersect, q_set_except), then
+#            continuity (oldest round-5 rows). Steady state from
+#            here: birth-round attestation for new queries +
+#            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # --- round-8 additions (driver row in their birth round) ---
@@ -161,6 +171,12 @@ _PRIORITY: list[str] = [
     "q_win_moving_median",
     "q_llm_knn_recall",
     "q_layout_zorder",
+    "q_etl_asof_snapshot",
+    "q_agg_bitmap_rollup",
+    "q_ts_downsample_lttb",
+    "q_llm_winnowing",
+    "q_llm_winnow_matches",
+    "q_ts_seasonal_profile",
     # --- re-attest: code/oracle changed this round (ADVICE r7) ---
     "q_agg_gini",
     "q_graph_cc",
@@ -201,14 +217,8 @@ _PRIORITY: list[str] = [
     "q_limit",
     "q_fn_cond",
     "q_fn_math",
-    # --- continuity: longest-unsampled greens (newest row = round 4) ---
-    "q_set_intersect",
-    "q_set_except",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_udf_python",
-    "q_udf_pandas",
 ]
+
 
 
 def _ordered(regs: dict[str, Query]) -> dict[str, Query]:
