@@ -170,3 +170,47 @@ def test_timing_artifact_clean():
     # the artifact must cover the registry of its day (tolerate queries
     # registered after the audit ran in the same round)
     assert d["n_queries"] >= 200
+
+
+def _latest_attestations():
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = {}
+    max_round = 0
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", f).group(1))
+        max_round = max(max_round, rnd)
+        for k in json.load(open(f)):
+            latest[k] = rnd
+    return latest, max_round
+
+
+def test_window_contains_every_never_attested_query():
+    """Birth-round attestation, mechanized: a registered query with NO
+    driver CORRECTNESS row yet must occupy a window slot — this is the
+    invariant whose absence let six round-8 additions silently drop
+    out of the window when a killed shell ate the list edits."""
+    latest, _ = _latest_attestations()
+    missing = [
+        n for n in R.registry() if n not in latest and n not in R._PRIORITY
+    ]
+    assert not missing, f"never-attested queries outside the window: {missing}"
+
+
+def test_window_contains_every_stale_attestation():
+    """Oldest-first rotation, mechanized: any query whose newest driver
+    row is ≥ 5 rounds behind the newest committed CORRECTNESS round
+    must be in the current window (two corpus regenerations fit in
+    that horizon — the round-4 events.ts incident's rot window)."""
+    latest, max_round = _latest_attestations()
+    stale = [
+        n
+        for n, rnd in latest.items()
+        if rnd <= max_round - 5 and n in R.registry()
+    ]
+    out = [n for n in stale if n not in R._PRIORITY]
+    assert not out, f"stale-attested queries left out of the window: {out}"
