@@ -786,61 +786,73 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lttb_kernel(pdf):
-    """The per-series LTTB pick walk (grouped-pandas kernel of
-    q_ts_downsample_lttb, module-level so the hypothesis property test
-    exercises the SHIPPED code against an independent reference).
-    Expects columns (event_type, t, v); emits the 20 picks or nothing
-    for series shorter than 40 points."""
-    import pandas as pd
+def make_lttb_kernel():
+    """Factory for the per-series LTTB pick walk (grouped-pandas kernel
+    of q_ts_downsample_lttb; the hypothesis property test exercises
+    the SAME shipped kernel against an independent reference).
 
-    pdf = pdf.sort_values("t").reset_index(drop=True)
-    n = len(pdf)
-    out = {"event_type": [], "pick_k": [], "t": [], "v": []}
-    if n < 40:
-        return pd.DataFrame(out)
-    et = pdf["event_type"].iloc[0]
-    ts = [int(x) for x in pdf["t"]]
-    vs = [int(x) for x in pdf["v"]]
-    n_int = n - 2
-    # interior rank buckets 1..18 (same integer split as the oracle)
-    buckets: dict[int, list[int]] = {}
-    for idx0 in range(n_int):
-        b = (idx0 * 18) // n_int + 1
-        buckets.setdefault(b, []).append(idx0 + 1)  # point index
-    at, av = ts[0], vs[0]
-    out["event_type"].append(et)
-    out["pick_k"].append(0)
-    out["t"].append(at)
-    out["v"].append(av)
-    for j in range(1, 19):
-        if j < 18:
-            nxt = buckets[j + 1]
-            cn = len(nxt)
-            sx = sum(ts[i] for i in nxt)
-            sy = sum(vs[i] for i in nxt)
-        else:
-            cn, sx, sy = 1, ts[n - 1], vs[n - 1]
-        best = None
-        for i in buckets[j]:
-            a2 = abs(
-                (at * cn - sx) * (vs[i] - av)
-                - (at - ts[i]) * (sy - av * cn)
-            )
-            cand = (-a2, ts[i], i)
-            if best is None or cand < best:
-                best = cand
-        i = best[2]
-        at, av = ts[i], vs[i]
+    A factory, deliberately: the returned closure has a non-importable
+    qualname, so cloudpickle serializes it BY VALUE to the python
+    workers. A module-level function is pickled by reference and
+    requires ``import micmac_li3ds_spark`` to succeed on the worker —
+    which fails whenever the driver process added the repo to sys.path
+    at runtime (importlib by path, the driver contract) without the
+    repo on the workers' PYTHONPATH. Every pandas-UDF callable in this
+    package is a closure for the same reason; the kernel also
+    references no module globals."""
+
+    def lttb_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        n = len(pdf)
+        out = {"event_type": [], "pick_k": [], "t": [], "v": []}
+        if n < 40:
+            return pd.DataFrame(out)
+        et = pdf["event_type"].iloc[0]
+        ts = [int(x) for x in pdf["t"]]
+        vs = [int(x) for x in pdf["v"]]
+        n_int = n - 2
+        # interior rank buckets 1..18 (same integer split as the oracle)
+        buckets: dict[int, list[int]] = {}
+        for idx0 in range(n_int):
+            b = (idx0 * 18) // n_int + 1
+            buckets.setdefault(b, []).append(idx0 + 1)  # point index
+        at, av = ts[0], vs[0]
         out["event_type"].append(et)
-        out["pick_k"].append(j)
+        out["pick_k"].append(0)
         out["t"].append(at)
         out["v"].append(av)
-    out["event_type"].append(et)
-    out["pick_k"].append(19)
-    out["t"].append(ts[n - 1])
-    out["v"].append(vs[n - 1])
-    return pd.DataFrame(out)
+        for j in range(1, 19):
+            if j < 18:
+                nxt = buckets[j + 1]
+                cn = len(nxt)
+                sx = sum(ts[i] for i in nxt)
+                sy = sum(vs[i] for i in nxt)
+            else:
+                cn, sx, sy = 1, ts[n - 1], vs[n - 1]
+            best = None
+            for i in buckets[j]:
+                a2 = abs(
+                    (at * cn - sx) * (vs[i] - av)
+                    - (at - ts[i]) * (sy - av * cn)
+                )
+                cand = (-a2, ts[i], i)
+                if best is None or cand < best:
+                    best = cand
+            i = best[2]
+            at, av = ts[i], vs[i]
+            out["event_type"].append(et)
+            out["pick_k"].append(j)
+            out["t"].append(at)
+            out["v"].append(av)
+        out["event_type"].append(et)
+        out["pick_k"].append(19)
+        out["t"].append(ts[n - 1])
+        out["v"].append(vs[n - 1])
+        return pd.DataFrame(out)
+
+    return lttb_kernel
 
 
 @register(
@@ -932,7 +944,7 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hourly.groupBy("event_type").applyInPandas(
-        lttb_kernel, "event_type string, pick_k int, t long, v long"
+        make_lttb_kernel(), "event_type string, pick_k int, t long, v long"
     )
 
 

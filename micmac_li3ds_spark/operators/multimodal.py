@@ -30,6 +30,23 @@ from pyspark.sql import types as T
 
 from micmac_li3ds_spark.registry import register
 
+# The mapInPandas closures below reference module-level decoders
+# (_decode_stub / _decode_pil_image). cloudpickle serializes globals of
+# an importable module BY REFERENCE, so a python worker must be able to
+# `import micmac_li3ds_spark` — which fails when the driver loaded the
+# repo via sys.path.insert / importlib-by-path (the driver contract)
+# without the repo on the workers' PYTHONPATH. Registering THIS module
+# for by-value pickling ships the referenced functions inside the
+# serialized task instead, making the operators cwd/PYTHONPATH-
+# independent (verified from a foreign cwd in the round-8 audit).
+try:  # vendored cloudpickle ≥ 2.0
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - older pickler: driver env must
+    pass  # have the package importable on workers (true for the driver)
+
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MEDIA_PARQUET = os.path.join(_REPO, "fixtures", "parquet", "media.parquet")
 

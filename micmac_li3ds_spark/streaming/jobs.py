@@ -25,6 +25,21 @@ from pyspark.sql import types as T
 
 from micmac_li3ds_spark.functions.exact import cents
 
+# Stateful-processor closures below reference module-level helpers
+# (fold_session_events); cloudpickle ships globals of importable
+# modules BY REFERENCE, so workers would need the repo importable.
+# Registering this module for by-value pickling removes that
+# PYTHONPATH dependency (see operators/multimodal.py for the full
+# rationale and the foreign-cwd audit that motivated it).
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [

@@ -429,13 +429,15 @@ def test_hll_sketch_union_is_partition_path_independent(spark, sf_dir):
     vals=st.lists(st.integers(min_value=0, max_value=10_000), min_size=40, max_size=120)
 )
 def test_lttb_spark_matches_bruteforce_reference(spark, vals):
-    """The SHIPPED grouped-pandas LTTB kernel (mining.lttb_kernel, the
-    exact function q_ts_downsample_lttb hands to applyInPandas), run
+    """The SHIPPED grouped-pandas LTTB kernel (mining.make_lttb_kernel,
+    the exact closure q_ts_downsample_lttb hands to applyInPandas), run
     through Spark, must equal an independently written reference on
     arbitrary series — guarding the bucket-split and argmax-tiebreak
     algebra the corpus alone can't stress (ties, flat segments,
     spikes at bucket borders)."""
-    from micmac_li3ds_spark.operators.mining import lttb_kernel
+    from micmac_li3ds_spark.operators.mining import make_lttb_kernel
+
+    lttb_kernel = make_lttb_kernel()
 
     n = len(vals)
     ts = [3600 * i for i in range(n)]
