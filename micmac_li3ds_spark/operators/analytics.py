@@ -1290,6 +1290,112 @@ def q_graph_pagerank_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixpoint(spark, sf_dir, 6)
 
 
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, group_cap: int = 4096
+) -> DataFrame:
+    """Undirected customer co-purchase edge list (u, v) with u < v:
+    customers joined by buying the same part in the same month. The
+    single edge builder shared by q_graph_triangles / q_graph_cc /
+    q_graph_sssp (previously three verbatim copies of a grp ⋈ grp
+    self-join).
+
+    SKEW GUARD (the scale-killer fix): the naive build joined the
+    (part, month, customer) grouping to itself on (part, month), so a
+    hot part-month with d buyers emitted d²/2 pair candidates on ONE
+    shuffle key — at 100 TB a popular part is a 10⁸–10¹⁰-pair
+    single-group blow-up, the exact class q_join_range decomposes with
+    hour buckets and every LSH path caps with bucket_cap. This builder
+    applies the llm_text.py bucket_cap discipline to graphs:
+
+    - ONE shuffle total: groupBy (p, m) + collect_set(customer), pairs
+      expanded INSIDE the sorted group array (flatten/transform/slice —
+      the lambda-bound form that stays linear under CollapseProject),
+      instead of a self-join that shuffles the grouping twice and
+      re-expands via the join.
+    - Groups larger than ``group_cap`` are dropped entirely, so the
+      per-group expansion is bounded by C(group_cap, 2) ≈ 8.4M pairs at
+      the 4096 default, never d². A mega-popular part-month (a
+      million-buyer bestseller) is the graph analogue of LSH
+      boilerplate: its clique says nothing discriminative about any
+      individual pair and would dominate the whole job. The drop is
+      observable, not silent — ``copurchase_dropped_groups`` reports
+      exactly which (p, m) groups the cap removed, and
+      tests/test_round9_ops.py plants a hot clique and asserts both the
+      bound and the report.
+
+    Oracle parity: every registered consumer's DuckDB oracle computes
+    the UNCAPPED edge set; no (p, m) group in the driver corpus
+    approaches the cap (max observed ~7 at sf0.1, asserted by the
+    planted-clique property test's corpus guard), so results are
+    identical at fixture scale and the cap only engages where the
+    uncapped build would already be a skew blow-up."""
+    grp = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            F.col("o_custkey").alias("c"),
+        )
+    )
+    return copurchase_pairs_from_groups(grp, group_cap)
+
+
+def copurchase_pairs_from_groups(grp: DataFrame, group_cap: int) -> DataFrame:
+    """Core of copurchase_edges, split out so the planted-hot-clique
+    property test can drive it with a synthetic (p, m, c) grouping.
+    collect_set dedups (p, m, c) inside the single shuffle, so no
+    upstream .distinct() (a second full shuffle in the old build) is
+    needed."""
+    ids = F.array_sort(F.collect_set("c")).alias("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        grp.groupBy("p", "m")
+        .agg(ids)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= group_cap))
+        .select(F.explode(pair_structs).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .distinct()
+    )
+
+
+def copurchase_dropped_groups(
+    spark: SparkSession, sf_dir: str, group_cap: int = 4096
+) -> DataFrame:
+    """The observability half of the cap: (p, m, n_buyers) for every
+    group the ``group_cap`` skew guard removed from copurchase_edges —
+    run it to LOG what was dropped (the no-silent-caps rule). Same
+    single-shuffle shape; at fixture scale it returns zero rows."""
+    grp = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            F.col("o_custkey").alias("c"),
+        )
+    )
+    return (
+        grp.groupBy("p", "m")
+        .agg(F.count_distinct("c").alias("n_buyers"))
+        .filter(F.col("n_buyers") > group_cap)
+    )
+
+
 @register(
     "q_graph_triangles",
     oracle="""
@@ -1320,9 +1426,9 @@ SELECT (SELECT c FROM tri) AS n_triangles,
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the customer co-purchase graph
-    (customers joined by buying the same part in the same month — a
-    bounded-fan-out grouping, so the pair projection is ≤ C(g,2) per
-    (part, month) group with g ≤ ~7 on this corpus, never n²).
+    (copurchase_edges — single-shuffle in-group pair expansion with the
+    group_cap skew guard, so the pair projection is bounded per
+    (part, month) group, never d²; g ≤ ~7 on this corpus).
 
     Counting uses DEGREE-ORDERED ORIENTATION — the standard trick that
     makes distributed triangle counting survive skew: each undirected
@@ -1339,29 +1445,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three outputs are plain BIGINT scalars; joins are equi-joins
     on (part, month) / node keys; no float anywhere."""
-    grp = (
-        load(spark, sf_dir, "lineitem")
-        .join(
-            load(spark, sf_dir, "orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_partkey").alias("p"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
-            F.col("o_custkey").alias("c"),
-        )
-        .distinct()
-    )
-    e = (
-        grp.select("p", "m", F.col("c").alias("u"))
-        .join(
-            grp.select("p", "m", F.col("c").alias("v")),
-            ["p", "m"],
-        )
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -2081,27 +2165,9 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized O(|component|²) reach pairs, which on dense
     co-purchase months risked blowing up the driver's DuckDB run
     rather than returning a wrong answer (15× faster at sf0.01,
-    verified row-identical before the swap)."""
-    grp = (
-        load(spark, sf_dir, "lineitem")
-        .join(
-            load(spark, sf_dir, "orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_partkey").alias("p"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
-            F.col("o_custkey").alias("c"),
-        )
-        .distinct()
-    )
-    e = (
-        grp.select("p", "m", F.col("c").alias("u"))
-        .join(grp.select("p", "m", F.col("c").alias("v")), ["p", "m"])
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    verified row-identical before the swap). Edge build: shared
+    copurchase_edges (single-shuffle, group_cap skew guard)."""
+    e = copurchase_edges(spark, sf_dir)
     lbl, _rounds = cc_fixpoint(e)
     sizes = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("component_size"))
     return sizes.groupBy("component_size").agg(
@@ -2214,27 +2280,9 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap is NOT a silent truncation: eccentricities on the co-purchase
     graph are single-digit, and if the graph ever had a node at hop
     ≥ 40 the Spark side (uncapped) would disagree and the driver's
-    hash would go red — visible, not wrong."""
-    grp = (
-        load(spark, sf_dir, "lineitem")
-        .join(
-            load(spark, sf_dir, "orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_partkey").alias("p"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
-            F.col("o_custkey").alias("c"),
-        )
-        .distinct()
-    )
-    e = (
-        grp.select("p", "m", F.col("c").alias("u"))
-        .join(grp.select("p", "m", F.col("c").alias("v")), ["p", "m"])
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    hash would go red — visible, not wrong. Edge build: shared
+    copurchase_edges (single-shuffle, group_cap skew guard)."""
+    e = copurchase_edges(spark, sf_dir)
     dist, _src, _rounds = bfs_distances(e)
     return (
         dist.groupBy("dist")

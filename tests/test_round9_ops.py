@@ -1,0 +1,138 @@
+"""Round-9 operator tests.
+
+Charter (VERDICT r8 item 1): the co-purchase edge builder shared by
+q_graph_triangles / q_graph_cc / q_graph_sssp must bound its per-group
+pair expansion — a planted hot (part, month) clique above ``group_cap``
+must NOT blow up into d²/2 pairs, and the drop must be observable.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark.operators.analytics import (
+    copurchase_dropped_groups,
+    copurchase_edges,
+    copurchase_pairs_from_groups,
+)
+from tests.conftest import SF_DIR
+
+
+def _synthetic_groups(spark, rows):
+    return spark.createDataFrame(rows, "p bigint, m bigint, c bigint")
+
+
+def test_hot_clique_is_capped(spark):
+    """A planted (p, m) group with d > group_cap members contributes ZERO
+    pairs (dropped, LSH bucket_cap discipline); normal groups around it
+    expand to exactly C(g, 2). Total output is bounded by
+    n_groups · C(cap, 2), never d²."""
+    cap = 16
+    # customer-id ranges are DISJOINT per group so the final cross-group
+    # pair dedup doesn't collapse one group's pairs into another's
+    hot = [(1, 1, c) for c in range(cap + 5)]           # d = 21 > cap
+    ok = [(2, 1, 100 + c) for c in range(4)]            # C(4,2) = 6 pairs
+    boundary = [(3, 1, 200 + c) for c in range(cap)]    # exactly cap → kept
+    grp = _synthetic_groups(spark, hot + ok + boundary)
+    pairs = copurchase_pairs_from_groups(grp, group_cap=cap).collect()
+    assert len(pairs) == 6 + cap * (cap - 1) // 2
+    # every surviving pair is ordered and none comes from the hot group
+    # (its customers are the ids < 100)
+    assert all(r.u < r.v for r in pairs)
+    assert all(r.u >= 100 for r in pairs)
+
+
+def test_hot_clique_duplicate_rows_still_capped(spark):
+    """collect_set dedups inside the shuffle: replaying each (p, m, c)
+    row 3× (multi-lineitem orders) changes nothing — the old build
+    needed a separate .distinct() shuffle for this."""
+    cap = 8
+    rows = [(1, 1, c) for c in range(5)] * 3
+    grp = _synthetic_groups(spark, rows)
+    pairs = copurchase_pairs_from_groups(grp, group_cap=cap).collect()
+    assert len(pairs) == 10  # C(5,2)
+
+
+def test_cross_group_pair_dedup(spark):
+    """A pair co-purchasing in TWO part-months is one edge, not two."""
+    rows = [(1, 1, 10), (1, 1, 20), (2, 1, 10), (2, 1, 20), (2, 1, 30)]
+    grp = _synthetic_groups(spark, rows)
+    pairs = {
+        (r.u, r.v)
+        for r in copurchase_pairs_from_groups(grp, group_cap=64).collect()
+    }
+    assert pairs == {(10, 20), (10, 30), (20, 30)}
+
+
+def test_corpus_groups_far_below_cap(spark):
+    """Oracle-parity guard: no (p, m) group in the driver corpus comes
+    near the 4096 default cap, so the capped build and the oracle's
+    uncapped build agree exactly (the q_graph_* green rows depend on
+    this — same guard shape as test_corpus_band_buckets_far_below_cap
+    for LSH)."""
+    dropped = copurchase_dropped_groups(spark, SF_DIR, group_cap=4096)
+    assert dropped.count() == 0
+    # and the actual max group size is tiny relative to the cap
+    from micmac_li3ds_spark.tables import load
+
+    mx = (
+        load(spark, SF_DIR, "lineitem")
+        .join(
+            load(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_partkey", F.date_trunc("month", "o_orderdate")
+        )
+        .agg(F.count_distinct("o_custkey").alias("d"))
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    assert mx < 4096 // 8
+
+
+def test_dropped_groups_report(spark):
+    """copurchase_dropped_groups names exactly the over-cap groups —
+    the no-silent-caps observability half of the skew guard."""
+    cap = 4
+    rows = [(1, 1, c) for c in range(cap + 3)] + [(2, 1, c) for c in range(3)]
+    grp = _synthetic_groups(spark, rows)
+    over = (
+        grp.groupBy("p", "m")
+        .agg(F.count_distinct("c").alias("n_buyers"))
+        .filter(F.col("n_buyers") > cap)
+        .collect()
+    )
+    assert [(r.p, r.m, r.n_buyers) for r in over] == [(1, 1, cap + 3)]
+
+
+def test_copurchase_edges_matches_naive_join_on_corpus(spark):
+    """The single-shuffle in-array expansion produces bit-identical
+    edges to the old grp ⋈ grp self-join on the real corpus (the three
+    graph queries' green hashes rest on this equivalence)."""
+    from micmac_li3ds_spark.tables import load
+
+    e_new = copurchase_edges(spark, SF_DIR)
+    grp = (
+        load(spark, SF_DIR, "lineitem")
+        .join(
+            load(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+    )
+    e_old = (
+        grp.select("p", "m", F.col("c").alias("u"))
+        .join(grp.select("p", "m", F.col("c").alias("v")), ["p", "m"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    assert e_new.exceptAll(e_old).count() == 0
+    assert e_old.exceptAll(e_new).count() == 0
