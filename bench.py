@@ -135,33 +135,46 @@ def main() -> None:
     )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-                # methodology markers so cross-run comparisons are
-                # interpretable: per-query time is min over `runs`
-                # timed executions after a warm-up pass. The single-run
-                # figures (first timed execution, the round-1 protocol)
-                # ride along so r1<->rN comparisons stay apples-to-apples.
-                "runs": 2,
-                "timing": "best_of_n",
-                "first_run_total": round(first_total, 3),
-                "first_run_queries": first_timings,
-                # round-7 second group: specialist operators, reported
-                # separately so `value` (the headline total) remains
-                # comparable with rounds 1-6
-                "extended_total": round(ext_total, 3),
-                "extended_queries": ext_timings,
-                "extended_first_run_total": round(ext_first_total, 3),
-                "extended_first_run_queries": ext_first_timings,
-            }
-        )
+    # COMPACT stdout line only (r8 lesson: the all-in-one line outgrew
+    # the driver's stdout tail capture and BENCH_r08.json recorded
+    # parsed:null). The headline JSON stays short — metric + 22 query
+    # timings + methodology markers, ~1 KB — and the first-run +
+    # extended breakdowns go to BENCH_DETAIL.json next to this script
+    # (committed per-round) and to stderr.
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+        # per-query time is min over `runs` timed executions;
+        # single-run figures live in the detail file
+        "runs": 2,
+        "timing": "best_of_n",
+    }
+    detail = dict(
+        compact,
+        first_run_total=round(first_total, 3),
+        first_run_queries=first_timings,
+        # round-7 second group: specialist operators, reported
+        # separately so `value` (the headline total) remains
+        # comparable with rounds 1-6
+        extended_total=round(ext_total, 3),
+        extended_queries=ext_timings,
+        extended_first_run_total=round(ext_first_total, 3),
+        extended_first_run_queries=ext_first_timings,
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: detail still on stderr
+        print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
