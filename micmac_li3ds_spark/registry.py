@@ -152,71 +152,86 @@ _loaded = False
 #            and no r1/r2 row remains live (the round-4 events.ts
 #            incident's risk class is closed: every surviving
 #            attestation postdates both corpus regenerations).
-#   round 9 (planned): any round-9 additions in their birth round,
-#            then the 40 round-4 rows (incl. the 12 deferred
-#            continuity keys: q_join_skew_salted, q_etl_snapshot_diff,
-#            q_llm_knn_ivf, q_topk_global, q_scan_csv, q_scan_parquet,
-#            q_udf_pandas, q_udf_python, q_subquery_in,
-#            q_subquery_scalar, q_set_intersect, q_set_except), then
-#            continuity (oldest round-5 rows). Steady state from
-#            here: birth-round attestation for new queries +
+#   round 9 (this window): round-9 additions in their birth round +
+#            3 re-attestations whose CODE changed this round (the
+#            co-purchase edge build of q_graph_triangles / q_graph_cc /
+#            q_graph_sssp was rewritten from an uncapped grp ⋈ grp
+#            self-join to the shared single-shuffle capped builder
+#            copurchase_edges — their r8/earlier rows no longer attest
+#            the shipped artifact; verified locally equivalent via
+#            tools/check.py + a bit-exact edge-set equivalence test
+#            before this window was cut) + ALL 40 round-4 rows (the
+#            longest-unsampled greens: scans/sinks, set-op tails,
+#            the 7-key UDF/UDTF surface, 4 subqueries, IVF/kmeans/
+#            quant/knn tails, 5 TPC-H-style analytics, q_topk_global,
+#            q_win_nth_value, q_join_skew_salted/null_safe,
+#            q_etl_snapshot_diff, q_sample_weighted) + continuity
+#            fillers from the oldest (round-5) stratum in remaining
+#            slots. test_registry.py's staleness horizon is now
+#            max_round−4 (tightened from −5 this round), so the 40
+#            r4 keys are FORCED into this window while round 8 is
+#            still the newest committed CORRECTNESS file — the
+#            rotation shapes the window before the breach, not after.
+#   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- round-8 additions (driver row in their birth round) ---
-    "q_etl_merge_upsert",
-    "q_ts_anomaly",
-    "q_graph_sssp",
-    "q_agg_sketch_rollup",
-    "q_win_moving_median",
-    "q_llm_knn_recall",
-    "q_layout_zorder",
-    "q_etl_asof_snapshot",
-    "q_agg_bitmap_rollup",
-    "q_ts_downsample_lttb",
-    "q_llm_winnowing",
-    "q_llm_winnow_matches",
-    "q_ts_seasonal_profile",
-    # --- re-attest: code/oracle changed this round (ADVICE r7) ---
-    "q_agg_gini",
+    # --- round-9 additions (driver row in their birth round) ---
+    # (appended as they land this round)
+    # --- re-attest: edge-builder code changed this round ---
+    "q_graph_triangles",
     "q_graph_cc",
-    # --- freshness: the 31 queries last attested in round 2 ---
-    "q_agg_histogram",
-    "q_etl_distortion_poly",
-    "q_etl_explode_block",
-    "q_etl_get_or_create",
-    "q_etl_pose_apply",
-    "q_etl_surrogate_keys",
-    "q_etl_transfo_closure",
-    "q_forecast_revenue",
-    "q_jdbc_roundtrip",
-    "q_llm_corpus_filter",
-    "q_llm_cosine",
-    "q_llm_decontaminate",
-    "q_llm_dedup_clusters",
-    "q_llm_embed_norm",
-    "q_llm_knn_per_label",
-    "q_llm_lang_id",
-    "q_llm_ngram_jaccard",
-    "q_llm_pii_scrub",
-    "q_llm_quality_score",
-    "q_llm_repetition",
-    "q_llm_simhash",
-    "q_llm_text_stats",
-    "q_llm_tfidf",
-    "q_mm_binary_stats",
-    "q_nation_trade_volume",
-    "q_profile_columns",
-    "q_promo_revenue",
-    "q_reshape_unpivot",
-    "q_returned_items",
-    "q_sample_hash",
-    "q_waiting_supplier",
-    # --- freshness: the 4 deferred rot-resistant round-1 queries ---
-    "q_sort_multi",
-    "q_limit",
-    "q_fn_cond",
-    "q_fn_math",
+    "q_graph_sssp",
+    # --- freshness: all 40 queries whose newest row is round 4 ---
+    "q_disjunctive_revenue",
+    "q_etl_snapshot_diff",
+    "q_idle_customer_balance",
+    "q_join_null_safe",
+    "q_join_skew_salted",
+    "q_llm_cluster_assign",
+    "q_llm_embed_quant",
+    "q_llm_hard_negatives",
+    "q_llm_kmeans_step",
+    "q_llm_knn_batch",
+    "q_llm_knn_ivf",
+    "q_llm_lm_score",
+    "q_order_count_distribution",
+    "q_priority_linestatus",
+    "q_sample_weighted",
+    "q_scan_binaryfile",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_scan_parquet",
+    "q_scan_python_datasource",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect",
+    "q_set_intersect_all",
+    "q_sink_orc_roundtrip",
+    "q_sink_parquet_partitioned",
+    "q_small_qty_revenue",
+    "q_subquery_corr_agg",
+    "q_subquery_exists_range",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_topk_global",
+    "q_udaf_pandas",
+    "q_udf_cogrouped",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_udf_sql",
+    "q_udtf_applyinpandas",
+    "q_udtf_python",
+    "q_win_nth_value",
+    # --- continuity: oldest (round-5) stratum fillers; trimmed
+    #     from the bottom as round-9 additions consume slots ---
+    "q_etl_sessionize",
+    "q_win_range_frame",
+    "q_stream_session",
+    "q_join_asof",
+    "q_join_range",
+    "q_event_funnel",
+    "q_llm_exact_dedup",
 ]
 
 

@@ -203,14 +203,18 @@ def test_window_contains_every_never_attested_query():
 
 def test_window_contains_every_stale_attestation():
     """Oldest-first rotation, mechanized: any query whose newest driver
-    row is ≥ 5 rounds behind the newest committed CORRECTNESS round
-    must be in the current window (two corpus regenerations fit in
-    that horizon — the round-4 events.ts incident's rot window)."""
+    row is ≥ 4 rounds behind the newest committed CORRECTNESS round
+    must be in the current window. Tightened from −5 in round 9 (r8
+    verdict): at −5 the invariant only tripped AFTER the breaching
+    CORRECTNESS file landed — one round too late to shape the window
+    it polices. At −4 the keys that WOULD become 5 rounds stale next
+    round are forced into the window while the previous round's file
+    is still the newest — proactive, not post-hoc."""
     latest, max_round = _latest_attestations()
     stale = [
         n
         for n, rnd in latest.items()
-        if rnd <= max_round - 5 and n in R.registry()
+        if rnd <= max_round - 4 and n in R.registry()
     ]
     out = [n for n in stale if n not in R._PRIORITY]
     assert not out, f"stale-attested queries left out of the window: {out}"
