@@ -24,45 +24,85 @@ implements it with the write-then-commit protocol:
     observe a half-written round (parquet _SUCCESS only covers the
     write side; the marker covers the loop's notion of "round done").
 
+Every filesystem operation (mkdirs, marker create/list/delete, round
+pruning) goes through Spark's Hadoop FileSystem API resolved FROM THE
+STATE DIR'S OWN SCHEME, not through driver-local ``os``/``open`` calls.
+This is what makes the durability claim true on the only deployments
+where it matters: with an ``s3a://`` / ``hdfs://`` state dir, the
+markers land NEXT TO the parquet data, so a driver restarted on a
+different host sees exactly the committed rounds the dead driver wrote.
+(The earlier implementation used POSIX calls for the markers — on
+shared storage they would have landed on the old driver's local disk,
+silently breaking resume-after-failover; flagged by round-8 advice.)
+
+RETENTION: loops on 100-TB graphs run tens of rounds; keeping every
+round's parquet forever turns 16 GB of vertex state into an unbounded
+O(rounds) heap of dead files. ``retain`` (default 2) keeps the last k
+COMMITTED rounds and prunes older ones after each commit — marker
+first, then data, so a crash mid-prune can only leave an unreferenced
+data directory (garbage, never a committed round with missing data).
+Resume after pruning is proven by
+tests/test_round7_mining.py::test_cc_fixpoint_restarts_from_durable_state
+and the round-9 retention tests.
+
 Cost model at 100 TB: vertex-state DataFrames (node, label/rank) are
 tiny relative to the edge data — 10⁹ nodes × 16 B ≈ 16 GB per round,
 a seconds-long parallel write to object storage — so durability costs
 one parquet round-trip per round while the dominant per-round cost
-(the edge join) is unchanged. The fixpoint math is identical either
-way, which is what the restart test asserts
-(tests/test_round7_mining.py::test_cc_fixpoint_restarts_from_durable_state).
+(the edge join) is unchanged, and retention caps the storage footprint
+at retain × one round's state.
 """
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class DurableLoopState:
-    """Parquet-backed per-iteration state with atomic round commit."""
+    """Parquet-backed per-iteration state with atomic round commit and
+    bounded retention, on any Hadoop-visible filesystem."""
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(
+        self, spark: SparkSession, state_dir: str, retain: int = 2
+    ):
+        if retain < 1:
+            raise ValueError("retain must be >= 1 (the resume round)")
         self.spark = spark
         self.dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
+        self.retain = retain
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        # resolve the FileSystem from the state dir's own scheme
+        # (s3a://, hdfs://, file://, a bare local path, ...) so marker
+        # ops hit the SAME store as the parquet writes
+        self._fs = self._Path(state_dir).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+        self._fs.mkdirs(self._Path(state_dir))
 
     def _round_path(self, k: int) -> str:
-        return os.path.join(self.dir, f"round={k}")
+        return f"{self.dir.rstrip('/')}/round={k}"
 
-    def _marker(self, k: int) -> str:
-        return os.path.join(self.dir, f"_COMMIT_{k}")
+    def _marker_path(self, k: int):
+        return self._Path(f"{self.dir.rstrip('/')}/_COMMIT_{k}")
+
+    def committed_rounds(self) -> list[int]:
+        """All committed round numbers, ascending (via Hadoop listStatus
+        on the state dir — works on object storage, unlike listdir)."""
+        rounds = []
+        for st in self._fs.listStatus(self._Path(self.dir)):
+            m = re.fullmatch(r"_COMMIT_(\d+)", st.getPath().getName())
+            if m:
+                rounds.append(int(m.group(1)))
+        return sorted(rounds)
 
     def latest_round(self) -> int | None:
         """Highest committed round number, or None if no round finished."""
-        rounds = []
-        for name in os.listdir(self.dir):
-            m = re.fullmatch(r"_COMMIT_(\d+)", name)
-            if m:
-                rounds.append(int(m.group(1)))
-        return max(rounds) if rounds else None
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
 
     def load(self, k: int) -> DataFrame:
         return self.spark.read.parquet(self._round_path(k))
@@ -71,11 +111,24 @@ class DurableLoopState:
         """Persist round ``k``'s state and return the re-read DataFrame
         (lineage now roots at the parquet scan — O(1) plan depth, same
         effect as localCheckpoint but replayable from shared storage).
-        Overwrite semantics make a retry of an uncommitted round safe."""
+        Overwrite semantics make a retry of an uncommitted round safe.
+        After the commit, rounds older than the ``retain`` newest are
+        pruned."""
         path = self._round_path(k)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         # commit AFTER the write completes: a crash before this line
         # leaves the round uncommitted and a restart redoes it
-        open(self._marker(k), "w").close()
+        self._fs.create(self._marker_path(k), True).close()
+        self._prune()
         return out
+
+    def _prune(self) -> None:
+        """Drop all but the ``retain`` newest committed rounds. Marker
+        is deleted BEFORE its data dir: a crash between the two deletes
+        leaves orphan data (overwritten or re-pruned later), never a
+        marker pointing at missing data."""
+        committed = self.committed_rounds()
+        for k in committed[: -self.retain]:
+            self._fs.delete(self._marker_path(k), False)
+            self._fs.delete(self._Path(self._round_path(k)), True)

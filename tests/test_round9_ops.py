@@ -136,3 +136,75 @@ def test_copurchase_edges_matches_naive_join_on_corpus(spark):
     )
     assert e_new.exceptAll(e_old).count() == 0
     assert e_old.exceptAll(e_new).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# DurableLoopState retention + Hadoop-FS marker routing (VERDICT r8 item 7,
+# ADVICE r8 medium)
+
+
+def _state_df(spark, tag):
+    return spark.range(4).select(
+        F.col("id").alias("node"), (F.col("id") + tag).alias("lbl")
+    )
+
+
+def test_durable_state_retention_prunes_old_rounds(spark, tmp_path):
+    """retain=2 keeps exactly the two newest committed rounds: older
+    round dirs AND their markers are gone, bounding state-dir size at
+    retain x one round on a long loop."""
+    import os
+
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+
+    d = str(tmp_path / "st")
+    st = DurableLoopState(spark, d, retain=2)
+    for k in range(5):
+        st.save(_state_df(spark, k), k)
+    assert st.committed_rounds() == [3, 4]
+    names = set(os.listdir(d))
+    assert "_COMMIT_4" in names and "_COMMIT_3" in names
+    assert not any(n.startswith("_COMMIT_") and n not in
+                   {"_COMMIT_3", "_COMMIT_4"} for n in names)
+    assert "round=4" in names and "round=3" in names
+    assert "round=0" not in names and "round=2" not in names
+
+
+def test_durable_state_resume_after_pruning(spark, tmp_path):
+    """A 'new driver' opening a pruned state dir resumes from the
+    newest committed round and reads back exactly the data that round
+    wrote — retention never touches the resume round."""
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+
+    d = str(tmp_path / "st")
+    st = DurableLoopState(spark, d, retain=1)
+    for k in range(4):
+        st.save(_state_df(spark, k), k)
+    st2 = DurableLoopState(spark, d, retain=1)
+    latest = st2.latest_round()
+    assert latest == 3
+    rows = sorted(map(tuple, st2.load(latest).collect()))
+    assert rows == [(i, i + 3) for i in range(4)]
+
+
+def test_durable_state_markers_via_hadoop_fs(spark, tmp_path):
+    """The commit markers are created through the Hadoop FileSystem
+    resolved from the state dir's scheme (here an explicit file:// URI,
+    the non-POSIX-path spelling): a driver-local open() would reject
+    the URI outright, so this passing proves the FS-API routing."""
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+
+    d = "file://" + str(tmp_path / "uri_state")
+    st = DurableLoopState(spark, d, retain=2)
+    st.save(_state_df(spark, 0), 0)
+    assert st.latest_round() == 0
+    assert st.load(0).count() == 4
+
+
+def test_durable_state_retain_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+
+    with _pytest.raises(ValueError):
+        DurableLoopState(spark, str(tmp_path / "x"), retain=0)

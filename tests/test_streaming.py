@@ -250,7 +250,13 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
     accumulate the same per-user totals across micro-batches as the
     applyInPandasWithState implementation."""
     # the TWS python worker speaks protobuf to the JVM state server;
-    # skip (not fail) in environments without google.protobuf
+    # skip (not fail) in environments without google.protobuf.
+    # Gate-closure attempted round 9 (2026-08-14): no python
+    # google.protobuf anywhere on disk (pyspark/sql/protobuf is the
+    # from_protobuf SQL wrapper, not the lib), no cached wheel, and
+    # `pip download protobuf` fails with "versions: none" (no
+    # network) — vendoring is not possible in this container, so the
+    # gate stays env-blocked, not unattempted.
     pytest.importorskip("google.protobuf.descriptor")
     tmp = tempfile.mkdtemp(prefix="tws_")
     cols = (
