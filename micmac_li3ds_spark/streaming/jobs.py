@@ -526,7 +526,15 @@ def fold_session_events(
     an in-gap straggler extends a session backward while a straggler
     more than gap_s before it forms (and immediately closes) its OWN
     session — exactly session_window's split, whatever the interleaving
-    of late data and carried state."""
+    of late data and carried state. Boundary semantics: an event at
+    EXACTLY last_s + gap_s MERGES into the open session (inclusive
+    ``<=``). This was questioned by r8 advice (session_window intervals
+    print as half-open [event, event+gap)) and settled by measurement:
+    on this Spark, events at t=0 and t=100 with a 100 s gap produce ONE
+    session_window row [0, 200) — adjacent intervals merge — so the
+    inclusive fold matches the built-in bit-for-bit; the boundary case
+    is pinned in test_fold_session_events_pure_logic and the built-in's
+    behavior itself in test_session_window_exact_gap_boundary."""
     items = [(int(t), int(t), 1) for t in ts_sorted]
     if state is not None:
         items.append((int(state[0]), int(state[1]), int(state[2])))

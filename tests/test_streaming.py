@@ -1025,3 +1025,35 @@ def test_fold_session_events_pure_logic():
     # straggler bridges two far-apart points into the carried session
     closed, st = fold_session_events((200, 210, 2), [50, 130], gap)
     assert closed == [] and st == (50, 210, 4)
+    # EXACT-GAP boundary (r8 advice): measured against the built-in —
+    # session_window MERGES an event at exactly last + gap (adjacent
+    # half-open intervals coalesce; see
+    # test_session_window_exact_gap_boundary), so the fold does too
+    closed, st = fold_session_events(None, [0, 100], gap)
+    assert closed == [] and st == (0, 100, 2)
+    # one past the gap splits
+    closed, st = fold_session_events(None, [0, 101], gap)
+    assert closed == [(0, 0, 1)] and st == (101, 101, 1)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin the BUILT-IN's boundary semantics that
+    fold_session_events mirrors: events at t and t+gap land in ONE
+    session_window (adjacent [t, t+gap) / [t+gap, t+2gap) intervals
+    merge), while t and t+gap+1 split. If a Spark upgrade ever flips
+    this, this test goes red together with the fold's unit pin —
+    the equivalence claim stays measured, not assumed."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (2, 0), (2, 101)], "u int, s long"
+    ).select("u", F.col("s").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy("u", F.session_window("ts", "100 seconds"))
+        .count()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("u")
+        .collect()
+    )
+    assert [(r.u, r.n_sessions) for r in out] == [(1, 1), (2, 2)]

@@ -43,14 +43,44 @@ from micmac_li3ds_spark.session import get_spark  # noqa: E402
 MIN_REGRESSION_SEC = 2.0
 
 
-def _newest_committed_artifact() -> str | None:
+def _artifacts_newest_first() -> list[str]:
     arts = glob.glob(os.path.join(_REPO, "TIMING_r*.json"))
 
     def rnd(p: str) -> int:
         m = re.search(r"TIMING_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
-    return max(arts, key=rnd) if arts else None
+    return sorted(arts, key=rnd, reverse=True)
+
+
+def _newest_committed_artifact() -> str | None:
+    arts = _artifacts_newest_first()
+    return arts[0] if arts else None
+
+
+def _git_committed_copy(path: str) -> str | None:
+    """HEAD's version of ``path`` extracted to a temp file, or None —
+    the baseline for an intra-round rerun that overwrites the newest
+    artifact (r8 advice: the old behavior silently disabled the gate
+    and certified the rewritten regressions:{} as clean)."""
+    import subprocess
+    import tempfile
+
+    rel = os.path.relpath(os.path.abspath(path), _REPO)
+    try:
+        blob = subprocess.run(
+            ["git", "-C", _REPO, "show", f"HEAD:{rel}"],
+            capture_output=True,
+            check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, OSError):
+        return None
+    tf = tempfile.NamedTemporaryFile(
+        "wb", suffix=".json", prefix="timing_baseline_", delete=False
+    )
+    tf.write(blob)
+    tf.close()
+    return tf.name
 
 
 def main() -> int:
@@ -95,8 +125,15 @@ def main() -> int:
     baseline_path = args.baseline or _newest_committed_artifact()
     if baseline_path and args.json_out and os.path.abspath(
         baseline_path
-    ) == os.path.abspath(args.json_out):  # don't baseline against ourselves
-        baseline_path = None
+    ) == os.path.abspath(args.json_out):
+        # intra-round rerun overwriting the newest artifact: never run
+        # gate-less — baseline against HEAD's copy of the same file,
+        # else the next-newest artifact (r8 advice)
+        baseline_path = _git_committed_copy(baseline_path)
+        if baseline_path is None:
+            older = _artifacts_newest_first()[1:]
+            baseline_path = older[0] if older else None
+        print(f"baseline (self-overwrite fallback): {baseline_path}")
     regressions: dict[str, dict] = {}
     if baseline_path and os.path.exists(baseline_path):
         base = json.load(open(baseline_path)).get("queries", {})
