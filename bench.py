@@ -68,6 +68,7 @@ EXTENDED = [
     "q_etl_merge_upsert",       # round 8: MERGE as one full-outer join
     "q_ts_anomaly",             # round 8: integer-algebra rolling z-score
     "q_agg_sketch_rollup",      # round 8: HLL partial-sketch union rollup
+    "q_llm_lsh_recall",         # round 9: LSH candidate recall gauge
     # q_er_resolve is deliberately NOT benched: its wall time is an
     # iterative driver loop whose round count is corpus-dependent
     # (~24 s at sf0.1 after the τ=1 deletion-blocking fix) — a bad

@@ -157,6 +157,34 @@ def minhash_band_keys(d: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(banded: DataFrame, bucket_cap: int) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from a (doc_id,
+    band_key) assignment: one groupBy(band_key), pairs expanded INSIDE
+    the sorted bucket array (flatten/transform/slice — linear under
+    CollapseProject), buckets over ``bucket_cap`` dropped (skew guard —
+    see q_llm_near_dedup's docstring for the full cost argument).
+    Shared by q_llm_near_dedup and the q_llm_lsh_recall gauge so the
+    candidate generation the gauge measures IS the one dedup ships."""
+    ids = F.array_sort(F.collect_set("doc_id")).alias("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        banded.groupBy("band_key")
+        .agg(ids)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register("q_llm_near_dedup", oracle=_NEAR_DEDUP_ORACLE, tags=("llm", "dedup", "lsh"))
 def q_llm_near_dedup(
     spark: SparkSession, sf_dir: str, bucket_cap: int = 4096
@@ -212,24 +240,7 @@ def q_llm_near_dedup(
     # near-entirely boilerplate, which dedup pipelines drop anyway.
     # Oracle parity is safe because no bucket in this corpus approaches
     # the cap (asserted by test_corpus_band_buckets_far_below_cap).
-    ids = F.array_sort(F.collect_set("doc_id")).alias("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    candidates = (
-        banded.groupBy("band_key")
-        .agg(ids)
-        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    candidates = lsh_candidate_pairs(banded, bucket_cap)
 
     # exact verification on candidates only
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -245,6 +256,101 @@ def q_llm_near_dedup(
         .filter(F.col("jac") >= 0.5)
     )
     return verified.select("doc_a", "doc_b", "jac")
+
+
+@register(
+    "q_llm_lsh_recall",
+    oracle=f"""
+WITH {DUCK_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+               / length(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+truth AS (SELECT doc_a, doc_b FROM pairs WHERE jac >= 0.5)
+SELECT CAST(n AS BIGINT) AS n_true,
+       CAST(n AS BIGINT) AS n_found,
+       round(1.0, 6) AS recall
+FROM (SELECT COUNT(*) AS n FROM truth)
+""",
+    tags=("llm", "dedup", "lsh", "quality"),
+)
+def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate recall against exact Jaccard — the dedup
+    twin of q_llm_knn_recall (ANN recall@10): the measurement that
+    turns a banding-parameter regression into a HASH RED instead of a
+    quiet dedup-quality loss.
+
+    Truth side: the exact jac ≥ 0.5 pair set, generated INDEPENDENTLY
+    of minhash via the inverted-index path (rare-shingle posting
+    lists, df_cap — the q_llm_ngram_jaccard machinery, itself
+    hash-verified against the brute-force oracle). Found side: the
+    SHARED lsh_candidate_pairs generation that q_llm_near_dedup ships
+    — bands/permutations/bucket_cap included — intersected with truth.
+
+    The oracle brute-forces the true pair set and pins n_found == n_true
+    (recall 1.0): at 32 bands × 2 rows the per-pair miss probability on
+    this corpus' planted duplicates (all jac ≥ 0.8) is ~5e-15, so full
+    recall is the CONTRACT, not luck. Cut the bands to 4, break a
+    permutation constant, or over-tighten bucket_cap and missed true
+    pairs drop n_found below n_true — a value mismatch the driver
+    flags. Cost: one LSH candidate pass + one posting-list pass over
+    the same cached shingle sets — both 100-TB shapes already argued
+    for their parent queries; at production scale this audits a sampled
+    partition of the corpus, not every batch."""
+    sp = shuffle_partitions(spark)
+    d = _scoped_cache(
+        load(spark, sf_dir, "documents")
+        .repartition(sp, "doc_id")
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
+    )
+
+    # truth: exact jac >= 0.5 via rare-shingle posting lists (no minhash)
+    post = d.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        post.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 256)
+        .select("s")
+    )
+    post = post.join(rare, "s")
+    a = post.alias("a")
+    b = post.alias("b")
+    exact_cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        exact_cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+    # found: the shipped LSH candidate generation, no Jaccard verify —
+    # recall of the CANDIDATE stage is what banding parameters control
+    lsh_cand = lsh_candidate_pairs(minhash_band_keys(d), bucket_cap=4096)
+    found = truth.join(lsh_cand, ["doc_a", "doc_b"])
+
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
 
 
 @register(

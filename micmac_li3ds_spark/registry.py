@@ -177,7 +177,7 @@ _loaded = False
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # --- round-9 additions (driver row in their birth round) ---
-    # (appended as they land this round)
+    "q_llm_lsh_recall",
     # --- re-attest: edge-builder code changed this round ---
     "q_graph_triangles",
     "q_graph_cc",
@@ -231,7 +231,6 @@ _PRIORITY: list[str] = [
     "q_join_asof",
     "q_join_range",
     "q_event_funnel",
-    "q_llm_exact_dedup",
 ]
 
 

@@ -680,3 +680,31 @@ def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
     assert p.count("Exchange hashpartitioning") <= max_hash_exchanges
     assert "Exchange SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name,max_hash_exchanges",
+    [
+        ("q_llm_lsh_recall", 9),  # shingle spread + posting df agg/join +
+                                  # truth verify joins + band groupBy +
+                                  # candidate distincts + truth∩cand join
+    ],
+)
+def test_round9_exchange_budgets(spark, name, max_hash_exchanges):
+    """Round-9 operators' shuffle budgets (round-6/7/8 charter). Unlike
+    the round-8 pin this one tolerates Exchange SinglePartition — the
+    recall gauge merges two 1-row scalar aggregates (n_true / n_found),
+    which carry bytes, not the corpus — but caps them at exactly those
+    two, and the only BroadcastNestedLoopJoin allowed is the 1-row
+    n_found crossJoin."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.registry()[name].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert p.count("Exchange hashpartitioning") <= max_hash_exchanges
+    assert p.count("Exchange SinglePartition") <= 2
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
