@@ -465,6 +465,133 @@ def q_llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_semantic_dedup",
+    oracle=f"""
+WITH RECURSIVE e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+d AS (
+  SELECT e.vec_id, c.cid, round(list_distance(e.v, c.cv), 6) AS dist, e.v
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid, v
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rk FROM d)
+  WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.42
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION ALL
+  SELECT ib AS a, ia AS b FROM pairs
+),
+prop AS (
+  SELECT a AS nm, LEAST(a, MIN(b)) AS comp FROM edges GROUP BY a
+  UNION
+  SELECT e2.a AS nm, MIN(l.comp) AS comp
+  FROM prop l JOIN edges e2 ON e2.b = l.nm
+  GROUP BY e2.a
+),
+lab AS (SELECT nm, MIN(comp) AS comp FROM prop GROUP BY nm)
+SELECT e.vec_id, COALESCE(lab.comp, e.vec_id) AS keeper,
+       (COALESCE(lab.comp, e.vec_id) = e.vec_id) AS is_kept
+FROM e LEFT JOIN lab ON lab.nm = e.vec_id
+""",
+    tags=("llm", "vector", "dedup", "iterative"),
+)
+def q_llm_semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = 0.42, cluster_cap: int = 4096
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
+    k-means-partition the embedding space, generate candidate pairs
+    ONLY within each cluster, keep pairs with cosine ≥ τ, collapse
+    them into connected components, and emit every vector with its
+    component's minimum-id KEEPER (is_kept marks the survivors a
+    curation pipeline would retain).
+
+    This is the third member of the near-dup candidate-generation
+    family, and the one production corpus curation actually ships for
+    embeddings: sign-LSH buckets (q_llm_embed_dedup) hash by random
+    hyperplanes; MinHash bands (q_llm_near_dedup) hash lexical
+    shingles; SemDeDup scopes candidates by LEARNED density — cluster
+    membership — which at 100 TB is the only one of the three whose
+    bucket boundaries adapt to where the corpus actually concentrates.
+
+    Scale shape, piece by piece, all previously argued: nearest-
+    centroid assignment is a broadcast map-side scan over k centroids
+    (q_llm_cluster_assign's plan); in-cluster pair expansion reuses
+    lsh_candidate_pairs — ONE groupBy(cluster), pairs expanded inside
+    the sorted id array, clusters over ``cluster_cap`` dropped (the
+    bucket_cap / copurchase group_cap discipline — a mega-cluster is
+    exactly where you'd RE-cluster with larger k instead of pairing);
+    cosine verify touches candidates only; components run on
+    cc_fixpoint's O(log d) pointer-jumping rounds. The oracle mirrors
+    each stage (row_number assignment with the round-6dp/centroid-id
+    tiebreak, brute-force in-cluster pairs, min-label recursive GROUP
+    BY propagation) — full value-hash parity including singleton
+    keepers."""
+    from micmac_li3ds_spark.operators.analytics import cc_fixpoint
+    from micmac_li3ds_spark.operators.llm_text import lsh_candidate_pairs
+
+    e = _emb(spark, sf_dir)
+    c = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    asg = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("dist", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+
+    # in-cluster candidates: the shared capped in-array expansion
+    pairs = lsh_candidate_pairs(
+        asg.select(
+            F.col("cid").cast("string").alias("band_key"),
+            F.col("vec_id").alias("doc_id"),
+        ),
+        bucket_cap=cluster_cap,
+    )
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    edges = (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+
+    lbl, _rounds = cc_fixpoint(edges)
+    return (
+        e.select("vec_id")
+        .join(lbl, e["vec_id"] == lbl["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("lbl"), F.col("vec_id")).alias("keeper"),
+            (
+                F.coalesce(F.col("lbl"), F.col("vec_id")) == F.col("vec_id")
+            ).alias("is_kept"),
+        )
+    )
+
+
+@register(
     "q_llm_kmeans_step",
     oracle=f"""
 WITH e AS (SELECT vec_id, {DUCK_VEC} AS v FROM embeddings),

@@ -178,6 +178,7 @@ DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # --- round-9 additions (driver row in their birth round) ---
     "q_llm_lsh_recall",
+    "q_llm_semantic_dedup",
     # --- re-attest: edge-builder code changed this round ---
     "q_graph_triangles",
     "q_graph_cc",
@@ -230,7 +231,6 @@ _PRIORITY: list[str] = [
     "q_stream_session",
     "q_join_asof",
     "q_join_range",
-    "q_event_funnel",
 ]
 
 

@@ -688,6 +688,9 @@ def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
         ("q_llm_lsh_recall", 9),  # shingle spread + posting df agg/join +
                                   # truth verify joins + band groupBy +
                                   # candidate distincts + truth∩cand join
+        ("q_llm_semantic_dedup", 4),  # cluster groupBy + verify joins +
+                                      # keeper join (CC rounds ride eager
+                                      # localCheckpoints, not this plan)
     ],
 )
 def test_round9_exchange_budgets(spark, name, max_hash_exchanges):
