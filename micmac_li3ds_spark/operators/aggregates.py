@@ -701,3 +701,98 @@ def q_agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(merged, "event_type").select(
         "event_type", "n_users", "n_users_rollup"
     )
+
+
+@register(
+    "q_agg_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt
+FROM counts, tot
+WHERE cnt * 1000 >= n
+""",
+    tags=("agg", "sketch", "llm", "text"),
+)
+def q_agg_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    phi_inv: int = 1000,
+    mg_capacity: int = 4096,
+) -> DataFrame:
+    """EXACT frequent items (tokens with count ≥ N/``phi_inv``) via the
+    sketch-candidates-then-exact-verify discipline — the third
+    mergeable-summary family member after the HLL and bitmap rollups,
+    and the one corpus curation uses for stopword/boilerplate-token
+    discovery and hot-key detection.
+
+    Why not just groupBy(tok).count()? At 100 TB the full token
+    vocabulary (URLs, hashes, typos) has billions of distinct keys —
+    the complete count table is huge and almost all of it is
+    irrelevant tail. The two-phase shape bounds everything by the
+    sketch capacity:
+
+    * Phase A — per-partition MISRA-GRIES summaries over the exploded
+      token stream (``mapInPandas``, Arrow-batched: per batch a
+      vectorized value_counts, then the classic mergeable-summary
+      prune — subtract the (m+1)-th largest count from all and drop
+      ≤ 0 — so state per partition is ≤ ``mg_capacity`` counters no
+      matter how large the partition). Guarantee: any token with
+      partition count > n_p/(m+1) survives its partition's summary,
+      and a token with GLOBAL count ≥ N/phi_inv must exceed
+      n_p/phi_inv in at least one partition (pigeonhole), so with
+      m + 1 > phi_inv the candidate union is a SUPERSET of the true
+      heavy hitters — never a miss, only false candidates.
+    * Phase B — exact verify: semi-join the token stream against the
+      (≤ partitions × m, broadcastable) candidate set, count exactly,
+      keep cnt · phi_inv ≥ N with INTEGER arithmetic (no float
+      threshold boundary). Output is therefore exact and partition-
+      order independent — MG internals never leak into the result —
+      which is what makes the full DuckDB value-hash oracle possible
+      for a sketch-based plan. (At extreme executor counts the
+      candidate union outgrows a broadcast; the verify join then
+      degrades gracefully to a shuffle semi-join on tok.)
+
+    Cited: Misra & Gries 1982; the batch merge-and-prune is the
+    mergeable-summaries formulation (Agarwal et al. 2012)."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+
+    cap = mg_capacity
+
+    def mg_partial(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > cap:
+                # mergeable-summary prune: subtract the (cap+1)-th
+                # largest count from everything, drop the non-positive
+                kth = acc.nlargest(cap + 1).iloc[-1]
+                acc = acc - kth
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame(
+                {"tok": acc.index.astype(str), "c": acc.values.astype("int64")}
+            )
+
+    candidates = (
+        toks.mapInPandas(mg_partial, schema="tok string, c long")
+        .select("tok")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * phi_inv >= F.col("n"))
+        .select("tok", "cnt")
+    )

@@ -691,6 +691,9 @@ def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
         ("q_llm_semantic_dedup", 4),  # cluster groupBy + verify joins +
                                       # keeper join (CC rounds ride eager
                                       # localCheckpoints, not this plan)
+        ("q_agg_heavy_hitters", 2),   # MG candidate distinct + exact
+                                      # count agg; candidates + the 1-row
+                                      # N total both broadcast
     ],
 )
 def test_round9_exchange_budgets(spark, name, max_hash_exchanges):
