@@ -2289,3 +2289,109 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .select(F.col("dist").cast("int").alias("dist"), "n_nodes")
     )
+
+
+_KCORE_GRP = """
+WITH grp AS (
+  SELECT DISTINCT l_partkey AS p, date_trunc('month', o_orderdate) AS m,
+         o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT DISTINCT a.c AS u, b.c AS v
+  FROM grp a JOIN grp b ON a.p = b.p AND a.m = b.m AND a.c < b.c
+),
+edges AS (
+  SELECT u AS a, v AS b FROM e
+  UNION ALL
+  SELECT v AS a, u AS b FROM e
+),
+a0 AS (SELECT DISTINCT a AS node FROM edges)"""
+
+
+def _kcore_peel_ctes(k: int, peels: int) -> str:
+    """Unrolled peel CTEs a1..a{peels}: alive_{i+1} = nodes with >= k
+    neighbours inside alive_i. Chained (non-recursive) CTEs sidestep
+    the single-reference restriction of recursive terms — each peel
+    references the previous alive set twice (once per edge endpoint),
+    which WITH RECURSIVE cannot express; the pagerank_fix unroll
+    precedent."""
+    parts = []
+    for i in range(1, peels + 1):
+        parts.append(f"""
+a{i} AS (
+  SELECT a AS node FROM (
+    SELECT e2.a, COUNT(*) AS d
+    FROM edges e2
+    JOIN a{i - 1} u ON e2.a = u.node
+    JOIN a{i - 1} v ON e2.b = v.node
+    GROUP BY e2.a
+  ) WHERE d >= {k}
+)""")
+    return ",".join(parts)
+
+
+_KCORE_K = 3
+_KCORE_PEELS = 4
+
+
+@register(
+    "q_graph_kcore",
+    oracle=f"""{_KCORE_GRP},{_kcore_peel_ctes(_KCORE_K, _KCORE_PEELS)}
+SELECT e2.a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM edges e2
+JOIN a{_KCORE_PEELS} u ON e2.a = u.node
+JOIN a{_KCORE_PEELS} v ON e2.b = v.node
+GROUP BY e2.a
+""",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=3, _KCORE_K) of the customer co-purchase
+    graph: iteratively peel nodes with in-subgraph degree < k until
+    stable; emit every surviving node with its within-core degree. The
+    degeneracy-core is the graph-robustness primitive under community
+    detection, spam-ring mining, and influence seeding — the dense
+    backbone that survives when hangers-on are stripped.
+
+    Both engines run EXACTLY 4 (_KCORE_PEELS) fixed peels (the
+    pagerank_fix discipline: bit-identical by construction, no
+    convergence race), and tests/test_round9_ops.py pins that a
+    further peel is a no-op on the corpus — so the registered result
+    IS the fixpoint, attested rather than assumed. The corpus
+    stabilizes after 1 effective peel (measured at sf0.01 and sf0.1);
+    the 3 spare peels are no-ops that keep the unroll safely past the
+    fixpoint if a corpus regeneration shifts the graph.
+
+    Scale: edges come from the capped copurchase_edges build; each
+    peel is two keyed joins of the edge list against the shrinking
+    alive set plus one count — shuffle on node ids only, alive rides
+    eager localCheckpoint (O(1) plan depth across peels). Peel count
+    for a REAL degeneracy ladder is O(peeling depth); production runs
+    the loop-until-stable variant with the same per-round plan and a
+    one-scalar changed-count read per round (the cc_fixpoint driver
+    pattern)."""
+    e = copurchase_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(_KCORE_PEELS):
+        alive = (
+            sym.join(alive.withColumnRenamed("node", "a"), "a")
+            .join(alive.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.join(alive.withColumnRenamed("node", "a"), "a")
+        .join(alive.withColumnRenamed("node", "b"), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("a").alias("node"), "core_deg")
+    )

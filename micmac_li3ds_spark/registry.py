@@ -180,6 +180,7 @@ _PRIORITY: list[str] = [
     "q_llm_lsh_recall",
     "q_llm_semantic_dedup",
     "q_agg_heavy_hitters",
+    "q_graph_kcore",
     # --- re-attest: edge-builder code changed this round ---
     "q_graph_triangles",
     "q_graph_cc",
@@ -230,7 +231,6 @@ _PRIORITY: list[str] = [
     "q_etl_sessionize",
     "q_win_range_frame",
     "q_stream_session",
-    "q_join_asof",
 ]
 
 

@@ -694,6 +694,8 @@ def test_round8_exchange_budgets(spark, name, max_hash_exchanges):
         ("q_agg_heavy_hitters", 2),   # MG candidate distinct + exact
                                       # count agg; candidates + the 1-row
                                       # N total both broadcast
+        ("q_graph_kcore", 3),         # final-core degree joins + agg
+                                      # (peels ride eager localCheckpoints)
     ],
 )
 def test_round9_exchange_budgets(spark, name, max_hash_exchanges):

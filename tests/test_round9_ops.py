@@ -249,3 +249,34 @@ def test_mg_never_loses_heavy_hitter(spark):
     }
     # 60 'hot' among 60 + 500*20 = 10060 tokens -> 60*200 >= 10060 holds
     assert out == {"hot": 60}
+
+
+# ---------------------------------------------------------------------------
+# q_graph_kcore: the fixed unroll must land ON the fixpoint
+
+
+def test_kcore_fixed_peels_reach_fixpoint(spark):
+    """A 5th peel applied to the registered 4-peel core removes nothing
+    — the fixed unroll both engines share is a true k-core, not a
+    truncated peeling."""
+    from micmac_li3ds_spark.operators.analytics import (
+        _KCORE_K,
+        q_graph_kcore,
+    )
+
+    core = q_graph_kcore(spark, SF_DIR)
+    again = core.filter(F.col("core_deg") >= _KCORE_K)
+    assert core.count() == again.count()
+    # and the core is non-trivial on the corpus (the peel removed
+    # something AND kept something)
+    from micmac_li3ds_spark.operators.analytics import copurchase_edges
+
+    e = copurchase_edges(spark, SF_DIR)
+    n_nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    n_core = core.count()
+    assert 0 < n_core < n_nodes
