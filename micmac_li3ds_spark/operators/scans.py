@@ -571,3 +571,76 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dd").alias("min_day"),
         F.max("dd").alias("max_day"),
     )
+
+
+@register(
+    "q_layout_bucketed_join",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("layout", "bucketing", "join"),
+)
+def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join — THE layout that deletes the
+    dominant shuffle at 100 TB: both fact tables are written
+    ``bucketBy(N, join_key)`` + ``sortBy`` as catalog tables, after
+    which the orders⋈lineitem sort-merge join reads bucket i against
+    bucket i directly — NO exchange on either side, no sort, at any
+    scale, for every future join on that key. This operator runs the
+    WHOLE story end-to-end in one plan: write both bucketed tables,
+    join the bucketed scans, aggregate — and the shuffle-freeness is
+    pinned by tests/test_plans.py::test_bucketed_join_has_no_join_
+    exchange (the join's only exchange budget is the final tiny
+    groupBy on priority).
+
+    This is the materialized sibling of the advisory bucketing notes
+    SCALE.md carries for every fact⋈fact query: q_join_sort_merge et
+    al. say "bucket-able at deploy time"; this one actually deploys
+    it. Bucket count is the scale knob (here 8; production picks
+    cluster-core multiples); both sides MUST agree on count or Spark
+    re-shuffles the smaller side. The aggregate output is checked
+    against the raw (unbucketed) tables in DuckDB — bucketing must be
+    a pure layout change with zero effect on results, exact to the
+    cent."""
+    # a PREVIOUS session's managed-table dirs survive in the warehouse
+    # while this session's catalog has never heard of the tables —
+    # saveAsTable would then fail LOCATION_ALREADY_EXISTS; drop both
+    # ways (catalog + location) before writing
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bj_orders", "bj_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    (
+        o.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bj_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bj_lineitem")
+    )
+    bo = spark.table("bj_orders")
+    bl = spark.table("bj_lineitem")
+    return (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

@@ -181,6 +181,7 @@ _PRIORITY: list[str] = [
     "q_llm_semantic_dedup",
     "q_agg_heavy_hitters",
     "q_graph_kcore",
+    "q_layout_bucketed_join",
     # --- re-attest: edge-builder code changed this round ---
     "q_graph_triangles",
     "q_graph_cc",
@@ -230,7 +231,6 @@ _PRIORITY: list[str] = [
     #     from the bottom as round-9 additions consume slots ---
     "q_etl_sessionize",
     "q_win_range_frame",
-    "q_stream_session",
 ]
 
 

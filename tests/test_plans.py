@@ -716,3 +716,30 @@ def test_round9_exchange_budgets(spark, name, max_hash_exchanges):
     assert p.count("Exchange SinglePartition") <= 2
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """The whole point of q_layout_bucketed_join: with both sides
+    bucketed (and sorted) on the join key at the same bucket count,
+    the orders⋈lineitem SMJ plan carries NO exchange and NO sort on
+    either join input — the only remaining shuffle is the final tiny
+    per-priority aggregate. Also pins that the scans actually read
+    bucketed layout (SelectedBucketsCount in the file scan)."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # at the test corpus' size the planner would broadcast the join
+    # away entirely; force the SMJ path the operator exists to test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.registry()["q_layout_bucketed_join"].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+    assert "SortMergeJoin" in p
+    assert "SelectedBucketsCount" in p
+    # exactly ONE hash exchange: the groupBy(o_orderpriority) above the
+    # join; zero on the join inputs (that's what bucketing buys)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
