@@ -644,3 +644,51 @@ def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "q_layout_partition_pruning",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY o_orderstatus
+""",
+    tags=("layout", "partitioning", "pruning"),
+)
+def q_layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING audit — the selective-read half of the
+    partitioned-layout story (q_sink_parquet_partitioned proves the
+    write+full-read round trip; this proves the LAYOUT PAYS): write
+    orders hive-partitioned by year, then answer a one-year question
+    against the partitioned copy. The year predicate must resolve at
+    PLANNING time against directory names — PartitionFilters in the
+    scan node, zero data files opened outside yr=1995 — which is the
+    difference between reading 1/7th and 7/7ths of a 100-TB table.
+    tests/test_plans.py::test_partition_pruning_reaches_scan pins the
+    plan shape (the filter appears under PartitionFilters, NOT as a
+    post-scan Filter over all partitions).
+
+    The oracle answers the same question from the RAW unpartitioned
+    table — layout must not change answers, exact to the cent. Pair
+    with q_audit_small_files (file sizing within partitions) and
+    q_layout_zorder (multi-dim skipping WITHIN a partition) for the
+    full layout toolkit."""
+    out = os.path.join(SCRATCH, "orders_by_year")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("yr").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("yr") == 1995)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )

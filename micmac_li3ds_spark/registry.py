@@ -152,7 +152,14 @@ _loaded = False
 #            and no r1/r2 row remains live (the round-4 events.ts
 #            incident's risk class is closed: every surviving
 #            attestation postdates both corpus regenerations).
-#   round 9 (this window): round-9 additions in their birth round +
+#   round 9 (this window): the 6 round-9 additions in their birth
+#            round (q_llm_lsh_recall, LSH candidate recall vs exact
+#            Jaccard; q_llm_semantic_dedup, SemDeDup cluster-scoped
+#            embedding dedup; q_agg_heavy_hitters, Misra-Gries
+#            candidates + exact verify; q_graph_kcore, fixed-peel
+#            core decomposition; q_layout_bucketed_join, shuffle-free
+#            co-located SMJ; q_layout_partition_pruning, planning-time
+#            partition pruning audit) +
 #            3 re-attestations whose CODE changed this round (the
 #            co-purchase edge build of q_graph_triangles / q_graph_cc /
 #            q_graph_sssp was rewritten from an uncapped grp ⋈ grp
@@ -182,6 +189,7 @@ _PRIORITY: list[str] = [
     "q_agg_heavy_hitters",
     "q_graph_kcore",
     "q_layout_bucketed_join",
+    "q_layout_partition_pruning",
     # --- re-attest: edge-builder code changed this round ---
     "q_graph_triangles",
     "q_graph_cc",
@@ -230,7 +238,6 @@ _PRIORITY: list[str] = [
     # --- continuity: oldest (round-5) stratum fillers; trimmed
     #     from the bottom as round-9 additions consume slots ---
     "q_etl_sessionize",
-    "q_win_range_frame",
 ]
 
 

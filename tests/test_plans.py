@@ -743,3 +743,22 @@ def test_bucketed_join_has_no_join_exchange(spark):
     # join; zero on the join inputs (that's what bucketing buys)
     assert p.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in p
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """q_layout_partition_pruning's year predicate must be a
+    PLANNING-time PartitionFilter on the partitioned scan — not a
+    post-scan Filter over all years' files."""
+    df = registry.registry()["q_layout_partition_pruning"].fn(spark, SF_DIR)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, "no PartitionFilters on the partitioned scan"
+    assert "1995" in m.group(1)
+    # and the pruning column never appears as a row-level pushed filter
+    # (it must be resolved from directory names, not data pages)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed is None or "yr" not in pushed.group(1)
