@@ -329,11 +329,17 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # truth feeds BOTH the n_true aggregate and the found join; without
+    # materialization Spark recomputes the whole posting+verify pipeline
+    # for each branch. The pair set is tiny (the corpus' duplicates), so
+    # an eager localCheckpoint is pennies (warm sf0.1 wall ≈ 4 s after;
+    # the branch recompute dominated before)
     truth = (
         exact_cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6) >= 0.5)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
 
     # found: the shipped LSH candidate generation, no Jaccard verify —
