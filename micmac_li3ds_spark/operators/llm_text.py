@@ -307,7 +307,15 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
 
-    # truth: exact jac >= 0.5 via rare-shingle posting lists (no minhash)
+    # truth: exact jac >= 0.5 via rare-shingle posting lists (no
+    # minhash anywhere in this branch). Candidate generation stays the
+    # POSTING SELF-JOIN deliberately: reusing lsh_candidate_pairs with
+    # the shingle as bucket key was tried and MEASURED SLOWER (warm
+    # sf0.1 wall 8.7 s vs 4.0 s) — the shingle index is millions of
+    # df ≤ 3 groups, where per-row array_sort/slice/transform overhead
+    # swamps the saved shuffle; the in-array expansion wins only for
+    # few-large-bucket shapes (LSH bands, clusters, co-purchase
+    # groups). Same candidates either way; shape chosen by measurement.
     post = d.select("doc_id", F.explode("sh").alias("s"))
     rare = (
         post.groupBy("s")
