@@ -280,3 +280,35 @@ def test_kcore_fixed_peels_reach_fixpoint(spark):
     )
     n_core = core.count()
     assert 0 < n_core < n_nodes
+
+
+# ---------------------------------------------------------------------------
+# timing_audit self-overwrite baseline fallback (r8 advice)
+
+
+def test_timing_audit_self_overwrite_falls_back_to_git_copy():
+    """When --json targets the newest committed artifact, the baseline
+    must resolve to HEAD's copy of that file (or the next-newest
+    artifact) — never to None (which silently disabled the regression
+    gate and let test_timing_artifact_clean certify a rewritten
+    regressions:{} as clean)."""
+    import json
+    import os
+
+    from tools.timing_audit import (
+        _artifacts_newest_first,
+        _git_committed_copy,
+        _newest_committed_artifact,
+    )
+
+    newest = _newest_committed_artifact()
+    assert newest is not None
+    copy = _git_committed_copy(newest)
+    assert copy is not None and os.path.exists(copy)
+    # HEAD's copy parses and carries the per-query baseline map
+    base = json.load(open(copy))
+    assert base.get("queries"), "HEAD baseline copy has no queries map"
+    # and a non-committed path yields None so the next-newest artifact
+    # takes over (the glob list has at least r8 and r9 by now)
+    assert _git_committed_copy("/tmp/definitely_not_tracked.json") is None
+    assert len(_artifacts_newest_first()) >= 2
