@@ -179,65 +179,88 @@ _loaded = False
 #            r4 keys are FORCED into this window while round 8 is
 #            still the newest committed CORRECTNESS file — the
 #            rotation shapes the window before the breach, not after.
+#   round 10 (this window): consolidation — zero new registry keys.
+#            ALL 48 keys whose newest row is round 5 (enumerated by
+#            test_registry.py::test_window_contains_every_stale_
+#            attestation the moment CORRECTNESS_r09 landed — the
+#            max_round−4 horizon working as designed): the r5 stratum
+#            spans the repaired-loader events queries, the TPC-H-style
+#            reports, agg/join/window/fn tails, set-op heads, the
+#            stream-twin trio, LLM text basics (exact-dedup/tokenize/
+#            knn/embed-dedup/token-count/fingerprint/train-split/
+#            seq-pack), ETL fk-check/scd2/transfo-closure-CTE, the
+#            multimodal hash/header pair, and stratified sampling.
+#            + 2 re-attestations whose CODE changed this round
+#            (q_llm_cluster_assign and q_llm_semantic_dedup: the
+#            nearest-centroid argmin was rewritten from a
+#            Window.partitionBy(vec_id) row_number — which shuffles
+#            all n·k scored rows into WindowExec — to a map-side
+#            min_by(struct(...)) groupBy aggregate with partial
+#            aggregation before the exchange; same round-6dp +
+#            centroid-id tiebreak, verified locally bit-identical via
+#            tools/check.py + an equivalence test before this window
+#            was cut). q_llm_lsh_recall's default-no-op sample_frac
+#            parameterization and q_mm_feature_extract's real-BMP
+#            decoder routing also land this round but lose the slot
+#            race (48 forced + 2 code-changed = 50); both are
+#            tools/check.py-verified green this round and LEAD the
+#            round-11 window (their r9 rows attest superseded code).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- round-9 additions (driver row in their birth round) ---
-    "q_llm_lsh_recall",
-    "q_llm_semantic_dedup",
-    "q_agg_heavy_hitters",
-    "q_graph_kcore",
-    "q_layout_bucketed_join",
-    "q_layout_partition_pruning",
-    # --- re-attest: edge-builder code changed this round ---
-    "q_graph_triangles",
-    "q_graph_cc",
-    "q_graph_sssp",
-    # --- freshness: all 40 queries whose newest row is round 4 ---
-    "q_disjunctive_revenue",
-    "q_etl_snapshot_diff",
-    "q_idle_customer_balance",
-    "q_join_null_safe",
-    "q_join_skew_salted",
+    # --- re-attest: argmin rewritten to map-side min_by this round ---
     "q_llm_cluster_assign",
-    "q_llm_embed_quant",
-    "q_llm_hard_negatives",
-    "q_llm_kmeans_step",
-    "q_llm_knn_batch",
-    "q_llm_knn_ivf",
-    "q_llm_lm_score",
-    "q_order_count_distribution",
-    "q_priority_linestatus",
-    "q_sample_weighted",
-    "q_scan_binaryfile",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_scan_parquet",
-    "q_scan_python_datasource",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect",
-    "q_set_intersect_all",
-    "q_sink_orc_roundtrip",
-    "q_sink_parquet_partitioned",
-    "q_small_qty_revenue",
-    "q_subquery_corr_agg",
-    "q_subquery_exists_range",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_topk_global",
-    "q_udaf_pandas",
-    "q_udf_cogrouped",
-    "q_udf_pandas",
-    "q_udf_python",
-    "q_udf_sql",
-    "q_udtf_applyinpandas",
-    "q_udtf_python",
-    "q_win_nth_value",
-    # --- continuity: oldest (round-5) stratum fillers; trimmed
-    #     from the bottom as round-9 additions consume slots ---
-    "q_etl_sessionize",
+    "q_llm_semantic_dedup",
+    # --- freshness: all 48 queries whose newest row is round 5 ---
+    "q_pricing_summary",
+    "q_agg_grouping_sets",
+    "q_agg_pivot",
+    "q_agg_conditional",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_asof",
+    "q_join_self",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_moving",
+    "q_win_dedup_latest",
+    "q_fn_json",
+    "q_fn_variant",
+    "q_llm_exact_dedup",
+    "q_llm_tokenize_tf",
+    "q_llm_knn",
+    "q_llm_embed_dedup",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_large_volume_customer",
+    "q_event_funnel",
+    "q_etl_fk_check",
+    "q_llm_train_split",
+    "q_llm_seq_pack",
+    "q_etl_scd2",
+    "q_stream_tumbling",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_dedup_subset",
+    "q_udf_mapinpandas",
+    "q_event_retention",
+    "q_win_range_frame",
+    "q_agg_listagg",
+    "q_agg_boolean",
+    "q_agg_mode",
+    "q_join_lateral",
+    "q_fn_bitwise",
+    "q_fn_hash",
+    "q_fn_interval",
+    "q_llm_token_count",
+    "q_llm_fingerprint",
+    "q_etl_transfo_closure_cte",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_sample_stratified",
+    "q_mm_payload_hash",
+    "q_mm_header_parse",
 ]
 
 
