@@ -762,3 +762,28 @@ def test_partition_pruning_reaches_scan(spark):
     # (it must be resolved from directory names, not data pages)
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
     assert pushed is None or "yr" not in pushed.group(1)
+
+
+def test_cluster_assign_mapside_argmin(spark):
+    """r9 verdict item 2: the nearest-centroid argmin must be a map-side
+    min_by aggregate, not a per-vector window. All k scored rows of a
+    vector sit in one partition after the broadcast join, so the partial
+    aggregate collapses them k→1 BEFORE the exchange — the shuffle
+    carries n assignment rows, not n·k scored rows. Pins: zero
+    WindowExec, a partial_min_by phase (the map-side k× collapse), and
+    exactly one hash exchange (the final aggregate's)."""
+    p = plan(spark, "q_llm_cluster_assign")
+    assert "Window" not in p, "argmin regressed to a per-vector window"
+    assert "partial_min_by" in p, "no map-side partial min_by phase"
+    # formatted explain spells the exchange as an Arguments: line
+    assert p.count("hashpartitioning(") == 1
+    assert "SinglePartition" not in p
+
+
+def test_semantic_dedup_has_no_window(spark):
+    """q_llm_semantic_dedup shares nearest_centroid_assign with
+    q_llm_cluster_assign (one definition — the plan pin above covers the
+    assignment stage for both); this guards the rest of the query
+    against a WindowExec creeping back anywhere in the final plan."""
+    p = plan(spark, "q_llm_semantic_dedup")
+    assert "Window" not in p
