@@ -758,6 +758,15 @@ def q_agg_heavy_hitters(
 
     Cited: Misra & Gries 1982; the batch merge-and-prune is the
     mergeable-summaries formulation (Agarwal et al. 2012)."""
+    if mg_capacity + 1 <= phi_inv:
+        # the superset guarantee above REQUIRES m + 1 > phi_inv; with a
+        # smaller sketch a true heavy hitter can be pruned from every
+        # partition summary and the "exact" output silently misses it
+        # (ADVICE r9) — refuse instead of returning wrong data
+        raise ValueError(
+            f"mg_capacity={mg_capacity} too small for phi_inv={phi_inv}: "
+            "exactness needs mg_capacity + 1 > phi_inv"
+        )
     toks = load(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )

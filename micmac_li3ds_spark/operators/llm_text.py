@@ -276,7 +276,12 @@ FROM (SELECT COUNT(*) AS n FROM truth)
 """,
     tags=("llm", "dedup", "lsh", "quality"),
 )
-def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_lsh_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int = 256,
+    sample_frac: float = 1.0,
+) -> DataFrame:
     """MinHash-LSH candidate recall against exact Jaccard — the dedup
     twin of q_llm_knn_recall (ANN recall@10): the measurement that
     turns a banding-parameter regression into a HASH RED instead of a
@@ -297,12 +302,30 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs drop n_found below n_true — a value mismatch the driver
     flags. Cost: one LSH candidate pass + one posting-list pass over
     the same cached shingle sets — both 100-TB shapes already argued
-    for their parent queries; at production scale this audits a sampled
-    partition of the corpus, not every batch."""
+    for their parent queries.
+
+    Production posture (round 10, r9 verdict item 3): ``sample_frac``
+    scopes the whole audit to a deterministic doc_id-hash sample —
+    ``pmod(xxhash64(doc_id), 1e6) < frac·1e6`` — so at 100 TB the
+    gauge audits a reproducible slice of the corpus (both truth and
+    found sides see the SAME docs; recall over the slice estimates
+    corpus recall) instead of brute-forcing every pair. The default
+    1.0 skips the filter entirely — the registered key's plan is
+    bit-identical to round 9's. ``df_cap`` (was hardcoded, ADVICE r9)
+    bounds the truth side's posting lists; a doc whose shingles ALL
+    exceed it vanishes from n_true and n_found alike, silently
+    inflating recall — ``lsh_recall_dfcapped_docs`` reports exactly
+    those docs (the copurchase_dropped_groups no-silent-caps
+    pattern)."""
     sp = shuffle_partitions(spark)
+    docs = load(spark, sf_dir, "documents")
+    if sample_frac < 1.0:
+        docs = docs.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000))
+            < int(sample_frac * 1_000_000)
+        )
     d = _scoped_cache(
-        load(spark, sf_dir, "documents")
-        .repartition(sp, "doc_id")
+        docs.repartition(sp, "doc_id")
         .filter(F.size(tokens("text")) >= 3)
         .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
@@ -320,7 +343,7 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = (
         post.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 256)
+        .filter(F.col("df") <= df_cap)
         .select("s")
     )
     post = post.join(rare, "s")
@@ -364,6 +387,40 @@ def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_found",
             F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
         )
+    )
+
+
+def lsh_recall_dfcapped_docs(
+    spark: SparkSession, sf_dir: str, df_cap: int = 256
+) -> DataFrame:
+    """The observability half of q_llm_lsh_recall's ``df_cap``
+    (ADVICE r9, the copurchase_dropped_groups no-silent-caps pattern):
+    (doc_id, n_shingles) for every document whose shingles ALL exceed
+    the posting-list cap. Such a doc cannot appear in any truth pair —
+    it is removed from n_true and n_found alike, so the recall gauge is
+    blind to it; at production scale run this alongside the gauge and
+    alert when it returns rows. At fixture scale it returns zero rows
+    (every doc has at least one rare shingle — asserted by
+    tests/test_round10_ops.py, which also plants an all-boilerplate
+    corpus where the reporter fires)."""
+    sp = shuffle_partitions(spark)
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(sp, "doc_id")
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", shingles(tokens("text")).alias("sh"))
+    )
+    post = d.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        post.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("s")
+    )
+    surviving = post.join(rare, "s").select("doc_id").distinct()
+    return (
+        d.select("doc_id", F.size("sh").alias("n_shingles"))
+        .join(surviving, "doc_id", "left_anti")
     )
 
 

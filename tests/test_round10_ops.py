@@ -68,3 +68,67 @@ def test_min_by_argmin_bit_identical_to_window_spelling(spark):
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
     assert new.count() == e.count()  # one winner per vector, none dropped
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: heavy-hitters exactness invariant must be validated
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_rejects_undersized_sketch(spark):
+    """q_agg_heavy_hitters' exactness rests on mg_capacity + 1 > phi_inv
+    (the pigeonhole superset argument); an undersized sketch silently
+    misses true heavy hitters, so the function must refuse it."""
+    from micmac_li3ds_spark.operators.aggregates import q_agg_heavy_hitters
+
+    with pytest.raises(ValueError, match="mg_capacity"):
+        q_agg_heavy_hitters(spark, SF_DIR, phi_inv=10000, mg_capacity=4096)
+    # boundary: m + 1 == phi_inv is still unsound
+    with pytest.raises(ValueError, match="mg_capacity"):
+        q_agg_heavy_hitters(spark, SF_DIR, phi_inv=4097, mg_capacity=4096)
+    # minimal sound sketch builds a plan without error
+    q_agg_heavy_hitters(spark, SF_DIR, phi_inv=4096, mg_capacity=4096)
+
+
+# ---------------------------------------------------------------------------
+# Verdict item 3 + ADVICE r9: lsh_recall production posture
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_recall_sample_frac_is_deterministic_and_bounds_cost(spark):
+    """sample_frac scopes the audit to a doc_id-hash sample: the slice
+    is engine-reproducible (same rows on a re-run — xxhash64, not RNG),
+    strictly smaller than the full audit (n_true drops, bounding cost),
+    and recall over the slice stays 1.0 (both sides see the same docs,
+    and the 32-band LSH still finds every surviving true pair)."""
+    from micmac_li3ds_spark.operators.llm_text import q_llm_lsh_recall
+
+    full = q_llm_lsh_recall(spark, SF_DIR).collect()[0]
+    half1 = q_llm_lsh_recall(spark, SF_DIR, sample_frac=0.5).collect()[0]
+    half2 = q_llm_lsh_recall(spark, SF_DIR, sample_frac=0.5).collect()[0]
+
+    assert half1 == half2  # deterministic hash sample, no RNG
+    assert half1["n_true"] < full["n_true"]  # the slice is a real subset
+    assert half1["n_true"] > 0  # ...but not degenerate on this corpus
+    assert half1["recall"] == 1.0
+    assert full["recall"] == 1.0  # frac=1.0 path unchanged
+
+
+def test_lsh_recall_dfcapped_docs_reporter(spark):
+    """The no-silent-caps reporter for df_cap: at the shipped cap no doc
+    loses ALL its shingles (zero rows); at df_cap=0 every shingle is
+    over-cap, so every shingled doc is reported — exactly the docs the
+    recall gauge would silently drop from both n_true and n_found."""
+    from micmac_li3ds_spark.functions.text import shingles, tokens
+    from micmac_li3ds_spark.operators.llm_text import lsh_recall_dfcapped_docs
+    from micmac_li3ds_spark.tables import load
+
+    assert lsh_recall_dfcapped_docs(spark, SF_DIR).count() == 0
+
+    n_shingled = (
+        load(spark, SF_DIR, "documents")
+        .filter(F.size(tokens("text")) >= 3)
+        .count()
+    )
+    capped = lsh_recall_dfcapped_docs(spark, SF_DIR, df_cap=0)
+    assert capped.count() == n_shingled
