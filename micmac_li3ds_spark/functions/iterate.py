@@ -126,9 +126,29 @@ class DurableLoopState:
     def _prune(self) -> None:
         """Drop all but the ``retain`` newest committed rounds. Marker
         is deleted BEFORE its data dir: a crash between the two deletes
-        leaves orphan data (overwritten or re-pruned later), never a
-        marker pointing at missing data."""
+        leaves orphan data (swept below), never a marker pointing at
+        missing data."""
         committed = self.committed_rounds()
         for k in committed[: -self.retain]:
             self._fs.delete(self._marker_path(k), False)
             self._fs.delete(self._Path(self._round_path(k)), True)
+        # orphan sweep (ADVICE r9): a crash BETWEEN the marker delete
+        # and the data delete above leaves a markerless round=k dir
+        # that committed_rounds() never lists, so the loop above never
+        # revisits it — it would sit below the retention horizon
+        # forever and the "retain × one round" footprint bound would
+        # be false after such a crash on object storage. Sweep every
+        # markerless round=k dir BELOW the oldest retained committed
+        # round; dirs at or above that horizon are left alone (they
+        # may be the current round's in-flight uncommitted write).
+        keep = committed[-self.retain :]
+        if keep:
+            horizon = keep[0]
+            for st in self._fs.listStatus(self._Path(self.dir)):
+                m = re.fullmatch(r"round=(\d+)", st.getPath().getName())
+                if (
+                    m
+                    and int(m.group(1)) < horizon
+                    and not self._fs.exists(self._marker_path(int(m.group(1))))
+                ):
+                    self._fs.delete(st.getPath(), True)

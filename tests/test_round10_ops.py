@@ -132,3 +132,100 @@ def test_lsh_recall_dfcapped_docs_reporter(spark):
     )
     capped = lsh_recall_dfcapped_docs(spark, SF_DIR, df_cap=0)
     assert capped.count() == n_shingled
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: DurableLoopState orphan sweep after a mid-prune crash
+# ---------------------------------------------------------------------------
+
+
+def _state_df(spark, tag):
+    return spark.range(4).select(
+        F.col("id").alias("node"), (F.col("id") + tag).alias("lbl")
+    )
+
+
+def test_durable_state_sweeps_mid_prune_orphans(spark, tmp_path):
+    """A crash between _prune's marker delete and data delete leaves a
+    markerless round dir that committed_rounds() never lists; the next
+    prune must sweep it, or the 'retain x one round' footprint bound is
+    false forever after one such crash. Simulated by deleting a round's
+    marker while leaving its data in place."""
+    import os
+    import shutil
+
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+
+    d = str(tmp_path / "st")
+    st = DurableLoopState(spark, d, retain=2)
+    for k in range(4):
+        st.save(_state_df(spark, k), k)
+    assert st.committed_rounds() == [2, 3]
+    # simulate the documented crash: round 2 rotates out next commit,
+    # but the crash happens after its marker delete — reproduce that
+    # end state directly: markerless data dir below the next horizon
+    os.remove(os.path.join(d, "_COMMIT_2"))
+    assert os.path.isdir(os.path.join(d, "round=2"))
+
+    st.save(_state_df(spark, 4), 4)  # commit 4 → keep {3, 4}
+    names = set(os.listdir(d))
+    assert "round=2" not in names, "mid-prune orphan never swept"
+    assert "round=3" in names and "round=4" in names
+    assert st.committed_rounds() == [3, 4]
+
+
+def test_durable_state_sweep_spares_inflight_uncommitted_round(spark, tmp_path):
+    """The sweep only touches markerless dirs BELOW the oldest retained
+    committed round: a markerless dir ABOVE it is the current round's
+    in-flight write (crash between write and commit) and must survive
+    so the restarted driver can overwrite-retry it."""
+    import os
+
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+
+    d = str(tmp_path / "st")
+    st = DurableLoopState(spark, d, retain=2)
+    for k in range(3):
+        st.save(_state_df(spark, k), k)
+    # round 3: write completed, commit marker never created
+    _state_df(spark, 3).write.mode("overwrite").parquet(
+        os.path.join(d, "round=3")
+    )
+    st.save(_state_df(spark, 4), 4)  # triggers a prune
+    names = set(os.listdir(d))
+    assert "round=3" in names, "in-flight uncommitted round swept"
+    assert st.committed_rounds() == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: timing_audit self-overwrite baseline hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_timing_audit_baseline_resolution_cleans_up():
+    """The self-overwrite fallback returns the HEAD-copy temp path so
+    main() can unlink it (one temp leaked per rerun before), labels it
+    HEAD:<artifact> rather than the temp's path, and — when asked about
+    an untracked artifact with no older sibling — reports the gate
+    disabled with a (None, None, None) triple, not a 'None' that reads
+    like a path."""
+    import os
+
+    from tools.timing_audit import (
+        _newest_committed_artifact,
+        _resolve_self_overwrite_baseline,
+    )
+
+    newest = _newest_committed_artifact()
+    assert newest is not None
+    path, label, tmp = _resolve_self_overwrite_baseline(newest)
+    assert path == tmp and os.path.exists(tmp)
+    assert label == f"HEAD:{os.path.basename(newest)}"
+    os.unlink(tmp)  # the contract main() now honors
+
+    # untracked file → no HEAD copy → falls to the next-newest artifact
+    path2, label2, tmp2 = _resolve_self_overwrite_baseline(
+        "/tmp/definitely_not_tracked.json"
+    )
+    assert tmp2 is None
+    assert path2 is not None and os.path.basename(path2) == label2

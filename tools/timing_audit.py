@@ -83,6 +83,32 @@ def _git_committed_copy(path: str) -> str | None:
     return tf.name
 
 
+def _resolve_self_overwrite_baseline(
+    artifact: str,
+) -> tuple[str | None, str | None, str | None]:
+    """Baseline for an intra-round rerun that overwrites the newest
+    artifact: never run gate-less — HEAD's copy of the same file, else
+    the next-newest artifact (r8 advice). Returns (path, label,
+    tmp_path): ``tmp_path`` is the HEAD-copy temp file the caller must
+    unlink after the gate (ADVICE r9 — one leaked temp per rerun
+    otherwise), and when NO baseline resolves the printed message says
+    the gate is disabled instead of printing 'None' like a path."""
+    tmp = _git_committed_copy(artifact)
+    if tmp is not None:
+        label = f"HEAD:{os.path.basename(artifact)}"
+        print(f"baseline (self-overwrite fallback): {label}")
+        return tmp, label, tmp
+    older = _artifacts_newest_first()[1:]
+    if not older:
+        print(
+            "baseline (self-overwrite fallback): no committed or older "
+            "artifact available — regression gate DISABLED"
+        )
+        return None, None, None
+    print(f"baseline (self-overwrite fallback): {os.path.basename(older[0])}")
+    return older[0], os.path.basename(older[0]), None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -123,17 +149,14 @@ def main() -> int:
 
     # --- regression gate against the newest committed artifact ---
     baseline_path = args.baseline or _newest_committed_artifact()
+    baseline_label = os.path.basename(baseline_path) if baseline_path else None
+    tmp_baseline = None
     if baseline_path and args.json_out and os.path.abspath(
         baseline_path
     ) == os.path.abspath(args.json_out):
-        # intra-round rerun overwriting the newest artifact: never run
-        # gate-less — baseline against HEAD's copy of the same file,
-        # else the next-newest artifact (r8 advice)
-        baseline_path = _git_committed_copy(baseline_path)
-        if baseline_path is None:
-            older = _artifacts_newest_first()[1:]
-            baseline_path = older[0] if older else None
-        print(f"baseline (self-overwrite fallback): {baseline_path}")
+        baseline_path, baseline_label, tmp_baseline = (
+            _resolve_self_overwrite_baseline(baseline_path)
+        )
     regressions: dict[str, dict] = {}
     if baseline_path and os.path.exists(baseline_path):
         base = json.load(open(baseline_path)).get("queries", {})
@@ -158,15 +181,19 @@ def main() -> int:
                     f"{name:36s} {r['baseline_sec']:7.2f}s -> "
                     f"{r['now_sec']:7.2f}s ({r['ratio']}x)"
                 )
+    if tmp_baseline is not None:
+        # ADVICE r9: don't leak one temp file per self-overwrite run
+        try:
+            os.unlink(tmp_baseline)
+        except OSError:
+            pass
 
     if args.json_out:
         out = {
             "sf": args.sf,
             "total_sec": round(total, 1),
             "n_queries": len(timings),
-            "baseline": os.path.basename(baseline_path)
-            if baseline_path
-            else None,
+            "baseline": baseline_label,
             "regression_factor": args.regression_factor,
             "queries": {
                 name: round(sec, 3) for sec, name, _ in sorted(timings)
