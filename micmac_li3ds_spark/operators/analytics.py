@@ -2372,22 +2372,37 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scalar changed-count read per round (the cc_fixpoint driver
     pattern)."""
     e = copurchase_edges(spark, sf_dir)
-    sym = (
+    sym = _kcore_sym(e)
+    alive = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(_KCORE_PEELS):
+        alive = _kcore_peel(sym, alive, _KCORE_K).localCheckpoint(eager=True)
+    return _kcore_deg(sym, alive)
+
+
+def _kcore_sym(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .localCheckpoint(eager=True)
     )
-    alive = sym.select(F.col("a").alias("node")).distinct()
-    for _ in range(_KCORE_PEELS):
-        alive = (
-            sym.join(alive.withColumnRenamed("node", "a"), "a")
-            .join(alive.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select(F.col("a").alias("node"))
-            .localCheckpoint(eager=True)
-        )
+
+
+def _kcore_peel(sym: DataFrame, alive: DataFrame, k: int) -> DataFrame:
+    """One peel: within-alive degree, keep nodes with degree ≥ k. Two
+    keyed joins of the edge list against the (shrinking) alive set plus
+    one count — shuffle on node ids only. Shared verbatim by the
+    registered fixed unroll and kcore_fixpoint's production loop."""
+    return (
+        sym.join(alive.withColumnRenamed("node", "a"), "a")
+        .join(alive.withColumnRenamed("node", "b"), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= k)
+        .select(F.col("a").alias("node"))
+    )
+
+
+def _kcore_deg(sym: DataFrame, alive: DataFrame) -> DataFrame:
     return (
         sym.join(alive.withColumnRenamed("node", "a"), "a")
         .join(alive.withColumnRenamed("node", "b"), "b")
@@ -2395,3 +2410,63 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_deg"))
         .select(F.col("a").alias("node"), "core_deg")
     )
+
+
+def kcore_fixpoint(
+    e: DataFrame,
+    k: int = _KCORE_K,
+    state=None,
+    fail_after: int | None = None,
+) -> tuple:
+    """Loop-until-stable k-core (r9 verdict item 4): peel until no node
+    is removed, with ONE scalar changed-count read per round — the
+    cc_fixpoint driver pattern. Returns (core DataFrame (node,
+    core_deg), rounds executed THIS call).
+
+    The registered q_graph_kcore runs a fixed _KCORE_PEELS unroll (the
+    oracle-parity form — bit-identical to the DuckDB peel CTEs, no
+    convergence race) and its corpus provably stabilizes within it;
+    THIS is the production form for graphs whose peeling depth is
+    unknown — a long chain peels only its two endpoints per round, so
+    depth is O(diameter), unboundable by any fixed unroll (the
+    deep-peel test drives a lollipop where 4 peels provably leave
+    chain remnants). Both forms share _kcore_peel verbatim; SCALE.md
+    documents the swap point.
+
+    Restart semantics match cc_fixpoint: default rounds ride eager
+    localCheckpoint (O(1) plan depth, restart-from-zero on executor
+    loss); passing a DurableLoopState makes each round a committed
+    parquet round-trip and the call RESUMABLE from the highest
+    committed round. ``fail_after`` is the crash-simulation hook
+    (raises after committing that many rounds, if not yet stable)."""
+    sym = _kcore_sym(e)
+    if state is not None and state.latest_round() is not None:
+        start = state.latest_round()
+        alive = state.load(start)
+    else:
+        start = 0
+        alive = sym.select(F.col("a").alias("node")).distinct()
+        alive = (
+            state.save(alive, 0)
+            if state is not None
+            else alive.localCheckpoint(eager=True)
+        )
+    n_alive = alive.count()
+    rounds = 0
+    while True:
+        peeled = _kcore_peel(sym, alive, k)
+        peeled = (
+            state.save(peeled, start + rounds + 1)
+            if state is not None
+            else peeled.localCheckpoint(eager=True)
+        )
+        n_next = peeled.count()  # the round's single driver scalar
+        changed = n_alive - n_next
+        alive, n_alive = peeled, n_next
+        rounds += 1
+        if fail_after is not None and rounds >= fail_after and changed != 0:
+            raise RuntimeError(
+                f"simulated crash after {rounds} committed rounds"
+            )
+        if changed == 0:
+            return _kcore_deg(sym, alive), rounds

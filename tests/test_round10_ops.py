@@ -229,3 +229,82 @@ def test_timing_audit_baseline_resolution_cleans_up():
     )
     assert tmp2 is None
     assert path2 is not None and os.path.basename(path2) == label2
+
+
+# ---------------------------------------------------------------------------
+# Verdict item 4: k-core loop-until-stable on a deep-peel graph
+# ---------------------------------------------------------------------------
+
+
+def _lollipop_edges(spark, chain_len=12):
+    """Triangle {0,1,2} with a chain 2-3-4-...-(2+chain_len) hanging off
+    it: the 2-core is exactly the triangle, but each peel removes only
+    the chain's current endpoint — peeling depth == chain_len, so any
+    fixed unroll shorter than that provably leaves chain remnants."""
+    edges = [(0, 1), (0, 2), (1, 2)]
+    edges += [(2 + i, 3 + i) for i in range(chain_len)]
+    return spark.createDataFrame(edges, "u long, v long")
+
+
+def test_kcore_fixpoint_peels_deeper_than_fixed_unroll(spark):
+    from micmac_li3ds_spark.operators.analytics import (
+        _KCORE_PEELS,
+        _kcore_deg,
+        _kcore_peel,
+        _kcore_sym,
+        kcore_fixpoint,
+    )
+
+    e = _lollipop_edges(spark, chain_len=12)
+
+    # the registered form's fixed unroll, k=2: provably NOT converged
+    sym = _kcore_sym(e)
+    alive = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(_KCORE_PEELS):
+        alive = _kcore_peel(sym, alive, 2).localCheckpoint(eager=True)
+    fixed = {r["node"] for r in _kcore_deg(sym, alive).collect()}
+    assert fixed > {0, 1, 2}, "chain too shallow to prove insufficiency"
+
+    # the production loop reaches the true 2-core: the triangle alone
+    core, rounds = kcore_fixpoint(e, k=2)
+    rows = {(r["node"], r["core_deg"]) for r in core.collect()}
+    assert rows == {(0, 2), (1, 2), (2, 2)}
+    assert rounds > _KCORE_PEELS  # it genuinely looped past the unroll
+
+
+def test_kcore_fixpoint_resumes_from_durable_state(spark, tmp_path):
+    """The cc_fixpoint restart contract: crash mid-loop with a
+    DurableLoopState, re-invoke with the same state dir, finish from
+    the committed round — same core as the uninterrupted run, fewer
+    rounds executed by the resumed call."""
+    from micmac_li3ds_spark.functions.iterate import DurableLoopState
+    from micmac_li3ds_spark.operators.analytics import kcore_fixpoint
+
+    e = _lollipop_edges(spark, chain_len=10)
+    full_core, full_rounds = kcore_fixpoint(e, k=2)
+
+    d = str(tmp_path / "kcore_state")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        kcore_fixpoint(e, k=2, state=DurableLoopState(spark, d), fail_after=3)
+    core, rounds = kcore_fixpoint(e, k=2, state=DurableLoopState(spark, d))
+    assert rounds < full_rounds
+    assert sorted(map(tuple, core.collect())) == sorted(
+        map(tuple, full_core.collect())
+    )
+
+
+def test_kcore_fixpoint_matches_registered_query_on_corpus(spark):
+    """On the driver corpus (which stabilizes inside the fixed unroll)
+    the production loop and the registered oracle-parity form agree
+    exactly — the swap point changes cost shape, never results."""
+    from micmac_li3ds_spark.operators.analytics import (
+        copurchase_edges,
+        kcore_fixpoint,
+        q_graph_kcore,
+    )
+
+    reg = q_graph_kcore(spark, SF_DIR)
+    loop, _ = kcore_fixpoint(copurchase_edges(spark, SF_DIR))
+    assert sorted(map(tuple, reg.collect())) == sorted(
+        map(tuple, loop.collect())
+    )
