@@ -49,10 +49,17 @@ except Exception:  # pragma: no cover - older pickler: driver env must
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MEDIA_PARQUET = os.path.join(_REPO, "fixtures", "parquet", "media.parquet")
+MEDIA_BMP_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_bmp.parquet"
+)
 
 
 def load_media(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(MEDIA_PARQUET)
+
+
+def load_media_bmp(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_BMP_PARQUET)
 
 
 @register(
@@ -138,6 +145,50 @@ def _decode_stub(payload: bytes, mime: str) -> list[float]:
     return [b / 256.0 for b in h[:_FEAT_DIM]]
 
 
+def _decode_bmp(payload: bytes, mime: str) -> list[float]:
+    """REAL decoder, zero new deps (r9 verdict item 5): uncompressed
+    24bpp bottom-up BMP parsed with struct + numpy. Features are
+    ``_FEAT_DIM`` vertical-strip mean intensities — strip i covers the
+    pixel columns x with (x·DIM)//w == i, its value is
+    Σ(r+g+b) / (768·n_pixels) ∈ [0, ~0.996] — integer accumulation
+    with ONE double division, so the DuckDB oracle reproduces it
+    bit-exactly from hex(payload) (no float-summation-order slack, the
+    exact.py discipline). Row padding bytes (stride rounds up to 4) are
+    sliced off before summing; the fixtures randomize them so a decoder
+    that reads padding is a value mismatch, not a silent bias. Raises
+    on anything but the one format it really decodes — the stub keeps
+    covering other mimes."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0 or h <= 0 or w < _FEAT_DIM:
+        raise ValueError(
+            f"only uncompressed 24bpp bottom-up BMP with width >= "
+            f"{_FEAT_DIM} supported (got bpp={bpp} comp={comp} w={w} h={h})"
+        )
+    stride = ((3 * w + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    # per-pixel-column r+g+b sums; vertical orientation is irrelevant
+    # to column sums, so the bottom-up row order needs no flip
+    col_sums = rows[:, : 3 * w].reshape(h, w, 3).sum(
+        axis=2, dtype=np.int64
+    ).sum(axis=0)
+    strips = (np.arange(w) * _FEAT_DIM) // w
+    return [
+        float(int(col_sums[strips == i].sum()) / (768.0 * int((strips == i).sum()) * h))
+        for i in range(_FEAT_DIM)
+    ]
+
+
 def _decode_pil_image(payload: bytes, mime: str) -> list[float]:
     """REAL image decode path — import-gated on PIL, which this
     container lacks. The decode-or-skip probe
@@ -198,18 +249,85 @@ FROM read_parquet('{MEDIA_PARQUET}')
 """
 
 
-@register("q_mm_feature_extract", oracle=_feature_oracle(), tags=("multimodal", "mapinpandas"))
+def _bmp_feature_oracle() -> str:
+    """DuckDB replay of _decode_bmp straight off hex(payload): header
+    offset from bytes 10..13 LE, stride rounded to 4, per-strip integer
+    Σ(r+g+b) over lateral (x, row) ranges, one double division — the
+    oracle DECODES the BMP too, it doesn't trust precomputed
+    features."""
+    byte = (
+        "CAST('0x' || substring(hx, (off + r * stride + 3 * x + {d}) * 2 + 1,"
+        " 2) AS INTEGER)"
+    )
+    rgb = " + ".join(byte.format(d=d) for d in range(3))
+    cols = ",\n       ".join(
+        f"MAX(CASE WHEN strip = {i} THEN CAST(s AS DOUBLE) / (768.0 * npix)"
+        f" END) AS f{i}"
+        for i in range(_FEAT_DIM)
+    )
+    return f"""
+WITH src AS (
+  SELECT media_id, mime, hex(payload) AS hx, width AS w, height AS h
+  FROM read_parquet('{MEDIA_BMP_PARQUET}')
+),
+hdr AS (
+  SELECT media_id, mime, hx, w, h,
+         CAST('0x' || substring(hx, 27, 2) || substring(hx, 25, 2)
+                   || substring(hx, 23, 2) || substring(hx, 21, 2)
+              AS BIGINT) AS off,
+         ((3 * w + 3) // 4) * 4 AS stride
+  FROM src
+),
+xs AS (
+  SELECT media_id, mime, hx, h, off, stride, w,
+         CAST(unnest(range(0, w)) AS BIGINT) AS x
+  FROM hdr
+),
+px AS (
+  SELECT media_id, mime, hx, off, stride, x, (x * {_FEAT_DIM}) // w AS strip,
+         CAST(unnest(range(0, h)) AS BIGINT) AS r
+  FROM xs
+),
+sums AS (
+  SELECT media_id, mime, strip, SUM({rgb}) AS s, COUNT(*) AS npix
+  FROM px GROUP BY media_id, mime, strip
+)
+SELECT media_id, mime,
+       {cols},
+       'bmp24-strips-v1' AS decoder
+FROM sums GROUP BY media_id, mime
+"""
+
+
+@register(
+    "q_mm_feature_extract",
+    oracle=(
+        "SELECT * FROM (" + _feature_oracle() + ")\nUNION ALL\n"
+        "SELECT * FROM (" + _bmp_feature_oracle() + ")"
+    ),
+    tags=("multimodal", "mapinpandas"),
+)
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas): the
     real multimodal hot path. Batch shape, schema, and iterator
-    semantics are production-real; only the codec is stubbed
-    (_decode_stub). The stub is deterministic hash algebra, so the
-    oracle recomputes it in SQL — full value parity on the whole
-    mapInPandas path. Feature dims are unpacked to scalar columns
-    f0..f7 (list cells are unhashable to the driver; real pipelines
-    would keep array<float>). The identical plumbing runs with a REAL
-    PIL decoder in the decode-or-skip probe (see _decode_pil_image)."""
-    return feature_extract(load_media(spark))
+    semantics are production-real, and since round 10 one format is
+    decoded for REAL in this container: the media_bmp fixture rows go
+    through _decode_bmp (struct+numpy 24bpp BMP → strip-mean
+    intensities), whose DuckDB oracle branch re-decodes the same bytes
+    in SQL. The media.parquet rows (fake-container png/wav/mp4) keep
+    the deterministic _decode_stub so their codec-less hash algebra
+    stays oracle-checkable; feature dims are unpacked to scalar
+    columns f0..f7 (list cells are unhashable to the driver; real
+    pipelines would keep array<float>). The identical plumbing also
+    runs a REAL PIL decoder in the decode-or-skip probe
+    (_decode_pil_image) when the env supplies PIL."""
+    return feature_extract(load_media(spark)).unionByName(
+        feature_extract(
+            load_media_bmp(spark),
+            decode=_decode_bmp,
+            decoder_name="bmp24-strips-v1",
+        )
+    )
 
 
 @register(

@@ -308,3 +308,100 @@ def test_kcore_fixpoint_matches_registered_query_on_corpus(spark):
     assert sorted(map(tuple, reg.collect())) == sorted(
         map(tuple, loop.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Verdict item 5: real uncompressed-BMP decoder (zero new deps)
+# ---------------------------------------------------------------------------
+
+
+def _make_bmp(w, h, pixel_rows, pad_byte=0):
+    """Minimal 24bpp bottom-up BMP; pixel_rows[r][x] = (b, g, r)."""
+    stride = ((3 * w + 3) // 4) * 4
+    img = b"".join(
+        bytes(v for px in row for v in px)
+        + bytes([pad_byte]) * (stride - 3 * w)
+        for row in pixel_rows
+    )
+    off = 54
+    return (
+        b"BM"
+        + (off + len(img)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(img).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+        + img
+    )
+
+
+def test_decode_bmp_known_pixels():
+    """8x2 image, one strip per pixel column: strip i must equal the
+    exact integer sum of that column's two pixels' r+g+b over 768*2."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_bmp
+
+    rows = [
+        [(3 * x, 3 * x + 1, 3 * x + 2) for x in range(8)],      # bottom row
+        [(10 * x, 0, 5) for x in range(8)],                     # top row
+    ]
+    feats = _decode_bmp(_make_bmp(8, 2, rows), "image/bmp")
+    for x in range(8):
+        expect = (9 * x + 3 + 10 * x + 5) / (768.0 * 2)
+        assert feats[x] == expect
+
+
+def test_decode_bmp_ignores_row_padding():
+    """Same pixels, different padding bytes (w=11 -> stride 36 != 33):
+    features must be identical — the decoder slices padding off."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_bmp
+
+    rows = [[(x, 2 * x, 20) for x in range(11)] for _ in range(3)]
+    a = _decode_bmp(_make_bmp(11, 3, rows, pad_byte=0), "image/bmp")
+    b = _decode_bmp(_make_bmp(11, 3, rows, pad_byte=255), "image/bmp")
+    assert a == b
+
+
+def test_decode_bmp_rejects_unsupported():
+    from micmac_li3ds_spark.operators.multimodal import _decode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"PNG whatever", "image/png")
+    # 24bpp claim but width below the strip count
+    rows = [[(0, 0, 0)] * 4]
+    with pytest.raises(ValueError, match="width"):
+        _decode_bmp(_make_bmp(4, 1, rows), "image/bmp")
+
+
+def test_feature_extract_routes_real_bmp_decoder(spark):
+    """The registered query's BMP branch runs the REAL decoder through
+    the same mapInPandas plumbing: every fixture BMP row comes back
+    tagged bmp24-strips-v1 with features in [0, 1), and re-decoding one
+    payload driver-side reproduces the distributed result exactly."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _decode_bmp,
+        load_media_bmp,
+        q_mm_feature_extract,
+    )
+
+    out = q_mm_feature_extract(spark, SF_DIR)
+    bmp = out.filter(F.col("mime") == "image/bmp").collect()
+    assert len(bmp) == 12
+    assert {r["decoder"] for r in bmp} == {"bmp24-strips-v1"}
+    assert all(0.0 <= r[f"f{i}"] < 1.0 for r in bmp for i in range(8))
+
+    payload, media_id = (
+        load_media_bmp(spark)
+        .select("payload", "media_id")
+        .orderBy("media_id")
+        .first()
+    )
+    want = _decode_bmp(bytes(payload), "image/bmp")
+    got = [r for r in bmp if r["media_id"] == media_id][0]
+    assert [got[f"f{i}"] for i in range(8)] == want

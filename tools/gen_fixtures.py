@@ -318,6 +318,56 @@ def main() -> None:
         pa.Table.from_pylist(media, schema=schema),
         os.path.join(PQ_DIR, "media.parquet"),
     )
+
+    # --- REAL-format media fixture: uncompressed 24bpp bottom-up BMPs
+    # (media_bmp.parquet, r9 verdict item 5). Kept SEPARATE from
+    # media.parquet so the q_mm_* keys that oracle over that file keep
+    # their attested results; only q_mm_feature_extract unions this in.
+    # Widths include both stride==3w (8, 16, 40) and padded-stride
+    # (11, 23) shapes, and the padding bytes are RANDOM so a decoder
+    # that fails to skip them is caught by the oracle.
+    rng4 = random.Random(4242)
+    bmp_rows = []
+    for i, (w, h) in enumerate(
+        [(8, 4), (11, 6), (16, 8), (23, 5), (32, 10), (40, 12),
+         (8, 16), (11, 3), (16, 1), (23, 9), (32, 2), (40, 7)]
+    ):
+        stride = ((3 * w + 3) // 4) * 4
+        img = b"".join(
+            bytes(rng4.randint(0, 255) for _ in range(3 * w))
+            + bytes(rng4.randint(1, 255) for _ in range(stride - 3 * w))
+            for _ in range(h)
+        )
+        off = 14 + 40
+        hdr = (
+            b"BM"
+            + (off + len(img)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(img).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + (0).to_bytes(4, "little") * 2
+        )
+        bmp_rows.append(
+            {
+                "media_id": 1000 + i,
+                "mime": "image/bmp",
+                "payload": hdr + img,
+                "width": w,
+                "height": h,
+                "duration_ms": None,
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(bmp_rows, schema=schema),
+        os.path.join(PQ_DIR, "media_bmp.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
 
 
