@@ -76,9 +76,27 @@ EXTENDED = [
 ]
 
 
+def _load_telemetry() -> dict:
+    """Ambient-load snapshot (r9 verdict item 6): BENCH_r09 read as a
+    29% regression until an idle re-run disproved it — with 1/5/15-min
+    load averages and the usable-CPU count IN the artifact, a loaded
+    driver run is attributable from the JSON alone."""
+    try:
+        la = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        la = None
+    try:
+        ncpu = len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover - non-Linux
+        ncpu = os.cpu_count()
+    return {"loadavg": la, "cpus_avail": ncpu}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_start = _load_telemetry()
+    print(f"# load at start: {load_start}", file=sys.stderr)
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry.registry()
@@ -93,17 +111,20 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
-    # Best-of-2 per query: single-run wall-clock on a shared local[32]
-    # JVM varies ±40% with scheduler noise; the min of two runs is the
+    # Best-of-N per query: single-run wall-clock on a shared local[32]
+    # JVM varies ±40% with scheduler noise; the min of N runs is the
     # engine's actual cost (standard best-of-N benchmark practice).
-    def run_group(group_names):
+    # Headline group uses N=3 (r9 verdict item 6 — one extra sample
+    # halves the odds a transient load spike survives into the
+    # headline); the pricier extended group stays at N=2.
+    def run_group(group_names, runs=2):
         timings: dict[str, float] = {}
         first_timings: dict[str, float] = {}
         total = 0.0
         first_total = 0.0
         for name in group_names:
             best, first, n = float("inf"), 0.0, 0
-            for run in range(2):
+            for run in range(runs):
                 # queries that cache intermediates (near-dedup) must
                 # rebuild them each run or the second run measures a
                 # cache hit
@@ -129,11 +150,13 @@ def main() -> None:
             )
         return timings, first_timings, total, first_total
 
-    timings, first_timings, total, first_total = run_group(names)
+    timings, first_timings, total, first_total = run_group(names, runs=3)
     ext_names = [n for n in EXTENDED if n in reg]
     ext_timings, ext_first_timings, ext_total, ext_first_total = run_group(
         ext_names
     )
+    load_end = _load_telemetry()
+    print(f"# load at end: {load_end}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # COMPACT stdout line only (r8 lesson: the all-in-one line outgrew
@@ -150,8 +173,15 @@ def main() -> None:
         "sf": float(sf) if sf else sf_dir,
         # per-query time is min over `runs` timed executions;
         # single-run figures live in the detail file
-        "runs": 2,
+        "runs": 3,
         "timing": "best_of_n",
+        # ambient-load attribution: loadavg [1m, 5m, 15m] sampled
+        # before Spark startup and after the last query, plus the
+        # process' usable-CPU count — in the COMPACT line so the
+        # driver-recorded artifact alone distinguishes a loaded
+        # machine from a code regression
+        "load_start": load_start,
+        "load_end": load_end,
     }
     detail = dict(
         compact,
