@@ -410,19 +410,38 @@ def q_llm_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENTROIDS = 8
 
 
+#: packing multiplier for the argmin ordering key: centroid ids must lie
+#: in [0, _ARGMIN_CID_MULT) and round(dist·1e6) below 2^63/_ARGMIN_CID_MULT
+#: (dist < ~7.0e7 — embedding L2 distances are O(√dim), nowhere near it).
+#: 2^17 leaves room for k up to 131 072 centroids, the top of the range a
+#: real SemDeDup/IVF deployment partitions into.
+_ARGMIN_CID_MULT = 131072
+
+
 def nearest_centroid_assign(e: DataFrame, c: DataFrame, extra_cols=()) -> DataFrame:
     """Shared nearest-centroid argmin (q_llm_cluster_assign,
     q_llm_semantic_dedup): broadcast the centroid set ``c`` (cid, cv),
     score every vector of ``e`` (vec_id, v, *extra_cols) against all k
-    map-side, and keep the argmin via ``min_by(cid, struct(dist, cid))``
-    inside a groupBy — partial aggregation collapses the k scored rows
-    of each vector to one BEFORE the exchange (all k live in the same
-    partition after the broadcast join), so the shuffle carries n rows,
-    not n·k, and the plan has no WindowExec (pinned by
-    tests/test_plans.py::test_cluster_assign_mapside_argmin). Distances
-    round to 6dp before ranking; ties break by centroid id via the
-    struct's lexicographic order — the exact tiebreak the DuckDB
-    oracles replay with row_number() ORDER BY dist, cid."""
+    map-side, and keep the argmin via ``min(okey)`` over ONE packed
+    BIGINT ordering key ``round(dist·1e6)·2^17 + cid`` — monotone in
+    (dist, cid) because dist is already rounded to 6dp (so dist·1e6 is
+    integral) and cid < 2^17. Partial aggregation collapses the k scored
+    rows of each vector to one BEFORE the exchange (all k live in the
+    same partition after the broadcast join), so the shuffle carries n
+    rows, not n·k, and the plan has no WindowExec.
+
+    Why packed instead of ``min_by(cid, struct(dist, cid))``: a struct
+    ordering buffer is an immutable aggregation-buffer type, which
+    forces SortAggregate — two extra per-partition sorts and no
+    whole-stage codegen (measured 10× slower end-to-end at sf0.1).
+    Atomic BIGINT/DOUBLE mins keep the aggregate in HashAggregate
+    inside one codegen span (pinned by
+    tests/test_plans.py::test_cluster_assign_mapside_argmin). The
+    emitted ``dist`` is ``min(dist)`` directly — the winner minimizes
+    (dist, cid), so its dist IS the minimum — no decode round-trip,
+    bit-identical to the pre-pack spelling. Ties break by centroid id,
+    the exact tiebreak the DuckDB oracles replay with row_number()
+    ORDER BY dist, cid."""
     dist = F.round(
         F.sqrt(
             F.aggregate(
@@ -433,10 +452,25 @@ def nearest_centroid_assign(e: DataFrame, c: DataFrame, extra_cols=()) -> DataFr
         ),
         6,
     )
-    scored = e.crossJoin(F.broadcast(c)).withColumn("dist", dist)
-    return scored.groupBy("vec_id", *extra_cols).agg(
-        F.min_by("cid", F.struct("dist", "cid")).alias("centroid_id"),
-        F.min("dist").alias("dist"),
+    okey = (
+        F.round(F.col("dist") * F.lit(1e6)).cast("long")
+        * F.lit(_ARGMIN_CID_MULT)
+        + F.col("cid")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("dist", dist)
+        .withColumn("okey", okey)
+    )
+    return (
+        scored.groupBy("vec_id", *extra_cols)
+        .agg(F.min("okey").alias("okey"), F.min("dist").alias("dist"))
+        .select(
+            "vec_id",
+            *extra_cols,
+            (F.col("okey") % _ARGMIN_CID_MULT).alias("centroid_id"),
+            "dist",
+        )
     )
 
 
@@ -460,19 +494,22 @@ WHERE rk = 1
 def q_llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment — the partition step of IVF/k-means:
     broadcast the (tiny) centroid set, score every vector against all k
-    map-side, keep the argmin via ``min_by`` over ``struct(dist, cid)``.
-    The corpus never shuffles for the scoring (broadcast nested loop
-    over k=8 centroids), and because all k scored rows of a vector live
-    in the SAME input partition after the broadcast join, the partial
-    (map-side) aggregation collapses them k→1 BEFORE the exchange — the
-    shuffle carries n rows, not n·k, and no WindowExec appears in the
-    plan (both pinned by tests/test_plans.py). Rewritten round 10 from
-    a Window.partitionBy(vec_id) row_number, which shuffled all n·k
+    map-side, keep the argmin via ``min`` over one packed BIGINT
+    ordering key (see nearest_centroid_assign for the encoding and why
+    it beats min_by-over-struct: HashAggregate + whole-stage codegen
+    instead of a SortAggregate fallback). The corpus never shuffles for
+    the scoring (broadcast nested loop over k=8 centroids), and because
+    all k scored rows of a vector live in the SAME input partition
+    after the broadcast join, the partial (map-side) aggregation
+    collapses them k→1 BEFORE the exchange — the shuffle carries n
+    rows, not n·k, and no WindowExec appears in the plan (both pinned
+    by tests/test_plans.py). Rewritten round 10 from a
+    Window.partitionBy(vec_id) row_number, which shuffled all n·k
     scored rows into a per-vector sort (r9 verdict item 2). Centroids
     are the first k vectors (deterministic, shared with the oracle); a
     production k-means would iterate this exact plan. Distances round
-    to 6 before ranking (ties broken by centroid id via the struct's
-    lexicographic order) so both engines pick identical winners."""
+    to 6 before ranking (ties broken by centroid id via the packed
+    key's low bits) so both engines pick identical winners."""
     e = _emb(spark, sf_dir)
     c = (
         e.filter(F.col("vec_id") < _N_CENTROIDS)
@@ -542,8 +579,8 @@ def q_llm_semantic_dedup(
 
     Scale shape, piece by piece, all previously argued: nearest-
     centroid assignment is a broadcast map-side scan over k centroids
-    with a map-side min_by argmin — the exchange carries n assignment
-    rows, not n·k scored rows, and no WindowExec appears in the plan
+    with a map-side packed-key min argmin — the exchange carries n
+    assignment rows, not n·k scored rows, and no WindowExec in the plan
     (q_llm_cluster_assign's plan, rewritten together round 10, r9
     verdict item 2); in-cluster pair expansion reuses
     lsh_candidate_pairs — ONE groupBy(cluster), pairs expanded inside

@@ -195,7 +195,7 @@ _loaded = False
 #            nearest-centroid argmin was rewritten from a
 #            Window.partitionBy(vec_id) row_number — which shuffles
 #            all n·k scored rows into WindowExec — to a map-side
-#            min_by(struct(...)) groupBy aggregate with partial
+#            packed-BIGINT-key min groupBy aggregate with partial
 #            aggregation before the exchange; same round-6dp +
 #            centroid-id tiebreak, verified locally bit-identical via
 #            tools/check.py + an equivalence test before this window
@@ -209,7 +209,7 @@ _loaded = False
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- re-attest: argmin rewritten to map-side min_by this round ---
+    # --- re-attest: argmin rewritten to map-side packed-key min this round ---
     "q_llm_cluster_assign",
     "q_llm_semantic_dedup",
     # --- freshness: all 48 queries whose newest row is round 5 ---

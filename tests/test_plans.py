@@ -766,15 +766,22 @@ def test_partition_pruning_reaches_scan(spark):
 
 def test_cluster_assign_mapside_argmin(spark):
     """r9 verdict item 2: the nearest-centroid argmin must be a map-side
-    min_by aggregate, not a per-vector window. All k scored rows of a
-    vector sit in one partition after the broadcast join, so the partial
+    aggregate, not a per-vector window. All k scored rows of a vector
+    sit in one partition after the broadcast join, so the partial
     aggregate collapses them k→1 BEFORE the exchange — the shuffle
     carries n assignment rows, not n·k scored rows. Pins: zero
-    WindowExec, a partial_min_by phase (the map-side k× collapse), and
-    exactly one hash exchange (the final aggregate's)."""
+    WindowExec, a partial_min phase (the map-side k× collapse), exactly
+    one hash exchange (the final aggregate's), and — the round-10
+    packed-ordering-key refinement — zero SortAggregate: min over the
+    packed BIGINT key keeps the aggregate in HashAggregate inside one
+    whole-stage-codegen span, where min_by over struct(dist, cid) fell
+    back to SortAggregate (no codegen + two per-partition sorts,
+    measured 10× slower end-to-end)."""
     p = plan(spark, "q_llm_cluster_assign")
     assert "Window" not in p, "argmin regressed to a per-vector window"
-    assert "partial_min_by" in p, "no map-side partial min_by phase"
+    assert "partial_min(" in p, "no map-side partial min phase"
+    assert "SortAggregate" not in p, "argmin fell out of HashAggregate"
+    assert "HashAggregate" in p
     # formatted explain spells the exchange as an Arguments: line
     assert p.count("hashpartitioning(") == 1
     assert "SinglePartition" not in p

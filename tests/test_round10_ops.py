@@ -23,12 +23,16 @@ from tests.conftest import SF_DIR
 
 
 def test_min_by_argmin_bit_identical_to_window_spelling(spark):
-    """The round-10 rewrite of nearest_centroid_assign (min_by over
-    struct(dist, cid)) must pick bit-identical winners to the retired
+    """The round-10 rewrite of nearest_centroid_assign (min over the
+    packed BIGINT ordering key round(dist·1e6)·2^17 + cid) must pick
+    bit-identical winners to the retired
     Window.partitionBy(vec_id).orderBy(dist, cid) row_number spelling —
-    same argmin, same 6dp rounding, same centroid-id tiebreak. Mirrors
-    the round-9 copurchase_edges equivalence precedent: prove the old
-    and new builds equal BEFORE the re-attestation window is cut."""
+    same argmin, same 6dp rounding, same centroid-id tiebreak (the
+    packing is monotone in (dist, cid) because dist·1e6 is integral
+    after the 6dp round and cid < 2^17; the emitted dist is min(dist)
+    directly, no decode round-trip). Mirrors the round-9
+    copurchase_edges equivalence precedent: prove the old and new
+    builds equal BEFORE the re-attestation window is cut."""
     from micmac_li3ds_spark.operators.llm_vector import (
         _N_CENTROIDS,
         _emb,
@@ -210,14 +214,24 @@ def test_timing_audit_baseline_resolution_cleans_up():
     disabled with a (None, None, None) triple, not a 'None' that reads
     like a path."""
     import os
+    import subprocess
 
-    from tools.timing_audit import (
-        _newest_committed_artifact,
-        _resolve_self_overwrite_baseline,
+    from tools.timing_audit import _REPO, _resolve_self_overwrite_baseline
+
+    # the newest artifact ON DISK may be this round's not-yet-committed
+    # rerun (exactly the mid-round state the fallback exists for), so the
+    # HEAD-copy branch is asserted against the newest GIT-TRACKED artifact
+    tracked = subprocess.run(
+        ["git", "ls-files", "TIMING_r*.json"],
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    assert tracked, "no committed TIMING artifact to test against"
+    newest = os.path.join(
+        _REPO, max(tracked, key=lambda p: int(p.split("_r")[1].split(".")[0]))
     )
-
-    newest = _newest_committed_artifact()
-    assert newest is not None
     path, label, tmp = _resolve_self_overwrite_baseline(newest)
     assert path == tmp and os.path.exists(tmp)
     assert label == f"HEAD:{os.path.basename(newest)}"

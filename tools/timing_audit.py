@@ -126,6 +126,22 @@ def main() -> int:
     regs = registry.registry()
     names = args.queries or list(regs)
 
+    # JVM warmup BEFORE the measured loop: the first measured query
+    # otherwise absorbs one-time session costs — codegen/Janino compiler
+    # init, broadcast machinery, shuffle system, parquet footer reads.
+    # Round 10 measured that tax at 3–5 s: whatever query leads _PRIORITY
+    # runs first and gets flagged as a false >2× regression purely for its
+    # position (q_llm_cluster_assign read 9.8× while standalone-warm it was
+    # FASTER than its baseline). One unmeasured scan+shuffle+broadcast
+    # exercise makes per-query times position-independent.
+    from pyspark.sql import functions as F  # local: tools-only dep
+
+    w = spark.range(1_000_000).withColumn("k", F.col("id") % 32)
+    d = spark.range(32).withColumnRenamed("id", "k")
+    w.groupBy("k").count().join(F.broadcast(d), "k").collect()
+    spark.read.parquet(os.path.join(args.sf, "lineitem.parquet")).count()
+    spark.read.parquet(os.path.join(args.sf, "embeddings.parquet")).count()
+
     timings: list[tuple[float, str, int | str]] = []
     errors: dict[str, str] = {}
     for name in names:
