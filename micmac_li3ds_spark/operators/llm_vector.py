@@ -935,18 +935,34 @@ def _pq_sq_dist() -> F.Column:
 
 
 def _pq_codes(spark: SparkSession, sf_dir: str, subs: DataFrame) -> DataFrame:
-    """(vec_id, m, k): nearest-centroid assignment per subspace — an
-    associative MIN over (distance, k) structs, partial-aggregable and
-    deterministic under ties."""
+    """(vec_id, m, d, k): nearest-centroid assignment per subspace — an
+    associative MIN over ONE packed BIGINT ``d·16 + k``, partial-
+    aggregable and deterministic under ties (k breaks them). Distances
+    are exact longs (thousandths-quantized integer arithmetic) and
+    k < 16, so the packing is monotone in (d, k) and decodes exactly —
+    no float parity concern. Packed instead of min-over-struct(d, k)
+    for the same reason as nearest_centroid_assign: a struct
+    aggregation buffer forces SortAggregate (no whole-stage codegen +
+    two per-partition sorts); the atomic key keeps the 256k scored rows
+    (n·8 subspaces ·16 centroids at sf0.1) in HashAggregate inside one
+    codegen span. Overflow headroom: d·16 < 2^63 needs d < 5.7e17;
+    8-dim squared diffs of thousandths-scale coords are ≤ ~1e10."""
     cent = _pq_codebook_df(spark)
     return (
         subs.join(F.broadcast(cent), "m")
         .select(
-            "vec_id", "m", F.struct(_pq_sq_dist().alias("d"), "k").alias("dk")
+            "vec_id",
+            "m",
+            (_pq_sq_dist() * F.lit(16) + F.col("k")).alias("dk"),
         )
         .groupBy("vec_id", "m")
         .agg(F.min("dk").alias("bk"))
-        .select("vec_id", "m", F.col("bk.d").alias("d"), F.col("bk.k").alias("k"))
+        .select(
+            "vec_id",
+            "m",
+            F.expr("bk div 16").alias("d"),
+            (F.col("bk") % F.lit(16)).cast("int").alias("k"),
+        )
     )
 
 
