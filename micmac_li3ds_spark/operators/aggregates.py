@@ -520,7 +520,15 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact audience/user counts stay one shuffle of small state. The
     oracle is the semantic definition (plain COUNT DISTINCT): the
     bitmap path must reproduce it exactly — bit-exact, not approximate
-    (contrast q_agg_approx_distinct's HLL, which is rows-only)."""
+    (contrast q_agg_approx_distinct's HLL, which is rows-only).
+
+    Plan note: this (and q_agg_bitmap_rollup) are the only two
+    SortAggregate plans in the registry (round-10 package-wide plan
+    sweep) — inherent to ``bitmap_construct_agg``'s BINARY buffer (an
+    immutable aggregation-buffer type), not the struct-ordering argmin
+    trap fixed in llm_vector round 10. The sort runs over the small
+    (group, bucket) key space and partials still combine map-side, so
+    the scale argument above is unaffected."""
     orders = load(spark, sf_dir, "orders")
     per_bucket = (
         orders.select(
