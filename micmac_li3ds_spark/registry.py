@@ -200,11 +200,15 @@ _loaded = False
 #            centroid-id tiebreak, verified locally bit-identical via
 #            tools/check.py + an equivalence test before this window
 #            was cut). q_llm_lsh_recall's default-no-op sample_frac
-#            parameterization and q_mm_feature_extract's real-BMP
-#            decoder routing also land this round but lose the slot
-#            race (48 forced + 2 code-changed = 50); both are
-#            tools/check.py-verified green this round and LEAD the
-#            round-11 window (their r9 rows attest superseded code).
+#            parameterization, q_mm_feature_extract's real-BMP
+#            decoder routing, and the _pq_codes packed-ordering-key
+#            rewrite (q_llm_pq_encode / q_llm_knn_pq /
+#            q_llm_knn_pq_refine — the TIMING gate's second
+#            SortAggregate find) also land this round but lose the
+#            slot race (48 forced + 2 code-changed = 50); all five are
+#            tools/check.py-verified green this round (PQ trio also at
+#            13-thread parallelism) and LEAD the round-11 window
+#            (their existing rows attest superseded code).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
