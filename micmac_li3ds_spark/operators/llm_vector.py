@@ -418,7 +418,9 @@ _N_CENTROIDS = 8
 _ARGMIN_CID_MULT = 131072
 
 
-def nearest_centroid_assign(e: DataFrame, c: DataFrame, extra_cols=()) -> DataFrame:
+def nearest_centroid_assign(
+    e: DataFrame, c: DataFrame, extra_cols=(), n_centroids: int | None = None
+) -> DataFrame:
     """Shared nearest-centroid argmin (q_llm_cluster_assign,
     q_llm_semantic_dedup): broadcast the centroid set ``c`` (cid, cv),
     score every vector of ``e`` (vec_id, v, *extra_cols) against all k
@@ -441,7 +443,20 @@ def nearest_centroid_assign(e: DataFrame, c: DataFrame, extra_cols=()) -> DataFr
     (dist, cid), so its dist IS the minimum — no decode round-trip,
     bit-identical to the pre-pack spelling. Ties break by centroid id,
     the exact tiebreak the DuckDB oracles replay with row_number()
-    ORDER BY dist, cid."""
+    ORDER BY dist, cid.
+
+    Callers that know their centroid count pass ``n_centroids`` so the
+    packing precondition (cid < _ARGMIN_CID_MULT) is VALIDATED rather
+    than assumed — a cid at or above the multiplier would silently
+    bleed into the distance bits and mis-rank (the q_agg_heavy_hitters
+    invariant-guard discipline, ADVICE r9)."""
+    if n_centroids is not None and n_centroids > _ARGMIN_CID_MULT:
+        raise ValueError(
+            f"nearest_centroid_assign: n_centroids={n_centroids} exceeds "
+            f"the packed ordering key's cid capacity {_ARGMIN_CID_MULT}; "
+            "raise _ARGMIN_CID_MULT (and re-check the dist headroom: "
+            "round(dist*1e6) must stay below 2^63/_ARGMIN_CID_MULT)"
+        )
     dist = F.round(
         F.sqrt(
             F.aggregate(
@@ -515,9 +530,9 @@ def q_llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < _N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    return nearest_centroid_assign(e, c, ("label",)).select(
-        "vec_id", "label", "centroid_id", "dist"
-    )
+    return nearest_centroid_assign(
+        e, c, ("label",), n_centroids=_N_CENTROIDS
+    ).select("vec_id", "label", "centroid_id", "dist")
 
 
 @register(
@@ -600,7 +615,7 @@ def q_llm_semantic_dedup(
     c = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    asg = nearest_centroid_assign(e, c).select(
+    asg = nearest_centroid_assign(e, c, n_centroids=_N_CENTROIDS).select(
         "vec_id", F.col("centroid_id").alias("cid")
     )
 

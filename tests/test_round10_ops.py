@@ -74,6 +74,74 @@ def test_min_by_argmin_bit_identical_to_window_spelling(spark):
     assert new.count() == e.count()  # one winner per vector, none dropped
 
 
+def test_packed_argmin_key_is_monotone_in_dist_cid(spark):
+    """Property check of the packed ordering key through Spark's OWN
+    round/cast expressions: for adversarial (dist, cid) pairs — equal
+    distances with different cids, distances differing only in the 6th
+    decimal, the cid-capacity boundary — min over round(dist*1e6)*M+cid
+    must pick the same winner as lexicographic (dist, cid). A packing
+    bug (insufficient multiplier, double-rounding drift) shows up as a
+    winner mismatch here long before a corpus would tickle it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from micmac_li3ds_spark.operators.llm_vector import _ARGMIN_CID_MULT
+
+    dists = st.decimals(
+        min_value=0, max_value=10**6, places=6, allow_nan=False
+    )
+    cids = st.integers(min_value=0, max_value=_ARGMIN_CID_MULT - 1)
+
+    @given(
+        pairs=st.lists(
+            st.tuples(dists, cids), min_size=2, max_size=8, unique=True
+        )
+    )
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(pairs):
+        rows = [(float(d), int(k)) for d, k in pairs]
+        df = spark.createDataFrame(rows, "dist double, cid long")
+        okey = (
+            F.round(F.col("dist") * F.lit(1e6)).cast("long")
+            * F.lit(_ARGMIN_CID_MULT)
+            + F.col("cid")
+        )
+        got = (
+            df.select(okey.alias("okey"))
+            .agg(F.min("okey").alias("m"))
+            .select(
+                (F.col("m") % _ARGMIN_CID_MULT).alias("cid"),
+            )
+            .collect()[0]["cid"]
+        )
+        want = min(rows)[1]  # python lexicographic (dist, cid)
+        assert got == want, (rows, got, want)
+
+    run()
+
+
+def test_nearest_centroid_assign_rejects_overcapacity_k(spark):
+    """The packing precondition cid < _ARGMIN_CID_MULT must be validated,
+    not assumed — an over-capacity centroid count would silently bleed
+    cids into the distance bits and mis-rank (the heavy-hitters
+    invariant-guard discipline)."""
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _ARGMIN_CID_MULT,
+        nearest_centroid_assign,
+    )
+
+    e = spark.createDataFrame([(0, [0.0])], "vec_id long, v array<double>")
+    c = spark.createDataFrame([(0, [0.0])], "cid long, cv array<double>")
+    with pytest.raises(ValueError, match="cid capacity"):
+        nearest_centroid_assign(e, c, n_centroids=_ARGMIN_CID_MULT + 1)
+    # at-capacity is fine (cids are 0-based, strictly below the multiplier)
+    nearest_centroid_assign(e, c, n_centroids=_ARGMIN_CID_MULT)
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r9: heavy-hitters exactness invariant must be validated
 # ---------------------------------------------------------------------------
