@@ -121,6 +121,10 @@ def main() -> int:
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
+    # ambient load BEFORE Spark starts — a loaded run is attributable
+    # from the artifact alone (the bench telemetry pattern)
+    load_start = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("timing-audit", cpus=32, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     regs = registry.registry()
@@ -142,19 +146,37 @@ def main() -> int:
     spark.read.parquet(os.path.join(args.sf, "lineitem.parquet")).count()
     spark.read.parquet(os.path.join(args.sf, "embeddings.parquet")).count()
 
+    # Each query runs TWICE and records min-of-2 (cold time kept in a
+    # separate map): a single cold run is dominated by per-plan codegen
+    # compile for sub-3 s queries, which made the regression gate flaky —
+    # q_llm_pq_encode bounced 1.2→2.7 s across identical-code runs and
+    # tripped the 2× gate on session noise. Real plan regressions survive
+    # a warm rerun; compile noise does not. (Baselines recorded before
+    # this change are single-run, so the first min-of-2 comparison can
+    # only be more lenient, never falsely red.)
     timings: list[tuple[float, str, int | str]] = []
+    colds: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         spark.catalog.clearCache()
         t0 = time.time()
         try:
             n = len(regs[name].fn(spark, args.sf).collect())
+            cold = time.time() - t0
+            t1 = time.time()
+            n = len(regs[name].fn(spark, args.sf).collect())
+            warm = time.time() - t1
         except Exception as exc:  # keep auditing the rest
             errors[name] = str(exc)[:200]
             timings.append((time.time() - t0, name, f"ERR {exc}"[:60]))
             continue
-        timings.append((time.time() - t0, name, n))
-        print(f"{time.time() - t0:8.2f}s  {name:36s} rows={n}", flush=True)
+        sec = min(cold, warm)
+        colds[name] = round(cold, 3)
+        timings.append((sec, name, n))
+        print(
+            f"{sec:8.2f}s  (cold {cold:5.2f}s)  {name:36s} rows={n}",
+            flush=True,
+        )
 
     print("\n=== slowest ===")
     for sec, name, n in sorted(timings, reverse=True)[: args.top]:
@@ -211,12 +233,16 @@ def main() -> int:
             "n_queries": len(timings),
             "baseline": baseline_label,
             "regression_factor": args.regression_factor,
+            "timing": "min_of_2",
             "queries": {
                 name: round(sec, 3) for sec, name, _ in sorted(timings)
             },
+            "cold_queries": colds,
             "rows": {
                 name: n for _, name, n in timings if not isinstance(n, str)
             },
+            "load_start": load_start,
+            "load_end": [round(x, 2) for x in os.getloadavg()],
             "errors": errors,
             "regressions": regressions,
         }
