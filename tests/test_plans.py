@@ -794,3 +794,27 @@ def test_semantic_dedup_has_no_window(spark):
     against a WindowExec creeping back anywhere in the final plan."""
     p = plan(spark, "q_llm_semantic_dedup")
     assert "Window" not in p
+
+
+def test_no_sortaggregate_outside_allowlist(spark):
+    """Standing plan-level invariant from the round-10 SortAggregate
+    hunt: min/min_by over a STRUCT silently falls out of HashAggregate
+    into SortAggregate (immutable aggregation-buffer type — no
+    whole-stage codegen, two per-partition sorts; measured 10× on the
+    argmin paths it caught twice). Sweep EVERY registered query's
+    physical plan and allow SortAggregate only where it is inherent to
+    the built-in: the bitmap aggregates, whose BINARY bitmap buffer is
+    immutable by nature (documented in their docstrings). A new struct-
+    keyed aggregate anywhere in the registry turns this red at plan
+    time, before any timing artifact has to catch it."""
+    allow = {"q_agg_bitmap_distinct", "q_agg_bitmap_rollup"}
+    offenders = []
+    for name, q in registry.registry().items():
+        p = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "SortAggregate" in p and name not in allow:
+            offenders.append(name)
+    assert not offenders, (
+        f"SortAggregate crept into {offenders} — pack the ordering into "
+        "an atomic key (see nearest_centroid_assign) or extend the "
+        "allowlist with a docstring justifying why it is inherent"
+    )
