@@ -818,3 +818,21 @@ def test_no_sortaggregate_outside_allowlist(spark):
         "an atomic key (see nearest_centroid_assign) or extend the "
         "allowlist with a docstring justifying why it is inherent"
     )
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark):
+    """Registry-wide generalization of the hand-listed cartesian pins
+    above: NO registered query may plan a CartesianProduct, with an
+    empty allowlist (round-10 sweep: 0/243 — every cross-shaped
+    operator is a broadcast-of-tiny BroadcastNestedLoopJoin or a keyed
+    join). A quadratic pair expansion sneaking in anywhere in the
+    registry fails at plan time."""
+    offenders = []
+    for name, q in registry.registry().items():
+        p = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, (
+        f"CartesianProduct planned in {offenders} — broadcast the tiny "
+        "side explicitly or rewrite the pairing as a keyed/bucketed join"
+    )
