@@ -796,43 +796,35 @@ def test_semantic_dedup_has_no_window(spark):
     assert "Window" not in p
 
 
-def test_no_sortaggregate_outside_allowlist(spark):
-    """Standing plan-level invariant from the round-10 SortAggregate
-    hunt: min/min_by over a STRUCT silently falls out of HashAggregate
-    into SortAggregate (immutable aggregation-buffer type — no
-    whole-stage codegen, two per-partition sorts; measured 10× on the
-    argmin paths it caught twice). Sweep EVERY registered query's
-    physical plan and allow SortAggregate only where it is inherent to
-    the built-in: the bitmap aggregates, whose BINARY bitmap buffer is
-    immutable by nature (documented in their docstrings). A new struct-
-    keyed aggregate anywhere in the registry turns this red at plan
-    time, before any timing artifact has to catch it."""
-    allow = {"q_agg_bitmap_distinct", "q_agg_bitmap_rollup"}
-    offenders = []
+def test_registry_wide_plan_invariants(spark):
+    """ONE sweep over every registered query's physical plan, two
+    standing invariants from the round-10 plan hunt (single pass — the
+    243 plan builds are the cost, the string checks are free):
+
+    1. No SortAggregate outside the bitmap allowlist: min/min_by over a
+       STRUCT silently falls out of HashAggregate into SortAggregate
+       (immutable aggregation-buffer type — no whole-stage codegen, two
+       per-partition sorts; measured 10× on the argmin paths it caught
+       twice). The bitmap aggregates are inherent (BINARY bitmap
+       buffer, documented in their docstrings).
+    2. No CartesianProduct anywhere, empty allowlist (round-10 sweep:
+       0/243 — every cross-shaped operator is broadcast-of-tiny or a
+       keyed join). A quadratic pair expansion fails at plan time.
+    """
+    sort_allow = {"q_agg_bitmap_distinct", "q_agg_bitmap_rollup"}
+    sort_offenders, cart_offenders = [], []
     for name, q in registry.registry().items():
         p = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        if "SortAggregate" in p and name not in allow:
-            offenders.append(name)
-    assert not offenders, (
-        f"SortAggregate crept into {offenders} — pack the ordering into "
-        "an atomic key (see nearest_centroid_assign) or extend the "
+        if "SortAggregate" in p and name not in sort_allow:
+            sort_offenders.append(name)
+        if "CartesianProduct" in p:
+            cart_offenders.append(name)
+    assert not sort_offenders, (
+        f"SortAggregate crept into {sort_offenders} — pack the ordering "
+        "into an atomic key (see nearest_centroid_assign) or extend the "
         "allowlist with a docstring justifying why it is inherent"
     )
-
-
-def test_no_cartesian_product_anywhere_in_registry(spark):
-    """Registry-wide generalization of the hand-listed cartesian pins
-    above: NO registered query may plan a CartesianProduct, with an
-    empty allowlist (round-10 sweep: 0/243 — every cross-shaped
-    operator is a broadcast-of-tiny BroadcastNestedLoopJoin or a keyed
-    join). A quadratic pair expansion sneaking in anywhere in the
-    registry fails at plan time."""
-    offenders = []
-    for name, q in registry.registry().items():
-        p = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in p:
-            offenders.append(name)
-    assert not offenders, (
-        f"CartesianProduct planned in {offenders} — broadcast the tiny "
-        "side explicitly or rewrite the pairing as a keyed/bucketed join"
+    assert not cart_offenders, (
+        f"CartesianProduct planned in {cart_offenders} — broadcast the "
+        "tiny side explicitly or rewrite the pairing as a keyed join"
     )
