@@ -182,11 +182,73 @@ def _decode_bmp(payload: bytes, mime: str) -> list[float]:
     col_sums = rows[:, : 3 * w].reshape(h, w, 3).sum(
         axis=2, dtype=np.int64
     ).sum(axis=0)
+    return _strip_means(col_sums, w, h)
+
+
+def _strip_means(col_sums, w: int, h: int) -> list[float]:
+    """Shared feature tail of the real decoders (_decode_bmp,
+    _decode_ppm): strip i covers the pixel columns x with
+    (x·_FEAT_DIM)//w == i; its value is the exact integer Σ(r+g+b) of
+    those columns over 768·n_pixels — integer accumulation with ONE
+    double division, the property the DuckDB oracle replay relies on."""
+    import numpy as np
+
     strips = (np.arange(w) * _FEAT_DIM) // w
     return [
-        float(int(col_sums[strips == i].sum()) / (768.0 * int((strips == i).sum()) * h))
+        float(
+            int(col_sums[strips == i].sum())
+            / (768.0 * int((strips == i).sum()) * h)
+        )
         for i in range(_FEAT_DIM)
     ]
+
+
+def _decode_ppm(payload: bytes, mime: str) -> list[float]:
+    """REAL decoder #2, zero new deps: binary netpbm P6 (maxval 255).
+    The ASCII header — magic, width, height, maxval as whitespace-
+    separated tokens with ``#`` comment lines allowed — is tokenized
+    byte-wise; exactly ONE whitespace byte separates the maxval from
+    the raw w·h RGB triplets (the netpbm rule that trips decoders that
+    strip ALL whitespace: a pixel value of 0x0A would be eaten).
+    Features are the SAME strip-mean contract as _decode_bmp
+    (_strip_means), so a future oracle branch replays it with the BMP
+    branch's arithmetic minus the stride/padding slicing — P6 rows are
+    packed with no padding. Raises on anything but the one format it
+    really decodes; P6 is top-down where BMP is bottom-up, which the
+    column sums make irrelevant."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = vals
+    i += 1  # the single post-maxval whitespace byte — never more
+    if maxval != 255 or h <= 0 or w < _FEAT_DIM:
+        raise ValueError(
+            f"only maxval-255 P6 with width >= {_FEAT_DIM} supported "
+            f"(got maxval={maxval} w={w} h={h})"
+        )
+    if len(payload) - i < 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=3 * w * h, offset=i
+    ).reshape(h, w, 3)
+    col_sums = px.sum(axis=2, dtype=np.int64).sum(axis=0)
+    return _strip_means(col_sums, w, h)
 
 
 def _decode_pil_image(payload: bytes, mime: str) -> list[float]:

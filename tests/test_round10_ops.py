@@ -487,3 +487,95 @@ def test_feature_extract_routes_real_bmp_decoder(spark):
     want = _decode_bmp(bytes(payload), "image/bmp")
     got = [r for r in bmp if r["media_id"] == media_id][0]
     assert [got[f"f{i}"] for i in range(8)] == want
+
+
+# ---------------------------------------------------------------------------
+# Late r10: second real zero-dep codec — binary netpbm P6 (r11 routes it
+# into q_mm_feature_extract's oracle next to the BMP branch)
+# ---------------------------------------------------------------------------
+
+
+def _make_ppm(w, h, pixel_rows, header=None):
+    """Minimal binary P6; pixel_rows[r][x] = (r, g, b), TOP-DOWN."""
+    hdr = header if header is not None else f"P6\n{w} {h}\n255\n"
+    img = b"".join(bytes(v for px in row for v in px) for row in pixel_rows)
+    return hdr.encode() + img
+
+
+def test_decode_ppm_known_pixels_and_bmp_equivalence():
+    """8x2 image, one strip per pixel column: exact integer expectation,
+    and the SAME image encoded as BMP (bottom-up, so rows reversed)
+    must produce bit-identical features — the two real decoders honor
+    one feature contract."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+    )
+
+    top = [(10 * x, 0, 5) for x in range(8)]
+    bottom = [(3 * x, 3 * x + 1, 3 * x + 2) for x in range(8)]
+    feats = _decode_ppm(_make_ppm(8, 2, [top, bottom]), "image/x-ppm")
+    for x in range(8):
+        expect = (10 * x + 5 + 9 * x + 3) / (768.0 * 2)
+        assert feats[x] == expect
+    # BMP stores (b, g, r) bottom-up; same pixels, same features
+    as_bmp = _make_bmp(
+        8, 2, [[(b, g, r) for r, g, b in row] for row in (bottom, top)]
+    )
+    assert _decode_bmp(as_bmp, "image/bmp") == feats
+
+
+def test_decode_ppm_header_comments_and_whitespace():
+    """Header tokenizing must survive # comment lines and arbitrary
+    whitespace runs BETWEEN tokens, while consuming exactly ONE byte
+    after maxval — a first pixel byte of 0x0A (newline) must be pixel
+    data, not eaten as whitespace."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_ppm
+
+    rows = [[(0x0A, 2 * x, 20) for x in range(11)] for _ in range(3)]
+    plain = _decode_ppm(_make_ppm(11, 3, rows), "image/x-ppm")
+    commented = _decode_ppm(
+        _make_ppm(11, 3, rows, header="P6\n# made by hand\n  11\t3\n# x\n255\n"),
+        "image/x-ppm",
+    )
+    assert plain == commented
+    assert plain[0] > 0  # the 0x0A red bytes counted as pixel data
+
+
+def test_decode_ppm_rejects_unsupported():
+    from micmac_li3ds_spark.operators.multimodal import _decode_ppm
+
+    with pytest.raises(ValueError, match="not a P6"):
+        _decode_ppm(b"P3\n2 2\n255\n...", "image/x-ppm")  # ASCII variant
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(_make_ppm(8, 1, [[(0, 0, 0)] * 8], header="P6\n8 1\n65535\n"), "x")
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        _decode_ppm(b"P6\n8 2\n255\n" + b"\x00" * 10, "x")
+
+
+def test_feature_extract_runs_ppm_decoder_distributed(spark):
+    """The P6 decoder rides the identical mapInPandas plumbing as the
+    registered BMP branch: distributed features equal a driver-side
+    re-decode of the same payloads, bit for bit."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _FEAT_DIM,
+        _decode_ppm,
+        feature_extract,
+    )
+
+    payloads = [
+        (1, _make_ppm(9, 2, [[(x, x, x) for x in range(9)]] * 2)),
+        (2, _make_ppm(16, 1, [[(255 - i, i, 7) for i in range(16)]])),
+    ]
+    media = spark.createDataFrame(
+        [(mid, "image/x-ppm", p) for mid, p in payloads],
+        "media_id long, mime string, payload binary",
+    )
+    got = {
+        r["media_id"]: [r[f"f{i}"] for i in range(_FEAT_DIM)]
+        for r in feature_extract(
+            media, decode=_decode_ppm, decoder_name="ppm6-strips-v1"
+        ).collect()
+    }
+    for mid, p in payloads:
+        assert got[mid] == _decode_ppm(p, "image/x-ppm")
