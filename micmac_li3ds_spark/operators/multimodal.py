@@ -52,6 +52,9 @@ MEDIA_PARQUET = os.path.join(_REPO, "fixtures", "parquet", "media.parquet")
 MEDIA_BMP_PARQUET = os.path.join(
     _REPO, "fixtures", "parquet", "media_bmp.parquet"
 )
+MEDIA_PPM_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_ppm.parquet"
+)
 
 
 def load_media(spark: SparkSession) -> DataFrame:
@@ -60,6 +63,10 @@ def load_media(spark: SparkSession) -> DataFrame:
 
 def load_media_bmp(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(MEDIA_BMP_PARQUET)
+
+
+def load_media_ppm(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_PPM_PARQUET)
 
 
 @register(
@@ -361,33 +368,94 @@ FROM sums GROUP BY media_id, mime
 """
 
 
+def _ppm_feature_oracle() -> str:
+    """DuckDB replay of _decode_ppm from hex(payload), with the pixel
+    offset taken from the fixture's ``pix_off`` column — recorded
+    independently at GENERATION time, so a Spark-side decoder that
+    mis-tokenizes any of the fixture's header shapes (canonical,
+    #-comment lines, tab/double-space separators) disagrees with the
+    oracle instead of being self-consistently wrong. P6 rows are
+    packed: byte (r·w + x)·3 + d after the offset — the BMP branch's
+    arithmetic minus the stride/padding slicing."""
+    byte = (
+        "CAST('0x' || substring(hx, (off + (r * w + x) * 3 + {d}) * 2 + 1,"
+        " 2) AS INTEGER)"
+    )
+    rgb = " + ".join(byte.format(d=d) for d in range(3))
+    cols = ",\n       ".join(
+        f"MAX(CASE WHEN strip = {i} THEN CAST(s AS DOUBLE) / (768.0 * npix)"
+        f" END) AS f{i}"
+        for i in range(_FEAT_DIM)
+    )
+    return f"""
+WITH src AS (
+  SELECT media_id, mime, hex(payload) AS hx, width AS w, height AS h,
+         CAST(pix_off AS BIGINT) AS off
+  FROM read_parquet('{MEDIA_PPM_PARQUET}')
+),
+xs AS (
+  SELECT media_id, mime, hx, h, off, w,
+         CAST(unnest(range(0, w)) AS BIGINT) AS x
+  FROM src
+),
+px AS (
+  SELECT media_id, mime, hx, off, w, x, (x * {_FEAT_DIM}) // w AS strip,
+         CAST(unnest(range(0, h)) AS BIGINT) AS r
+  FROM xs
+),
+sums AS (
+  SELECT media_id, mime, strip, SUM({rgb}) AS s, COUNT(*) AS npix
+  FROM px GROUP BY media_id, mime, strip
+)
+SELECT media_id, mime,
+       {cols},
+       'ppm6-strips-v1' AS decoder
+FROM sums GROUP BY media_id, mime
+"""
+
+
 @register(
     "q_mm_feature_extract",
     oracle=(
         "SELECT * FROM (" + _feature_oracle() + ")\nUNION ALL\n"
-        "SELECT * FROM (" + _bmp_feature_oracle() + ")"
+        "SELECT * FROM (" + _bmp_feature_oracle() + ")\nUNION ALL\n"
+        "SELECT * FROM (" + _ppm_feature_oracle() + ")"
     ),
     tags=("multimodal", "mapinpandas"),
 )
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas): the
     real multimodal hot path. Batch shape, schema, and iterator
-    semantics are production-real, and since round 10 one format is
-    decoded for REAL in this container: the media_bmp fixture rows go
-    through _decode_bmp (struct+numpy 24bpp BMP → strip-mean
-    intensities), whose DuckDB oracle branch re-decodes the same bytes
-    in SQL. The media.parquet rows (fake-container png/wav/mp4) keep
-    the deterministic _decode_stub so their codec-less hash algebra
-    stays oracle-checkable; feature dims are unpacked to scalar
-    columns f0..f7 (list cells are unhashable to the driver; real
-    pipelines would keep array<float>). The identical plumbing also
-    runs a REAL PIL decoder in the decode-or-skip probe
-    (_decode_pil_image) when the env supplies PIL."""
-    return feature_extract(load_media(spark)).unionByName(
-        feature_extract(
-            load_media_bmp(spark),
-            decode=_decode_bmp,
-            decoder_name="bmp24-strips-v1",
+    semantics are production-real, and since round 10 TWO formats are
+    decoded for REAL in this container: media_bmp rows go through
+    _decode_bmp (struct+numpy 24bpp BMP) and media_ppm rows through
+    _decode_ppm (binary netpbm P6, byte-wise header tokenizer) — both
+    emit the shared strip-mean feature contract, and each DuckDB
+    oracle branch re-decodes the same bytes in SQL (the PPM branch
+    from an independently recorded pixel offset, so header
+    mis-tokenizing cannot be self-consistently wrong). The
+    media.parquet rows (fake-container png/wav/mp4) keep the
+    deterministic _decode_stub so their codec-less hash algebra stays
+    oracle-checkable; feature dims are unpacked to scalar columns
+    f0..f7 (list cells are unhashable to the driver; real pipelines
+    would keep array<float>). The identical plumbing also runs a REAL
+    PIL decoder in the decode-or-skip probe (_decode_pil_image) when
+    the env supplies PIL."""
+    return (
+        feature_extract(load_media(spark))
+        .unionByName(
+            feature_extract(
+                load_media_bmp(spark),
+                decode=_decode_bmp,
+                decoder_name="bmp24-strips-v1",
+            )
+        )
+        .unionByName(
+            feature_extract(
+                load_media_ppm(spark),
+                decode=_decode_ppm,
+                decoder_name="ppm6-strips-v1",
+            )
         )
     )
 

@@ -490,9 +490,40 @@ def test_feature_extract_routes_real_bmp_decoder(spark):
 
 
 # ---------------------------------------------------------------------------
-# Late r10: second real zero-dep codec — binary netpbm P6 (r11 routes it
-# into q_mm_feature_extract's oracle next to the BMP branch)
+# Late r10: second real zero-dep codec — binary netpbm P6, routed into
+# q_mm_feature_extract's oracle next to the BMP branch (the fixture's
+# pix_off column records the pixel offset independently, so the oracle
+# catches header mis-tokenizing instead of trusting the decoder's parse)
 # ---------------------------------------------------------------------------
+
+
+def test_feature_extract_routes_real_ppm_decoder(spark):
+    """The registered query's P6 branch runs the REAL decoder through
+    the same mapInPandas plumbing: every fixture PPM row comes back
+    tagged ppm6-strips-v1 (12 rows spanning canonical, #-comment, and
+    tab-separated headers), and re-decoding one payload driver-side
+    reproduces the distributed result exactly."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _decode_ppm,
+        load_media_ppm,
+        q_mm_feature_extract,
+    )
+
+    out = q_mm_feature_extract(spark, SF_DIR)
+    ppm = out.filter(F.col("mime") == "image/x-portable-pixmap").collect()
+    assert len(ppm) == 12
+    assert {r["decoder"] for r in ppm} == {"ppm6-strips-v1"}
+    assert all(0.0 <= r[f"f{i}"] < 1.0 for r in ppm for i in range(8))
+
+    payload, media_id = (
+        load_media_ppm(spark)
+        .select("payload", "media_id")
+        .orderBy("media_id")
+        .first()
+    )
+    want = _decode_ppm(bytes(payload), "image/x-ppm")
+    got = [r for r in ppm if r["media_id"] == media_id][0]
+    assert [got[f"f{i}"] for i in range(8)] == want
 
 
 def _make_ppm(w, h, pixel_rows, header=None):

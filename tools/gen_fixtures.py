@@ -368,6 +368,54 @@ def main() -> None:
         pa.Table.from_pylist(bmp_rows, schema=schema),
         os.path.join(PQ_DIR, "media_bmp.parquet"),
     )
+
+    # --- REAL-format media fixture #2: binary netpbm P6 (late r10).
+    # Headers VARY (canonical / #-comment lines / tab+double-space
+    # separators — all legal netpbm) and ``pix_off`` records where the
+    # pixel data starts at GENERATION time, so the oracle re-decodes
+    # from an independently recorded offset: a decoder that
+    # mis-tokenizes any header shape produces a value mismatch, not a
+    # silently self-consistent answer. P6 rows are packed (no stride
+    # padding — that axis is the BMP fixture's job).
+    rng5 = random.Random(52525)
+    ppm_rows = []
+    for i, (w, h) in enumerate(
+        [(8, 5), (11, 4), (16, 7), (23, 3), (32, 9), (40, 6),
+         (9, 12), (13, 2), (17, 11), (25, 8), (33, 1), (48, 10)]
+    ):
+        if i % 3 == 0:
+            hdr = f"P6\n{w} {h}\n255\n"
+        elif i % 3 == 1:
+            hdr = f"P6\n# fixture {i}\n{w} {h}\n# maxval next\n255\n"
+        else:
+            hdr = f"P6  {w}\t{h}\n255\n"
+        body = bytes(rng5.randint(0, 255) for _ in range(3 * w * h))
+        ppm_rows.append(
+            {
+                "media_id": 2000 + i,
+                "mime": "image/x-portable-pixmap",
+                "payload": hdr.encode() + body,
+                "width": w,
+                "height": h,
+                "pix_off": len(hdr),
+                "duration_ms": None,
+            }
+        )
+    ppm_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("pix_off", pa.int32()),
+            ("duration_ms", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(ppm_rows, schema=ppm_schema),
+        os.path.join(PQ_DIR, "media_ppm.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
 
 
