@@ -311,19 +311,20 @@ def q_llm_lsh_recall(
     found sides see the SAME docs; recall over the slice estimates
     corpus recall) instead of brute-forcing every pair. The default
     1.0 skips the filter entirely — the registered key's plan is
-    bit-identical to round 9's. ``df_cap`` (was hardcoded, ADVICE r9)
+    bit-identical to round 9's. Out-of-range fractions and fractions
+    below the 1e-6 quantization floor raise ValueError (a zero-doc
+    slice would be silently vacuous); a small VALID slice that happens
+    to contain no true pair emits n_true = 0 with recall NULL — a
+    monitor must treat that as "slice too small, raise sample_frac",
+    never as a pass. ``df_cap`` (was hardcoded, ADVICE r9)
     bounds the truth side's posting lists; a doc whose shingles ALL
     exceed it vanishes from n_true and n_found alike, silently
     inflating recall — ``lsh_recall_dfcapped_docs`` reports exactly
     those docs (the copurchase_dropped_groups no-silent-caps
     pattern)."""
+    _validate_sample_frac(sample_frac)
     sp = shuffle_partitions(spark)
-    docs = load(spark, sf_dir, "documents")
-    if sample_frac < 1.0:
-        docs = docs.filter(
-            F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000))
-            < int(sample_frac * 1_000_000)
-        )
+    docs = _sample_docs(load(spark, sf_dir, "documents"), sample_frac)
     d = _scoped_cache(
         docs.repartition(sp, "doc_id")
         .filter(F.size(tokens("text")) >= 3)
@@ -390,8 +391,40 @@ def q_llm_lsh_recall(
     )
 
 
+def _validate_sample_frac(sample_frac: float) -> None:
+    """Guard the gauge's sampling knob (the heavy-hitters invariant-
+    guard discipline): out-of-range fractions, and fractions below the
+    1e-6 pmod quantization floor — where ``int(frac·1e6) == 0`` selects
+    NO docs and the audit is silently vacuous (n_true = 0, recall
+    NULL) — must refuse loudly instead of green-lighting nothing."""
+    if not 0.0 < sample_frac <= 1.0:
+        raise ValueError(
+            f"sample_frac={sample_frac} must be in (0, 1]"
+        )
+    if sample_frac < 1.0 and int(sample_frac * 1_000_000) == 0:
+        raise ValueError(
+            f"sample_frac={sample_frac} is below the 1e-6 hash-sample "
+            "quantization floor — the pmod slice would select zero docs "
+            "and the recall audit would be vacuous"
+        )
+
+
+def _sample_docs(docs: DataFrame, sample_frac: float) -> DataFrame:
+    """The gauge's deterministic doc_id-hash slice, shared with its
+    observability reporter so both always audit the SAME population."""
+    if sample_frac >= 1.0:
+        return docs
+    return docs.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000))
+        < int(sample_frac * 1_000_000)
+    )
+
+
 def lsh_recall_dfcapped_docs(
-    spark: SparkSession, sf_dir: str, df_cap: int = 256
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int = 256,
+    sample_frac: float = 1.0,
 ) -> DataFrame:
     """The observability half of q_llm_lsh_recall's ``df_cap``
     (ADVICE r9, the copurchase_dropped_groups no-silent-caps pattern):
@@ -399,13 +432,18 @@ def lsh_recall_dfcapped_docs(
     the posting-list cap. Such a doc cannot appear in any truth pair —
     it is removed from n_true and n_found alike, so the recall gauge is
     blind to it; at production scale run this alongside the gauge and
-    alert when it returns rows. At fixture scale it returns zero rows
+    alert when it returns rows. Pass the gauge's ``sample_frac`` so the
+    reporter audits the SAME sampled population (same _sample_docs
+    slice, so df is computed over the slice the gauge actually sees —
+    a full-corpus reporter next to a sampled gauge would page on docs
+    the gauge never audited). At fixture scale it returns zero rows
     (every doc has at least one rare shingle — asserted by
     tests/test_round10_ops.py, which also plants an all-boilerplate
     corpus where the reporter fires)."""
+    _validate_sample_frac(sample_frac)
     sp = shuffle_partitions(spark)
     d = (
-        load(spark, sf_dir, "documents")
+        _sample_docs(load(spark, sf_dir, "documents"), sample_frac)
         .repartition(sp, "doc_id")
         .filter(F.size(tokens("text")) >= 3)
         .select("doc_id", shingles(tokens("text")).alias("sh"))

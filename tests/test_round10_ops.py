@@ -206,6 +206,45 @@ def test_lsh_recall_dfcapped_docs_reporter(spark):
     assert capped.count() == n_shingled
 
 
+def test_lsh_recall_sample_frac_validation_and_reporter_alignment(spark):
+    """Review finding (late r10): the sampling knob must refuse
+    fractions outside (0, 1] and fractions below the 1e-6 pmod
+    quantization floor (a zero-doc slice makes the audit silently
+    vacuous — the heavy-hitters guard discipline); and the reporter
+    must audit the SAME sampled population as the gauge, so at a
+    degenerate df_cap its row count equals the number of shingled docs
+    IN THE SLICE, not in the full corpus."""
+    from micmac_li3ds_spark.functions.text import tokens
+    from micmac_li3ds_spark.operators.llm_text import (
+        _sample_docs,
+        lsh_recall_dfcapped_docs,
+        q_llm_lsh_recall,
+    )
+    from micmac_li3ds_spark.tables import load
+
+    for bad in (0.0, -0.25, 1.5, 5e-7):
+        with pytest.raises(ValueError):
+            q_llm_lsh_recall(spark, SF_DIR, sample_frac=bad)
+        with pytest.raises(ValueError):
+            lsh_recall_dfcapped_docs(spark, SF_DIR, sample_frac=bad)
+
+    n_slice = (
+        _sample_docs(load(spark, SF_DIR, "documents"), 0.5)
+        .filter(F.size(tokens("text")) >= 3)
+        .count()
+    )
+    n_full = (
+        load(spark, SF_DIR, "documents")
+        .filter(F.size(tokens("text")) >= 3)
+        .count()
+    )
+    assert 0 < n_slice < n_full
+    reported = lsh_recall_dfcapped_docs(
+        spark, SF_DIR, df_cap=0, sample_frac=0.5
+    ).count()
+    assert reported == n_slice  # slice population, not full corpus
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r9: DurableLoopState orphan sweep after a mid-prune crash
 # ---------------------------------------------------------------------------
