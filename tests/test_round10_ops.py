@@ -1,11 +1,15 @@
 """Round-10 consolidation tests.
 
 The round-9 verdict made round 10 a consolidation round: rewrite the
-nearest-centroid argmin from a per-vector window to a map-side min_by
-(item 2), parameterize the lsh_recall production posture (item 3), give
-k-core a loop-until-stable variant (item 4), and land one REAL
-multimodal decoder (item 5). Each change ships with the equivalence /
-property tests demanded by the verdict's done-criteria.
+nearest-centroid argmin from a per-vector window to a map-side
+aggregate (item 2 — first spelled min_by-over-struct, then refined to
+a packed BIGINT ordering key when the TIMING gate showed the struct
+buffer forces SortAggregate), parameterize the lsh_recall production
+posture (item 3), give k-core a loop-until-stable variant (item 4),
+and land REAL multimodal decoders (item 5 — uncompressed 24bpp BMP,
+then binary netpbm P6). Each change ships with the equivalence /
+property tests demanded by the verdict's done-criteria, plus the late
+self-review fixes (sample_frac validation, reporter slice alignment).
 """
 
 from __future__ import annotations
