@@ -209,62 +209,80 @@ _loaded = False
 #            tools/check.py-verified green this round (PQ trio also at
 #            13-thread parallelism) and LEAD the round-11 window
 #            (their existing rows attest superseded code).
+#   round 11 (this window): consolidation by arithmetic — zero free
+#            slots. The staleness invariant (max_round−4, with
+#            CORRECTNESS_r10 on disk) enumerates exactly 50 keys whose
+#            newest row is round 6; all 50 ARE this window, in the
+#            invariant's own enumeration order. Critically the stratum
+#            contains 4 of the 5 keys whose CODE changed in round 10
+#            on only an r6 hash (q_mm_feature_extract — now the
+#            four-branch stub/BMP/P6/WAV union after this round's WAV
+#            PCM codec; the PQ trio q_llm_pq_encode / q_llm_knn_pq /
+#            q_llm_knn_pq_refine on the packed-ordering-key rewrite)
+#            plus q_llm_kmeans_fix, whose assignment stage is migrated
+#            THIS round (with q_llm_kmeans_step, not in any window)
+#            from the retired Window.partitionBy(vec_id) row_number
+#            argmin onto the packed-BIGINT nearest_centroid_assign —
+#            so the migration attests in its birth round.
+#            q_llm_kmeans_step's and q_llm_lsh_recall's re-attestations
+#            take 2 of the 3 free round-12 slots (r7 stratum = 47).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- re-attest: argmin rewritten to map-side packed-key min this round ---
-    "q_llm_cluster_assign",
-    "q_llm_semantic_dedup",
-    # --- freshness: all 48 queries whose newest row is round 5 ---
-    "q_pricing_summary",
-    "q_agg_grouping_sets",
-    "q_agg_pivot",
-    "q_agg_conditional",
-    "q_join_broadcast",
-    "q_join_range",
-    "q_join_asof",
-    "q_join_self",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_moving",
-    "q_win_dedup_latest",
-    "q_fn_json",
-    "q_fn_variant",
-    "q_llm_exact_dedup",
-    "q_llm_tokenize_tf",
-    "q_llm_knn",
-    "q_llm_embed_dedup",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_large_volume_customer",
-    "q_event_funnel",
-    "q_etl_fk_check",
-    "q_llm_train_split",
-    "q_llm_seq_pack",
-    "q_etl_scd2",
-    "q_stream_tumbling",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_dedup_subset",
-    "q_udf_mapinpandas",
-    "q_event_retention",
-    "q_win_range_frame",
-    "q_agg_listagg",
-    "q_agg_boolean",
-    "q_agg_mode",
-    "q_join_lateral",
-    "q_fn_bitwise",
-    "q_fn_hash",
-    "q_fn_interval",
-    "q_llm_token_count",
-    "q_llm_fingerprint",
-    "q_etl_transfo_closure_cte",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_sample_stratified",
-    "q_mm_payload_hash",
-    "q_mm_header_parse",
+    # --- all 50 queries whose newest row is round 6 (forced: zero free
+    # slots; includes the r10-code-changed PQ trio + q_mm_feature_extract
+    # and the r11-migrated q_llm_kmeans_fix) ---
+    "q_agg_approx_distinct",
+    "q_llm_near_dedup",
+    "q_win_percent_rank",
+    "q_llm_chunk_split",
+    "q_llm_dup_ratio_by_source",
+    "q_llm_curate_pipeline",
+    "q_llm_mixture_sample",
+    "q_profile_columns_sketch",
+    "q_ts_gap_fill",
+    "q_etl_xml_normalize",
+    "q_scan_xml",
+    "q_mm_feature_extract",
+    "q_mm_frame_sample",
+    "q_win_cumulative_distinct",
+    "q_ts_resample_ohlc",
+    "q_event_funnel_windowed",
+    "q_etl_cdc_apply",
+    "q_llm_posting_lists",
+    "q_agg_bitmap_distinct",
+    "q_graph_pagerank_step",
+    "q_win_anomaly_zscore",
+    "q_llm_dedup_keep_best",
+    "q_llm_pq_encode",
+    "q_llm_knn_pq",
+    "q_llm_knn_pq_refine",
+    "q_stream_ohlc",
+    "q_top_supplier",
+    "q_market_share",
+    "q_llm_containment",
+    "q_agg_approx_quantile",
+    "q_ts_ewma",
+    "q_concurrent_sessions",
+    "q_graph_pagerank_fix",
+    "q_llm_substring_dup",
+    "q_llm_kmeans_fix",
+    "q_sink_csv_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_join_fuzzy",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_important_parts",
+    "q_supplier_part_count",
+    "q_excess_volume_supplier",
+    "q_etl_dq_summary",
+    "q_event_attribution",
+    "q_win_streaks",
+    "q_agg_mad",
+    "q_etl_incremental_agg",
+    "q_join_spatial_grid",
+    "q_llm_vocab_induction",
 ]
 
 
