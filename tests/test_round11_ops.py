@@ -239,6 +239,149 @@ def test_argmin_rejects_out_of_range_cids_at_execution(spark, bad_cid):
         nearest_centroid_assign(e, c).collect()
 
 
+# ---------------------------------------------------------------------------
+# Verdict item 4: real zero-dependency WAV PCM decoder
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(samples, n_ch=1, rate=8000, pre_chunks=b""):
+    """Hand-assemble a RIFF/WAVE payload (mirrors the fixture
+    generator's layout, reimplemented here so a shared bug can't be
+    self-consistent)."""
+    data = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples
+    )
+    fmt_body = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2 * n_ch).to_bytes(4, "little")
+        + (2 * n_ch).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + pre_chunks
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_decode_wav_known_samples():
+    """8 samples → 8 windows of one sample each: features are exactly
+    |s|/32768 per sample, checked against hand-computed values
+    (including the −32768 edge, whose |·| is 32768 → feature 1.0)."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_wav
+
+    samples = [0, 16384, -16384, 32767, -32768, 1, -1, 8192]
+    got = _decode_wav(_wav_bytes(samples), "audio/x-wav-pcm")
+    want = [abs(s) / 32768.0 for s in samples]
+    assert got == want
+
+
+def test_decode_wav_windowing_matches_strip_rule():
+    """n=12 samples into 8 windows via (j·8)//12: windows {0,3,6} get
+    two samples, the rest one — verify the exact partition and the
+    integer-sum/one-division arithmetic."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_wav
+
+    samples = list(range(100, 1300, 100))  # 100..1200, 12 samples
+    got = _decode_wav(_wav_bytes(samples), "audio/x-wav-pcm")
+    wins = [[] for _ in range(8)]
+    for j, s in enumerate(samples):
+        wins[(j * 8) // 12].append(abs(s))
+    want = [sum(w) / (32768.0 * len(w)) for w in wins]
+    assert got == want
+    assert [len(w) for w in wins] == [2, 1, 2, 1, 2, 1, 2, 1]
+
+
+def test_decode_wav_walks_interleaved_and_odd_chunks():
+    """The chunk walk must skip a LIST chunk between fmt and data AND
+    honor RIFF word alignment for an odd-sized chunk (pad byte) —
+    decoding the same samples to the same features regardless of the
+    junk between the chunks."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_wav
+
+    samples = [1000, -2000, 3000, -4000, 5000, -6000, 7000, -8000]
+    base = _decode_wav(_wav_bytes(samples), "audio/x-wav-pcm")
+    lst = b"LIST" + (8).to_bytes(4, "little") + b"INFOfix!"
+    odd = b"junk" + (7).to_bytes(4, "little") + b"\x01" * 7 + b"\x00"
+    for pre in (lst, odd, lst + odd):
+        assert _decode_wav(
+            _wav_bytes(samples, pre_chunks=pre), "audio/x-wav-pcm"
+        ) == base
+
+
+@pytest.mark.parametrize(
+    "mutate, match",
+    [
+        (lambda b: b"JUNK" + b[4:], "not a RIFF/WAVE"),
+        (lambda b: b.replace(b"fmt ", b"fmtX"), "missing fmt"),
+        (lambda b: b.replace(b"data", b"datt"), "missing fmt /data"),
+        (
+            lambda b: b.replace(
+                (1).to_bytes(2, "little") + (1).to_bytes(2, "little"),
+                (3).to_bytes(2, "little") + (1).to_bytes(2, "little"),
+                1,
+            ),
+            "only 16-bit PCM",
+        ),
+    ],
+)
+def test_decode_wav_rejects_malformed(mutate, match):
+    from micmac_li3ds_spark.operators.multimodal import _decode_wav
+
+    payload = mutate(_wav_bytes([100, 200, 300, 400, 500, 600, 700, 800]))
+    with pytest.raises(ValueError, match=match):
+        _decode_wav(payload, "audio/x-wav-pcm")
+
+
+def test_decode_wav_rejects_truncated_data():
+    from micmac_li3ds_spark.operators.multimodal import _decode_wav
+
+    good = _wav_bytes([100, 200, 300, 400, 500, 600, 700, 800])
+    with pytest.raises(ValueError, match="truncated data"):
+        _decode_wav(good[:-4], "audio/x-wav-pcm")
+
+
+def test_wav_fixture_offsets_match_decoder_walk(spark):
+    """The fixture's generation-time (data_off, n_samples) — the
+    oracle's independent coordinates — must agree with what the
+    decoder's own chunk walk finds, for every fixture row (all three
+    chunk layouts)."""
+    import struct
+
+    from micmac_li3ds_spark.operators.multimodal import load_media_wav
+
+    for r in load_media_wav(spark).collect():
+        p = bytes(r["payload"])
+        i = 12
+        found = None
+        while i + 8 <= len(p):
+            (sz,) = struct.unpack_from("<I", p, i + 4)
+            if p[i : i + 4] == b"data":
+                found = (i + 8, sz // 2)
+                break
+            i += 8 + sz + (sz & 1)
+        assert found == (r["data_off"], r["n_samples"]), r["media_id"]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 item 4: P6 post-maxval byte must be whitespace
+# ---------------------------------------------------------------------------
+
+
+def test_decode_ppm_rejects_comment_glued_to_maxval():
+    """'P6\\n8 2\\n255# c\\n…' — a comment byte immediately after the
+    maxval token previously mis-offset the pixel data or failed
+    confusingly; it must now raise a clear malformed-header error."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_ppm
+
+    payload = b"P6\n8 2\n255# c\n" + bytes(48)
+    with pytest.raises(ValueError, match="malformed P6 header"):
+        _decode_ppm(payload, "image/x-portable-pixmap")
+
+
 def test_int_dist_packed_key_is_lexicographic():
     """Pure-python mirror of the int_dist packing contract: for integer
     distances up to the documented 2^63/_ARGMIN_CID_MULT headroom, min

@@ -416,6 +416,79 @@ def main() -> None:
         pa.Table.from_pylist(ppm_rows, schema=ppm_schema),
         os.path.join(PQ_DIR, "media_ppm.parquet"),
     )
+
+    # --- REAL-format media fixture #3: 16-bit PCM RIFF/WAVE (r11,
+    # r10 verdict item 4). Chunk layouts VARY — canonical fmt→data,
+    # an interleaved LIST chunk between fmt and data, and an
+    # ODD-sized junk chunk (whose RIFF pad byte a naive walker
+    # misses) — and ``data_off``/``n_samples`` record where the
+    # sample data lives at GENERATION time, so the oracle re-decodes
+    # from independently recorded coordinates: a chunk mis-walk is a
+    # value mismatch, not a silently self-consistent answer. Samples
+    # are random full-range int16 (including ±extremes); mono and
+    # stereo both appear (the decoder windows the interleaved stream,
+    # so channel count only changes metadata).
+    rng6 = random.Random(636363)
+    wav_rows = []
+    for i, (n_frames, n_ch) in enumerate(
+        [(8, 1), (100, 1), (100, 2), (250, 1), (250, 2), (512, 1),
+         (33, 2), (64, 1), (9, 1), (300, 2), (400, 1), (128, 2)]
+    ):
+        rate = [8000, 16000, 44100][i % 3]
+        n_samples = n_frames * n_ch
+        data = b"".join(
+            rng6.randint(-32768, 32767).to_bytes(2, "little", signed=True)
+            for _ in range(n_samples)
+        )
+        block_align = 2 * n_ch
+        fmt_body = (
+            (1).to_bytes(2, "little")
+            + n_ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * block_align).to_bytes(4, "little")
+            + block_align.to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        chunks = b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        if i % 3 == 1:  # interleaved LIST chunk between fmt and data
+            info = b"INFOICMT" + (8).to_bytes(4, "little") + b"fixture!"
+            chunks += b"LIST" + len(info).to_bytes(4, "little") + info
+        elif i % 3 == 2:  # odd-sized junk chunk → RIFF pad byte
+            junk = bytes(rng6.randint(0, 255) for _ in range(7))
+            chunks += b"junk" + len(junk).to_bytes(4, "little") + junk + b"\x00"
+        chunks += b"data" + len(data).to_bytes(4, "little") + data
+        payload = (
+            b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+        )
+        data_off = len(payload) - len(data)
+        wav_rows.append(
+            {
+                "media_id": 3000 + i,
+                "mime": "audio/x-wav-pcm",
+                "payload": payload,
+                "n_samples": n_samples,
+                "n_channels": n_ch,
+                "sample_rate": rate,
+                "data_off": data_off,
+                "duration_ms": n_frames * 1000 // rate,
+            }
+        )
+    wav_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("n_samples", pa.int32()),
+            ("n_channels", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("data_off", pa.int32()),
+            ("duration_ms", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(wav_rows, schema=wav_schema),
+        os.path.join(PQ_DIR, "media_wav.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
 
 
