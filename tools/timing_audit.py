@@ -43,6 +43,16 @@ from micmac_li3ds_spark.session import get_spark  # noqa: E402
 MIN_REGRESSION_SEC = 2.0
 
 
+def _loadavg() -> list[float] | None:
+    """Mirror of bench.py's guarded loadavg read (ADVICE r10: the two
+    telemetry paths were inconsistent — this one crashed pre-Spark on
+    platforms without os.getloadavg)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        return None
+
+
 def _artifacts_newest_first() -> list[str]:
     arts = glob.glob(os.path.join(_REPO, "TIMING_r*.json"))
 
@@ -122,8 +132,10 @@ def main() -> int:
     args = ap.parse_args()
 
     # ambient load BEFORE Spark starts — a loaded run is attributable
-    # from the artifact alone (the bench telemetry pattern)
-    load_start = [round(x, 2) for x in os.getloadavg()]
+    # from the artifact alone (the bench telemetry pattern; guarded like
+    # bench.py's _load_telemetry so a non-POSIX platform audits instead
+    # of crashing pre-Spark, ADVICE r10)
+    load_start = _loadavg()
 
     spark = get_spark("timing-audit", cpus=32, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -159,6 +171,7 @@ def main() -> int:
     errors: dict[str, str] = {}
     for name in names:
         spark.catalog.clearCache()
+        cold = None
         t0 = time.time()
         try:
             n = len(regs[name].fn(spark, args.sf).collect())
@@ -168,7 +181,11 @@ def main() -> int:
             warm = time.time() - t1
         except Exception as exc:  # keep auditing the rest
             errors[name] = str(exc)[:200]
-            timings.append((time.time() - t0, name, f"ERR {exc}"[:60]))
+            # ADVICE r10: if the WARM rerun raised after a clean cold
+            # run, record the completed cold time — cumulative elapsed
+            # would silently inflate the errored query by a whole run
+            elapsed = cold if cold is not None else time.time() - t0
+            timings.append((elapsed, name, f"ERR {exc}"[:60]))
             continue
         sec = min(cold, warm)
         colds[name] = round(cold, 3)
