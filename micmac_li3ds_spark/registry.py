@@ -224,8 +224,15 @@ _loaded = False
 #            from the retired Window.partitionBy(vec_id) row_number
 #            argmin onto the packed-BIGINT nearest_centroid_assign —
 #            so the migration attests in its birth round.
-#            q_llm_kmeans_step's and q_llm_lsh_recall's re-attestations
-#            take 2 of the 3 free round-12 slots (r7 stratum = 47).
+#            Round-12 slot ledger (r7 stratum = 47 forced, 3 free):
+#            the free slots go to q_llm_kmeans_step (r11 argmin
+#            migration on a stale hash), q_llm_lsh_recall (r10
+#            sample_frac parameterization), and q_llm_cluster_assign
+#            (the r11 cid-value guard touched shared
+#            nearest_centroid_assign code). q_llm_semantic_dedup — the
+#            guard's other consumer, equivalence-tested and locally
+#            check.py-green on current code — waits one round and
+#            LEADS round 13 (r8 stratum = 48, two free slots).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
