@@ -58,6 +58,9 @@ MEDIA_PPM_PARQUET = os.path.join(
 MEDIA_WAV_PARQUET = os.path.join(
     _REPO, "fixtures", "parquet", "media_wav.parquet"
 )
+MEDIA_PNG_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_png.parquet"
+)
 
 
 def load_media(spark: SparkSession) -> DataFrame:
@@ -74,6 +77,10 @@ def load_media_ppm(spark: SparkSession) -> DataFrame:
 
 def load_media_wav(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(MEDIA_WAV_PARQUET)
+
+
+def load_media_png(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_PNG_PARQUET)
 
 
 @register(
@@ -341,6 +348,105 @@ def _decode_wav(payload: bytes, mime: str) -> list[float]:
     ]
 
 
+def _decode_png(payload: bytes, mime: str) -> list[float]:
+    """REAL decoder #4, zero new deps — and the first COMPRESSED
+    format: PNG, 8-bit RGB (color type 2), non-interlaced, via stdlib
+    ``zlib``. The chunk walk verifies every chunk's CRC32, concatenates
+    ALL IDAT chunks before inflating (the spec allows any split — a
+    decoder that reads only the first IDAT dies here on the multi-IDAT
+    fixtures), and requires IEND. Scanline unfiltering implements the
+    INVERSE of all five PNG filter types (None/Sub/Up/Average/Paeth);
+    the fixture generator implements the forward APPLY independently,
+    so a filter bug on either side is a value mismatch against the
+    generation-time ``raw_px`` ground truth the oracle recomputes from
+    (SQL cannot inflate zlib, so the oracle branch uses recorded raw
+    bytes rather than re-decoding the payload — the one place the
+    re-decode-in-SQL discipline is physically unavailable).
+
+    Features are the shared ``_strip_means`` contract (same as BMP/P6).
+    The per-byte unfilter loop is Python — inherent to the sequential
+    left-neighbor dependency of Sub/Average/Paeth; at scale the decode
+    parallelizes per item across Arrow batches (mapInPandas), and a
+    real deployment would swap in libpng/PIL via the probe seam.
+    Raises on anything but the one format it really decodes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i, ihdr, idat, saw_end = 8, None, [], False
+    while i + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, i)
+        typ = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        if len(body) < ln or i + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + ln)
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            saw_end = True
+            break
+        i += 12 + ln
+    if ihdr is None or not idat or not saw_end:
+        raise ValueError("missing IHDR/IDAT/IEND chunk in PNG payload")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or inter != 0 \
+            or h <= 0 or w < _FEAT_DIM:
+        raise ValueError(
+            f"only 8-bit RGB non-interlaced PNG with width >= {_FEAT_DIM} "
+            f"supported (got depth={depth} color={ctype} comp={comp} "
+            f"filter_method={filt} interlace={inter} w={w} h={h})"
+        )
+    stream = zlib.decompress(b"".join(idat))
+    stride = 3 * w
+    if len(stream) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG pixel stream length mismatch (got {len(stream)}, "
+            f"want {(stride + 1) * h})"
+        )
+    prior = bytes(stride)
+    rows = []
+    for r in range(h):
+        off = r * (stride + 1)
+        f = stream[off]
+        cur = bytearray(stream[off + 1 : off + 1 + stride])
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub: + reconstructed left (a = 0 for i < 3)
+            for j in range(3, stride):
+                cur[j] = (cur[j] + cur[j - 3]) & 0xFF
+        elif f == 2:  # Up: + reconstructed above
+            for j in range(stride):
+                cur[j] = (cur[j] + prior[j]) & 0xFF
+        elif f == 3:  # Average: + floor((a + b) / 2)
+            for j in range(stride):
+                a = cur[j - 3] if j >= 3 else 0
+                cur[j] = (cur[j] + ((a + prior[j]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: + nearest of (a, b, c) to p = a + b - c
+            for j in range(stride):
+                a = cur[j - 3] if j >= 3 else 0
+                b = prior[j]
+                c = prior[j - 3] if j >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                cur[j] = (cur[j] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prior = bytes(cur)
+        rows.append(prior)
+    px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, 3)
+    col_sums = px.sum(axis=2, dtype=np.int64).sum(axis=0)
+    return _strip_means(col_sums, w, h)
+
+
 def _decode_pil_image(payload: bytes, mime: str) -> list[float]:
     """REAL image decode path — import-gated on PIL, which this
     container lacks. The decode-or-skip probe
@@ -543,30 +649,84 @@ FROM sums GROUP BY media_id, mime
 """
 
 
+def _png_feature_oracle() -> str:
+    """DuckDB recomputation of the PNG strip means from the fixture's
+    ``raw_px`` column — the packed RGB bytes recorded at GENERATION
+    time, BEFORE the encoder filtered and zlib-compressed them. SQL
+    cannot inflate zlib, so this branch cannot re-decode the payload
+    the way the BMP/PPM/WAV oracles do; instead the encoder (filter
+    APPLY, gen_fixtures.py) and the decoder (filter INVERSE,
+    _decode_png) are independent implementations meeting at the
+    ground-truth bytes: any chunk-walk, inflate-reassembly, or
+    unfilter bug on the Spark side disagrees with this recomputation.
+    raw_px is packed like P6 pixel data, so the arithmetic is the PPM
+    oracle's with offset 0."""
+    byte = (
+        "CAST('0x' || substring(hx, ((r * w + x) * 3 + {d}) * 2 + 1,"
+        " 2) AS INTEGER)"
+    )
+    rgb = " + ".join(byte.format(d=d) for d in range(3))
+    cols = ",\n       ".join(
+        f"MAX(CASE WHEN strip = {i} THEN CAST(s AS DOUBLE) / (768.0 * npix)"
+        f" END) AS f{i}"
+        for i in range(_FEAT_DIM)
+    )
+    return f"""
+WITH src AS (
+  SELECT media_id, mime, hex(raw_px) AS hx, width AS w, height AS h
+  FROM read_parquet('{MEDIA_PNG_PARQUET}')
+),
+xs AS (
+  SELECT media_id, mime, hx, h, w,
+         CAST(unnest(range(0, w)) AS BIGINT) AS x
+  FROM src
+),
+px AS (
+  SELECT media_id, mime, hx, w, x, (x * {_FEAT_DIM}) // w AS strip,
+         CAST(unnest(range(0, h)) AS BIGINT) AS r
+  FROM xs
+),
+sums AS (
+  SELECT media_id, mime, strip, SUM({rgb}) AS s, COUNT(*) AS npix
+  FROM px GROUP BY media_id, mime, strip
+)
+SELECT media_id, mime,
+       {cols},
+       'png8-strips-v1' AS decoder
+FROM sums GROUP BY media_id, mime
+"""
+
+
 @register(
     "q_mm_feature_extract",
     oracle=(
         "SELECT * FROM (" + _feature_oracle() + ")\nUNION ALL\n"
         "SELECT * FROM (" + _bmp_feature_oracle() + ")\nUNION ALL\n"
         "SELECT * FROM (" + _ppm_feature_oracle() + ")\nUNION ALL\n"
-        "SELECT * FROM (" + _wav_feature_oracle() + ")"
+        "SELECT * FROM (" + _wav_feature_oracle() + ")\nUNION ALL\n"
+        "SELECT * FROM (" + _png_feature_oracle() + ")"
     ),
     tags=("multimodal", "mapinpandas"),
 )
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas): the
     real multimodal hot path. Batch shape, schema, and iterator
-    semantics are production-real, and THREE formats are decoded for
+    semantics are production-real, and FOUR formats are decoded for
     REAL in this container: media_bmp rows go through _decode_bmp
     (struct+numpy 24bpp BMP), media_ppm rows through _decode_ppm
-    (binary netpbm P6, byte-wise header tokenizer), and — since round
-    11 — media_wav rows through _decode_wav (16-bit PCM RIFF/WAVE with
-    a real chunk walk). The image decoders emit the shared strip-mean
-    contract, the audio decoder its time-window twin (mean absolute
-    amplitude), and each DuckDB oracle branch re-decodes the same
-    bytes in SQL (the PPM/WAV branches from independently recorded
-    generation-time offsets, so header mis-tokenizing or a chunk
-    mis-walk cannot be self-consistently wrong). The
+    (binary netpbm P6, byte-wise header tokenizer), media_wav rows
+    through _decode_wav (16-bit PCM RIFF/WAVE with a real chunk walk),
+    and — late round 11 — media_png rows through _decode_png (8-bit
+    RGB PNG: CRC-checked chunk walk, multi-IDAT zlib inflate, all five
+    scanline filters inverted — the first COMPRESSED format, stdlib
+    zlib). The image decoders emit the shared strip-mean contract, the
+    audio decoder its time-window twin (mean absolute amplitude), and
+    each DuckDB oracle branch recomputes the features from independent
+    bytes in SQL (BMP re-decodes the payload outright; PPM/WAV
+    re-decode from independently recorded generation-time offsets;
+    PNG — where SQL cannot inflate zlib — from the generation-time
+    raw_px ground truth, the encoder and decoder being independent
+    filter implementations). The
     media.parquet rows (fake-container png/wav/mp4) keep the
     deterministic _decode_stub so their codec-less hash algebra stays
     oracle-checkable; feature dims are unpacked to scalar columns
@@ -595,6 +755,13 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 load_media_wav(spark),
                 decode=_decode_wav,
                 decoder_name="wav16-winabs-v1",
+            )
+        )
+        .unionByName(
+            feature_extract(
+                load_media_png(spark),
+                decode=_decode_png,
+                decoder_name="png8-strips-v1",
             )
         )
     )

@@ -400,3 +400,223 @@ def test_int_dist_packed_key_is_lexicographic():
         want = min(pairs)
         got = min(pairs, key=lambda p: p[0] * M + p[1])
         assert got == want, pairs
+
+# ---------------------------------------------------------------------------
+# Late r11: real zero-dependency PNG decoder (first compressed format)
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(raw, w, h, filters, zlevel=6, n_idat=1, breaker=None):
+    """Hand-assemble an 8-bit RGB non-interlaced PNG (mirrors the
+    fixture generator's ENCODER, reimplemented here so a shared
+    filter-apply bug can't be self-consistent). ``breaker`` lets the
+    malformed-payload tests corrupt one assembly step."""
+    import zlib
+
+    def chunk(typ, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    stride = 3 * w
+    prior = bytes(stride)
+    lines = []
+    for r in range(h):
+        cur = raw[r * stride : (r + 1) * stride]
+        f = filters[r % len(filters)]
+        out = bytearray()
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prior[i]
+            c = prior[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            out.append((cur[i] - pred) & 0xFF)
+        lines.append(bytes([f]) + bytes(out))
+        prior = cur
+    stream = b"".join(lines)
+    if breaker == "filter_type":
+        stream = b"\x05" + stream[1:]
+    z = zlib.compress(stream, zlevel)
+    step = max(1, (len(z) + n_idat - 1) // n_idat)
+    parts = [z[i : i + step] for i in range(0, len(z), step)]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    if breaker == "gray":
+        ihdr = ihdr[:9] + bytes([0]) + ihdr[10:]
+    if breaker == "interlace":
+        ihdr = ihdr[:12] + bytes([1])
+    out = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + b"".join(chunk(b"IDAT", p) for p in parts)
+    )
+    if breaker != "no_iend":
+        out += chunk(b"IEND", b"")
+    return out
+
+
+def _strip_truth(raw, w, h):
+    import numpy as np
+
+    from micmac_li3ds_spark.operators.multimodal import _strip_means
+
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    return _strip_means(px.sum(axis=2, dtype=np.int64).sum(axis=0), w, h)
+
+
+def test_decode_png_solid_color_every_filter():
+    """A solid-color image has every strip mean equal to (r+g+b)/768
+    exactly, whatever filter encodes it — checked per filter type."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_png
+
+    raw = bytes([10, 200, 33]) * (16 * 4)
+    want = [(10 + 200 + 33) / 768.0] * 8
+    for f in range(5):
+        assert _decode_png(_png_bytes(raw, 16, 4, [f]), "image/png") == want
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_decode_png_each_filter_inverts_exactly(filt):
+    """Random pixels, every scanline under one filter type: the
+    decoder's inverse must reproduce the numpy ground truth of the raw
+    bytes bit-exactly (isolates a per-filter bug to its type)."""
+    import random
+
+    from micmac_li3ds_spark.operators.multimodal import _decode_png
+
+    rng = random.Random(1000 + filt)
+    w, h = 13, 7
+    raw = bytes(rng.randint(0, 255) for _ in range(3 * w * h))
+    got = _decode_png(_png_bytes(raw, w, h, [filt]), "image/png")
+    assert got == _strip_truth(raw, w, h)
+
+
+def test_decode_png_multi_idat_and_level_invariance():
+    """The same pixels through 1 vs 4 IDAT chunks and zlib levels
+    0 (stored) vs 9 must decode identically — exercises IDAT
+    concatenation-before-inflate and inflate of stored blocks."""
+    import random
+
+    from micmac_li3ds_spark.operators.multimodal import _decode_png
+
+    rng = random.Random(77)
+    w, h = 11, 6
+    raw = bytes(rng.randint(0, 255) for _ in range(3 * w * h))
+    base = _decode_png(_png_bytes(raw, w, h, [0, 1, 2, 3, 4]), "image/png")
+    assert base == _strip_truth(raw, w, h)
+    for zlevel, n_idat in ((0, 1), (9, 4), (0, 4)):
+        assert (
+            _decode_png(
+                _png_bytes(raw, w, h, [0, 1, 2, 3, 4], zlevel, n_idat),
+                "image/png",
+            )
+            == base
+        )
+
+
+def test_decode_png_paeth_tie_breaking():
+    """Paeth prefers a, then b, then c on ties (PNG spec order). A
+    first row under Paeth has b = c = 0 so the predictor must be a —
+    an encoder/decoder pair that both get tie order wrong would still
+    agree, so check the DECODED PIXELS against hand-applied spec."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_png
+
+    # w=8, h=1: one Paeth row; a-chain reconstruction
+    raw = bytes([5, 5, 5, 10, 10, 10, 10, 10, 10, 7, 7, 7] * 2)
+    got = _decode_png(_png_bytes(raw, 8, 1, [4]), "image/png")
+    assert got == _strip_truth(raw, 8, 1)
+
+
+@pytest.mark.parametrize(
+    "mutate, match",
+    [
+        (lambda b: b"JUNK" + b[4:], "not a PNG"),
+        # flip one bit inside the first IDAT body -> CRC mismatch
+        (
+            lambda b: b[:45] + bytes([b[45] ^ 0x01]) + b[46:],
+            "CRC mismatch",
+        ),
+        (lambda b: b[: len(b) - 12], "missing IHDR/IDAT/IEND"),
+    ],
+)
+def test_decode_png_rejects_corruption(mutate, match):
+    from micmac_li3ds_spark.operators.multimodal import _decode_png
+
+    raw = bytes(range(48)) * 2  # 8x4 RGB
+    payload = mutate(_png_bytes(raw, 8, 4, [0]))
+    with pytest.raises(ValueError, match=match):
+        _decode_png(payload, "image/png")
+
+
+@pytest.mark.parametrize(
+    "breaker, match",
+    [
+        ("gray", "only 8-bit RGB"),
+        ("interlace", "only 8-bit RGB"),
+        ("filter_type", "unknown PNG filter type"),
+        ("no_iend", "missing IHDR/IDAT/IEND"),
+    ],
+)
+def test_decode_png_rejects_unsupported(breaker, match):
+    from micmac_li3ds_spark.operators.multimodal import _decode_png
+
+    raw = bytes(range(48)) * 2
+    payload = _png_bytes(raw, 8, 4, [0], breaker=breaker)
+    with pytest.raises(ValueError, match=match):
+        _decode_png(payload, "image/png")
+
+
+def test_png_fixtures_decode_to_generation_ground_truth(spark):
+    """Every committed fixture row: the full decode (chunk walk + CRC +
+    multi-IDAT inflate + unfilter) must land exactly on the strip means
+    of the generation-time raw_px bytes — the coordinates the oracle
+    recomputes from, so this is the decoder≡oracle bridge."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _decode_png,
+        load_media_png,
+    )
+
+    rows = load_media_png(spark).collect()
+    assert len(rows) == 12
+    for r in rows:
+        got = _decode_png(bytes(r["payload"]), r["mime"])
+        assert got == _strip_truth(
+            bytes(r["raw_px"]), r["width"], r["height"]
+        ), r["media_id"]
+
+
+def test_feature_extract_png_branch_distributed(spark):
+    """The registered union query carries the PNG branch through the
+    real mapInPandas plumbing: 12 rows tagged png8-strips-v1, features
+    matching the local decode."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _decode_png,
+        load_media_png,
+        q_mm_feature_extract,
+    )
+
+    out = (
+        q_mm_feature_extract(spark, SF_DIR)
+        .filter(F.col("decoder") == "png8-strips-v1")
+        .collect()
+    )
+    assert len(out) == 12
+    local = {
+        r["media_id"]: _decode_png(bytes(r["payload"]), r["mime"])
+        for r in load_media_png(spark).collect()
+    }
+    for row in out:
+        assert [row[f"f{i}"] for i in range(8)] == local[row["media_id"]]

@@ -489,7 +489,118 @@ def main() -> None:
         pa.Table.from_pylist(wav_rows, schema=wav_schema),
         os.path.join(PQ_DIR, "media_wav.parquet"),
     )
+
+    # --- REAL-format media fixture #4: PNG, 8-bit RGB non-interlaced
+    # (late r11) — the first COMPRESSED format (stdlib zlib, still zero
+    # new deps). This generator is the ENCODER side (filter APPLY:
+    # raw[i] − predictor), the decoder in multimodal.py is the INVERSE
+    # (recon[i] + predictor) — two independent implementations of the
+    # PNG filter spec, so a filter bug on either side is a value
+    # mismatch, not self-consistent. Per-row filter types cycle through
+    # all five (None/Sub/Up/Average/Paeth); some fixtures pin a single
+    # filter so a per-filter bug is attributable. zlib levels vary
+    # (0 = stored deflate blocks), and some payloads split the
+    # compressed stream across MULTIPLE IDAT chunks — decoders that
+    # read only the first IDAT fail loudly. ``raw_px`` records the
+    # packed RGB bytes at GENERATION time (the pix_off discipline,
+    # adapted: SQL cannot inflate zlib, so the oracle recomputes the
+    # strip means from these ground-truth bytes instead of re-decoding
+    # the payload).
+    rng7 = random.Random(747474)
+    png_rows = []
+    for i, (w, h) in enumerate(
+        [(8, 5), (11, 4), (16, 7), (23, 3), (32, 9), (40, 6),
+         (9, 12), (13, 2), (17, 11), (25, 8), (33, 1), (48, 10)]
+    ):
+        raw = bytes(rng7.randint(0, 255) for _ in range(3 * w * h))
+        # filter plan: most fixtures cycle r % 5; every 5th pins one type
+        filters = [i // 5 % 5] if i % 5 == 0 else [0, 1, 2, 3, 4]
+        zlevel = [0, 6, 9][i % 3]
+        n_idat = 3 if i % 4 == 0 else 1
+        png_rows.append(
+            {
+                "media_id": 4000 + i,
+                "mime": "image/png",
+                "payload": _png_encode(raw, w, h, filters, zlevel, n_idat),
+                "width": w,
+                "height": h,
+                "raw_px": raw,
+                "duration_ms": None,
+            }
+        )
+    png_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("raw_px", pa.binary()),
+            ("duration_ms", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(png_rows, schema=png_schema),
+        os.path.join(PQ_DIR, "media_png.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
+
+
+def _png_encode(
+    raw: bytes, w: int, h: int, filters: list[int], zlevel: int, n_idat: int
+) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, non-interlaced): per-scanline
+    filter APPLY per the PNG spec (the decoder's inverse lives in
+    multimodal.py), zlib-compressed, chunked with big-endian lengths
+    and CRC32 trailers. ``filters[r % len(filters)]`` picks scanline
+    r's filter type; the compressed stream is split evenly-ish across
+    ``n_idat`` IDAT chunks (the spec allows any split)."""
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    stride = 3 * w
+    prior = bytes(stride)
+    lines = []
+    for r in range(h):
+        cur = raw[r * stride : (r + 1) * stride]
+        f = filters[r % len(filters)]
+        out = bytearray(stride)
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prior[i]
+            c = prior[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else b if pb_ <= pc_ else c
+            out[i] = (cur[i] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(out))
+        prior = cur
+    stream = zlib.compress(b"".join(lines), zlevel)
+    step = max(1, (len(stream) + n_idat - 1) // n_idat)
+    parts = [stream[j : j + step] for j in range(0, len(stream), step)]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + b"".join(chunk(b"IDAT", p) for p in parts)
+        + chunk(b"IEND", b"")
+    )
 
 
 if __name__ == "__main__":
