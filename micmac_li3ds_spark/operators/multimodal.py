@@ -61,6 +61,9 @@ MEDIA_WAV_PARQUET = os.path.join(
 MEDIA_PNG_PARQUET = os.path.join(
     _REPO, "fixtures", "parquet", "media_png.parquet"
 )
+MEDIA_GIF_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_gif.parquet"
+)
 
 
 def load_media(spark: SparkSession) -> DataFrame:
@@ -81,6 +84,10 @@ def load_media_wav(spark: SparkSession) -> DataFrame:
 
 def load_media_png(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(MEDIA_PNG_PARQUET)
+
+
+def load_media_gif(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_GIF_PARQUET)
 
 
 @register(
@@ -447,6 +454,145 @@ def _decode_png(payload: bytes, mime: str) -> list[float]:
     return _strip_means(col_sums, w, h)
 
 
+def _lzw_decode_gif(data: bytes, m: int) -> bytes:
+    """GIF-variant LZW decompressor (public spec, GIF89a Appendix F):
+    variable-width codes m+1..12 bits packed LSB-first, CLEAR resets
+    the table, EOI terminates, the KwKwK case (code == next free code)
+    reconstructs prev + prev[:1]. Width timing follows the giflib
+    convention — the wider size applies starting with the code AFTER
+    the table insert whose VALUE was 2^size − 1 (for this decoder,
+    whose inserts lag the encoder's by one position, that is when its
+    own next_code reaches 2^size) — the classic interop off-by-one;
+    the fixture generator's independent COMPRESSOR has the encoder-side
+    twin of this rule, so either side getting it wrong is a decode
+    error or value mismatch, not a self-consistent pair."""
+    if not 2 <= m <= 8:
+        raise ValueError(f"bad GIF LZW minimum code size {m}")
+    clear, eoi = 1 << m, (1 << m) + 1
+    table: list[bytes] = []
+    next_code = code_size = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, next_code, code_size, prev
+        table = [bytes([c]) for c in range(clear)] + [b"", b""]
+        next_code, code_size, prev = eoi + 1, m + 1, None
+
+    reset()
+    out = bytearray()
+    acc = nbits = pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("unterminated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < next_code:  # clear/eoi already handled above
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _decode_gif(payload: bytes, mime: str) -> list[float]:
+    """REAL decoder #5, zero new deps: GIF (87a/89a), global-palette,
+    non-interlaced, single image. Unlike PNG (whose inflate is stdlib
+    zlib), the compression here — LZW — is decoded from the public
+    spec IN THIS FILE (_lzw_decode_gif); the fixture generator carries
+    the independent compressor. The block walk parses the logical
+    screen descriptor + global color table, SKIPS extension blocks
+    (sub-block chains — the skip a naive walker misses; one fixture
+    interleaves a comment extension), reassembles the image sub-blocks,
+    LZW-decodes to palette indices, and expands through the palette to
+    RGB. Features are the shared ``_strip_means`` contract; the oracle
+    recomputes them from the generation-time ``raw_px`` ground truth
+    (LZW is not SQL-expressible, the PNG posture). Raises on anything
+    but the one format it really decodes (no GCT, local color tables,
+    interlace, index overflow, pixel-count mismatch)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    if h <= 0 or w < _FEAT_DIM:
+        raise ValueError(f"only GIF with width >= {_FEAT_DIM} supported")
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    n_colors = 2 << (packed & 7)
+    i = 13
+    palette = payload[i : i + 3 * n_colors]
+    if len(palette) < 3 * n_colors:
+        raise ValueError("truncated GIF global color table")
+    i += 3 * n_colors
+    while True:
+        if i >= len(payload):
+            raise ValueError("missing GIF image descriptor")
+        block = payload[i]
+        if block == 0x21:  # extension: label byte + sub-block chain
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif block == 0x2C:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    iw = int.from_bytes(payload[i + 5 : i + 7], "little")
+    ih = int.from_bytes(payload[i + 7 : i + 9], "little")
+    ipacked = payload[i + 9]
+    if ipacked & 0x80:
+        raise ValueError("GIF local color tables are unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF is unsupported")
+    if (iw, ih) != (w, h) or payload[i + 1 : i + 5] != bytes(4):
+        raise ValueError("GIF sub-rectangle images are unsupported")
+    m = payload[i + 10]
+    i += 11
+    data = bytearray()
+    while True:
+        if i >= len(payload):
+            raise ValueError("truncated GIF image data (no block terminator)")
+        ln = payload[i]
+        i += 1
+        if ln == 0:
+            break
+        if i + ln > len(payload):
+            raise ValueError("truncated GIF image sub-block")
+        data += payload[i : i + ln]
+        i += ln
+    indices = _lzw_decode_gif(bytes(data), m)
+    if len(indices) != w * h:
+        raise ValueError(
+            f"GIF pixel count mismatch (got {len(indices)}, want {w * h})"
+        )
+    idx = np.frombuffer(indices, dtype=np.uint8)
+    if int(idx.max()) >= n_colors:
+        raise ValueError("GIF pixel index outside the global color table")
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(n_colors, 3)
+    px = pal[idx].reshape(h, w, 3)
+    col_sums = px.sum(axis=2, dtype=np.int64).sum(axis=0)
+    return _strip_means(col_sums, w, h)
+
+
 def _decode_pil_image(payload: bytes, mime: str) -> list[float]:
     """REAL image decode path — import-gated on PIL, which this
     container lacks. The decode-or-skip probe
@@ -697,6 +843,50 @@ FROM sums GROUP BY media_id, mime
 """
 
 
+def _gif_feature_oracle() -> str:
+    """DuckDB recomputation of the GIF strip means from the fixture's
+    ``raw_px`` column — palette-expanded RGB recorded at GENERATION
+    time, before the generator's independent LZW compressor packed the
+    indices (LZW is not SQL-expressible, so this is the PNG posture:
+    encoder and decoder are independent spec implementations meeting
+    at the ground-truth bytes; a block-walk, sub-block-reassembly,
+    LZW, or palette bug on the Spark side disagrees here)."""
+    byte = (
+        "CAST('0x' || substring(hx, ((r * w + x) * 3 + {d}) * 2 + 1,"
+        " 2) AS INTEGER)"
+    )
+    rgb = " + ".join(byte.format(d=d) for d in range(3))
+    cols = ",\n       ".join(
+        f"MAX(CASE WHEN strip = {i} THEN CAST(s AS DOUBLE) / (768.0 * npix)"
+        f" END) AS f{i}"
+        for i in range(_FEAT_DIM)
+    )
+    return f"""
+WITH src AS (
+  SELECT media_id, mime, hex(raw_px) AS hx, width AS w, height AS h
+  FROM read_parquet('{MEDIA_GIF_PARQUET}')
+),
+xs AS (
+  SELECT media_id, mime, hx, h, w,
+         CAST(unnest(range(0, w)) AS BIGINT) AS x
+  FROM src
+),
+px AS (
+  SELECT media_id, mime, hx, w, x, (x * {_FEAT_DIM}) // w AS strip,
+         CAST(unnest(range(0, h)) AS BIGINT) AS r
+  FROM xs
+),
+sums AS (
+  SELECT media_id, mime, strip, SUM({rgb}) AS s, COUNT(*) AS npix
+  FROM px GROUP BY media_id, mime, strip
+)
+SELECT media_id, mime,
+       {cols},
+       'gif-lzw-strips-v1' AS decoder
+FROM sums GROUP BY media_id, mime
+"""
+
+
 @register(
     "q_mm_feature_extract",
     oracle=(
@@ -704,29 +894,32 @@ FROM sums GROUP BY media_id, mime
         "SELECT * FROM (" + _bmp_feature_oracle() + ")\nUNION ALL\n"
         "SELECT * FROM (" + _ppm_feature_oracle() + ")\nUNION ALL\n"
         "SELECT * FROM (" + _wav_feature_oracle() + ")\nUNION ALL\n"
-        "SELECT * FROM (" + _png_feature_oracle() + ")"
+        "SELECT * FROM (" + _png_feature_oracle() + ")\nUNION ALL\n"
+        "SELECT * FROM (" + _gif_feature_oracle() + ")"
     ),
     tags=("multimodal", "mapinpandas"),
 )
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas): the
     real multimodal hot path. Batch shape, schema, and iterator
-    semantics are production-real, and FOUR formats are decoded for
+    semantics are production-real, and FIVE formats are decoded for
     REAL in this container: media_bmp rows go through _decode_bmp
     (struct+numpy 24bpp BMP), media_ppm rows through _decode_ppm
     (binary netpbm P6, byte-wise header tokenizer), media_wav rows
     through _decode_wav (16-bit PCM RIFF/WAVE with a real chunk walk),
-    and — late round 11 — media_png rows through _decode_png (8-bit
-    RGB PNG: CRC-checked chunk walk, multi-IDAT zlib inflate, all five
-    scanline filters inverted — the first COMPRESSED format, stdlib
-    zlib). The image decoders emit the shared strip-mean contract, the
-    audio decoder its time-window twin (mean absolute amplitude), and
-    each DuckDB oracle branch recomputes the features from independent
-    bytes in SQL (BMP re-decodes the payload outright; PPM/WAV
-    re-decode from independently recorded generation-time offsets;
-    PNG — where SQL cannot inflate zlib — from the generation-time
-    raw_px ground truth, the encoder and decoder being independent
-    filter implementations). The
+    and — late round 11, the two COMPRESSED formats — media_png rows
+    through _decode_png (8-bit RGB PNG: CRC-checked chunk walk,
+    multi-IDAT zlib inflate, all five scanline filters inverted) and
+    media_gif rows through _decode_gif (GIF89a block walk + a
+    from-the-spec LZW decompressor with variable code widths and
+    table rebuild). The image decoders emit the shared strip-mean
+    contract, the audio decoder its time-window twin (mean absolute
+    amplitude), and each DuckDB oracle branch recomputes the features
+    from independent bytes in SQL (BMP re-decodes the payload
+    outright; PPM/WAV re-decode from independently recorded
+    generation-time offsets; PNG/GIF — where SQL cannot inflate or
+    LZW-decode — from the generation-time raw_px ground truth, the
+    encoder and decoder being independent spec implementations). The
     media.parquet rows (fake-container png/wav/mp4) keep the
     deterministic _decode_stub so their codec-less hash algebra stays
     oracle-checkable; feature dims are unpacked to scalar columns
@@ -762,6 +955,13 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 load_media_png(spark),
                 decode=_decode_png,
                 decoder_name="png8-strips-v1",
+            )
+        )
+        .unionByName(
+            feature_extract(
+                load_media_gif(spark),
+                decode=_decode_gif,
+                decoder_name="gif-lzw-strips-v1",
             )
         )
     )

@@ -543,7 +543,138 @@ def main() -> None:
         pa.Table.from_pylist(png_rows, schema=png_schema),
         os.path.join(PQ_DIR, "media_png.parquet"),
     )
+
+    # --- REAL-format media fixture #5: GIF (late r11) — the second
+    # compressed format, and the one whose compression (LZW) is
+    # implemented HERE from the public spec rather than delegated to a
+    # library: this generator runs a true LZW COMPRESSOR (dictionary
+    # build, variable code widths 3..12 bits LSB-first, explicit CLEAR
+    # before the table fills) and the decoder in multimodal.py runs the
+    # inverse DECOMPRESSOR (table rebuild incl. the KwKwK case) — two
+    # independent spec implementations meeting at the generation-time
+    # ``raw_px`` ground truth (palette-expanded RGB), exactly the PNG
+    # oracle posture. Palette sizes vary (4..256 colors), one fixture
+    # interleaves a comment extension block before the image
+    # descriptor (the sub-block skip a naive walker misses), and
+    # images are large enough that code width GROWS mid-stream.
+    rng8 = random.Random(858585)
+    gif_rows = []
+    for i, (w, h) in enumerate(
+        [(8, 5), (11, 4), (16, 7), (23, 3), (32, 9), (40, 6),
+         (9, 12), (13, 2), (17, 11), (25, 8), (33, 1), (48, 10)]
+    ):
+        pal_bits = 2 + i % 7  # 4..256 palette entries
+        n_colors = 1 << pal_bits
+        palette = bytes(rng8.randint(0, 255) for _ in range(3 * n_colors))
+        idx = bytes(rng8.randint(0, n_colors - 1) for _ in range(w * h))
+        raw = b"".join(palette[3 * j : 3 * j + 3] for j in idx)
+        with_ext = i % 4 == 1
+        gif_rows.append(
+            {
+                "media_id": 5000 + i,
+                "mime": "image/gif",
+                "payload": _gif_encode(idx, w, h, palette, pal_bits, with_ext),
+                "width": w,
+                "height": h,
+                "raw_px": raw,
+                "duration_ms": None,
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(gif_rows, schema=png_schema),
+        os.path.join(PQ_DIR, "media_gif.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
+
+
+def _gif_encode(
+    idx: bytes, w: int, h: int, palette: bytes, pal_bits: int, with_ext: bool
+) -> bytes:
+    """Minimal GIF89a encoder: logical screen descriptor + global color
+    table + (optionally a comment extension) + image descriptor + a
+    true LZW-compressed index stream in 255-byte sub-blocks. The LZW
+    compressor mirrors the public spec's bookkeeping — emit CLEAR
+    first, widen the code size when the next free code would not fit,
+    CLEAR again before the table reaches 4096 — and is the independent
+    counterpart of the decoder in multimodal.py."""
+    m = max(2, pal_bits)  # LZW minimum code size
+    clear, eoi = 1 << m, (1 << m) + 1
+
+    out_codes = []
+    table = {bytes([c]): c for c in range(1 << m)}
+    next_code, code_size = eoi + 1, m + 1
+
+    def emit(code: int) -> None:
+        # GIF width timing (the giflib convention every mainstream
+        # codec interops with): emit at the CURRENT width, then widen
+        # if the next free code no longer fits — checked after EVERY
+        # emitted code, not only after dictionary inserts. The
+        # difference bites exactly once: the final flush code inserts
+        # nothing, but if the table is sitting on a width boundary the
+        # EOI after it must still be one bit wider. An insert-based
+        # encoder check misses that and desynchronizes the decoder on
+        # the last code of the stream (found by the independent
+        # decoder in multimodal.py, which was giflib-correct first).
+        nonlocal code_size
+        out_codes.append((code, code_size))
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+
+    emit(clear)
+    wstr = b""
+    for ch in idx:
+        cand = wstr + bytes([ch])
+        if cand in table:
+            wstr = cand
+            continue
+        emit(table[wstr])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == 4095:  # pre-emptive CLEAR: never fill to 4096
+            emit(clear)
+            table = {bytes([c]): c for c in range(1 << m)}
+            next_code, code_size = eoi + 1, m + 1
+        wstr = bytes([ch])
+    if wstr:
+        emit(table[wstr])
+    emit(eoi)
+
+    acc = n_bits = 0
+    packed = bytearray()
+    for code, width in out_codes:
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        packed.append(acc & 0xFF)
+
+    blocks = b"".join(
+        bytes([len(packed[j : j + 255])]) + bytes(packed[j : j + 255])
+        for j in range(0, len(packed), 255)
+    )
+    ext = b""
+    if with_ext:
+        ext = b"\x21\xfe" + bytes([8]) + b"fixture!" + b"\x00"
+    lsd_packed = 0x80 | ((pal_bits - 1) & 7)  # GCT present, size bits
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([lsd_packed, 0, 0])
+        + palette
+        + ext
+        + b"\x2c"
+        + bytes(4)  # left, top
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0])  # no local color table, no interlace
+        + bytes([m])
+        + blocks
+        + b"\x00\x3b"
+    )
 
 
 def _png_encode(
