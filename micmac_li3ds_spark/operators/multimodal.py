@@ -64,6 +64,9 @@ MEDIA_PNG_PARQUET = os.path.join(
 MEDIA_GIF_PARQUET = os.path.join(
     _REPO, "fixtures", "parquet", "media_gif.parquet"
 )
+MEDIA_MP4_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_mp4.parquet"
+)
 
 
 def load_media(spark: SparkSession) -> DataFrame:
@@ -88,6 +91,10 @@ def load_media_png(spark: SparkSession) -> DataFrame:
 
 def load_media_gif(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(MEDIA_GIF_PARQUET)
+
+
+def load_media_mp4(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_MP4_PARQUET)
 
 
 @register(
@@ -593,6 +600,128 @@ def _decode_gif(payload: bytes, mime: str) -> list[float]:
     return _strip_means(col_sums, w, h)
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO BMFF boxes in buf[start:end] as (type, body_start,
+    box_end) — including the size==1 64-bit ``largesize`` form (ISO
+    14496-12 §4.2) that 32-bit-only walkers break on."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        typ = bytes(buf[i + 4 : i + 8])
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            body = i + 16
+        if size < body - i or i + size > end:
+            raise ValueError(f"malformed MP4 box {typ!r}")
+        yield typ, body, i + size
+        i += size
+    if i != end:
+        raise ValueError("trailing bytes after the last MP4 box")
+
+
+def _mp4_child(buf: bytes, start: int, end: int, typ: bytes):
+    for t, body, bend in _mp4_boxes(buf, start, end):
+        if t == typ:
+            return body, bend
+    raise ValueError(f"missing MP4 box {typ!r}")
+
+
+def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
+    """REAL video-container plumbing, zero new deps (late r11): the
+    ISO BMFF sample-table walk that locates every sample's byte range
+    and timestamp WITHOUT decoding any codec — the operation that
+    matters for frame sampling at 100 TB (seek-and-slice beats
+    decode-everything). Walks moov → the first ``vide``-handler trak →
+    mdia/mdhd (timescale) + minf/stbl, then derives per-sample
+    absolute offsets from the four sample tables per ISO 14496-12:
+    stsc's (first_chunk, samples_per_chunk) runs map samples to
+    chunks, stco gives each chunk's file offset, stsz the per-sample
+    (or uniform) sizes, stts the cumulative decode-time deltas.
+    Returns [(offset, size, ts_ms)] per sample. The fixture
+    generator's bookkeeping records the same coordinates
+    independently at generation time — the oracle slices the payload
+    with those, so a mis-walk here is a value mismatch. Raises on
+    anything structurally unsound (no vide trak, table count
+    mismatches, samples outside the payload)."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no leading ftyp box)")
+    moov_body, moov_end = _mp4_child(payload, 0, len(payload), b"moov")
+
+    stbl_span = timescale = None
+    for t, tb, te in _mp4_boxes(payload, moov_body, moov_end):
+        if t != b"trak":
+            continue
+        mdia_b, mdia_e = _mp4_child(payload, tb, te, b"mdia")
+        hdlr_b, _ = _mp4_child(payload, mdia_b, mdia_e, b"hdlr")
+        if payload[hdlr_b + 8 : hdlr_b + 12] != b"vide":
+            continue
+        mdhd_b, _ = _mp4_child(payload, mdia_b, mdia_e, b"mdhd")
+        if payload[mdhd_b]:
+            raise ValueError("only version-0 mdhd is supported")
+        timescale = int.from_bytes(payload[mdhd_b + 12 : mdhd_b + 16], "big")
+        minf_b, minf_e = _mp4_child(payload, mdia_b, mdia_e, b"minf")
+        stbl_span = _mp4_child(payload, minf_b, minf_e, b"stbl")
+        break
+    if stbl_span is None:
+        raise ValueError("no video (hdlr 'vide') track in MP4 payload")
+    if not timescale:
+        raise ValueError("zero mdhd timescale in MP4 payload")
+
+    sb, se = stbl_span
+    u32 = lambda o: int.from_bytes(payload[o : o + 4], "big")  # noqa: E731
+    stts_b, _ = _mp4_child(payload, sb, se, b"stts")
+    stsc_b, _ = _mp4_child(payload, sb, se, b"stsc")
+    stsz_b, _ = _mp4_child(payload, sb, se, b"stsz")
+    stco_b, _ = _mp4_child(payload, sb, se, b"stco")
+
+    uniform, n = u32(stsz_b + 4), u32(stsz_b + 8)
+    sizes = (
+        [uniform] * n
+        if uniform
+        else [u32(stsz_b + 12 + 4 * k) for k in range(n)]
+    )
+    deltas: list[int] = []
+    for e in range(u32(stts_b + 4)):
+        cnt, dlt = u32(stts_b + 8 + 8 * e), u32(stts_b + 12 + 8 * e)
+        deltas += [dlt] * cnt
+    if len(deltas) != n:
+        raise ValueError(
+            f"stts covers {len(deltas)} samples but stsz declares {n}"
+        )
+    stsc = [
+        (u32(stsc_b + 8 + 12 * e), u32(stsc_b + 12 + 12 * e))
+        for e in range(u32(stsc_b + 4))
+    ]
+    chunk_offs = [u32(stco_b + 8 + 4 * c) for c in range(u32(stco_b + 4))]
+
+    out: list[tuple[int, int, int]] = []
+    sample, t_units, run = 0, 0, 0
+    for c, coff in enumerate(chunk_offs, start=1):
+        while run + 1 < len(stsc) and stsc[run + 1][0] <= c:
+            run += 1
+        pos = coff
+        for _ in range(stsc[run][1]):
+            if sample == n:
+                break
+            sz = sizes[sample]
+            if pos + sz > len(payload):
+                raise ValueError(
+                    f"sample {sample} extends past the payload end"
+                )
+            out.append((pos, sz, t_units * 1000 // timescale))
+            t_units += deltas[sample]
+            pos += sz
+            sample += 1
+    if sample != n:
+        raise ValueError(
+            f"chunk layout yields {sample} samples but stsz declares {n}"
+        )
+    return out
+
+
 def _decode_pil_image(payload: bytes, mime: str) -> list[float]:
     """REAL image decode path — import-gated on PIL, which this
     container lacks. The decode-or-skip probe
@@ -985,17 +1114,41 @@ SELECT media_id, frame_idx,
        CAST(frame_idx AS BIGINT) * 5000 AS frame_ts_ms,
        sha256(substring(hx, (frame_idx % n_bytes) * 2 + 1, 32)) AS frame_sha
 FROM frames
+UNION ALL
+-- REAL branch (late r11): per-sample byte ranges + timestamps of the
+-- genuine ISO BMFF fixtures, re-sliced from the generation-time
+-- (sample_off, sample_size, sample_ts_ms) coordinates the generator's
+-- own chunk bookkeeping recorded — independent of the Spark side's
+-- stts/stsc/stsz/stco walk, so a mis-walk is a value mismatch.
+SELECT media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(sample_ts_ms[frame_idx + 1] AS BIGINT) AS frame_ts_ms,
+       sha256(substring(hx, sample_off[frame_idx + 1] * 2 + 1,
+                        sample_size[frame_idx + 1] * 2)) AS frame_sha
+FROM (
+  SELECT media_id, hex(payload) AS hx,
+         sample_off, sample_size, sample_ts_ms,
+         unnest(range(len(sample_off))) AS frame_idx
+  FROM read_parquet('{MEDIA_MP4_PARQUET}')
+)
 """,
     tags=("multimodal", "mapinpandas"),
 )
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling for video rows: 1 row per sampled frame (every
-    ~5 s of duration), frame payload stubbed as a 16-byte slice at the
-    frame offset. The explode-shaped output (media_id, frame_idx,
-    frame_ts_ms, frame_sha) is what a real ffmpeg-backed sampler would
-    emit. The stub hashes the uppercase-hex encoding of the slice so
-    the oracle (VARCHAR-only sha256, no blob substring) can recompute
-    it — full value parity on the explode + per-frame path."""
+    """Frame sampling for video rows, two branches. (1) The fake-
+    container media.parquet rows keep the STUB sampler: 1 row per ~5 s
+    of metadata duration, frame payload faked as a 16-byte slice. (2)
+    The media_mp4.parquet rows run the REAL thing (late r11): a
+    genuine ISO BMFF sample-table walk (_mp4_sample_index —
+    moov/trak/hdlr selection, stts/stsc/stsz/stco) locates every
+    sample's byte range and decode timestamp WITHOUT any codec, and
+    the emitted frame payload is the sample's ACTUAL bytes — at 100 TB
+    this seek-and-slice indexing is the part of frame sampling that
+    belongs in the engine (codec decode stays a pluggable UDF, like
+    _decode_pil_image for images). Both branches hash the
+    uppercase-hex encoding of the slice so the oracle (VARCHAR-only
+    sha256, no blob substring) recomputes it — the real branch from
+    generation-time coordinates recorded independently of the walk."""
 
     schema = T.StructType(
         [
@@ -1024,12 +1177,36 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
+    def sample_mp4(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_sha": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                hx = payload.hex().upper()
+                for k, (off, sz, ts_ms) in enumerate(
+                    _mp4_sample_index(payload)
+                ):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(ts_ms)
+                    out["frame_sha"].append(
+                        hashlib.sha256(
+                            hx[off * 2 : (off + sz) * 2].encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    real = (
+        load_media_mp4(spark)
+        .select("media_id", "payload")
+        .mapInPandas(sample_mp4, schema)
+    )
     m = (
         load_media(spark)
         .filter(F.col("mime") == "video/mp4")
         .select("media_id", "payload", "duration_ms")
     )
-    return m.mapInPandas(sample, schema)
+    return m.mapInPandas(sample, schema).unionByName(real)
 
 
 @register(

@@ -823,3 +823,161 @@ def test_feature_extract_gif_branch_distributed(spark):
     }
     for row in out:
         assert [row[f"f{i}"] for i in range(8)] == local[row["media_id"]]
+
+# ---------------------------------------------------------------------------
+# Late r11: real ISO BMFF (MP4) sample-table walk for frame sampling
+# ---------------------------------------------------------------------------
+
+
+def _genfix():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "gen_fixtures.py",
+    )
+    spec = importlib.util.spec_from_file_location("_genfix2", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_mp4_walker_matches_generation_coordinates(spark):
+    """Every committed fixture row — including the audio-track-first,
+    64-bit-largesize-mdat, uniform-stsz, and multi-run stts/stsc
+    shapes — the walker's (offset, size, ts_ms) must equal the
+    generator's own chunk bookkeeping (the oracle's coordinates)."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _mp4_sample_index,
+        load_media_mp4,
+    )
+
+    rows = load_media_mp4(spark).collect()
+    assert len(rows) == 8
+    saw_large = saw_audio = False
+    for r in rows:
+        p = bytes(r["payload"])
+        saw_large |= b"\x00\x00\x00\x01mdat" in p
+        saw_audio |= b"soun" in p
+        got = _mp4_sample_index(p)
+        want = list(
+            zip(r["sample_off"], r["sample_size"], r["sample_ts_ms"])
+        )
+        assert got == want, r["media_id"]
+    assert saw_large and saw_audio  # the hard shapes are really present
+
+
+def test_mp4_walker_timestamps_from_stts_runs():
+    """Multi-run stts at a real timescale: ts of sample k is the
+    CUMULATIVE sum of prior deltas, floored to ms — hand-computed."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    samples = [bytes([k]) * 10 for k in range(5)]
+    payload, offs, ts_ms = gf._mp4_encode(
+        samples, [(1, 5)], 0, 30000, [(2, 1001), (3, 1502)], False, False
+    )
+    got = _mp4_sample_index(payload)
+    units = [0, 1001, 2002, 3504, 5006]
+    assert [t for (_, _, t) in got] == [u * 1000 // 30000 for u in units]
+    assert got == list(zip(offs, [10] * 5, ts_ms))
+
+
+def test_mp4_walker_rejects_malformed():
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    with pytest.raises(ValueError, match="not an MP4"):
+        _mp4_sample_index(b"\x00" * 32)
+    ftyp = gf._box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    with pytest.raises(ValueError, match="missing MP4 box b'moov'"):
+        _mp4_sample_index(ftyp + gf._box(b"mdat", b"xy"))
+    # a moov whose only track is non-video
+    mdhd = gf._full(
+        b"mdhd", bytes(8) + (1000).to_bytes(4, "big") + bytes(8)
+    )
+    hdlr_soun = gf._full(b"hdlr", bytes(4) + b"soun" + bytes(13))
+    minf = gf._box(b"minf", gf._box(b"stbl", b""))
+    moov_audio = gf._box(
+        b"moov",
+        gf._full(b"mvhd", bytes(96))
+        + gf._box(b"trak", gf._box(b"mdia", mdhd + hdlr_soun + minf)),
+    )
+    with pytest.raises(ValueError, match="no video .* track"):
+        _mp4_sample_index(ftyp + moov_audio)
+    # stts/stsz disagreement inside an otherwise sound vide track
+    hdlr_vide = gf._full(b"hdlr", bytes(4) + b"vide" + bytes(13))
+    stbl = gf._box(
+        b"stbl",
+        gf._full(
+            b"stts",
+            (1).to_bytes(4, "big")
+            + (2).to_bytes(4, "big")
+            + (100).to_bytes(4, "big"),
+        )
+        + gf._full(
+            b"stsc",
+            (1).to_bytes(4, "big")
+            + (1).to_bytes(4, "big")
+            + (3).to_bytes(4, "big")
+            + (1).to_bytes(4, "big"),
+        )
+        + gf._full(
+            b"stsz", (4).to_bytes(4, "big") + (3).to_bytes(4, "big")
+        )
+        + gf._full(
+            b"stco", (1).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        ),
+    )
+    moov_bad = gf._box(
+        b"moov",
+        gf._full(b"mvhd", bytes(96))
+        + gf._box(
+            b"trak",
+            gf._box(
+                b"mdia", mdhd + hdlr_vide + gf._box(b"minf", stbl)
+            ),
+        ),
+    )
+    with pytest.raises(ValueError, match="stts covers 2 .* declares 3"):
+        _mp4_sample_index(ftyp + moov_bad)
+    # truncated payload: moov still parses (the child search returns
+    # before reaching the cut mdat), so the per-sample bounds check is
+    # what fires — the more precise error
+    good, _, _ = gf._mp4_encode(
+        [b"ab" * 10] * 4, [(1, 2)], 0, 1000, [(4, 40)], False, False
+    )
+    with pytest.raises(ValueError, match="extends past the payload end"):
+        _mp4_sample_index(good[:-5])
+
+
+def test_frame_sample_mp4_branch_distributed(spark):
+    """The registered query's real branch: one row per SAMPLE of every
+    media_mp4 fixture, timestamps from the walked stts, sha over the
+    sample's actual byte range."""
+    import hashlib
+
+    from micmac_li3ds_spark.operators.multimodal import (
+        load_media_mp4,
+        q_mm_frame_sample,
+    )
+
+    out = [
+        r
+        for r in q_mm_frame_sample(spark, SF_DIR).collect()
+        if r["media_id"] >= 6000
+    ]
+    fixtures = {r["media_id"]: r for r in load_media_mp4(spark).collect()}
+    assert len(out) == sum(r["n_samples"] for r in fixtures.values())
+    for row in out:
+        fx = fixtures[row["media_id"]]
+        k = row["frame_idx"]
+        assert row["frame_ts_ms"] == fx["sample_ts_ms"][k]
+        off, sz = fx["sample_off"][k], fx["sample_size"][k]
+        hx = bytes(fx["payload"]).hex().upper()
+        assert (
+            row["frame_sha"]
+            == hashlib.sha256(hx[off * 2 : (off + sz) * 2].encode()).hexdigest()
+        )

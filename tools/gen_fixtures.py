@@ -584,7 +584,246 @@ def main() -> None:
         pa.Table.from_pylist(gif_rows, schema=png_schema),
         os.path.join(PQ_DIR, "media_gif.parquet"),
     )
+
+    # --- REAL-format media fixture #6: ISO BMFF / MP4 containers
+    # (late r11). No codec is decoded — what IS real is the part of
+    # video plumbing that matters at scale: the sample-table walk
+    # (moov/trak/mdia/minf/stbl: stts durations, stsc sample-to-chunk
+    # runs, stsz sizes, stco chunk offsets) that locates every frame's
+    # byte range and timestamp WITHOUT decoding. The generator builds
+    # genuine box trees — including a leading non-video track the
+    # walker must skip via hdlr, a largesize (64-bit) mdat, uniform
+    # and per-sample stsz, multi-run stts/stsc — and records each
+    # sample's (offset, size, ts_ms) at GENERATION time from its own
+    # chunk bookkeeping (not from the walker), so the oracle re-slices
+    # the payload bytes from independent coordinates: a mis-walk on
+    # the Spark side is a value mismatch, not self-consistent.
+    rng9 = random.Random(969696)
+    mp4_rows = []
+    shapes = [
+        # (n_samples, stsc_runs [(first_chunk, spc)], uniform_size,
+        #  timescale, stts_runs [(count, delta)], audio_trak, largesize)
+        (6, [(1, 2)], 0, 1000, [(6, 40)], False, False),
+        (12, [(1, 3), (3, 2)], 0, 30000, [(4, 1001), (8, 1502)], False, False),
+        (9, [(1, 4), (2, 1)], 0, 600, [(9, 20)], True, False),
+        (8, [(1, 8)], 32, 90000, [(8, 3003)], False, True),
+        (15, [(1, 5), (2, 3), (4, 1)], 0, 1000, [(15, 33)], True, False),
+        (10, [(1, 1)], 0, 24, [(5, 1), (5, 2)], False, True),
+        (20, [(1, 7), (3, 4)], 0, 12288, [(20, 512)], False, False),
+        (7, [(1, 3), (2, 2)], 48, 1000, [(3, 100), (4, 50)], True, False),
+    ]
+    for i, (n, stsc_runs, usize, tscale, stts_runs, audio, large) in enumerate(
+        shapes
+    ):
+        sizes = (
+            [usize] * n
+            if usize
+            else [rng9.randint(20, 80) for _ in range(n)]
+        )
+        samples = [
+            bytes(rng9.randint(0, 255) for _ in range(sz)) for sz in sizes
+        ]
+        payload, offs, ts_ms = _mp4_encode(
+            samples, stsc_runs, usize, tscale, stts_runs, audio, large
+        )
+        dur_units = sum(c * d for c, d in stts_runs)
+        mp4_rows.append(
+            {
+                "media_id": 6000 + i,
+                "mime": "video/mp4",
+                "payload": payload,
+                "n_samples": n,
+                "duration_ms": dur_units * 1000 // tscale,
+                "sample_off": offs,
+                "sample_size": sizes,
+                "sample_ts_ms": ts_ms,
+            }
+        )
+    mp4_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("n_samples", pa.int32()),
+            ("duration_ms", pa.int64()),
+            ("sample_off", pa.list_(pa.int32())),
+            ("sample_size", pa.list_(pa.int32())),
+            ("sample_ts_ms", pa.list_(pa.int64())),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(mp4_rows, schema=mp4_schema),
+        os.path.join(PQ_DIR, "media_mp4.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
+
+
+def _box(typ: bytes, body: bytes, large: bool = False) -> bytes:
+    """One ISO BMFF box. ``large=True`` uses the size==1 + 64-bit
+    largesize form (spec §4.2) that naive 32-bit-only walkers break on."""
+    if large:
+        return (
+            (1).to_bytes(4, "big")
+            + typ
+            + (16 + len(body)).to_bytes(8, "big")
+            + body
+        )
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _full(typ: bytes, body: bytes) -> bytes:
+    """FullBox: version 0, flags 0."""
+    return _box(typ, bytes(4) + body)
+
+
+def _mp4_encode(
+    samples: list[bytes],
+    stsc_runs: list[tuple[int, int]],
+    uniform_size: int,
+    timescale: int,
+    stts_runs: list[tuple[int, int]],
+    audio_trak: bool,
+    large_mdat: bool,
+):
+    """Minimal-but-genuine MP4: ftyp + moov (mvhd + [soun trak] +
+    vide trak with full stbl sample tables) + mdat. Chunk layout
+    follows ``stsc_runs`` ((first_chunk, samples_per_chunk), 1-based,
+    last run open-ended per spec); ``stco`` carries ABSOLUTE file
+    offsets, so moov is built twice — once with zeroed stco to fix the
+    layout, then with the real offsets (same byte length). Returns
+    (payload, per-sample absolute offsets, per-sample ts in ms) — the
+    generator's own bookkeeping, independent of the decoder's walk."""
+    n = len(samples)
+    sizes = [len(s) for s in samples]
+
+    # chunk the samples per stsc_runs
+    chunks: list[list[int]] = []  # sample indices per chunk
+    run_idx, next_sample = 0, 0
+    chunk_no = 1
+    while next_sample < n:
+        while (
+            run_idx + 1 < len(stsc_runs)
+            and stsc_runs[run_idx + 1][0] <= chunk_no
+        ):
+            run_idx += 1
+        spc = stsc_runs[run_idx][1]
+        chunks.append(list(range(next_sample, min(n, next_sample + spc))))
+        next_sample += spc
+        chunk_no += 1
+
+    deltas = []
+    for count, delta in stts_runs:
+        deltas += [delta] * count
+    assert len(deltas) == n, "stts_runs must cover every sample"
+    ts_units = [sum(deltas[:k]) for k in range(n)]
+    ts_ms = [t * 1000 // timescale for t in ts_units]
+    dur = sum(deltas)
+
+    stts = _full(
+        b"stts",
+        len(stts_runs).to_bytes(4, "big")
+        + b"".join(
+            c.to_bytes(4, "big") + d.to_bytes(4, "big") for c, d in stts_runs
+        ),
+    )
+    stsc = _full(
+        b"stsc",
+        len(stsc_runs).to_bytes(4, "big")
+        + b"".join(
+            fc.to_bytes(4, "big") + spc.to_bytes(4, "big") + (1).to_bytes(4, "big")
+            for fc, spc in stsc_runs
+        ),
+    )
+    stsz = _full(
+        b"stsz",
+        uniform_size.to_bytes(4, "big")
+        + n.to_bytes(4, "big")
+        + (
+            b""
+            if uniform_size
+            else b"".join(sz.to_bytes(4, "big") for sz in sizes)
+        ),
+    )
+    stsd = _full(
+        b"stsd", (1).to_bytes(4, "big") + _box(b"mp4v", bytes(78))
+    )
+
+    def stbl(stco_offsets: list[int]) -> bytes:
+        stco = _full(
+            b"stco",
+            len(stco_offsets).to_bytes(4, "big")
+            + b"".join(o.to_bytes(4, "big") for o in stco_offsets),
+        )
+        return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    def trak(handler: bytes, stbl_body: bytes) -> bytes:
+        tkhd = _full(b"tkhd", bytes(80))
+        mdhd = _full(
+            b"mdhd",
+            bytes(8)
+            + timescale.to_bytes(4, "big")
+            + dur.to_bytes(4, "big")
+            + bytes(4),
+        )
+        hdlr = _full(b"hdlr", bytes(4) + handler + bytes(13))
+        minf = _box(b"minf", _box(b"vmhd", bytes(8)) + stbl_body)
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+
+    def moov(stco_offsets: list[int]) -> bytes:
+        mvhd = _full(
+            b"mvhd",
+            bytes(8)
+            + timescale.to_bytes(4, "big")
+            + dur.to_bytes(4, "big")
+            + bytes(80),
+        )
+        body = mvhd
+        if audio_trak:
+            # a non-video track FIRST: one dummy sample, its own tiny
+            # tables — the walker must skip it by hdlr type
+            audio_stbl = _box(
+                b"stbl",
+                _full(b"stsd", (1).to_bytes(4, "big") + _box(b"mp4a", bytes(28)))
+                + _full(
+                    b"stts",
+                    (1).to_bytes(4, "big")
+                    + (1).to_bytes(4, "big")
+                    + dur.to_bytes(4, "big"),
+                )
+                + _full(
+                    b"stsc",
+                    (1).to_bytes(4, "big")
+                    + (1).to_bytes(4, "big")
+                    + (1).to_bytes(4, "big")
+                    + (1).to_bytes(4, "big"),
+                )
+                + _full(
+                    b"stsz",
+                    (4).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+                )
+                + _full(
+                    b"stco", (1).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                ),
+            )
+            body += trak(b"soun", audio_stbl)
+        body += trak(b"vide", stbl(stco_offsets))
+        return _box(b"moov", body)
+
+    ftyp = _box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    probe = moov([0] * len(chunks))
+    mdat_hdr = 16 if large_mdat else 8
+    base = len(ftyp) + len(probe) + mdat_hdr
+    chunk_offsets, pos = [], base
+    sample_offs = [0] * n
+    for ch in chunks:
+        chunk_offsets.append(pos)
+        for si in ch:
+            sample_offs[si] = pos
+            pos += sizes[si]
+    mdat = _box(b"mdat", b"".join(samples), large=large_mdat)
+    final = moov(chunk_offsets)
+    assert len(final) == len(probe)
+    return ftyp + final + mdat, sample_offs, ts_ms
 
 
 def _gif_encode(
