@@ -696,6 +696,8 @@ def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
         for e in range(u32(stsc_b + 4))
     ]
     chunk_offs = [u32(stco_b + 8 + 4 * c) for c in range(u32(stco_b + 4))]
+    if n and (not stsc or not chunk_offs):
+        raise ValueError("empty stsc/stco but stsz declares samples")
 
     out: list[tuple[int, int, int]] = []
     sample, t_units, run = 0, 0, 0

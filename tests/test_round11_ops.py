@@ -981,3 +981,31 @@ def test_frame_sample_mp4_branch_distributed(spark):
             row["frame_sha"]
             == hashlib.sha256(hx[off * 2 : (off + sz) * 2].encode()).hexdigest()
         )
+
+
+def test_mp4_walker_rejects_empty_chunk_tables():
+    """stsz declaring samples while stsc/stco are empty must raise the
+    named structural error, not an IndexError in the chunk loop."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    ftyp = gf._box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    mdhd = gf._full(b"mdhd", bytes(8) + (1000).to_bytes(4, "big") + bytes(8))
+    hdlr = gf._full(b"hdlr", bytes(4) + b"vide" + bytes(13))
+    stbl = gf._box(
+        b"stbl",
+        gf._full(
+            b"stts",
+            (1).to_bytes(4, "big") + (2).to_bytes(4, "big") + (5).to_bytes(4, "big"),
+        )
+        + gf._full(b"stsc", (0).to_bytes(4, "big"))
+        + gf._full(b"stsz", (4).to_bytes(4, "big") + (2).to_bytes(4, "big"))
+        + gf._full(b"stco", (0).to_bytes(4, "big")),
+    )
+    moov = gf._box(
+        b"moov",
+        gf._full(b"mvhd", bytes(96))
+        + gf._box(b"trak", gf._box(b"mdia", mdhd + hdlr + gf._box(b"minf", stbl))),
+    )
+    with pytest.raises(ValueError, match="empty stsc/stco"):
+        _mp4_sample_index(ftyp + moov)
