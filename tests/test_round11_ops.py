@@ -1009,3 +1009,58 @@ def test_mp4_walker_rejects_empty_chunk_tables():
     )
     with pytest.raises(ValueError, match="empty stsc/stco"):
         _mp4_sample_index(ftyp + moov)
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the codec pairings (encoder in gen_fixtures,
+# decoder in multimodal.py): random content must round-trip to the
+# numpy ground truth for ANY filter plan / palette size, not just the
+# committed fixture seeds.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(1, 12),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    zlevel=st.sampled_from([0, 6, 9]),
+    n_idat=st.integers(1, 4),
+    data=st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_property(w, h, filters, zlevel, n_idat, data):
+    """Any pixel content under any scanline filter plan, zlib level,
+    and IDAT split must decode to the exact numpy strip means."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_png
+
+    raw = bytes(data.randint(0, 255) for _ in range(3 * w * h))
+    payload = _png_bytes(raw, w, h, filters, zlevel, n_idat)
+    assert _decode_png(payload, "image/png") == _strip_truth(raw, w, h)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(1, 12),
+    pal_bits=st.integers(2, 8),
+    with_ext=st.booleans(),
+    data=st.randoms(use_true_random=False),
+)
+def test_gif_roundtrip_property(w, h, pal_bits, with_ext, data):
+    """Any index content over any palette size (min LZW code sizes
+    2..8), with or without an extension block, must decode to the
+    exact palette-expanded numpy strip means — the widest net for
+    width-timing and table-rebuild bugs in the LZW pair."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_gif
+
+    enc = _gif_encoder()
+    n_colors = 1 << pal_bits
+    palette = bytes(data.randint(0, 255) for _ in range(3 * n_colors))
+    idx = bytes(data.randint(0, n_colors - 1) for _ in range(w * h))
+    payload = enc(idx, w, h, palette, pal_bits, with_ext)
+    assert _decode_gif(payload, "image/gif") == _gif_truth(
+        palette, idx, w, h
+    )
