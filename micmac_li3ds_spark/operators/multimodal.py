@@ -333,6 +333,13 @@ def _decode_wav(payload: bytes, mime: str) -> list[float]:
         (sz,) = struct.unpack_from("<I", payload, i + 4)
         body = i + 8
         if cid == b"fmt ":
+            # the chunk must DECLARE >= 16 bytes AND the payload must
+            # actually contain them — otherwise unpack_from would
+            # raise struct.error (breaking the decoder family's
+            # ValueError contract) or read the next chunk's bytes as
+            # fmt fields
+            if sz < 16 or body + 16 > len(payload):
+                raise ValueError("truncated fmt chunk in RIFF/WAVE payload")
             audio_fmt, n_ch = struct.unpack_from("<HH", payload, body)
             (bps,) = struct.unpack_from("<H", payload, body + 14)
             fmt = (audio_fmt, n_ch, bps)
@@ -563,6 +570,10 @@ def _decode_gif(payload: bytes, mime: str) -> list[float]:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    if i + 11 > len(payload):
+        # int.from_bytes tolerates short slices and payload[i + 9]
+        # would IndexError — name the truncation instead
+        raise ValueError("truncated GIF image descriptor")
     iw = int.from_bytes(payload[i + 5 : i + 7], "little")
     ih = int.from_bytes(payload[i + 7 : i + 9], "little")
     ipacked = payload[i + 9]
@@ -658,7 +669,9 @@ def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
         hdlr_b, _ = _mp4_child(payload, mdia_b, mdia_e, b"hdlr")
         if payload[hdlr_b + 8 : hdlr_b + 12] != b"vide":
             continue
-        mdhd_b, _ = _mp4_child(payload, mdia_b, mdia_e, b"mdhd")
+        mdhd_b, mdhd_e = _mp4_child(payload, mdia_b, mdia_e, b"mdhd")
+        if mdhd_b + 16 > mdhd_e:
+            raise ValueError("truncated mdhd box")
         if payload[mdhd_b]:
             raise ValueError("only version-0 mdhd is supported")
         timescale = int.from_bytes(payload[mdhd_b + 12 : mdhd_b + 16], "big")
@@ -672,30 +685,52 @@ def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
 
     sb, se = stbl_span
     u32 = lambda o: int.from_bytes(payload[o : o + 4], "big")  # noqa: E731
-    stts_b, _ = _mp4_child(payload, sb, se, b"stts")
-    stsc_b, _ = _mp4_child(payload, sb, se, b"stsc")
-    stsz_b, _ = _mp4_child(payload, sb, se, b"stsz")
-    stco_b, _ = _mp4_child(payload, sb, se, b"stco")
+    stts_b, stts_e = _mp4_child(payload, sb, se, b"stts")
+    stsc_b, stsc_e = _mp4_child(payload, sb, se, b"stsc")
+    stsz_b, stsz_e = _mp4_child(payload, sb, se, b"stsz")
+    stco_b, stco_e = _mp4_child(payload, sb, se, b"stco")
 
+    def entries(body: int, end: int, name: str, hdr: int, width: int) -> int:
+        """Validate a table's declared entry count against its OWN box
+        end — a count that overruns would otherwise read the next
+        box's bytes as table entries and (int.from_bytes tolerating
+        short slices) could yield silently wrong values rather than
+        the structural error the docstring promises."""
+        if body + hdr > end:
+            raise ValueError(f"truncated {name} box")
+        cnt = u32(body + 4)
+        if body + hdr + width * cnt > end:
+            raise ValueError(
+                f"{name} declares {cnt} entries beyond its box end"
+            )
+        return cnt
+
+    if stsz_b + 12 > stsz_e:
+        raise ValueError("truncated stsz box")
     uniform, n = u32(stsz_b + 4), u32(stsz_b + 8)
+    if not uniform and stsz_b + 12 + 4 * n > stsz_e:
+        raise ValueError(f"stsz declares {n} sizes beyond its box end")
     sizes = (
         [uniform] * n
         if uniform
         else [u32(stsz_b + 12 + 4 * k) for k in range(n)]
     )
     deltas: list[int] = []
-    for e in range(u32(stts_b + 4)):
+    n_stts = entries(stts_b, stts_e, "stts", 8, 8)
+    for e in range(n_stts):
         cnt, dlt = u32(stts_b + 8 + 8 * e), u32(stts_b + 12 + 8 * e)
         deltas += [dlt] * cnt
     if len(deltas) != n:
         raise ValueError(
             f"stts covers {len(deltas)} samples but stsz declares {n}"
         )
+    n_stsc = entries(stsc_b, stsc_e, "stsc", 8, 12)
     stsc = [
         (u32(stsc_b + 8 + 12 * e), u32(stsc_b + 12 + 12 * e))
-        for e in range(u32(stsc_b + 4))
+        for e in range(n_stsc)
     ]
-    chunk_offs = [u32(stco_b + 8 + 4 * c) for c in range(u32(stco_b + 4))]
+    n_stco = entries(stco_b, stco_e, "stco", 8, 4)
+    chunk_offs = [u32(stco_b + 8 + 4 * c) for c in range(n_stco)]
     if n and (not stsc or not chunk_offs):
         raise ValueError("empty stsc/stco but stsz declares samples")
 
@@ -926,18 +961,18 @@ FROM sums GROUP BY media_id, mime
 """
 
 
-def _png_feature_oracle() -> str:
-    """DuckDB recomputation of the PNG strip means from the fixture's
-    ``raw_px`` column — the packed RGB bytes recorded at GENERATION
-    time, BEFORE the encoder filtered and zlib-compressed them. SQL
-    cannot inflate zlib, so this branch cannot re-decode the payload
-    the way the BMP/PPM/WAV oracles do; instead the encoder (filter
-    APPLY, gen_fixtures.py) and the decoder (filter INVERSE,
-    _decode_png) are independent implementations meeting at the
-    ground-truth bytes: any chunk-walk, inflate-reassembly, or
-    unfilter bug on the Spark side disagrees with this recomputation.
-    raw_px is packed like P6 pixel data, so the arithmetic is the PPM
-    oracle's with offset 0."""
+def _rawpx_strip_oracle(parquet_path: str, decoder_tag: str) -> str:
+    """DuckDB recomputation of strip means from a fixture's ``raw_px``
+    column — the packed RGB bytes recorded at GENERATION time, BEFORE
+    the generator's encoder compressed them. Shared by the PNG and GIF
+    branches: SQL cannot inflate zlib or LZW-decode, so these branches
+    cannot re-decode the payload the way the BMP/PPM/WAV oracles do;
+    instead the encoder (gen_fixtures.py) and the decoder
+    (multimodal.py) are independent spec implementations meeting at
+    the ground-truth bytes — any chunk-walk, stream-reassembly,
+    unfilter, or LZW/palette bug on the Spark side disagrees with this
+    recomputation. raw_px is packed like P6 pixel data, so the
+    arithmetic is the PPM oracle's with offset 0."""
     byte = (
         "CAST('0x' || substring(hx, ((r * w + x) * 3 + {d}) * 2 + 1,"
         " 2) AS INTEGER)"
@@ -951,7 +986,7 @@ def _png_feature_oracle() -> str:
     return f"""
 WITH src AS (
   SELECT media_id, mime, hex(raw_px) AS hx, width AS w, height AS h
-  FROM read_parquet('{MEDIA_PNG_PARQUET}')
+  FROM read_parquet('{parquet_path}')
 ),
 xs AS (
   SELECT media_id, mime, hx, h, w,
@@ -969,53 +1004,17 @@ sums AS (
 )
 SELECT media_id, mime,
        {cols},
-       'png8-strips-v1' AS decoder
+       '{decoder_tag}' AS decoder
 FROM sums GROUP BY media_id, mime
 """
+
+
+def _png_feature_oracle() -> str:
+    return _rawpx_strip_oracle(MEDIA_PNG_PARQUET, "png8-strips-v1")
 
 
 def _gif_feature_oracle() -> str:
-    """DuckDB recomputation of the GIF strip means from the fixture's
-    ``raw_px`` column — palette-expanded RGB recorded at GENERATION
-    time, before the generator's independent LZW compressor packed the
-    indices (LZW is not SQL-expressible, so this is the PNG posture:
-    encoder and decoder are independent spec implementations meeting
-    at the ground-truth bytes; a block-walk, sub-block-reassembly,
-    LZW, or palette bug on the Spark side disagrees here)."""
-    byte = (
-        "CAST('0x' || substring(hx, ((r * w + x) * 3 + {d}) * 2 + 1,"
-        " 2) AS INTEGER)"
-    )
-    rgb = " + ".join(byte.format(d=d) for d in range(3))
-    cols = ",\n       ".join(
-        f"MAX(CASE WHEN strip = {i} THEN CAST(s AS DOUBLE) / (768.0 * npix)"
-        f" END) AS f{i}"
-        for i in range(_FEAT_DIM)
-    )
-    return f"""
-WITH src AS (
-  SELECT media_id, mime, hex(raw_px) AS hx, width AS w, height AS h
-  FROM read_parquet('{MEDIA_GIF_PARQUET}')
-),
-xs AS (
-  SELECT media_id, mime, hx, h, w,
-         CAST(unnest(range(0, w)) AS BIGINT) AS x
-  FROM src
-),
-px AS (
-  SELECT media_id, mime, hx, w, x, (x * {_FEAT_DIM}) // w AS strip,
-         CAST(unnest(range(0, h)) AS BIGINT) AS r
-  FROM xs
-),
-sums AS (
-  SELECT media_id, mime, strip, SUM({rgb}) AS s, COUNT(*) AS npix
-  FROM px GROUP BY media_id, mime, strip
-)
-SELECT media_id, mime,
-       {cols},
-       'gif-lzw-strips-v1' AS decoder
-FROM sums GROUP BY media_id, mime
-"""
+    return _rawpx_strip_oracle(MEDIA_GIF_PARQUET, "gif-lzw-strips-v1")
 
 
 @register(

@@ -1064,3 +1064,67 @@ def test_gif_roundtrip_property(w, h, pal_bits, with_ext, data):
     assert _decode_gif(payload, "image/gif") == _gif_truth(
         palette, idx, w, h
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-review fixes: truncation paths must honor the ValueError contract
+# ---------------------------------------------------------------------------
+
+
+def test_decode_wav_rejects_truncated_fmt_chunk():
+    """A payload ending inside (or a chunk declaring fewer than 16
+    bytes of) the fmt body must raise the family's ValueError, not
+    struct.error — and must never read the NEXT chunk's bytes as fmt
+    fields."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_wav
+
+    # ends right after the fmt header: declared 16, zero present
+    cut = (
+        b"RIFF" + (16).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+    )
+    with pytest.raises(ValueError, match="truncated fmt chunk"):
+        _decode_wav(cut, "audio/x-wav-pcm")
+    # declares only 4 bytes: reading bps at +14 would hit the next chunk
+    short = (
+        b"RIFF" + (40).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (4).to_bytes(4, "little") + bytes(4)
+        + b"data" + (16).to_bytes(4, "little") + bytes(16)
+    )
+    with pytest.raises(ValueError, match="truncated fmt chunk"):
+        _decode_wav(short, "audio/x-wav-pcm")
+
+
+def test_decode_gif_rejects_truncated_image_descriptor():
+    from micmac_li3ds_spark.operators.multimodal import _decode_gif
+
+    enc = _gif_encoder()
+    good = enc(bytes([0, 1, 2, 3] * 8), 8, 4, bytes(range(12)), 2, False)
+    desc = 13 + 12
+    assert good[desc] == 0x2C
+    with pytest.raises(ValueError, match="truncated GIF image descriptor"):
+        _decode_gif(good[: desc + 6], "image/gif")
+
+
+def test_mp4_walker_rejects_overrunning_table_counts():
+    """A table whose declared entry count overruns its own box must
+    raise, not read the next box's bytes as entries (which could yield
+    silently wrong timestamps when the garbage happens to sum right)."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    good, _, _ = gf._mp4_encode(
+        [b"xy" * 8] * 4, [(1, 2)], 0, 1000, [(4, 40)], False, False
+    )
+    # find the stts box and inflate its entry count from 1 to 3
+    k = good.index(b"stts")
+    assert good[k + 8 : k + 12] == (1).to_bytes(4, "big")
+    bad = good[: k + 8] + (3).to_bytes(4, "big") + good[k + 12 :]
+    with pytest.raises(ValueError, match="stts declares 3 entries beyond"):
+        _mp4_sample_index(bad)
+    # stco likewise
+    k = good.index(b"stco")
+    n_chunks = int.from_bytes(good[k + 8 : k + 12], "big")
+    bad = good[: k + 8] + (n_chunks + 9).to_bytes(4, "big") + good[k + 12 :]
+    with pytest.raises(ValueError, match="stco declares .* beyond"):
+        _mp4_sample_index(bad)

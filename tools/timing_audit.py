@@ -46,10 +46,12 @@ MIN_REGRESSION_SEC = 2.0
 def _loadavg() -> list[float] | None:
     """Mirror of bench.py's guarded loadavg read (ADVICE r10: the two
     telemetry paths were inconsistent — this one crashed pre-Spark on
-    platforms without os.getloadavg)."""
+    platforms without os.getloadavg). AttributeError covers platforms
+    where the function does not exist at all (Windows); OSError covers
+    POSIX-ish ones where it exists but fails."""
     try:
         return [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # pragma: no cover - non-POSIX
+    except (OSError, AttributeError):  # pragma: no cover - non-POSIX
         return None
 
 
@@ -259,7 +261,11 @@ def main() -> int:
                 name: n for _, name, n in timings if not isinstance(n, str)
             },
             "load_start": load_start,
-            "load_end": [round(x, 2) for x in os.getloadavg()],
+            # same guarded read as load_start — an unguarded call here
+            # would lose the entire multi-minute sweep's artifact on a
+            # platform without loadavg (post-sweep crash, worse than
+            # the pre-Spark one the r11 guard removed)
+            "load_end": _loadavg(),
             "errors": errors,
             "regressions": regressions,
         }
