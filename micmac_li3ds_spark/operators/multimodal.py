@@ -67,6 +67,9 @@ MEDIA_GIF_PARQUET = os.path.join(
 MEDIA_MP4_PARQUET = os.path.join(
     _REPO, "fixtures", "parquet", "media_mp4.parquet"
 )
+MEDIA_AIFF_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_aiff.parquet"
+)
 
 
 def load_media(spark: SparkSession) -> DataFrame:
@@ -95,6 +98,10 @@ def load_media_gif(spark: SparkSession) -> DataFrame:
 
 def load_media_mp4(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(MEDIA_MP4_PARQUET)
+
+
+def load_media_aiff(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_AIFF_PARQUET)
 
 
 @register(
@@ -362,11 +369,106 @@ def _decode_wav(payload: bytes, mime: str) -> list[float]:
             payload, dtype="<i2", count=n, offset=data_off
         ).astype(np.int64)
     )
+    return _window_abs_means(s)
+
+
+def _window_abs_means(s) -> list[float]:
+    """Shared feature tail of the PCM decoders (_decode_wav,
+    _decode_aiff): window i covers the interleaved sample indices j
+    with (j·_FEAT_DIM)//n == i; its value is the exact integer Σ|s|
+    over 32768·n_samples_in_window — integer accumulation with ONE
+    double division (the _strip_means rule on the time axis)."""
+    import numpy as np
+
+    n = len(s)
     win = (np.arange(n) * _FEAT_DIM) // n
     return [
         float(int(s[win == i].sum()) / (32768.0 * int((win == i).sum())))
         for i in range(_FEAT_DIM)
     ]
+
+
+def _parse_f80(b: bytes) -> int:
+    """Parse AIFF's 80-bit IEEE 754 extended float (1 sign + 15
+    exponent bits, 64-bit mantissa with an EXPLICIT integer bit) to a
+    positive integer sample rate — the COMM-chunk representation that
+    trips decoders expecting a plain u32. Raises on negatives,
+    non-integers, and zero."""
+    exp_sign = int.from_bytes(b[:2], "big")
+    mantissa = int.from_bytes(b[2:10], "big")
+    if exp_sign & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    shift = (exp_sign & 0x7FFF) - 16383 - 63
+    if shift >= 0:
+        rate = mantissa << shift
+    else:
+        rate = mantissa >> -shift
+        if rate << -shift != mantissa:
+            raise ValueError("non-integer AIFF sample rate unsupported")
+    if rate <= 0:
+        raise ValueError("zero AIFF sample rate")
+    return rate
+
+
+def _decode_aiff(payload: bytes, mime: str) -> list[float]:
+    """REAL decoder #6, zero new deps: AIFF — WAV's BIG-ENDIAN twin
+    under the IFF grammar, and a different set of traps: the sample
+    rate is an 80-bit extended float in COMM (_parse_f80), SSND's body
+    leads with an (offset, blockSize) pair plus offset pad bytes
+    before the sound data, chunks are even-aligned (pad byte after
+    odd sizes, like RIFF), and samples are int16 BIG-endian. Features
+    are the shared _window_abs_means contract, so the oracle re-decodes
+    the BE stream from generation-time (data_off, n_samples)
+    coordinates — a chunk mis-walk or a mis-handled SSND offset is a
+    value mismatch. Raises on anything but the one format it really
+    decodes."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    i, comm, data_off, n_data = 12, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (sz,) = struct.unpack_from(">I", payload, i + 4)
+        body = i + 8
+        if cid == b"COMM":
+            if sz < 18 or body + 18 > len(payload):
+                raise ValueError("truncated COMM chunk in AIFF payload")
+            n_ch, n_frames = struct.unpack_from(">HI", payload, body)
+            (bps,) = struct.unpack_from(">H", payload, body + 6)
+            rate = _parse_f80(payload[body + 8 : body + 18])
+            comm = (n_ch, n_frames, bps, rate)
+        elif cid == b"SSND":
+            if sz < 8 or body + 8 > len(payload):
+                raise ValueError("truncated SSND chunk in AIFF payload")
+            off, _blk = struct.unpack_from(">II", payload, body)
+            data_off = body + 8 + off
+            n_data = sz - 8 - off
+        i = body + sz + (sz & 1)  # IFF chunks are even-aligned
+    if comm is None or data_off is None:
+        raise ValueError("missing COMM/SSND chunk in AIFF payload")
+    n_ch, n_frames, bps, rate = comm
+    n = n_data // 2
+    if bps != 16 or n_ch < 1 or n < _FEAT_DIM:
+        raise ValueError(
+            f"only 16-bit PCM AIFF with >= {_FEAT_DIM} samples supported "
+            f"(got bps={bps} channels={n_ch} n={n})"
+        )
+    if n != n_frames * n_ch:
+        raise ValueError(
+            f"SSND carries {n} samples but COMM declares "
+            f"{n_frames * n_ch} ({n_frames} frames x {n_ch} channels)"
+        )
+    if data_off + n_data > len(payload):
+        raise ValueError("truncated SSND sound data")
+    s = np.abs(
+        np.frombuffer(
+            payload, dtype=">i2", count=n, offset=data_off
+        ).astype(np.int64)
+    )
+    return _window_abs_means(s)
 
 
 def _decode_png(payload: bytes, mime: str) -> list[float]:
@@ -915,18 +1017,23 @@ FROM sums GROUP BY media_id, mime
 """
 
 
-def _wav_feature_oracle() -> str:
-    """DuckDB replay of _decode_wav from hex(payload), with the data
-    offset and sample count taken from the fixture's ``data_off`` /
-    ``n_samples`` columns — recorded independently at GENERATION time
-    (the pix_off discipline), so a Spark-side chunk-walk bug (skipping
-    the interleaved LIST chunk wrong, missing the odd-size pad byte)
+def _pcm_winabs_oracle(parquet_path: str, decoder_tag: str, big: bool) -> str:
+    """DuckDB replay of a PCM decoder (_decode_wav / _decode_aiff)
+    from hex(payload), with the data offset and sample count taken
+    from the fixture's ``data_off`` / ``n_samples`` columns — recorded
+    independently at GENERATION time (the pix_off discipline), so a
+    Spark-side chunk-walk bug (skipping an interleaved chunk wrong,
+    missing an odd-size pad byte, mis-handling AIFF's SSND offset)
     disagrees with the oracle instead of being self-consistently
-    wrong. Sample j is int16 LE at byte off + 2j: low byte + 256·high
-    byte, folded to signed via CASE u >= 32768 → u − 65536; the
-    per-window feature is integer Σ|s| with one double division."""
+    wrong. Sample j is int16 at byte off + 2j — little-endian (WAV:
+    low byte + 256·high byte) or big-endian (AIFF: 256·first + second)
+    per ``big`` — folded to signed via CASE u >= 32768 → u − 65536;
+    the per-window feature is integer Σ|s| with one double division."""
     byte = "CAST('0x' || substring(hx, (off + 2 * j + {d}) * 2 + 1, 2) AS INTEGER)"
-    u = byte.format(d=0) + " + 256 * " + byte.format(d=1)
+    if big:
+        u = "256 * " + byte.format(d=0) + " + " + byte.format(d=1)
+    else:
+        u = byte.format(d=0) + " + 256 * " + byte.format(d=1)
     cols = ",\n       ".join(
         f"MAX(CASE WHEN win = {i} THEN CAST(s AS DOUBLE) / (32768.0 * nwin)"
         f" END) AS f{i}"
@@ -936,7 +1043,7 @@ def _wav_feature_oracle() -> str:
 WITH src AS (
   SELECT media_id, mime, hex(payload) AS hx,
          CAST(data_off AS BIGINT) AS off, CAST(n_samples AS BIGINT) AS n
-  FROM read_parquet('{MEDIA_WAV_PARQUET}')
+  FROM read_parquet('{parquet_path}')
 ),
 js AS (
   SELECT media_id, mime, hx, off, n,
@@ -956,9 +1063,19 @@ sums AS (
 )
 SELECT media_id, mime,
        {cols},
-       'wav16-winabs-v1' AS decoder
+       '{decoder_tag}' AS decoder
 FROM sums GROUP BY media_id, mime
 """
+
+
+def _wav_feature_oracle() -> str:
+    return _pcm_winabs_oracle(MEDIA_WAV_PARQUET, "wav16-winabs-v1", big=False)
+
+
+def _aiff_feature_oracle() -> str:
+    return _pcm_winabs_oracle(
+        MEDIA_AIFF_PARQUET, "aiff16-winabs-v1", big=True
+    )
 
 
 def _rawpx_strip_oracle(parquet_path: str, decoder_tag: str) -> str:
@@ -1025,31 +1142,34 @@ def _gif_feature_oracle() -> str:
         "SELECT * FROM (" + _ppm_feature_oracle() + ")\nUNION ALL\n"
         "SELECT * FROM (" + _wav_feature_oracle() + ")\nUNION ALL\n"
         "SELECT * FROM (" + _png_feature_oracle() + ")\nUNION ALL\n"
-        "SELECT * FROM (" + _gif_feature_oracle() + ")"
+        "SELECT * FROM (" + _gif_feature_oracle() + ")\nUNION ALL\n"
+        "SELECT * FROM (" + _aiff_feature_oracle() + ")"
     ),
     tags=("multimodal", "mapinpandas"),
 )
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas): the
     real multimodal hot path. Batch shape, schema, and iterator
-    semantics are production-real, and FIVE formats are decoded for
+    semantics are production-real, and SIX formats are decoded for
     REAL in this container: media_bmp rows go through _decode_bmp
     (struct+numpy 24bpp BMP), media_ppm rows through _decode_ppm
     (binary netpbm P6, byte-wise header tokenizer), media_wav rows
     through _decode_wav (16-bit PCM RIFF/WAVE with a real chunk walk),
-    and — late round 11, the two COMPRESSED formats — media_png rows
-    through _decode_png (8-bit RGB PNG: CRC-checked chunk walk,
-    multi-IDAT zlib inflate, all five scanline filters inverted) and
-    media_gif rows through _decode_gif (GIF89a block walk + a
-    from-the-spec LZW decompressor with variable code widths and
-    table rebuild). The image decoders emit the shared strip-mean
-    contract, the audio decoder its time-window twin (mean absolute
-    amplitude), and each DuckDB oracle branch recomputes the features
-    from independent bytes in SQL (BMP re-decodes the payload
-    outright; PPM/WAV re-decode from independently recorded
-    generation-time offsets; PNG/GIF — where SQL cannot inflate or
-    LZW-decode — from the generation-time raw_px ground truth, the
-    encoder and decoder being independent spec implementations). The
+    and — late round 11 — media_png rows through _decode_png (8-bit
+    RGB PNG: CRC-checked chunk walk, multi-IDAT zlib inflate, all five
+    scanline filters inverted), media_gif rows through _decode_gif
+    (GIF89a block walk + a from-the-spec LZW decompressor with
+    variable code widths and table rebuild), and media_aiff rows
+    through _decode_aiff (WAV's big-endian IFF twin: 80-bit extended
+    sample rate, SSND offset pair, even-aligned chunks). The image
+    decoders emit the shared strip-mean contract, the audio decoders
+    the time-window twin (mean absolute amplitude), and each DuckDB
+    oracle branch recomputes the features from independent bytes in
+    SQL (BMP re-decodes the payload outright; PPM/WAV/AIFF re-decode
+    from independently recorded generation-time offsets; PNG/GIF —
+    where SQL cannot inflate or LZW-decode — from the generation-time
+    raw_px ground truth, the encoder and decoder being independent
+    spec implementations). The
     media.parquet rows (fake-container png/wav/mp4) keep the
     deterministic _decode_stub so their codec-less hash algebra stays
     oracle-checkable; feature dims are unpacked to scalar columns
@@ -1092,6 +1212,13 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 load_media_gif(spark),
                 decode=_decode_gif,
                 decoder_name="gif-lzw-strips-v1",
+            )
+        )
+        .unionByName(
+            feature_extract(
+                load_media_aiff(spark),
+                decode=_decode_aiff,
+                decoder_name="aiff16-winabs-v1",
             )
         )
     )

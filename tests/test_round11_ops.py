@@ -1128,3 +1128,156 @@ def test_mp4_walker_rejects_overrunning_table_counts():
     bad = good[: k + 8] + (n_chunks + 9).to_bytes(4, "big") + good[k + 12 :]
     with pytest.raises(ValueError, match="stco declares .* beyond"):
         _mp4_sample_index(bad)
+
+
+# ---------------------------------------------------------------------------
+# Late r11: AIFF — big-endian PCM under the IFF grammar
+# ---------------------------------------------------------------------------
+
+
+def _aiff_bytes(samples, n_ch=1, rate=44100, ssnd_off=0, pre_chunks=b""):
+    """Hand-assemble a FORM/AIFF payload (mirrors the fixture
+    generator, reimplemented so a shared bug can't be self-consistent
+    — including an independent 80-bit float encode via the frexp
+    route rather than bit_length)."""
+    import math
+
+    m, e = math.frexp(rate)  # rate = m * 2^e, 0.5 <= m < 1
+    mantissa = int(m * (1 << 64))
+    f80 = (16382 + e).to_bytes(2, "big") + mantissa.to_bytes(8, "big")
+    data = b"".join(int(s).to_bytes(2, "big", signed=True) for s in samples)
+    comm = (
+        n_ch.to_bytes(2, "big")
+        + (len(samples) // n_ch).to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + f80
+    )
+    ssnd = ssnd_off.to_bytes(4, "big") + bytes(4) + bytes(ssnd_off) + data
+    chunks = (
+        b"COMM" + len(comm).to_bytes(4, "big") + comm
+        + pre_chunks
+        + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    )
+    return b"FORM" + (4 + len(chunks)).to_bytes(4, "big") + b"AIFF" + chunks
+
+
+def test_decode_aiff_known_samples():
+    from micmac_li3ds_spark.operators.multimodal import _decode_aiff
+
+    samples = [0, 16384, -16384, 32767, -32768, 1, -1, 8192]
+    got = _decode_aiff(_aiff_bytes(samples), "audio/aiff")
+    assert got == [abs(s) / 32768.0 for s in samples]
+
+
+def test_decode_aiff_ssnd_offset_and_chunk_walk():
+    """The SSND (offset, blockSize) pair shifts where sound data
+    begins, and an odd-sized chunk between COMM and SSND exercises the
+    IFF pad byte — both must be feature-invariant."""
+    from micmac_li3ds_spark.operators.multimodal import _decode_aiff
+
+    samples = [1000, -2000, 3000, -4000, 5000, -6000, 7000, -8000]
+    base = _decode_aiff(_aiff_bytes(samples), "audio/aiff")
+    odd = b"ANNO" + (7).to_bytes(4, "big") + b"fixture" + b"\x00"
+    assert _decode_aiff(_aiff_bytes(samples, ssnd_off=12), "audio/aiff") == base
+    assert _decode_aiff(_aiff_bytes(samples, pre_chunks=odd), "audio/aiff") == base
+    assert (
+        _decode_aiff(
+            _aiff_bytes(samples, ssnd_off=4, pre_chunks=odd), "audio/aiff"
+        )
+        == base
+    )
+
+
+@pytest.mark.parametrize("rate", [8000, 11025, 22050, 44100, 48000, 96000])
+def test_parse_f80_common_rates(rate):
+    """The 80-bit extended float parse must invert the independent
+    frexp-based encode for every common sample rate."""
+    import math
+
+    from micmac_li3ds_spark.operators.multimodal import _parse_f80
+
+    m, e = math.frexp(rate)
+    f80 = (16382 + e).to_bytes(2, "big") + int(m * (1 << 64)).to_bytes(8, "big")
+    assert _parse_f80(f80) == rate
+
+
+def test_parse_f80_rejects_negative_and_fractional():
+    from micmac_li3ds_spark.operators.multimodal import _parse_f80
+
+    with pytest.raises(ValueError, match="negative AIFF sample rate"):
+        _parse_f80(b"\xc0\x0e" + (1 << 63).to_bytes(8, "big"))
+    # 44100.5: mantissa has a bit below the integer point
+    frac = (16398).to_bytes(2, "big") + (
+        (44100 * 2 + 1) << (63 - 16)
+    ).to_bytes(8, "big")
+    with pytest.raises(ValueError, match="non-integer AIFF sample rate"):
+        _parse_f80(frac)
+
+
+def test_decode_aiff_rejects_malformed():
+    from micmac_li3ds_spark.operators.multimodal import _decode_aiff
+
+    samples = [100, 200, 300, 400, 500, 600, 700, 800]
+    good = _aiff_bytes(samples)
+    cases = [
+        (b"JUNK" + good[4:], "not a FORM/AIFF"),
+        (good.replace(b"COMM", b"COMX"), "missing COMM/SSND"),
+        (good.replace(b"SSND", b"SSNX"), "missing COMM/SSND"),
+    ]
+    for payload, match in cases:
+        with pytest.raises(ValueError, match=match):
+            _decode_aiff(payload, "audio/aiff")
+    # COMM frame count disagreeing with the SSND byte count
+    bad = _aiff_bytes(samples)
+    k = bad.index(b"COMM") + 10
+    bad = bad[:k] + (5).to_bytes(4, "big") + bad[k + 4 :]
+    with pytest.raises(ValueError, match="COMM declares"):
+        _decode_aiff(bad, "audio/aiff")
+    # truncated COMM
+    cut = good[: good.index(b"COMM") + 12]
+    with pytest.raises(ValueError, match="truncated COMM"):
+        _decode_aiff(cut, "audio/aiff")
+
+
+def test_aiff_fixture_offsets_match_decoder_walk(spark):
+    """The generation-time (data_off, n_samples) coordinates — the
+    oracle's — must agree with an independent in-test walk of each
+    fixture payload (COMM/ANNO/SSND layouts, nonzero SSND offsets)."""
+    import struct
+
+    from micmac_li3ds_spark.operators.multimodal import load_media_aiff
+
+    rows = load_media_aiff(spark).collect()
+    assert len(rows) == 8
+    for r in rows:
+        p = bytes(r["payload"])
+        i, found = 12, None
+        while i + 8 <= len(p):
+            (sz,) = struct.unpack_from(">I", p, i + 4)
+            if p[i : i + 4] == b"SSND":
+                (off,) = struct.unpack_from(">I", p, i + 8)
+                found = (i + 16 + off, (sz - 8 - off) // 2)
+                break
+            i += 8 + sz + (sz & 1)
+        assert found == (r["data_off"], r["n_samples"]), r["media_id"]
+
+
+def test_feature_extract_aiff_branch_distributed(spark):
+    from micmac_li3ds_spark.operators.multimodal import (
+        _decode_aiff,
+        load_media_aiff,
+        q_mm_feature_extract,
+    )
+
+    out = (
+        q_mm_feature_extract(spark, SF_DIR)
+        .filter(F.col("decoder") == "aiff16-winabs-v1")
+        .collect()
+    )
+    assert len(out) == 8
+    local = {
+        r["media_id"]: _decode_aiff(bytes(r["payload"]), r["mime"])
+        for r in load_media_aiff(spark).collect()
+    }
+    for row in out:
+        assert [row[f"f{i}"] for i in range(8)] == local[row["media_id"]]

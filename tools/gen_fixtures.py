@@ -655,7 +655,99 @@ def main() -> None:
         pa.Table.from_pylist(mp4_rows, schema=mp4_schema),
         os.path.join(PQ_DIR, "media_mp4.parquet"),
     )
+
+    # --- REAL-format media fixture #7: AIFF (late r11) — WAV's
+    # BIG-ENDIAN twin under the IFF chunk grammar: FORM/AIFF container,
+    # COMM carrying the sample rate as an 80-bit IEEE 754 extended
+    # float (the classic parse real decoders must get right), SSND
+    # with its own leading (offset, blockSize) pair that shifts where
+    # sound data begins, interleaved extra chunks and odd-size padding
+    # like RIFF. ``data_off``/``n_samples`` are recorded at GENERATION
+    # time (the WAV discipline) so the oracle re-decodes int16 BE
+    # from independent coordinates — a chunk mis-walk, a missed pad
+    # byte, or a mis-handled SSND offset is a value mismatch.
+    rngA = random.Random(101010)
+    aiff_rows = []
+    for i, (n_frames, n_ch, rate, ssnd_off, extra) in enumerate(
+        [(8, 1, 44100, 0, False), (100, 1, 22050, 0, True),
+         (100, 2, 48000, 8, False), (250, 1, 8000, 0, True),
+         (33, 2, 96000, 4, True), (64, 1, 11025, 0, False),
+         (9, 1, 44100, 12, True), (300, 2, 16000, 0, False)]
+    ):
+        n_samples = n_frames * n_ch
+        data = b"".join(
+            rngA.randint(-32768, 32767).to_bytes(2, "big", signed=True)
+            for _ in range(n_samples)
+        )
+        payload, data_off = _aiff_encode(
+            data, n_frames, n_ch, rate, ssnd_off, extra, rngA
+        )
+        aiff_rows.append(
+            {
+                "media_id": 7000 + i,
+                "mime": "audio/aiff",
+                "payload": payload,
+                "n_samples": n_samples,
+                "n_channels": n_ch,
+                "sample_rate": rate,
+                "data_off": data_off,
+                "duration_ms": n_frames * 1000 // rate,
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(aiff_rows, schema=wav_schema),
+        os.path.join(PQ_DIR, "media_aiff.parquet"),
+    )
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
+
+
+def _f80(rate: int) -> bytes:
+    """Encode a positive integer as an 80-bit IEEE 754 extended float
+    (1 sign + 15 exponent bits, then a 64-bit mantissa with an
+    EXPLICIT integer bit) — the representation AIFF's COMM chunk uses
+    for the sample rate. Independent of the decoder's parse."""
+    assert rate > 0
+    e = rate.bit_length() - 1  # floor(log2)
+    mantissa = rate << (63 - e)  # integer bit at position 63
+    return (16383 + e).to_bytes(2, "big") + mantissa.to_bytes(8, "big")
+
+
+def _aiff_encode(
+    data: bytes,
+    n_frames: int,
+    n_ch: int,
+    rate: int,
+    ssnd_off: int,
+    extra_chunk: bool,
+    rng: "random.Random",
+):
+    """Minimal-but-genuine AIFF: FORM/AIFF with COMM (big-endian
+    fields, 80-bit extended sample rate) and SSND (leading offset +
+    blockSize u32 pair, then ``ssnd_off`` pad bytes before the sound
+    data); optionally an odd-sized ANNO chunk (IFF even-padding)
+    between them. Returns (payload, absolute sound-data offset)."""
+    comm_body = (
+        n_ch.to_bytes(2, "big")
+        + n_frames.to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + _f80(rate)
+    )
+    chunks = b"COMM" + len(comm_body).to_bytes(4, "big") + comm_body
+    if extra_chunk:
+        anno = bytes(rng.randint(32, 126) for _ in range(7))  # odd size
+        chunks += b"ANNO" + (7).to_bytes(4, "big") + anno + b"\x00"
+    ssnd_body = (
+        ssnd_off.to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + bytes(ssnd_off)
+        + data
+    )
+    data_off_in_chunks = len(chunks) + 8 + 8 + ssnd_off
+    chunks += b"SSND" + len(ssnd_body).to_bytes(4, "big") + ssnd_body
+    payload = (
+        b"FORM" + (4 + len(chunks)).to_bytes(4, "big") + b"AIFF" + chunks
+    )
+    return payload, 12 + data_off_in_chunks
 
 
 def _box(typ: bytes, body: bytes, large: bool = False) -> bytes:
