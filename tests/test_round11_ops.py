@@ -1281,3 +1281,26 @@ def test_feature_extract_aiff_branch_distributed(spark):
     }
     for row in out:
         assert [row[f"f{i}"] for i in range(8)] == local[row["media_id"]]
+
+
+def test_media_query_plans_are_shuffle_free(spark):
+    """Pin the SCALE.md claim for the decode hot path: both media
+    queries execute as parallel scan→MapInPandas branches with ZERO
+    Exchange — per-item decode cost scales out with partitions and no
+    byte of payload ever crosses the network. One MapInPandas (and one
+    parquet scan) per branch: 7 for feature_extract (stub + six real
+    codecs), 2 for frame_sample (stub + BMFF walk)."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        q_mm_feature_extract,
+        q_mm_frame_sample,
+    )
+
+    for q, n_branches in ((q_mm_feature_extract, 7), (q_mm_frame_sample, 2)):
+        p = (
+            q(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in p, q.__name__
+        assert p.count("MapInPandas") == n_branches, q.__name__
