@@ -13,6 +13,15 @@ equivalence test against the retired spelling that the verdict's
 done-criteria demand, mirroring the r9 copurchase_edges / r10
 cluster_assign precedents: prove old ≡ new BEFORE the re-attestation
 window is cut.
+
+Late-round sections extend the media surface past the verdict queue:
+real PNG (stdlib-zlib inflate + all five filters), real GIF (a
+from-the-spec LZW pair whose independent encoder/decoder caught a
+genuine width-timing interop bug), real AIFF (big-endian IFF, 80-bit
+extended-float rate), and a real ISO BMFF sample-table walk for frame
+sampling — plus hypothesis property tests over the codec pairings,
+truncation-path contract tests from the round's self-review, and an
+executed-plan pin that both media queries stay shuffle-free.
 """
 
 from __future__ import annotations
