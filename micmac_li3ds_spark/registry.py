@@ -233,63 +233,79 @@ _loaded = False
 #            guard's other consumer, equivalence-tested and locally
 #            check.py-green on current code — waits one round and
 #            LEADS round 13 (r8 stratum = 48, two free slots).
+#   round 12 (this window): third consolidation by arithmetic — zero
+#            discretionary slots. The staleness invariant (max_round−4
+#            with CORRECTNESS_r11 on disk) enumerates exactly the 47
+#            r7-attested keys below, in its own enumeration order; the
+#            3 ledgered slots from the r11 comment above fill the rest
+#            (q_llm_kmeans_step / q_llm_lsh_recall /
+#            q_llm_cluster_assign — the keys whose newest driver hash
+#            attests superseded code after the r10/r11 changes).
+#            Round-13 slot ledger (r8 stratum = 48 forced, 2 free):
+#            slot 1 is RESERVED for q_llm_semantic_dedup — after this
+#            window it is the last key whose hash (r10) trails its
+#            code (the r11 cid-guard touch); slot 2 goes to whichever
+#            key's code changes latest in round 12 (birth-round
+#            attestation), else to the oldest non-stratum attestation.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- all 50 queries whose newest row is round 6 (forced: zero free
-    # slots; includes the r10-code-changed PQ trio + q_mm_feature_extract
-    # and the r11-migrated q_llm_kmeans_fix) ---
-    "q_agg_approx_distinct",
-    "q_llm_near_dedup",
-    "q_win_percent_rank",
-    "q_llm_chunk_split",
-    "q_llm_dup_ratio_by_source",
-    "q_llm_curate_pipeline",
-    "q_llm_mixture_sample",
-    "q_profile_columns_sketch",
-    "q_ts_gap_fill",
-    "q_etl_xml_normalize",
-    "q_scan_xml",
-    "q_mm_feature_extract",
-    "q_mm_frame_sample",
-    "q_win_cumulative_distinct",
-    "q_ts_resample_ohlc",
-    "q_event_funnel_windowed",
-    "q_etl_cdc_apply",
-    "q_llm_posting_lists",
-    "q_agg_bitmap_distinct",
-    "q_graph_pagerank_step",
-    "q_win_anomaly_zscore",
-    "q_llm_dedup_keep_best",
-    "q_llm_pq_encode",
-    "q_llm_knn_pq",
-    "q_llm_knn_pq_refine",
-    "q_stream_ohlc",
-    "q_top_supplier",
-    "q_market_share",
-    "q_llm_containment",
-    "q_agg_approx_quantile",
-    "q_ts_ewma",
-    "q_concurrent_sessions",
-    "q_graph_pagerank_fix",
-    "q_llm_substring_dup",
-    "q_llm_kmeans_fix",
-    "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip",
-    "q_join_fuzzy",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_important_parts",
-    "q_supplier_part_count",
-    "q_excess_volume_supplier",
-    "q_etl_dq_summary",
-    "q_event_attribution",
-    "q_win_streaks",
-    "q_agg_mad",
-    "q_etl_incremental_agg",
-    "q_join_spatial_grid",
-    "q_llm_vocab_induction",
+    # --- the 47 r7-attested keys forced by the staleness invariant
+    # (test_registry.py::test_window_contains_every_stale_attestation,
+    # enumeration order preserved) ---
+    "q_project_select",
+    "q_filter_simple",
+    "q_filter_compound",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_project_distinct",
+    "q_agg_basic",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_collect",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_join_sortmerge",
+    "q_join_shuffle_hash",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross_theta",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_fn_string",
+    "q_fn_regex",
+    "q_fn_datetime",
+    "q_fn_array",
+    "q_fn_map",
+    "q_event_rfm",
+    "q_win_pct_of_total",
+    "q_audit_small_files",
+    "q_agg_equidepth_hist",
+    "q_llm_bm25",
+    "q_llm_cross_dedup",
+    "q_agg_winsorize",
+    "q_er_resolve",
+    "q_abc_pareto",
+    "q_event_transitions",
+    "q_event_cohort_ltv",
+    "q_skyline",
+    "q_ts_interpolate",
+    "q_agg_corr",
+    "q_ts_rollup_multires",
+    "q_profile_entropy",
+    # --- the 3 ledgered slots (r11 verdict, mandatory): keys whose
+    # newest driver hash attests superseded code ---
+    "q_llm_kmeans_step",
+    "q_llm_lsh_recall",
+    "q_llm_cluster_assign",
 ]
 
 
