@@ -468,7 +468,18 @@ def nearest_centroid_assign(
     also carries a distributed guard: any cid outside
     [0, _ARGMIN_CID_MULT) raises at execution time via a conditional
     ``raise_error`` folded into the ordering-key projection — zero
-    extra jobs, no driver-side pass over ``c``."""
+    extra jobs, no driver-side pass over ``c``.
+
+    Returns (vec_id, *extra_cols, centroid_id, dist). RETURN CONTRACT
+    for ``dist`` (ADVICE r11): its type AND meaning follow the path —
+    default path: DOUBLE, the euclidean distance rounded to 6dp;
+    ``int_dist`` path: the caller's expression type (LONG for both
+    current callers), the raw integer minimum of the caller's exact
+    distance channel, NOT a euclidean value. Callers that union or
+    compare results across the two paths must cast/rename explicitly
+    at the call site — the divergence is deliberate (an exact-integer
+    channel must not round-trip through DOUBLE), pinned by
+    tests/test_round12_ops.py::test_nearest_centroid_assign_dist_contract."""
     if n_centroids is not None and n_centroids > _ARGMIN_CID_MULT:
         raise ValueError(
             f"nearest_centroid_assign: n_centroids={n_centroids} exceeds "

@@ -356,6 +356,12 @@ def _decode_wav(payload: bytes, mime: str) -> list[float]:
     if fmt is None or data_off is None:
         raise ValueError("missing fmt /data chunk in RIFF/WAVE payload")
     audio_fmt, n_ch, bps = fmt
+    if data_len % 2:
+        # a 16-bit PCM data chunk must hold whole samples — an odd
+        # size is corruption, and silently dropping the trailing byte
+        # would decode garbage to features instead of failing loudly
+        # like every other malformation in this decoder family
+        raise ValueError(f"odd data chunk size {data_len} for 16-bit PCM")
     n = data_len // 2
     if audio_fmt != 1 or bps != 16 or n_ch < 1 or n < _FEAT_DIM:
         raise ValueError(
@@ -450,6 +456,10 @@ def _decode_aiff(payload: bytes, mime: str) -> list[float]:
     if comm is None or data_off is None:
         raise ValueError("missing COMM/SSND chunk in AIFF payload")
     n_ch, n_frames, bps, rate = comm
+    if n_data % 2:
+        # same raise-on-malformed contract as _decode_wav: 16-bit
+        # samples cannot leave an odd byte of sound data behind
+        raise ValueError(f"odd SSND sound-data size {n_data} for 16-bit PCM")
     n = n_data // 2
     if bps != 16 or n_ch < 1 or n < _FEAT_DIM:
         raise ValueError(
