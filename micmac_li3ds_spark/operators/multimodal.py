@@ -752,7 +752,18 @@ def _mp4_child(buf: bytes, start: int, end: int, typ: bytes):
     raise ValueError(f"missing MP4 box {typ!r}")
 
 
-def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
+def _mp4_child_opt(buf: bytes, start: int, end: int, typ: bytes):
+    """Like _mp4_child for the OPTIONAL sample tables (stss, ctts):
+    absence is a defined state per ISO 14496-12, not an error."""
+    for t, body, bend in _mp4_boxes(buf, start, end):
+        if t == typ:
+            return body, bend
+    return None
+
+
+def _mp4_sample_index(
+    payload: bytes,
+) -> list[tuple[int, int, int, bool, int]]:
     """REAL video-container plumbing, zero new deps (late r11): the
     ISO BMFF sample-table walk that locates every sample's byte range
     and timestamp WITHOUT decoding any codec — the operation that
@@ -763,12 +774,25 @@ def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
     stsc's (first_chunk, samples_per_chunk) runs map samples to
     chunks, stco gives each chunk's file offset, stsz the per-sample
     (or uniform) sizes, stts the cumulative decode-time deltas.
-    Returns [(offset, size, ts_ms)] per sample. The fixture
-    generator's bookkeeping records the same coordinates
-    independently at generation time — the oracle slices the payload
-    with those, so a mis-walk here is a value mismatch. Raises on
-    anything structurally unsound (no vide trak, table count
-    mismatches, samples outside the payload)."""
+
+    Round 12 adds the two OPTIONAL timing tables a production frame
+    sampler keys on: stss (sync samples — an ABSENT box means every
+    sample is sync per §8.6.2; a present box may start the first
+    keyframe later than sample 1) and version-0 ctts (composition
+    offsets — pts = dts + offset, which on reordered B-frame-style
+    tracks is non-monotone in decode order). At 100 TB the decode
+    cost of sampling is gated on seeking to SYNC samples — a
+    non-keyframe slice is undecodable without its reference chain —
+    so the keyframe flag is the production sampling predicate, and
+    the pts is the timestamp users actually mean.
+
+    Returns [(offset, size, dts_ms, keyframe, pts_ms)] per sample in
+    DECODE order. The fixture generator's bookkeeping records the
+    same coordinates independently at generation time — the oracle
+    slices the payload with those, so a mis-walk here is a value
+    mismatch. Raises on anything structurally unsound (no vide trak,
+    table count mismatches, stss numbers out of range, non-v0 ctts,
+    samples outside the payload)."""
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (no leading ftyp box)")
     moov_body, moov_end = _mp4_child(payload, 0, len(payload), b"moov")
@@ -846,7 +870,39 @@ def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
     if n and (not stsc or not chunk_offs):
         raise ValueError("empty stsc/stco but stsz declares samples")
 
-    out: list[tuple[int, int, int]] = []
+    # stss (optional): sync-sample numbers, 1-based; absent = all sync
+    sync: set | None = None
+    stss_span = _mp4_child_opt(payload, sb, se, b"stss")
+    if stss_span is not None:
+        ssb, sse = stss_span
+        if payload[ssb]:
+            raise ValueError("only version-0 stss is supported")
+        sync = set()
+        for e in range(entries(ssb, sse, "stss", 8, 4)):
+            sn = u32(ssb + 8 + 4 * e)
+            if not 1 <= sn <= n:
+                raise ValueError(
+                    f"stss sync sample {sn} outside [1, {n}]"
+                )
+            sync.add(sn)
+    # ctts (optional, version 0): composition-offset runs; absent =
+    # pts == dts
+    cofs = [0] * n
+    ctts_span = _mp4_child_opt(payload, sb, se, b"ctts")
+    if ctts_span is not None:
+        cb, ce = ctts_span
+        if payload[cb]:
+            raise ValueError("only version-0 ctts is supported")
+        cofs = []
+        for e in range(entries(cb, ce, "ctts", 8, 8)):
+            cnt, off = u32(cb + 8 + 8 * e), u32(cb + 12 + 8 * e)
+            cofs += [off] * cnt
+        if len(cofs) != n:
+            raise ValueError(
+                f"ctts covers {len(cofs)} samples but stsz declares {n}"
+            )
+
+    out: list[tuple[int, int, int, bool, int]] = []
     sample, t_units, run = 0, 0, 0
     for c, coff in enumerate(chunk_offs, start=1):
         while run + 1 < len(stsc) and stsc[run + 1][0] <= c:
@@ -860,7 +916,15 @@ def _mp4_sample_index(payload: bytes) -> list[tuple[int, int, int]]:
                 raise ValueError(
                     f"sample {sample} extends past the payload end"
                 )
-            out.append((pos, sz, t_units * 1000 // timescale))
+            out.append(
+                (
+                    pos,
+                    sz,
+                    t_units * 1000 // timescale,
+                    sync is None or (sample + 1) in sync,
+                    (t_units + cofs[sample]) * 1000 // timescale,
+                )
+            )
             t_units += deltas[sample]
             pos += sz
             sample += 1
@@ -1253,22 +1317,26 @@ SELECT media_id, frame_idx,
        sha256(substring(hx, (frame_idx % n_bytes) * 2 + 1, 32)) AS frame_sha
 FROM frames
 UNION ALL
--- REAL branch (late r11): per-sample byte ranges + timestamps of the
--- genuine ISO BMFF fixtures, re-sliced from the generation-time
--- (sample_off, sample_size, sample_ts_ms) coordinates the generator's
--- own chunk bookkeeping recorded — independent of the Spark side's
--- stts/stsc/stsz/stco walk, so a mis-walk is a value mismatch.
+-- REAL branch (late r11, keyframe-aware since r12): byte ranges of
+-- the genuine ISO BMFF fixtures' SYNC samples only, timestamped by
+-- PRESENTATION time, re-sliced from the generation-time (sample_off,
+-- sample_size, keyframe, sample_pts_ms) coordinates the generator's
+-- own stss/ctts bookkeeping recorded — independent of the Spark
+-- side's stts/ctts/stsc/stsz/stss/stco walk, so a mis-walk (or a
+-- wrong keyframe/pts derivation) is a value mismatch.
 SELECT media_id,
-       CAST(frame_idx AS INTEGER) AS frame_idx,
-       CAST(sample_ts_ms[frame_idx + 1] AS BIGINT) AS frame_ts_ms,
-       sha256(substring(hx, sample_off[frame_idx + 1] * 2 + 1,
-                        sample_size[frame_idx + 1] * 2)) AS frame_sha
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY i) - 1
+            AS INTEGER) AS frame_idx,
+       CAST(sample_pts_ms[i + 1] AS BIGINT) AS frame_ts_ms,
+       sha256(substring(hx, sample_off[i + 1] * 2 + 1,
+                        sample_size[i + 1] * 2)) AS frame_sha
 FROM (
   SELECT media_id, hex(payload) AS hx,
-         sample_off, sample_size, sample_ts_ms,
-         unnest(range(len(sample_off))) AS frame_idx
+         sample_off, sample_size, sample_pts_ms, keyframe,
+         unnest(range(len(sample_off))) AS i
   FROM read_parquet('{MEDIA_MP4_PARQUET}')
 )
+WHERE keyframe[i + 1]
 """,
     tags=("multimodal", "mapinpandas"),
 )
@@ -1276,17 +1344,23 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video rows, two branches. (1) The fake-
     container media.parquet rows keep the STUB sampler: 1 row per ~5 s
     of metadata duration, frame payload faked as a 16-byte slice. (2)
-    The media_mp4.parquet rows run the REAL thing (late r11): a
-    genuine ISO BMFF sample-table walk (_mp4_sample_index —
-    moov/trak/hdlr selection, stts/stsc/stsz/stco) locates every
-    sample's byte range and decode timestamp WITHOUT any codec, and
-    the emitted frame payload is the sample's ACTUAL bytes — at 100 TB
-    this seek-and-slice indexing is the part of frame sampling that
-    belongs in the engine (codec decode stays a pluggable UDF, like
-    _decode_pil_image for images). Both branches hash the
-    uppercase-hex encoding of the slice so the oracle (VARCHAR-only
-    sha256, no blob substring) recomputes it — the real branch from
-    generation-time coordinates recorded independently of the walk."""
+    The media_mp4.parquet rows run the REAL thing (late r11,
+    KEYFRAME-AWARE since r12): a genuine ISO BMFF sample-table walk
+    (_mp4_sample_index — moov/trak/hdlr selection,
+    stts/ctts/stsc/stsz/stss/stco) locates every sample's byte range,
+    keyframe flag, and presentation timestamp WITHOUT any codec, then
+    samples AT SYNC SAMPLES ONLY — the production posture: a
+    non-keyframe slice is undecodable without its reference chain, so
+    at 100 TB the decode cost of frame sampling is gated on seeking
+    to stss entries, not arbitrary offsets. frame_idx is the keyframe
+    ordinal in decode order, frame_ts_ms the PRESENTATION time (dts +
+    ctts offset — what users mean by "the frame at t"). The emitted
+    frame payload is the sample's ACTUAL bytes; codec decode stays a
+    pluggable UDF, like _decode_pil_image for images. Both branches
+    hash the uppercase-hex encoding of the slice so the oracle
+    (VARCHAR-only sha256, no blob substring) recomputes it — the real
+    branch from generation-time stss/ctts coordinates recorded
+    independently of the walk."""
 
     schema = T.StructType(
         [
@@ -1321,17 +1395,21 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
                 hx = payload.hex().upper()
-                for k, (off, sz, ts_ms) in enumerate(
-                    _mp4_sample_index(payload)
+                k = 0
+                for off, sz, _dts, key, pts_ms in _mp4_sample_index(
+                    payload
                 ):
+                    if not key:
+                        continue  # only sync samples are decodable seeks
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(k)
-                    out["frame_ts_ms"].append(ts_ms)
+                    out["frame_ts_ms"].append(pts_ms)
                     out["frame_sha"].append(
                         hashlib.sha256(
                             hx[off * 2 : (off + sz) * 2].encode()
                         ).hexdigest()
                     )
+                    k += 1
             yield pd.DataFrame(out)
 
     real = (

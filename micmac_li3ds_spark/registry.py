@@ -243,10 +243,12 @@ _loaded = False
 #            attests superseded code after the r10/r11 changes).
 #            Round-13 slot ledger (r8 stratum = 48 forced, 2 free):
 #            slot 1 is RESERVED for q_llm_semantic_dedup — after this
-#            window it is the last key whose hash (r10) trails its
-#            code (the r11 cid-guard touch); slot 2 goes to whichever
-#            key's code changes latest in round 12 (birth-round
-#            attestation), else to the oldest non-stratum attestation.
+#            window it is the last pre-r12 key whose hash (r10) trails
+#            its code (the r11 cid-guard touch); slot 2 goes to
+#            q_mm_frame_sample, whose real branch turned
+#            keyframe-aware in round 12 (stss/ctts in the BMFF walk,
+#            verdict item 3) on an r11 hash — birth-round attestation
+#            for the new sampling semantics.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50

@@ -856,8 +856,10 @@ def _genfix():
 def test_mp4_walker_matches_generation_coordinates(spark):
     """Every committed fixture row — including the audio-track-first,
     64-bit-largesize-mdat, uniform-stsz, and multi-run stts/stsc
-    shapes — the walker's (offset, size, ts_ms) must equal the
-    generator's own chunk bookkeeping (the oracle's coordinates)."""
+    shapes, plus (r12) the no-stss all-sync, first-keyframe-not-1,
+    and ctts-reordered shapes — the walker's (offset, size, dts_ms,
+    keyframe, pts_ms) must equal the generator's own bookkeeping (the
+    oracle's coordinates)."""
     from micmac_li3ds_spark.operators.multimodal import (
         _mp4_sample_index,
         load_media_mp4,
@@ -866,16 +868,29 @@ def test_mp4_walker_matches_generation_coordinates(spark):
     rows = load_media_mp4(spark).collect()
     assert len(rows) == 8
     saw_large = saw_audio = False
+    saw_nostss = saw_reordered = saw_late_first_key = False
     for r in rows:
         p = bytes(r["payload"])
         saw_large |= b"\x00\x00\x00\x01mdat" in p
         saw_audio |= b"soun" in p
+        saw_nostss |= b"stss" not in p and all(r["keyframe"])
+        saw_late_first_key |= not r["keyframe"][0]
+        pts = list(r["sample_pts_ms"])
+        saw_reordered |= pts != sorted(pts)
         got = _mp4_sample_index(p)
         want = list(
-            zip(r["sample_off"], r["sample_size"], r["sample_ts_ms"])
+            zip(
+                r["sample_off"],
+                r["sample_size"],
+                r["sample_ts_ms"],
+                r["keyframe"],
+                r["sample_pts_ms"],
+            )
         )
         assert got == want, r["media_id"]
-    assert saw_large and saw_audio  # the hard shapes are really present
+    # the hard shapes are really present
+    assert saw_large and saw_audio
+    assert saw_nostss and saw_reordered and saw_late_first_key
 
 
 def test_mp4_walker_timestamps_from_stts_runs():
@@ -885,13 +900,15 @@ def test_mp4_walker_timestamps_from_stts_runs():
 
     gf = _genfix()
     samples = [bytes([k]) * 10 for k in range(5)]
-    payload, offs, ts_ms = gf._mp4_encode(
+    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode(
         samples, [(1, 5)], 0, 30000, [(2, 1001), (3, 1502)], False, False
     )
     got = _mp4_sample_index(payload)
     units = [0, 1001, 2002, 3504, 5006]
-    assert [t for (_, _, t) in got] == [u * 1000 // 30000 for u in units]
-    assert got == list(zip(offs, [10] * 5, ts_ms))
+    assert [t for (_, _, t, _, _) in got] == [u * 1000 // 30000 for u in units]
+    # no stss → every sample sync; no ctts → pts == dts
+    assert got == list(zip(offs, [10] * 5, ts_ms, [True] * 5, ts_ms))
+    assert keys == [True] * 5 and pts_ms == ts_ms
 
 
 def test_mp4_walker_rejects_malformed():
@@ -955,7 +972,7 @@ def test_mp4_walker_rejects_malformed():
     # truncated payload: moov still parses (the child search returns
     # before reaching the cut mdat), so the per-sample bounds check is
     # what fires — the more precise error
-    good, _, _ = gf._mp4_encode(
+    good, *_ = gf._mp4_encode(
         [b"ab" * 10] * 4, [(1, 2)], 0, 1000, [(4, 40)], False, False
     )
     with pytest.raises(ValueError, match="extends past the payload end"):
@@ -963,8 +980,10 @@ def test_mp4_walker_rejects_malformed():
 
 
 def test_frame_sample_mp4_branch_distributed(spark):
-    """The registered query's real branch: one row per SAMPLE of every
-    media_mp4 fixture, timestamps from the walked stts, sha over the
+    """The registered query's real branch (keyframe-aware since r12):
+    one row per SYNC SAMPLE of every media_mp4 fixture, frame_idx the
+    keyframe ordinal in decode order, frame_ts_ms the PRESENTATION
+    time from the generation-time ctts bookkeeping, sha over the
     sample's actual byte range."""
     import hashlib
 
@@ -979,11 +998,15 @@ def test_frame_sample_mp4_branch_distributed(spark):
         if r["media_id"] >= 6000
     ]
     fixtures = {r["media_id"]: r for r in load_media_mp4(spark).collect()}
-    assert len(out) == sum(r["n_samples"] for r in fixtures.values())
+    assert len(out) == sum(sum(r["keyframe"]) for r in fixtures.values())
+    assert len(out) < sum(r["n_samples"] for r in fixtures.values())
     for row in out:
         fx = fixtures[row["media_id"]]
-        k = row["frame_idx"]
-        assert row["frame_ts_ms"] == fx["sample_ts_ms"][k]
+        # frame_idx is the ordinal among keyframes → map back to the
+        # sample index from the fixture's own flags
+        key_samples = [i for i, k in enumerate(fx["keyframe"]) if k]
+        k = key_samples[row["frame_idx"]]
+        assert row["frame_ts_ms"] == fx["sample_pts_ms"][k]
         off, sz = fx["sample_off"][k], fx["sample_size"][k]
         hx = bytes(fx["payload"]).hex().upper()
         assert (
@@ -1122,7 +1145,7 @@ def test_mp4_walker_rejects_overrunning_table_counts():
     from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
 
     gf = _genfix()
-    good, _, _ = gf._mp4_encode(
+    good, *_ = gf._mp4_encode(
         [b"xy" * 8] * 4, [(1, 2)], 0, 1000, [(4, 40)], False, False
     )
     # find the stts box and inflate its entry count from 1 to 3

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.test_round11_ops import _aiff_bytes, _wav_bytes
+from tests.test_round11_ops import _aiff_bytes, _genfix, _wav_bytes
 
 
 # ---------------------------------------------------------------------------
@@ -118,3 +118,106 @@ def test_decode_wav_even_data_still_round_trips():
     assert _decode_wav(_wav_bytes(samples), "audio/x-wav-pcm") == [
         abs(s) / 32768.0 for s in samples
     ]
+
+
+# ---------------------------------------------------------------------------
+# Verdict 3: keyframe-aware BMFF sampling — stss + ctts in the walk
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_walker_stss_keyframe_flags():
+    """stss present: exactly the listed 1-based sample numbers flag as
+    keyframes — including a track whose FIRST keyframe is not sample 1
+    (the assumption cheap walkers bake in)."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    samples = [bytes([k]) * 10 for k in range(6)]
+    payload, *_ = gf._mp4_encode(
+        samples, [(1, 3)], 0, 1000, [(6, 40)], False, False,
+        stss_samples=[2, 5],
+    )
+    got = _mp4_sample_index(payload)
+    assert [key for (_, _, _, key, _) in got] == [
+        False, True, False, False, True, False,
+    ]
+
+
+def test_mp4_walker_ctts_presentation_times():
+    """ctts present: pts = dts + offset per run, hand-computed — and a
+    reordered (B-frame-style) offset plan must come back non-monotone
+    in decode order while dts stays monotone."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    samples = [bytes([k]) * 10 for k in range(5)]
+    # dts units: 0,100,200,300,400; offsets: 250,0,0,50,50
+    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode(
+        samples, [(1, 5)], 0, 1000, [(5, 100)], False, False,
+        ctts_runs=[(1, 250), (2, 0), (2, 50)],
+    )
+    got = _mp4_sample_index(payload)
+    want_pts_units = [250, 100, 200, 350, 450]
+    assert [p for (_, _, _, _, p) in got] == [
+        u * 1000 // 1000 for u in want_pts_units
+    ]
+    assert pts_ms == [u * 1000 // 1000 for u in want_pts_units]
+    dts = [t for (_, _, t, _, _) in got]
+    pts = [p for (_, _, _, _, p) in got]
+    assert dts == sorted(dts) and pts != sorted(pts)
+    assert keys == [True] * 5  # no stss → all sync
+
+
+def test_mp4_walker_rejects_malformed_stss_ctts():
+    """The new tables keep the family's raise-on-malformed contract:
+    out-of-range stss sample numbers, non-v0 versions, overrunning
+    entry counts, and ctts/stsz coverage mismatches all raise the
+    named structural error."""
+    import pytest
+
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    samples = [bytes([k]) * 10 for k in range(4)]
+
+    def enc(**kw):
+        payload, *_ = gf._mp4_encode(
+            samples, [(1, 2)], 0, 1000, [(4, 40)], False, False, **kw
+        )
+        return payload
+
+    # stss sample number out of [1, n]: patch a valid box's entry
+    good = enc(stss_samples=[1, 3])
+    k = good.index(b"stss")
+    assert good[k + 12 : k + 16] == (1).to_bytes(4, "big")
+    bad = good[: k + 12] + (9).to_bytes(4, "big") + good[k + 16 :]
+    with pytest.raises(ValueError, match="stss sync sample 9 outside"):
+        _mp4_sample_index(bad)
+    bad = good[: k + 12] + (0).to_bytes(4, "big") + good[k + 16 :]
+    with pytest.raises(ValueError, match="stss sync sample 0 outside"):
+        _mp4_sample_index(bad)
+    # stss entry count overrunning its own box
+    bad = good[: k + 8] + (7).to_bytes(4, "big") + good[k + 12 :]
+    with pytest.raises(ValueError, match="stss declares 7 entries beyond"):
+        _mp4_sample_index(bad)
+    # non-v0 stss
+    bad = good[: k + 4] + b"\x01" + good[k + 5 :]
+    with pytest.raises(ValueError, match="only version-0 stss"):
+        _mp4_sample_index(bad)
+
+    # ctts covering fewer samples than stsz declares
+    good = enc(ctts_runs=[(4, 50)])
+    k = good.index(b"ctts")
+    assert good[k + 12 : k + 16] == (4).to_bytes(4, "big")
+    bad = good[: k + 12] + (3).to_bytes(4, "big") + good[k + 16 :]
+    with pytest.raises(ValueError, match="ctts covers 3 samples but"):
+        _mp4_sample_index(bad)
+    # non-v0 ctts (version 1 carries SIGNED offsets — refusing beats
+    # silently reading them unsigned)
+    bad = good[: k + 4] + b"\x01" + good[k + 5 :]
+    with pytest.raises(ValueError, match="only version-0 ctts"):
+        _mp4_sample_index(bad)
+    # ctts entry count overrunning its own box
+    bad = good[: k + 8] + (5).to_bytes(4, "big") + good[k + 12 :]
+    with pytest.raises(ValueError, match="ctts declares 5 entries beyond"):
+        _mp4_sample_index(bad)

@@ -598,23 +598,47 @@ def main() -> None:
     # chunk bookkeeping (not from the walker), so the oracle re-slices
     # the payload bytes from independent coordinates: a mis-walk on
     # the Spark side is a value mismatch, not self-consistent.
+    # Round 12 extends the family with the two OPTIONAL timing tables
+    # keyframe-aware sampling lives on: stss (sync samples — absent
+    # box means ALL sync per §8.6.2, present box can start the first
+    # keyframe later than sample 1) and version-0 ctts (composition
+    # offsets — including genuinely REORDERED tracks whose pts
+    # sequence is non-monotone in decode order, the B-frame shape).
+    # keyframe/sample_pts_ms are recorded from the generator's own
+    # bookkeeping, so the oracle samples keyframes from coordinates
+    # the walker never produced.
     rng9 = random.Random(969696)
     mp4_rows = []
     shapes = [
         # (n_samples, stsc_runs [(first_chunk, spc)], uniform_size,
-        #  timescale, stts_runs [(count, delta)], audio_trak, largesize)
-        (6, [(1, 2)], 0, 1000, [(6, 40)], False, False),
-        (12, [(1, 3), (3, 2)], 0, 30000, [(4, 1001), (8, 1502)], False, False),
-        (9, [(1, 4), (2, 1)], 0, 600, [(9, 20)], True, False),
-        (8, [(1, 8)], 32, 90000, [(8, 3003)], False, True),
-        (15, [(1, 5), (2, 3), (4, 1)], 0, 1000, [(15, 33)], True, False),
-        (10, [(1, 1)], 0, 24, [(5, 1), (5, 2)], False, True),
-        (20, [(1, 7), (3, 4)], 0, 12288, [(20, 512)], False, False),
-        (7, [(1, 3), (2, 2)], 48, 1000, [(3, 100), (4, 50)], True, False),
+        #  timescale, stts_runs [(count, delta)], audio_trak, largesize,
+        #  stss_samples | None, ctts_runs | None)
+        (6, [(1, 2)], 0, 1000, [(6, 40)], False, False,
+         [1, 4], None),
+        # ctts-REORDERED track: pts[0]=2500 > pts[1]=1001 (non-monotone)
+        (12, [(1, 3), (3, 2)], 0, 30000, [(4, 1001), (8, 1502)], False,
+         False, [1, 5, 9], [(1, 2500), (3, 0), (8, 100)]),
+        # the no-stss track: every sample sync per spec
+        (9, [(1, 4), (2, 1)], 0, 600, [(9, 20)], True, False,
+         None, None),
+        (8, [(1, 8)], 32, 90000, [(8, 3003)], False, True,
+         [1], None),
+        # constant ctts offset: pts shifted but monotone
+        (15, [(1, 5), (2, 3), (4, 1)], 0, 1000, [(15, 33)], True, False,
+         [1, 6, 11], [(15, 1500)]),
+        # first keyframe NOT at sample 1 — walkers must not assume it
+        (10, [(1, 1)], 0, 24, [(5, 1), (5, 2)], False, True,
+         [2, 3, 5, 7], None),
+        # multi-run ctts, reordered (offset swing 600 > delta 512)
+        (20, [(1, 7), (3, 4)], 0, 12288, [(20, 512)], False, False,
+         [1, 11], [(1, 600), (7, 0), (2, 0), (10, 0)]),
+        # explicit all-sync stss — distinct from the absent-box spelling
+        (7, [(1, 3), (2, 2)], 48, 1000, [(3, 100), (4, 50)], True, False,
+         [1, 2, 3, 4, 5, 6, 7], None),
     ]
-    for i, (n, stsc_runs, usize, tscale, stts_runs, audio, large) in enumerate(
-        shapes
-    ):
+    for i, (
+        n, stsc_runs, usize, tscale, stts_runs, audio, large, stss, ctts
+    ) in enumerate(shapes):
         sizes = (
             [usize] * n
             if usize
@@ -623,8 +647,9 @@ def main() -> None:
         samples = [
             bytes(rng9.randint(0, 255) for _ in range(sz)) for sz in sizes
         ]
-        payload, offs, ts_ms = _mp4_encode(
-            samples, stsc_runs, usize, tscale, stts_runs, audio, large
+        payload, offs, ts_ms, keyframes, pts_ms = _mp4_encode(
+            samples, stsc_runs, usize, tscale, stts_runs, audio, large,
+            stss_samples=stss, ctts_runs=ctts,
         )
         dur_units = sum(c * d for c, d in stts_runs)
         mp4_rows.append(
@@ -637,6 +662,8 @@ def main() -> None:
                 "sample_off": offs,
                 "sample_size": sizes,
                 "sample_ts_ms": ts_ms,
+                "keyframe": keyframes,
+                "sample_pts_ms": pts_ms,
             }
         )
     mp4_schema = pa.schema(
@@ -649,6 +676,8 @@ def main() -> None:
             ("sample_off", pa.list_(pa.int32())),
             ("sample_size", pa.list_(pa.int32())),
             ("sample_ts_ms", pa.list_(pa.int64())),
+            ("keyframe", pa.list_(pa.bool_())),
+            ("sample_pts_ms", pa.list_(pa.int64())),
         ]
     )
     pq.write_table(
@@ -776,15 +805,25 @@ def _mp4_encode(
     stts_runs: list[tuple[int, int]],
     audio_trak: bool,
     large_mdat: bool,
+    stss_samples: list[int] | None = None,
+    ctts_runs: list[tuple[int, int]] | None = None,
 ):
     """Minimal-but-genuine MP4: ftyp + moov (mvhd + [soun trak] +
     vide trak with full stbl sample tables) + mdat. Chunk layout
     follows ``stsc_runs`` ((first_chunk, samples_per_chunk), 1-based,
     last run open-ended per spec); ``stco`` carries ABSOLUTE file
     offsets, so moov is built twice — once with zeroed stco to fix the
-    layout, then with the real offsets (same byte length). Returns
-    (payload, per-sample absolute offsets, per-sample ts in ms) — the
-    generator's own bookkeeping, independent of the decoder's walk."""
+    layout, then with the real offsets (same byte length).
+
+    Round 12 adds the two optional timing tables of ISO 14496-12 that
+    keyframe-aware sampling needs: ``stss_samples`` (1-based sync
+    sample numbers, ascending; None OMITS the box, which per §8.6.2
+    means EVERY sample is sync) and ``ctts_runs`` (version-0
+    (sample_count, composition_offset) runs; None omits the box, so
+    pts == dts). Returns (payload, per-sample absolute offsets,
+    per-sample decode ts in ms, per-sample keyframe flags, per-sample
+    PRESENTATION ts in ms) — the generator's own bookkeeping,
+    independent of the decoder's walk."""
     n = len(samples)
     sizes = [len(s) for s in samples]
 
@@ -810,6 +849,26 @@ def _mp4_encode(
     ts_units = [sum(deltas[:k]) for k in range(n)]
     ts_ms = [t * 1000 // timescale for t in ts_units]
     dur = sum(deltas)
+
+    # generation-time keyframe flags + presentation timestamps — the
+    # oracle's independent coordinates for keyframe-aware sampling
+    if stss_samples is None:
+        keyframes = [True] * n  # no stss box: every sample is sync
+    else:
+        assert stss_samples == sorted(set(stss_samples)), "stss ascending"
+        assert all(1 <= s <= n for s in stss_samples), "stss in range"
+        sync_set = set(stss_samples)
+        keyframes = [(k + 1) in sync_set for k in range(n)]
+    cofs = []
+    for count, off in ctts_runs or []:
+        cofs += [off] * count
+    if ctts_runs is not None:
+        assert len(cofs) == n, "ctts_runs must cover every sample"
+    else:
+        cofs = [0] * n
+    pts_ms = [
+        (t + o) * 1000 // timescale for t, o in zip(ts_units, cofs)
+    ]
 
     stts = _full(
         b"stts",
@@ -839,6 +898,27 @@ def _mp4_encode(
     stsd = _full(
         b"stsd", (1).to_bytes(4, "big") + _box(b"mp4v", bytes(78))
     )
+    ctts = (
+        b""
+        if ctts_runs is None
+        else _full(
+            b"ctts",
+            len(ctts_runs).to_bytes(4, "big")
+            + b"".join(
+                c.to_bytes(4, "big") + o.to_bytes(4, "big")
+                for c, o in ctts_runs
+            ),
+        )
+    )
+    stss = (
+        b""
+        if stss_samples is None
+        else _full(
+            b"stss",
+            len(stss_samples).to_bytes(4, "big")
+            + b"".join(s.to_bytes(4, "big") for s in stss_samples),
+        )
+    )
 
     def stbl(stco_offsets: list[int]) -> bytes:
         stco = _full(
@@ -846,7 +926,7 @@ def _mp4_encode(
             len(stco_offsets).to_bytes(4, "big")
             + b"".join(o.to_bytes(4, "big") for o in stco_offsets),
         )
-        return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        return _box(b"stbl", stsd + stts + ctts + stsc + stsz + stss + stco)
 
     def trak(handler: bytes, stbl_body: bytes) -> bytes:
         tkhd = _full(b"tkhd", bytes(80))
@@ -915,7 +995,7 @@ def _mp4_encode(
     mdat = _box(b"mdat", b"".join(samples), large=large_mdat)
     final = moov(chunk_offsets)
     assert len(final) == len(probe)
-    return ftyp + final + mdat, sample_offs, ts_ms
+    return ftyp + final + mdat, sample_offs, ts_ms, keyframes, pts_ms
 
 
 def _gif_encode(
