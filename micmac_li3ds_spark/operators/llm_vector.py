@@ -740,23 +740,38 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison (mean-of-doubles summation order differs at ~1e-12).
 
     The assignment stage routes through nearest_centroid_assign
-    (round 11, r10 verdict item 3): the member vector ``v`` rides the
-    packed-key argmin groupBy as an extra grouping column — it is
-    functionally determined by vec_id, so map-side partial aggregation
-    still collapses k→1 per vector BEFORE the exchange and the shuffle
-    carries n (vec_id, v) rows, versus the n·k scored rows the retired
-    Window.partitionBy(vec_id) row_number spelling shuffled into
-    WindowExec (plan pinned by
+    (round 11, r10 verdict item 3), and since round 12 uses the
+    ASSIGN-THEN-REJOIN spelling (r11 verdict item 4, measured — see
+    SCALE.md §20): the argmin groupBy carries only vec_id (a LONG
+    hash per scored row), then the narrow (vec_id, cid) assignment
+    joins back to the embeddings with a shuffle-hash join on the
+    unique key. The retired alternative rode the 64-double member
+    vector through the groupBy as an extra grouping column — one
+    fewer exchange but an UnsafeRow ARRAY hash/equality on every one
+    of the n·k scored rows map-side; measured 1.11 s vs 0.91 s
+    min-of-5 at sf0.1 (tools/measure_kmeans_width.py, both runs
+    agreeing), and the per-scored-row hashing cost scales with n·k
+    forever while the extra exchange moves ~the same total bytes
+    (n·560 B across 3 narrow+wide exchanges vs n·536 B in 1 wide).
+    The join side is hinted shuffle_hash: vec_id is unique (no skew),
+    and at 100 TB the n-row assignment is nowhere near broadcastable,
+    so the measured plan IS the at-scale plan. Still zero WindowExec
+    and n (not n·k) rows per exchange (plan pinned by
     tests/test_plans.py::test_kmeans_pair_mapside_argmin; bit-exact
-    equivalence vs the retired spelling in test_round11_ops.py)."""
+    equivalence vs the wide spelling asserted on every run of
+    tools/measure_kmeans_width.py and vs the retired window spelling
+    in test_round11_ops.py)."""
     e = _emb(spark, sf_dir)
     c = (
         e.filter(F.col("vec_id") < _N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    assigned = nearest_centroid_assign(
-        e, c, ("v",), n_centroids=_N_CENTROIDS
-    ).select("vec_id", "v", F.col("centroid_id").alias("cid"))
+    narrow = nearest_centroid_assign(e, c, n_centroids=_N_CENTROIDS).select(
+        "vec_id", F.col("centroid_id").alias("cid")
+    )
+    assigned = narrow.hint("shuffle_hash").join(
+        e.select("vec_id", "v"), "vec_id"
+    )
     dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
     comp = dims.groupBy("cid", "i").agg(
         F.round(F.avg("x") * 10000).cast("long").alias("q")

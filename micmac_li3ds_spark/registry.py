@@ -249,6 +249,14 @@ _loaded = False
 #            keyframe-aware in round 12 (stss/ctts in the BMFF walk,
 #            verdict item 3) on an r11 hash — birth-round attestation
 #            for the new sampling semantics.
+#            Round-14 ledger (carried debt, deliberate): migrate
+#            kmeans_fixpoint/q_llm_kmeans_fix onto the measured
+#            assign-then-rejoin spelling q_llm_kmeans_step ships since
+#            r12 (SCALE.md §20) and attest at birth — it waits because
+#            both r13 slots are taken; measure the ReusedExchange
+#            hypothesis (the fixpoint re-joins the identical
+#            e.select(vec_id, vq) exchange each iteration, shareable
+#            across all k iterations) before switching.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50

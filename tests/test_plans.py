@@ -788,18 +788,20 @@ def test_cluster_assign_mapside_argmin(spark):
 
 
 def test_kmeans_pair_mapside_argmin(spark):
-    """r10 verdict items 2/3: the LAST two consumers of the retired
-    Window.partitionBy(vec_id) row_number argmin — q_llm_kmeans_step
-    and the chained-iteration q_llm_kmeans_fix — now route through
-    nearest_centroid_assign (the member vector rides the groupBy as an
-    extra grouping column, so the shuffle still carries n rows per
-    assignment stage, never n·k scored rows into WindowExec). Pins the
-    same invariants as test_cluster_assign_mapside_argmin for both:
-    zero Window, a map-side partial_min phase, zero SortAggregate (the
-    64-element array grouping key must NOT knock the aggregate out of
-    HashAggregate — verified: it hashes as an UnsafeRow key). For the
-    fixpoint this covers every one of the k_iter chained assignment
-    stages, since any one regressing would print a Window."""
+    """r10 verdict items 2/3 (+ r11 item 4): the LAST two consumers of
+    the retired Window.partitionBy(vec_id) row_number argmin —
+    q_llm_kmeans_step and the chained-iteration q_llm_kmeans_fix —
+    route through nearest_centroid_assign. Since round 12 the two
+    deliberately differ in how the member vector reaches the mean
+    stage (SCALE.md §20): kmeans_step uses the MEASURED winner,
+    assign-then-rejoin (narrow LONG-keyed argmin + a shuffle-hash
+    join back to the embeddings on the unique vec_id), while the
+    fixpoint keeps the vector as an extra grouping column until its
+    ledgered r14 migration. Pins the shared invariants for both —
+    zero Window, a map-side partial_min phase, zero SortAggregate —
+    plus the rejoin shape for kmeans_step: a ShuffledHashJoin, never
+    a broadcast of the n-row assignment (the local corpus is tiny
+    enough that AQE would broadcast, which at 100 TB it could not)."""
     for name in ("q_llm_kmeans_step", "q_llm_kmeans_fix"):
         p = plan(spark, name)
         assert "Window" not in p, f"{name}: argmin regressed to a window"
@@ -807,6 +809,8 @@ def test_kmeans_pair_mapside_argmin(spark):
         assert "SortAggregate" not in p, (
             f"{name}: argmin fell out of HashAggregate"
         )
+    p = plan(spark, "q_llm_kmeans_step")
+    assert "ShuffledHashJoin" in p, "kmeans_step: rejoin lost its SHJ"
 
 
 def test_semantic_dedup_has_no_window(spark):

@@ -121,6 +121,61 @@ def test_decode_wav_even_data_still_round_trips():
 
 
 # ---------------------------------------------------------------------------
+# Verdict 4: kmeans_step's measured assign-then-rejoin ≡ the wide spelling
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_step_rejoin_bit_identical_to_wide_spelling(spark):
+    """q_llm_kmeans_step ships the MEASURED winner since r12
+    (assign-then-rejoin, SCALE.md §20). Standing gate: the full query
+    must stay bit-identical to the retired wide spelling (member
+    vector as an extra grouping column) — same packed-key argmin, same
+    quantized means, same member counts."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _N_CENTROIDS,
+        _emb,
+        nearest_centroid_assign,
+        q_llm_kmeans_step,
+    )
+    from tests.conftest import SF_DIR
+
+    new = q_llm_kmeans_step(spark, SF_DIR)
+
+    e = _emb(spark, SF_DIR)
+    c = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = nearest_centroid_assign(
+        e, c, ("v",), n_centroids=_N_CENTROIDS
+    ).select("vec_id", "v", F.col("centroid_id").alias("cid"))
+    dims = assigned.select("cid", F.posexplode("v").alias("i", "x"))
+    comp = dims.groupBy("cid", "i").agg(
+        F.round(F.avg("x") * 10000).cast("long").alias("q")
+    )
+    members = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    cent = comp.groupBy("cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "q"))),
+                lambda s: s.getField("q").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q")
+    )
+    old = cent.join(members, "cid").select(
+        F.col("cid").alias("centroid_id"), "n_members", "centroid_q"
+    )
+
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
 # Verdict 3: keyframe-aware BMFF sampling — stss + ctts in the walk
 # ---------------------------------------------------------------------------
 
