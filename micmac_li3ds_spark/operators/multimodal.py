@@ -772,8 +772,10 @@ def _mp4_sample_index(
     mdia/mdhd (timescale) + minf/stbl, then derives per-sample
     absolute offsets from the four sample tables per ISO 14496-12:
     stsc's (first_chunk, samples_per_chunk) runs map samples to
-    chunks, stco gives each chunk's file offset, stsz the per-sample
-    (or uniform) sizes, stts the cumulative decode-time deltas.
+    chunks, stco (or its 64-bit form co64 — mandatory past 4 GiB,
+    i.e. on exactly the payloads a 100-TB lake holds) gives each
+    chunk's file offset, stsz the per-sample (or uniform) sizes,
+    stts the cumulative decode-time deltas.
 
     Round 12 adds the two OPTIONAL timing tables a production frame
     sampler keys on: stss (sync samples — an ABSENT box means every
@@ -821,10 +823,17 @@ def _mp4_sample_index(
 
     sb, se = stbl_span
     u32 = lambda o: int.from_bytes(payload[o : o + 4], "big")  # noqa: E731
+    u64 = lambda o: int.from_bytes(payload[o : o + 8], "big")  # noqa: E731
     stts_b, stts_e = _mp4_child(payload, sb, se, b"stts")
     stsc_b, stsc_e = _mp4_child(payload, sb, se, b"stsc")
     stsz_b, stsz_e = _mp4_child(payload, sb, se, b"stsz")
-    stco_b, stco_e = _mp4_child(payload, sb, se, b"stco")
+    # chunk offsets come as EITHER stco (u32) or co64 (u64) — files
+    # past 4 GiB, the norm at 100 TB, can only carry co64; a
+    # stco-only walker fails on exactly the payloads that matter
+    stco_span = _mp4_child_opt(payload, sb, se, b"stco")
+    co64_span = _mp4_child_opt(payload, sb, se, b"co64")
+    if stco_span is None and co64_span is None:
+        raise ValueError("missing stco/co64 chunk-offset box")
 
     def entries(body: int, end: int, name: str, hdr: int, width: int) -> int:
         """Validate a table's declared entry count against its OWN box
@@ -865,8 +874,14 @@ def _mp4_sample_index(
         (u32(stsc_b + 8 + 12 * e), u32(stsc_b + 12 + 12 * e))
         for e in range(n_stsc)
     ]
-    n_stco = entries(stco_b, stco_e, "stco", 8, 4)
-    chunk_offs = [u32(stco_b + 8 + 4 * c) for c in range(n_stco)]
+    if stco_span is not None:
+        stco_b, stco_e = stco_span
+        n_stco = entries(stco_b, stco_e, "stco", 8, 4)
+        chunk_offs = [u32(stco_b + 8 + 4 * c) for c in range(n_stco)]
+    else:
+        co_b, co_e = co64_span
+        n_co64 = entries(co_b, co_e, "co64", 8, 8)
+        chunk_offs = [u64(co_b + 8 + 8 * c) for c in range(n_co64)]
     if n and (not stsc or not chunk_offs):
         raise ValueError("empty stsc/stco but stsz declares samples")
 

@@ -866,13 +866,14 @@ def test_mp4_walker_matches_generation_coordinates(spark):
     )
 
     rows = load_media_mp4(spark).collect()
-    assert len(rows) == 8
-    saw_large = saw_audio = False
+    assert len(rows) == 9
+    saw_large = saw_audio = saw_co64 = False
     saw_nostss = saw_reordered = saw_late_first_key = False
     for r in rows:
         p = bytes(r["payload"])
         saw_large |= b"\x00\x00\x00\x01mdat" in p
         saw_audio |= b"soun" in p
+        saw_co64 |= b"co64" in p and b"stco" not in p
         saw_nostss |= b"stss" not in p and all(r["keyframe"])
         saw_late_first_key |= not r["keyframe"][0]
         pts = list(r["sample_pts_ms"])
@@ -889,7 +890,7 @@ def test_mp4_walker_matches_generation_coordinates(spark):
         )
         assert got == want, r["media_id"]
     # the hard shapes are really present
-    assert saw_large and saw_audio
+    assert saw_large and saw_audio and saw_co64
     assert saw_nostss and saw_reordered and saw_late_first_key
 
 

@@ -223,6 +223,41 @@ def test_mp4_walker_ctts_presentation_times():
     assert keys == [True] * 5  # no stss → all sync
 
 
+def test_mp4_walker_reads_co64_chunk_offsets():
+    """co64 (64-bit chunk offsets — mandatory past 4 GiB, i.e. on the
+    payloads a 100-TB lake actually holds) must walk identically to
+    the stco spelling of the same layout, and a payload carrying
+    NEITHER must raise the named structural error."""
+    import pytest
+
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    samples = [bytes([k]) * 12 for k in range(6)]
+    args = (samples, [(1, 2), (2, 4)], 0, 1000, [(6, 40)], False, True)
+    p32, offs32, ts32, k32, pts32 = gf._mp4_encode(*args)
+    p64, offs64, ts64, k64, pts64 = gf._mp4_encode(*args, use_co64=True)
+    assert b"co64" in p64 and b"stco" not in p64
+    # same logical layout → same sizes/timestamps; offsets shift by
+    # the box-width delta (4 extra bytes per chunk entry in moov)
+    got64 = _mp4_sample_index(p64)
+    assert got64 == list(zip(offs64, [12] * 6, ts64, k64, pts64))
+    assert [t for (_, _, t, _, _) in got64] == ts32
+    assert _mp4_sample_index(p32) == list(
+        zip(offs32, [12] * 6, ts32, k32, pts32)
+    )
+    # entry-count overrun keeps the family contract on the new box
+    k = p64.index(b"co64")
+    n_chunks = int.from_bytes(p64[k + 8 : k + 12], "big")
+    bad = p64[: k + 8] + (n_chunks + 9).to_bytes(4, "big") + p64[k + 12 :]
+    with pytest.raises(ValueError, match="co64 declares .* beyond"):
+        _mp4_sample_index(bad)
+    # neither stco nor co64 present
+    stripped = p32.replace(b"stco", b"xxco")
+    with pytest.raises(ValueError, match="missing stco/co64"):
+        _mp4_sample_index(stripped)
+
+
 def test_mp4_walker_rejects_malformed_stss_ctts():
     """The new tables keep the family's raise-on-malformed contract:
     out-of-range stss sample numbers, non-v0 versions, overrunning

@@ -612,32 +612,37 @@ def main() -> None:
     shapes = [
         # (n_samples, stsc_runs [(first_chunk, spc)], uniform_size,
         #  timescale, stts_runs [(count, delta)], audio_trak, largesize,
-        #  stss_samples | None, ctts_runs | None)
+        #  stss_samples | None, ctts_runs | None, use_co64)
         (6, [(1, 2)], 0, 1000, [(6, 40)], False, False,
-         [1, 4], None),
+         [1, 4], None, False),
         # ctts-REORDERED track: pts[0]=2500 > pts[1]=1001 (non-monotone)
         (12, [(1, 3), (3, 2)], 0, 30000, [(4, 1001), (8, 1502)], False,
-         False, [1, 5, 9], [(1, 2500), (3, 0), (8, 100)]),
+         False, [1, 5, 9], [(1, 2500), (3, 0), (8, 100)], False),
         # the no-stss track: every sample sync per spec
         (9, [(1, 4), (2, 1)], 0, 600, [(9, 20)], True, False,
-         None, None),
+         None, None, False),
         (8, [(1, 8)], 32, 90000, [(8, 3003)], False, True,
-         [1], None),
+         [1], None, False),
         # constant ctts offset: pts shifted but monotone
         (15, [(1, 5), (2, 3), (4, 1)], 0, 1000, [(15, 33)], True, False,
-         [1, 6, 11], [(15, 1500)]),
+         [1, 6, 11], [(15, 1500)], False),
         # first keyframe NOT at sample 1 — walkers must not assume it
         (10, [(1, 1)], 0, 24, [(5, 1), (5, 2)], False, True,
-         [2, 3, 5, 7], None),
+         [2, 3, 5, 7], None, False),
         # multi-run ctts, reordered (offset swing 600 > delta 512)
         (20, [(1, 7), (3, 4)], 0, 12288, [(20, 512)], False, False,
-         [1, 11], [(1, 600), (7, 0), (2, 0), (10, 0)]),
+         [1, 11], [(1, 600), (7, 0), (2, 0), (10, 0)], False),
         # explicit all-sync stss — distinct from the absent-box spelling
         (7, [(1, 3), (2, 2)], 48, 1000, [(3, 100), (4, 50)], True, False,
-         [1, 2, 3, 4, 5, 6, 7], None),
+         [1, 2, 3, 4, 5, 6, 7], None, False),
+        # co64 chunk offsets + largesize mdat: the >4 GiB layout in
+        # miniature (every real file at 100-TB scale carries co64)
+        (11, [(1, 4), (2, 3)], 0, 48000, [(11, 1600)], False, True,
+         [1, 6], [(11, 800)], True),
     ]
     for i, (
-        n, stsc_runs, usize, tscale, stts_runs, audio, large, stss, ctts
+        n, stsc_runs, usize, tscale, stts_runs, audio, large, stss, ctts,
+        co64,
     ) in enumerate(shapes):
         sizes = (
             [usize] * n
@@ -649,7 +654,7 @@ def main() -> None:
         ]
         payload, offs, ts_ms, keyframes, pts_ms = _mp4_encode(
             samples, stsc_runs, usize, tscale, stts_runs, audio, large,
-            stss_samples=stss, ctts_runs=ctts,
+            stss_samples=stss, ctts_runs=ctts, use_co64=co64,
         )
         dur_units = sum(c * d for c, d in stts_runs)
         mp4_rows.append(
@@ -807,6 +812,7 @@ def _mp4_encode(
     large_mdat: bool,
     stss_samples: list[int] | None = None,
     ctts_runs: list[tuple[int, int]] | None = None,
+    use_co64: bool = False,
 ):
     """Minimal-but-genuine MP4: ftyp + moov (mvhd + [soun trak] +
     vide trak with full stbl sample tables) + mdat. Chunk layout
@@ -820,7 +826,9 @@ def _mp4_encode(
     sample numbers, ascending; None OMITS the box, which per §8.6.2
     means EVERY sample is sync) and ``ctts_runs`` (version-0
     (sample_count, composition_offset) runs; None omits the box, so
-    pts == dts). Returns (payload, per-sample absolute offsets,
+    pts == dts) — plus ``use_co64`` (carry chunk offsets as the
+    64-bit co64 box instead of stco, mandatory in real files past
+    4 GiB). Returns (payload, per-sample absolute offsets,
     per-sample decode ts in ms, per-sample keyframe flags, per-sample
     PRESENTATION ts in ms) — the generator's own bookkeeping,
     independent of the decoder's walk."""
@@ -921,11 +929,18 @@ def _mp4_encode(
     )
 
     def stbl(stco_offsets: list[int]) -> bytes:
-        stco = _full(
-            b"stco",
-            len(stco_offsets).to_bytes(4, "big")
-            + b"".join(o.to_bytes(4, "big") for o in stco_offsets),
-        )
+        if use_co64:
+            stco = _full(
+                b"co64",
+                len(stco_offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(8, "big") for o in stco_offsets),
+            )
+        else:
+            stco = _full(
+                b"stco",
+                len(stco_offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(4, "big") for o in stco_offsets),
+            )
         return _box(b"stbl", stsd + stts + ctts + stsc + stsz + stss + stco)
 
     def trak(handler: bytes, stbl_body: bytes) -> bytes:
