@@ -777,29 +777,44 @@ def _mp4_sample_index(
     chunk's file offset, stsz the per-sample (or uniform) sizes,
     stts the cumulative decode-time deltas.
 
-    Round 12 adds the two OPTIONAL timing tables a production frame
+    Round 12 adds the three OPTIONAL timing tables a production frame
     sampler keys on: stss (sync samples — an ABSENT box means every
     sample is sync per §8.6.2; a present box may start the first
-    keyframe later than sample 1) and version-0 ctts (composition
+    keyframe later than sample 1), version-0 ctts (composition
     offsets — pts = dts + offset, which on reordered B-frame-style
-    tracks is non-monotone in decode order). At 100 TB the decode
-    cost of sampling is gated on seeking to SYNC samples — a
-    non-keyframe slice is undecodable without its reference chain —
-    so the keyframe flag is the production sampling predicate, and
-    the pts is the timestamp users actually mean.
+    tracks is non-monotone in decode order), and version-0 elst
+    (edit lists: a media_time offset — typically the initial
+    composition delay — plus an optional leading empty-edit delay in
+    MOVIE timescale; real encoders almost always write one, and a
+    sampler that ignores it timestamps every frame late by the ctts
+    baseline). At 100 TB the decode cost of sampling is gated on
+    seeking to SYNC samples — a non-keyframe slice is undecodable
+    without its reference chain — so the keyframe flag is the
+    production sampling predicate, and the edit-adjusted pts is the
+    timestamp users actually mean.
 
     Returns [(offset, size, dts_ms, keyframe, pts_ms)] per sample in
-    DECODE order. The fixture generator's bookkeeping records the
-    same coordinates independently at generation time — the oracle
-    slices the payload with those, so a mis-walk here is a value
-    mismatch. Raises on anything structurally unsound (no vide trak,
-    table count mismatches, stss numbers out of range, non-v0 ctts,
-    samples outside the payload)."""
+    DECODE order; pts_ms is edit-list-adjusted and NEGATIVE for
+    leading trimmed samples (decoded, not presented) — sampling
+    callers filter to pts >= 0. The fixture generator's bookkeeping
+    records the same coordinates independently at generation time —
+    the oracle slices the payload with those, so a mis-walk here is a
+    value mismatch. Raises on anything structurally unsound (no vide
+    trak, table count mismatches, stss numbers out of range, non-v0
+    ctts/elst/mvhd, unsupported edit plans, samples outside the
+    payload)."""
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (no leading ftyp box)")
     moov_body, moov_end = _mp4_child(payload, 0, len(payload), b"moov")
 
     stbl_span = timescale = None
+    elst_span = None
+    mvhd_b, mvhd_e = _mp4_child(payload, moov_body, moov_end, b"mvhd")
+    if mvhd_b + 16 > mvhd_e:
+        raise ValueError("truncated mvhd box")
+    if payload[mvhd_b]:
+        raise ValueError("only version-0 mvhd is supported")
+    movie_timescale = int.from_bytes(payload[mvhd_b + 12 : mvhd_b + 16], "big")
     for t, tb, te in _mp4_boxes(payload, moov_body, moov_end):
         if t != b"trak":
             continue
@@ -815,6 +830,11 @@ def _mp4_sample_index(
         timescale = int.from_bytes(payload[mdhd_b + 12 : mdhd_b + 16], "big")
         minf_b, minf_e = _mp4_child(payload, mdia_b, mdia_e, b"minf")
         stbl_span = _mp4_child(payload, minf_b, minf_e, b"stbl")
+        edts_span = _mp4_child_opt(payload, tb, te, b"edts")
+        if edts_span is not None:
+            elst_span = _mp4_child(
+                payload, edts_span[0], edts_span[1], b"elst"
+            )
         break
     if stbl_span is None:
         raise ValueError("no video (hdlr 'vide') track in MP4 payload")
@@ -916,6 +936,55 @@ def _mp4_sample_index(
             raise ValueError(
                 f"ctts covers {len(cofs)} samples but stsz declares {n}"
             )
+    # elst (optional, version 0): edit list, trak/edts/elst. Real
+    # encoders almost always write one — most commonly a single edit
+    # whose media_time swallows the initial composition delay, so a
+    # sampler that ignores it reports every frame late by the ctts
+    # baseline. Supported plans (the overwhelming majority of files):
+    # [non-empty edit] or [empty edit, non-empty edit], media_rate
+    # 1.0. Anything else (splicing, rate changes, v1) raises — the
+    # family's refuse-loudly-over-silently-wrong contract.
+    # presentation pts_units = dts + ctts_offset − media_time + delay,
+    # where delay converts the empty edit's MOVIE-timescale duration
+    # into media units. Leading trimmed samples (pts < media_time)
+    # legitimately come out NEGATIVE — they are decoded but not
+    # presented; callers that sample frames filter to pts >= 0.
+    edit_shift = 0
+    if elst_span is not None:
+        eb, ee = elst_span
+        if payload[eb]:
+            raise ValueError("only version-0 elst is supported")
+        n_elst = entries(eb, ee, "elst", 8, 12)
+        edits = []
+        for e in range(n_elst):
+            dur = u32(eb + 8 + 12 * e)
+            mt = int.from_bytes(
+                payload[eb + 12 + 12 * e : eb + 16 + 12 * e],
+                "big",
+                signed=True,
+            )
+            rate = u32(eb + 16 + 12 * e)
+            if rate != 0x00010000:
+                raise ValueError(
+                    f"unsupported elst media_rate {rate:#x} (only 1.0)"
+                )
+            edits.append((dur, mt))
+        if len(edits) == 2 and edits[0][1] == -1 and edits[1][1] >= 0:
+            if not movie_timescale:
+                raise ValueError(
+                    "zero mvhd timescale with an empty elst edit"
+                )
+            # empty-edit delay is in MOVIE units → convert to media
+            edit_shift = (
+                edits[0][0] * timescale // movie_timescale - edits[1][1]
+            )
+        elif len(edits) == 1 and edits[0][1] >= 0:
+            edit_shift = -edits[0][1]
+        else:
+            raise ValueError(
+                f"unsupported elst edit plan {edits!r} (only a single "
+                "non-empty edit, optionally preceded by one empty edit)"
+            )
 
     out: list[tuple[int, int, int, bool, int]] = []
     sample, t_units, run = 0, 0, 0
@@ -937,7 +1006,9 @@ def _mp4_sample_index(
                     sz,
                     t_units * 1000 // timescale,
                     sync is None or (sample + 1) in sync,
-                    (t_units + cofs[sample]) * 1000 // timescale,
+                    (t_units + cofs[sample] + edit_shift)
+                    * 1000
+                    // timescale,
                 )
             )
             t_units += deltas[sample]
@@ -1351,7 +1422,9 @@ FROM (
          unnest(range(len(sample_off))) AS i
   FROM read_parquet('{MEDIA_MP4_PARQUET}')
 )
-WHERE keyframe[i + 1]
+-- presented sync samples only: edit-list trimming makes leading
+-- samples' pts negative (decoded, not presented)
+WHERE keyframe[i + 1] AND sample_pts_ms[i + 1] >= 0
 """,
     tags=("multimodal", "mapinpandas"),
 )
@@ -1414,8 +1487,11 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for off, sz, _dts, key, pts_ms in _mp4_sample_index(
                     payload
                 ):
-                    if not key:
-                        continue  # only sync samples are decodable seeks
+                    if not key or pts_ms < 0:
+                        # only sync samples are decodable seeks, and
+                        # edit-trimmed ones (negative pts) are decoded
+                        # but never presented
+                        continue
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(k)
                     out["frame_ts_ms"].append(pts_ms)

@@ -866,9 +866,10 @@ def test_mp4_walker_matches_generation_coordinates(spark):
     )
 
     rows = load_media_mp4(spark).collect()
-    assert len(rows) == 9
+    assert len(rows) == 12
     saw_large = saw_audio = saw_co64 = False
     saw_nostss = saw_reordered = saw_late_first_key = False
+    saw_trimmed = saw_elst = False
     for r in rows:
         p = bytes(r["payload"])
         saw_large |= b"\x00\x00\x00\x01mdat" in p
@@ -876,6 +877,8 @@ def test_mp4_walker_matches_generation_coordinates(spark):
         saw_co64 |= b"co64" in p and b"stco" not in p
         saw_nostss |= b"stss" not in p and all(r["keyframe"])
         saw_late_first_key |= not r["keyframe"][0]
+        saw_elst |= b"elst" in p
+        saw_trimmed |= any(pm < 0 for pm in r["sample_pts_ms"])
         pts = list(r["sample_pts_ms"])
         saw_reordered |= pts != sorted(pts)
         got = _mp4_sample_index(p)
@@ -892,6 +895,7 @@ def test_mp4_walker_matches_generation_coordinates(spark):
     # the hard shapes are really present
     assert saw_large and saw_audio and saw_co64
     assert saw_nostss and saw_reordered and saw_late_first_key
+    assert saw_elst and saw_trimmed
 
 
 def test_mp4_walker_timestamps_from_stts_runs():
@@ -999,13 +1003,26 @@ def test_frame_sample_mp4_branch_distributed(spark):
         if r["media_id"] >= 6000
     ]
     fixtures = {r["media_id"]: r for r in load_media_mp4(spark).collect()}
-    assert len(out) == sum(sum(r["keyframe"]) for r in fixtures.values())
+    # presented keyframes only: edit-list trimming (r12) gives leading
+    # samples negative pts — decoded but never presented
+    n_presented = sum(
+        sum(k and p >= 0 for k, p in zip(r["keyframe"], r["sample_pts_ms"]))
+        for r in fixtures.values()
+    )
+    assert len(out) == n_presented
+    assert n_presented < sum(sum(r["keyframe"]) for r in fixtures.values())
     assert len(out) < sum(r["n_samples"] for r in fixtures.values())
     for row in out:
         fx = fixtures[row["media_id"]]
-        # frame_idx is the ordinal among keyframes → map back to the
-        # sample index from the fixture's own flags
-        key_samples = [i for i, k in enumerate(fx["keyframe"]) if k]
+        # frame_idx is the ordinal among presented keyframes → map back
+        # to the sample index from the fixture's own flags
+        key_samples = [
+            i
+            for i, (k, p) in enumerate(
+                zip(fx["keyframe"], fx["sample_pts_ms"])
+            )
+            if k and p >= 0
+        ]
         k = key_samples[row["frame_idx"]]
         assert row["frame_ts_ms"] == fx["sample_pts_ms"][k]
         off, sz = fx["sample_off"][k], fx["sample_size"][k]

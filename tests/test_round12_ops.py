@@ -258,6 +258,106 @@ def test_mp4_walker_reads_co64_chunk_offsets():
         _mp4_sample_index(stripped)
 
 
+def test_mp4_walker_elst_presentation_shift():
+    """Edit lists adjust presentation time three ways, each
+    hand-computed: (1) the classic single edit whose media_time
+    swallows a constant ctts baseline → pts == dts; (2) an empty-edit
+    delay in MOVIE timescale + offset edit, with movie != media
+    timescale so the unit conversion is exercised; (3) a trimming
+    edit that lands mid-GOP → leading samples (keyframes included)
+    come back with NEGATIVE pts."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    samples = [bytes([k]) * 10 for k in range(6)]
+
+    # (1) media_time 200 cancels the constant ctts offset 200
+    p, offs, ts_ms, keys, pts_ms = gf._mp4_encode(
+        samples, [(1, 3)], 0, 1000, [(6, 100)], False, False,
+        ctts_runs=[(6, 200)], elst_edits=[(600, 200)],
+    )
+    got = _mp4_sample_index(p)
+    assert [pm for (_, _, _, _, pm) in got] == ts_ms == pts_ms
+
+    # (2) empty edit of 3 movie units at movie timescale 10 = 300
+    # media units at media timescale 1000, then media_time 100
+    # subtracts → shift +200 → pts = dts + 200 ms
+    p, offs, ts_ms, keys, pts_ms = gf._mp4_encode(
+        samples, [(1, 3)], 0, 1000, [(6, 100)], False, False,
+        elst_edits=[(3, -1), (600, 100)], movie_timescale=10,
+    )
+    got = _mp4_sample_index(p)
+    assert [pm for (_, _, _, _, pm) in got] == [t + 200 for t in ts_ms]
+    assert pts_ms == [t + 200 for t in ts_ms]
+
+    # (3) media_time 150 trims mid-GOP: dts 0,100 → pts −150,−50
+    p, offs, ts_ms, keys, pts_ms = gf._mp4_encode(
+        samples, [(1, 3)], 0, 1000, [(6, 100)], False, False,
+        elst_edits=[(450, 150)],
+    )
+    got = _mp4_sample_index(p)
+    assert [pm for (_, _, _, _, pm) in got] == [-150, -50, 50, 150, 250, 350]
+    assert pts_ms == [-150, -50, 50, 150, 250, 350]
+
+
+def test_mp4_walker_rejects_unsupported_elst():
+    """Splicing plans, rate changes, and non-v0 elst refuse loudly —
+    the family's contract — rather than silently mistiming frames."""
+    import pytest
+
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    samples = [bytes([k]) * 10 for k in range(4)]
+    good, *_ = gf._mp4_encode(
+        samples, [(1, 2)], 0, 1000, [(4, 100)], False, False,
+        elst_edits=[(400, 50)],
+    )
+    k = good.index(b"elst")
+    # non-v0
+    bad = good[: k + 4] + b"\x01" + good[k + 5 :]
+    with pytest.raises(ValueError, match="only version-0 elst"):
+        _mp4_sample_index(bad)
+    # entry count overrun
+    bad = good[: k + 8] + (5).to_bytes(4, "big") + good[k + 12 :]
+    with pytest.raises(ValueError, match="elst declares 5 entries beyond"):
+        _mp4_sample_index(bad)
+    # media_rate != 1.0 (patch the 0x00010000 at entry offset +8)
+    rate_off = k + 12 + 8
+    assert good[rate_off : rate_off + 4] == (0x00010000).to_bytes(4, "big")
+    bad = (
+        good[:rate_off] + (0x00020000).to_bytes(4, "big")
+        + good[rate_off + 4 :]
+    )
+    with pytest.raises(ValueError, match="unsupported elst media_rate"):
+        _mp4_sample_index(bad)
+    # a two-edit plan where BOTH are non-empty (splicing) is refused;
+    # build it byte-wise from the one-edit payload: bump the count and
+    # splice in a second non-empty entry, growing every enclosing box
+    # (elst/edts/trak/moov) by 12 bytes
+    entry2 = (100).to_bytes(4, "big") + (0).to_bytes(4, "big") + (
+        0x00010000
+    ).to_bytes(4, "big")
+    bad = bytearray(good)
+    insert_at = k + 12 + 12
+    bad[insert_at:insert_at] = entry2
+    bad[k + 8 : k + 12] = (2).to_bytes(4, "big")
+    # grow the sizes of elst (size field at k-4, preceding the type
+    # tag), edts (k-12), and the enclosing trak/moov
+    for hdr in (k - 4, k - 12):
+        sz = int.from_bytes(bad[hdr : hdr + 4], "big")
+        bad[hdr : hdr + 4] = (sz + 12).to_bytes(4, "big")
+    # moov and trak: find by walking from the top
+    moov_at = bytes(bad).index(b"moov") - 4
+    sz = int.from_bytes(bad[moov_at : moov_at + 4], "big")
+    bad[moov_at : moov_at + 4] = (sz + 12).to_bytes(4, "big")
+    trak_at = bytes(bad).index(b"trak") - 4
+    sz = int.from_bytes(bad[trak_at : trak_at + 4], "big")
+    bad[trak_at : trak_at + 4] = (sz + 12).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unsupported elst edit plan"):
+        _mp4_sample_index(bytes(bad))
+
+
 def test_mp4_walker_rejects_malformed_stss_ctts():
     """The new tables keep the family's raise-on-malformed contract:
     out-of-range stss sample numbers, non-v0 versions, overrunning

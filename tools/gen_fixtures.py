@@ -612,37 +612,53 @@ def main() -> None:
     shapes = [
         # (n_samples, stsc_runs [(first_chunk, spc)], uniform_size,
         #  timescale, stts_runs [(count, delta)], audio_trak, largesize,
-        #  stss_samples | None, ctts_runs | None, use_co64)
+        #  stss_samples | None, ctts_runs | None, use_co64,
+        #  elst_edits | None, movie_timescale | None)
         (6, [(1, 2)], 0, 1000, [(6, 40)], False, False,
-         [1, 4], None, False),
+         [1, 4], None, False, None, None),
         # ctts-REORDERED track: pts[0]=2500 > pts[1]=1001 (non-monotone)
         (12, [(1, 3), (3, 2)], 0, 30000, [(4, 1001), (8, 1502)], False,
-         False, [1, 5, 9], [(1, 2500), (3, 0), (8, 100)], False),
+         False, [1, 5, 9], [(1, 2500), (3, 0), (8, 100)], False,
+         None, None),
         # the no-stss track: every sample sync per spec
         (9, [(1, 4), (2, 1)], 0, 600, [(9, 20)], True, False,
-         None, None, False),
+         None, None, False, None, None),
         (8, [(1, 8)], 32, 90000, [(8, 3003)], False, True,
-         [1], None, False),
+         [1], None, False, None, None),
         # constant ctts offset: pts shifted but monotone
         (15, [(1, 5), (2, 3), (4, 1)], 0, 1000, [(15, 33)], True, False,
-         [1, 6, 11], [(15, 1500)], False),
+         [1, 6, 11], [(15, 1500)], False, None, None),
         # first keyframe NOT at sample 1 — walkers must not assume it
         (10, [(1, 1)], 0, 24, [(5, 1), (5, 2)], False, True,
-         [2, 3, 5, 7], None, False),
+         [2, 3, 5, 7], None, False, None, None),
         # multi-run ctts, reordered (offset swing 600 > delta 512)
         (20, [(1, 7), (3, 4)], 0, 12288, [(20, 512)], False, False,
-         [1, 11], [(1, 600), (7, 0), (2, 0), (10, 0)], False),
+         [1, 11], [(1, 600), (7, 0), (2, 0), (10, 0)], False, None, None),
         # explicit all-sync stss — distinct from the absent-box spelling
         (7, [(1, 3), (2, 2)], 48, 1000, [(3, 100), (4, 50)], True, False,
-         [1, 2, 3, 4, 5, 6, 7], None, False),
+         [1, 2, 3, 4, 5, 6, 7], None, False, None, None),
         # co64 chunk offsets + largesize mdat: the >4 GiB layout in
         # miniature (every real file at 100-TB scale carries co64)
         (11, [(1, 4), (2, 3)], 0, 48000, [(11, 1600)], False, True,
-         [1, 6], [(11, 800)], True),
+         [1, 6], [(11, 800)], True, None, None),
+        # the CLASSIC elst: one edit whose media_time exactly swallows
+        # the constant ctts baseline → presented pts == dts
+        (8, [(1, 4)], 0, 1000, [(8, 100)], False, False,
+         [1, 5], [(8, 300)], False, [(800, 300)], None),
+        # empty-edit delay + offset edit, with a DISTINCT movie
+        # timescale (600 vs media 30000): delay = 60·30000//600 = 3000
+        # media units, then media_time 1001 subtracts → shift +1999
+        (10, [(1, 5)], 0, 30000, [(10, 1001)], True, False,
+         [1, 4, 8], None, False, [(60, -1), (9009, 1001)], 600),
+        # TRIMMING edit: media_time 150 lands mid-GOP — samples 0..1
+        # (incl. keyframe 1) get NEGATIVE pts (decoded, not
+        # presented); keyframe 5 stays presented
+        (8, [(1, 2)], 0, 1000, [(8, 100)], False, False,
+         [1, 5], None, False, [(650, 150)], None),
     ]
     for i, (
         n, stsc_runs, usize, tscale, stts_runs, audio, large, stss, ctts,
-        co64,
+        co64, elst, mvts,
     ) in enumerate(shapes):
         sizes = (
             [usize] * n
@@ -655,6 +671,7 @@ def main() -> None:
         payload, offs, ts_ms, keyframes, pts_ms = _mp4_encode(
             samples, stsc_runs, usize, tscale, stts_runs, audio, large,
             stss_samples=stss, ctts_runs=ctts, use_co64=co64,
+            elst_edits=elst, movie_timescale=mvts,
         )
         dur_units = sum(c * d for c, d in stts_runs)
         mp4_rows.append(
@@ -813,6 +830,8 @@ def _mp4_encode(
     stss_samples: list[int] | None = None,
     ctts_runs: list[tuple[int, int]] | None = None,
     use_co64: bool = False,
+    elst_edits: list[tuple[int, int]] | None = None,
+    movie_timescale: int | None = None,
 ):
     """Minimal-but-genuine MP4: ftyp + moov (mvhd + [soun trak] +
     vide trak with full stbl sample tables) + mdat. Chunk layout
@@ -828,7 +847,13 @@ def _mp4_encode(
     (sample_count, composition_offset) runs; None omits the box, so
     pts == dts) — plus ``use_co64`` (carry chunk offsets as the
     64-bit co64 box instead of stco, mandatory in real files past
-    4 GiB). Returns (payload, per-sample absolute offsets,
+    4 GiB), ``elst_edits`` (version-0 edit list as (segment_duration
+    in MOVIE timescale, media_time in MEDIA timescale | -1 for an
+    empty edit) pairs, media_rate fixed at 1.0; supported plans
+    mirror the walker: [non-empty] or [empty, non-empty]), and
+    ``movie_timescale`` (mvhd timescale, defaults to the media
+    timescale — set differently to exercise the empty-edit
+    movie→media conversion). Returns (payload, per-sample absolute offsets,
     per-sample decode ts in ms, per-sample keyframe flags, per-sample
     PRESENTATION ts in ms) — the generator's own bookkeeping,
     independent of the decoder's walk."""
@@ -874,8 +899,25 @@ def _mp4_encode(
         assert len(cofs) == n, "ctts_runs must cover every sample"
     else:
         cofs = [0] * n
+    mv_tscale = movie_timescale if movie_timescale is not None else timescale
+    # edit-list shift bookkeeping (independent of the walker): a
+    # leading empty edit delays by its MOVIE-timescale duration, the
+    # non-empty edit's media_time subtracts; trimmed leading samples
+    # legitimately record NEGATIVE pts
+    edit_shift = 0
+    if elst_edits is not None:
+        if len(elst_edits) == 2:
+            assert elst_edits[0][1] == -1 and elst_edits[1][1] >= 0
+            edit_shift = (
+                elst_edits[0][0] * timescale // mv_tscale
+                - elst_edits[1][1]
+            )
+        else:
+            assert len(elst_edits) == 1 and elst_edits[0][1] >= 0
+            edit_shift = -elst_edits[0][1]
     pts_ms = [
-        (t + o) * 1000 // timescale for t, o in zip(ts_units, cofs)
+        (t + o + edit_shift) * 1000 // timescale
+        for t, o in zip(ts_units, cofs)
     ]
 
     stts = _full(
@@ -943,7 +985,23 @@ def _mp4_encode(
             )
         return _box(b"stbl", stsd + stts + ctts + stsc + stsz + stss + stco)
 
-    def trak(handler: bytes, stbl_body: bytes) -> bytes:
+    elst = b""
+    if elst_edits is not None:
+        elst = _box(
+            b"edts",
+            _full(
+                b"elst",
+                len(elst_edits).to_bytes(4, "big")
+                + b"".join(
+                    d.to_bytes(4, "big")
+                    + mt.to_bytes(4, "big", signed=True)
+                    + (0x00010000).to_bytes(4, "big")
+                    for d, mt in elst_edits
+                ),
+            ),
+        )
+
+    def trak(handler: bytes, stbl_body: bytes, edts_box: bytes = b"") -> bytes:
         tkhd = _full(b"tkhd", bytes(80))
         mdhd = _full(
             b"mdhd",
@@ -954,13 +1012,15 @@ def _mp4_encode(
         )
         hdlr = _full(b"hdlr", bytes(4) + handler + bytes(13))
         minf = _box(b"minf", _box(b"vmhd", bytes(8)) + stbl_body)
-        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+        return _box(
+            b"trak", tkhd + edts_box + _box(b"mdia", mdhd + hdlr + minf)
+        )
 
     def moov(stco_offsets: list[int]) -> bytes:
         mvhd = _full(
             b"mvhd",
             bytes(8)
-            + timescale.to_bytes(4, "big")
+            + mv_tscale.to_bytes(4, "big")
             + dur.to_bytes(4, "big")
             + bytes(80),
         )
@@ -993,7 +1053,7 @@ def _mp4_encode(
                 ),
             )
             body += trak(b"soun", audio_stbl)
-        body += trak(b"vide", stbl(stco_offsets))
+        body += trak(b"vide", stbl(stco_offsets), elst)
         return _box(b"moov", body)
 
     ftyp = _box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
