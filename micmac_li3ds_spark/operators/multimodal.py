@@ -793,6 +793,12 @@ def _mp4_sample_index(
     production sampling predicate, and the edit-adjusted pts is the
     timestamp users actually mean.
 
+    FRAGMENTED files (moov/mvex present — the CMAF/DASH shape a
+    streaming lake actually stores) dispatch to
+    _mp4_fragmented_index: the stbl is empty and sample geometry
+    comes from moof/traf/trun fragments instead, same return
+    contract.
+
     Returns [(offset, size, dts_ms, keyframe, pts_ms)] per sample in
     DECODE order; pts_ms is edit-list-adjusted and NEGATIVE for
     leading trimmed samples (decoded, not presented) — sampling
@@ -809,6 +815,7 @@ def _mp4_sample_index(
 
     stbl_span = timescale = None
     elst_span = None
+    track_id = None
     mvhd_b, mvhd_e = _mp4_child(payload, moov_body, moov_end, b"mvhd")
     if mvhd_b + 16 > mvhd_e:
         raise ValueError("truncated mvhd box")
@@ -830,6 +837,20 @@ def _mp4_sample_index(
         timescale = int.from_bytes(payload[mdhd_b + 12 : mdhd_b + 16], "big")
         minf_b, minf_e = _mp4_child(payload, mdia_b, mdia_e, b"minf")
         stbl_span = _mp4_child(payload, minf_b, minf_e, b"stbl")
+        # track id matters only for fragment (traf) selection — a
+        # trak without tkhd stays walkable in the unfragmented path
+        tkhd_span = _mp4_child_opt(payload, tb, te, b"tkhd")
+        if tkhd_span is not None:
+            tkhd_b, tkhd_e = tkhd_span
+            if payload[tkhd_b]:
+                raise ValueError("only version-0 tkhd is supported")
+            if tkhd_b + 16 > tkhd_e:
+                raise ValueError("truncated tkhd box")
+            track_id = int.from_bytes(
+                payload[tkhd_b + 12 : tkhd_b + 16], "big"
+            )
+        else:
+            track_id = None
         edts_span = _mp4_child_opt(payload, tb, te, b"edts")
         if edts_span is not None:
             elst_span = _mp4_child(
@@ -844,16 +865,6 @@ def _mp4_sample_index(
     sb, se = stbl_span
     u32 = lambda o: int.from_bytes(payload[o : o + 4], "big")  # noqa: E731
     u64 = lambda o: int.from_bytes(payload[o : o + 8], "big")  # noqa: E731
-    stts_b, stts_e = _mp4_child(payload, sb, se, b"stts")
-    stsc_b, stsc_e = _mp4_child(payload, sb, se, b"stsc")
-    stsz_b, stsz_e = _mp4_child(payload, sb, se, b"stsz")
-    # chunk offsets come as EITHER stco (u32) or co64 (u64) — files
-    # past 4 GiB, the norm at 100 TB, can only carry co64; a
-    # stco-only walker fails on exactly the payloads that matter
-    stco_span = _mp4_child_opt(payload, sb, se, b"stco")
-    co64_span = _mp4_child_opt(payload, sb, se, b"co64")
-    if stco_span is None and co64_span is None:
-        raise ValueError("missing stco/co64 chunk-offset box")
 
     def entries(body: int, end: int, name: str, hdr: int, width: int) -> int:
         """Validate a table's declared entry count against its OWN box
@@ -869,6 +880,84 @@ def _mp4_sample_index(
                 f"{name} declares {cnt} entries beyond its box end"
             )
         return cnt
+
+    # elst (optional, version 0): edit list, trak/edts/elst. Real
+    # encoders almost always write one — most commonly a single edit
+    # whose media_time swallows the initial composition delay, so a
+    # sampler that ignores it reports every frame late by the ctts
+    # baseline. Supported plans (the overwhelming majority of files):
+    # [non-empty edit] or [empty edit, non-empty edit], media_rate
+    # 1.0. Anything else (splicing, rate changes, v1) raises — the
+    # family's refuse-loudly-over-silently-wrong contract.
+    # presentation pts_units = dts + ctts_offset − media_time + delay,
+    # where delay converts the empty edit's MOVIE-timescale duration
+    # into media units. Leading trimmed samples (pts < media_time)
+    # legitimately come out NEGATIVE — they are decoded but not
+    # presented; callers that sample frames filter to pts >= 0.
+    edit_shift = 0
+    if elst_span is not None:
+        eb, ee = elst_span
+        if payload[eb]:
+            raise ValueError("only version-0 elst is supported")
+        n_elst = entries(eb, ee, "elst", 8, 12)
+        edits = []
+        for e in range(n_elst):
+            dur = u32(eb + 8 + 12 * e)
+            mt = int.from_bytes(
+                payload[eb + 12 + 12 * e : eb + 16 + 12 * e],
+                "big",
+                signed=True,
+            )
+            rate = u32(eb + 16 + 12 * e)
+            if rate != 0x00010000:
+                raise ValueError(
+                    f"unsupported elst media_rate {rate:#x} (only 1.0)"
+                )
+            edits.append((dur, mt))
+        if len(edits) == 2 and edits[0][1] == -1 and edits[1][1] >= 0:
+            if not movie_timescale:
+                raise ValueError(
+                    "zero mvhd timescale with an empty elst edit"
+                )
+            # empty-edit delay is in MOVIE units → convert to media
+            edit_shift = (
+                edits[0][0] * timescale // movie_timescale - edits[1][1]
+            )
+        elif len(edits) == 1 and edits[0][1] >= 0:
+            edit_shift = -edits[0][1]
+        else:
+            raise ValueError(
+                f"unsupported elst edit plan {edits!r} (only a single "
+                "non-empty edit, optionally preceded by one empty edit)"
+            )
+
+    # FRAGMENTED layout (moov/mvex present): sample geometry lives in
+    # moof/traf/trun fragments, not the (empty) stbl — the CMAF/DASH
+    # shape streaming lakes actually store
+    mvex_span = _mp4_child_opt(payload, moov_body, moov_end, b"mvex")
+    stts_b, stts_e = _mp4_child(payload, sb, se, b"stts")
+    stsc_b, stsc_e = _mp4_child(payload, sb, se, b"stsc")
+    stsz_b, stsz_e = _mp4_child(payload, sb, se, b"stsz")
+    if mvex_span is not None:
+        if stsz_b + 12 <= stsz_e and (u32(stsz_b + 4) or u32(stsz_b + 8)):
+            raise ValueError(
+                "mvex present alongside a non-empty stbl sample table"
+            )
+        if track_id is None:
+            raise ValueError(
+                "fragmented MP4 video trak is missing its tkhd track id"
+            )
+        return _mp4_fragmented_index(
+            payload, mvex_span, track_id, timescale, edit_shift
+        )
+
+    # chunk offsets come as EITHER stco (u32) or co64 (u64) — files
+    # past 4 GiB, the norm at 100 TB, can only carry co64; a
+    # stco-only walker fails on exactly the payloads that matter
+    stco_span = _mp4_child_opt(payload, sb, se, b"stco")
+    co64_span = _mp4_child_opt(payload, sb, se, b"co64")
+    if stco_span is None and co64_span is None:
+        raise ValueError("missing stco/co64 chunk-offset box")
 
     if stsz_b + 12 > stsz_e:
         raise ValueError("truncated stsz box")
@@ -936,56 +1025,6 @@ def _mp4_sample_index(
             raise ValueError(
                 f"ctts covers {len(cofs)} samples but stsz declares {n}"
             )
-    # elst (optional, version 0): edit list, trak/edts/elst. Real
-    # encoders almost always write one — most commonly a single edit
-    # whose media_time swallows the initial composition delay, so a
-    # sampler that ignores it reports every frame late by the ctts
-    # baseline. Supported plans (the overwhelming majority of files):
-    # [non-empty edit] or [empty edit, non-empty edit], media_rate
-    # 1.0. Anything else (splicing, rate changes, v1) raises — the
-    # family's refuse-loudly-over-silently-wrong contract.
-    # presentation pts_units = dts + ctts_offset − media_time + delay,
-    # where delay converts the empty edit's MOVIE-timescale duration
-    # into media units. Leading trimmed samples (pts < media_time)
-    # legitimately come out NEGATIVE — they are decoded but not
-    # presented; callers that sample frames filter to pts >= 0.
-    edit_shift = 0
-    if elst_span is not None:
-        eb, ee = elst_span
-        if payload[eb]:
-            raise ValueError("only version-0 elst is supported")
-        n_elst = entries(eb, ee, "elst", 8, 12)
-        edits = []
-        for e in range(n_elst):
-            dur = u32(eb + 8 + 12 * e)
-            mt = int.from_bytes(
-                payload[eb + 12 + 12 * e : eb + 16 + 12 * e],
-                "big",
-                signed=True,
-            )
-            rate = u32(eb + 16 + 12 * e)
-            if rate != 0x00010000:
-                raise ValueError(
-                    f"unsupported elst media_rate {rate:#x} (only 1.0)"
-                )
-            edits.append((dur, mt))
-        if len(edits) == 2 and edits[0][1] == -1 and edits[1][1] >= 0:
-            if not movie_timescale:
-                raise ValueError(
-                    "zero mvhd timescale with an empty elst edit"
-                )
-            # empty-edit delay is in MOVIE units → convert to media
-            edit_shift = (
-                edits[0][0] * timescale // movie_timescale - edits[1][1]
-            )
-        elif len(edits) == 1 and edits[0][1] >= 0:
-            edit_shift = -edits[0][1]
-        else:
-            raise ValueError(
-                f"unsupported elst edit plan {edits!r} (only a single "
-                "non-empty edit, optionally preceded by one empty edit)"
-            )
-
     out: list[tuple[int, int, int, bool, int]] = []
     sample, t_units, run = 0, 0, 0
     for c, coff in enumerate(chunk_offs, start=1):
@@ -1018,6 +1057,182 @@ def _mp4_sample_index(
         raise ValueError(
             f"chunk layout yields {sample} samples but stsz declares {n}"
         )
+    return out
+
+
+def _mp4_fragmented_index(
+    payload: bytes,
+    mvex_span: tuple[int, int],
+    track_id: int,
+    timescale: int,
+    edit_shift: int,
+) -> list[tuple[int, int, int, bool, int]]:
+    """The FRAGMENTED half of the BMFF walk (r12): CMAF/DASH files —
+    what a streaming pipeline actually lands in a 100-TB lake — keep
+    an empty stbl and carry sample geometry in [moof + mdat] pairs:
+    per-traf tfhd (track id, defaults, base-offset mode), optional
+    tfdt (absolute decode time), trun runs (count, data_offset,
+    per-sample duration/size/flags/composition-offset). Keyframes
+    come from the sample_is_non_sync_sample bit (16) of sample_flags
+    (there is no stss); defaults cascade trun → tfhd → trex exactly
+    per ISO 14496-12 §8.8. Supported base-offset modes: explicit
+    base_data_offset or default-base-is-moof (what every CMAF
+    packager emits); the legacy implicit end-of-previous-traf rule
+    raises. Like the unfragmented walk this reads only moov + moof
+    boxes (kilobytes) — never sample data — and returns the same
+    [(offset, size, dts_ms, keyframe, pts_ms)] contract, with pts
+    edit-list-adjusted via ``edit_shift``."""
+    u32 = lambda o: int.from_bytes(payload[o : o + 4], "big")  # noqa: E731
+
+    # trex defaults for the video track (mandatory per §8.8.3)
+    trex_dur = trex_size = trex_flags = None
+    for t, tb, te in _mp4_boxes(payload, mvex_span[0], mvex_span[1]):
+        if t != b"trex" or tb + 24 > te:
+            continue
+        if u32(tb + 4) == track_id:
+            trex_dur, trex_size, trex_flags = (
+                u32(tb + 12),
+                u32(tb + 16),
+                u32(tb + 20),
+            )
+            break
+    if trex_dur is None:
+        raise ValueError(
+            f"no trex for video track {track_id} in mvex"
+        )
+
+    out: list[tuple[int, int, int, bool, int]] = []
+    decode_time = 0
+    for t, mb, me in _mp4_boxes(payload, 0, len(payload)):
+        if t != b"moof":
+            continue
+        moof_start = mb - 8  # box header precedes the body
+        for tt, fb, fe in _mp4_boxes(payload, mb, me):
+            if tt != b"traf":
+                continue
+            th_b, th_e = _mp4_child(payload, fb, fe, b"tfhd")
+            tf_flags = int.from_bytes(payload[th_b + 1 : th_b + 4], "big")
+            if th_b + 8 > th_e:
+                raise ValueError("truncated tfhd box")
+            if u32(th_b + 4) != track_id:
+                continue  # another track's traf (e.g. audio)
+            p = th_b + 8
+            base = None
+            if tf_flags & 0x000001:  # base-data-offset-present
+                if p + 8 > th_e:
+                    raise ValueError("truncated tfhd base_data_offset")
+                base = int.from_bytes(payload[p : p + 8], "big")
+                p += 8
+            if tf_flags & 0x000002:  # sample-description-index
+                p += 4
+            tf_dur = tf_size = tf_fl = None
+            if tf_flags & 0x000008:
+                tf_dur = u32(p)
+                p += 4
+            if tf_flags & 0x000010:
+                tf_size = u32(p)
+                p += 4
+            if tf_flags & 0x000020:
+                tf_fl = u32(p)
+                p += 4
+            if p > th_e:
+                raise ValueError("tfhd fields overrun the box")
+            if base is None:
+                if tf_flags & 0x020000:  # default-base-is-moof
+                    base = moof_start
+                else:
+                    raise ValueError(
+                        "unsupported tfhd base-offset mode (need "
+                        "base_data_offset or default-base-is-moof)"
+                    )
+            td_span = _mp4_child_opt(payload, fb, fe, b"tfdt")
+            if td_span is not None:
+                td_b, td_e = td_span
+                if payload[td_b] == 0:
+                    if td_b + 8 > td_e:
+                        raise ValueError("truncated tfdt box")
+                    decode_time = u32(td_b + 4)
+                elif payload[td_b] == 1:
+                    if td_b + 12 > td_e:
+                        raise ValueError("truncated tfdt box")
+                    decode_time = int.from_bytes(
+                        payload[td_b + 4 : td_b + 12], "big"
+                    )
+                else:
+                    raise ValueError("unsupported tfdt version")
+            pos = base
+            for bt, bb, be in _mp4_boxes(payload, fb, fe):
+                if bt != b"trun":
+                    continue
+                ver = payload[bb]
+                if ver > 1:
+                    raise ValueError("unsupported trun version")
+                tr_flags = int.from_bytes(payload[bb + 1 : bb + 4], "big")
+                if bb + 8 > be:
+                    raise ValueError("truncated trun box")
+                cnt = u32(bb + 4)
+                q = bb + 8
+                if tr_flags & 0x000001:  # data-offset-present
+                    pos = base + int.from_bytes(
+                        payload[q : q + 4], "big", signed=True
+                    )
+                    q += 4
+                first_fl = None
+                if tr_flags & 0x000004:
+                    first_fl = u32(q)
+                    q += 4
+                width = (
+                    (4 if tr_flags & 0x000100 else 0)
+                    + (4 if tr_flags & 0x000200 else 0)
+                    + (4 if tr_flags & 0x000400 else 0)
+                    + (4 if tr_flags & 0x000800 else 0)
+                )
+                if q + width * cnt > be:
+                    raise ValueError(
+                        f"trun declares {cnt} samples beyond its box end"
+                    )
+                for s in range(cnt):
+                    dur = tf_dur if tf_dur is not None else trex_dur
+                    if tr_flags & 0x000100:
+                        dur = u32(q)
+                        q += 4
+                    size = tf_size if tf_size is not None else trex_size
+                    if tr_flags & 0x000200:
+                        size = u32(q)
+                        q += 4
+                    fl = tf_fl if tf_fl is not None else trex_flags
+                    if tr_flags & 0x000400:
+                        fl = u32(q)
+                        q += 4
+                    elif s == 0 and first_fl is not None:
+                        fl = first_fl
+                    coff = 0
+                    if tr_flags & 0x000800:
+                        coff = int.from_bytes(
+                            payload[q : q + 4], "big", signed=ver == 1
+                        )
+                        q += 4
+                    if not size:
+                        raise ValueError(
+                            "no sample size in trun/tfhd/trex cascade"
+                        )
+                    if pos + size > len(payload):
+                        raise ValueError(
+                            "fragment sample extends past the payload end"
+                        )
+                    out.append(
+                        (
+                            pos,
+                            size,
+                            decode_time * 1000 // timescale,
+                            not (fl >> 16) & 1,
+                            (decode_time + coff + edit_shift)
+                            * 1000
+                            // timescale,
+                        )
+                    )
+                    pos += size
+                    decode_time += dur
     return out
 
 

@@ -866,19 +866,23 @@ def test_mp4_walker_matches_generation_coordinates(spark):
     )
 
     rows = load_media_mp4(spark).collect()
-    assert len(rows) == 12
+    assert len(rows) == 16
     saw_large = saw_audio = saw_co64 = False
     saw_nostss = saw_reordered = saw_late_first_key = False
-    saw_trimmed = saw_elst = False
+    saw_trimmed = saw_elst = saw_frag = saw_frag_audio = False
     for r in rows:
         p = bytes(r["payload"])
         saw_large |= b"\x00\x00\x00\x01mdat" in p
-        saw_audio |= b"soun" in p
+        saw_audio |= b"soun" in p and b"moof" not in p
         saw_co64 |= b"co64" in p and b"stco" not in p
-        saw_nostss |= b"stss" not in p and all(r["keyframe"])
+        saw_nostss |= (
+            b"stss" not in p and b"moof" not in p and all(r["keyframe"])
+        )
         saw_late_first_key |= not r["keyframe"][0]
         saw_elst |= b"elst" in p
         saw_trimmed |= any(pm < 0 for pm in r["sample_pts_ms"])
+        saw_frag |= b"moof" in p
+        saw_frag_audio |= b"moof" in p and b"soun" in p
         pts = list(r["sample_pts_ms"])
         saw_reordered |= pts != sorted(pts)
         got = _mp4_sample_index(p)
@@ -896,6 +900,7 @@ def test_mp4_walker_matches_generation_coordinates(spark):
     assert saw_large and saw_audio and saw_co64
     assert saw_nostss and saw_reordered and saw_late_first_key
     assert saw_elst and saw_trimmed
+    assert saw_frag and saw_frag_audio
 
 
 def test_mp4_walker_timestamps_from_stts_runs():

@@ -66,6 +66,235 @@ def test_decode_aiff_rejects_odd_sound_data():
 
 
 # ---------------------------------------------------------------------------
+# Fragmented MP4 (moof/traf/trun) — the CMAF/DASH layout
+# ---------------------------------------------------------------------------
+
+
+def _frag_args(**overrides):
+    base = dict(
+        fragments=[[bytes([k]) * 20 for k in range(4)]] * 2,
+        timescale=1000,
+        default_duration=100,
+        keyframes=[[True, False, False, False]] * 2,
+    )
+    base.update(overrides)
+    return base
+
+
+def test_mp4_fragmented_walk_hand_computed():
+    """Two 4-sample fragments, trex default duration 100, per-sample
+    flags, v0 composition offsets: dts/pts/keyframes/offsets all
+    hand-checked against the trun arithmetic."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode_fragmented(
+        **_frag_args(ctts_offsets=[[200, 0, 100, 0], [200, 100, 0, 0]])
+    )
+    got = _mp4_sample_index(payload)
+    assert got == list(zip(offs, [20] * 8, ts_ms, keys, pts_ms))
+    assert ts_ms == [0, 100, 200, 300, 400, 500, 600, 700]
+    assert pts_ms == [200, 100, 300, 300, 600, 600, 600, 700]
+    assert keys == [True, False, False, False] * 2
+    # samples live in the two mdats, after each moof
+    assert all(
+        payload[o : o + 20] == bytes([k % 4]) * 20
+        for k, o in enumerate(offs)
+    )
+
+
+def test_mp4_fragmented_walk_defaults_cascade_and_bdo():
+    """first-sample-flags + tfhd default flags, explicit
+    base_data_offset, no tfdt (running decode time), per-trun
+    durations, v1 SIGNED composition offsets, and a leading audio
+    traf whose bytes precede the video samples in every mdat — the
+    walker must select the video traf by track id and honor the
+    absolute base."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode_fragmented(
+        **_frag_args(
+            fragments=[[bytes([k]) * 15 for k in range(3)]] * 2,
+            keyframes=[[True, False, False]] * 2,
+            flags_mode="first",
+            dur_overrides=[[100, 50, 50], [100, 100, 100]],
+            ctts_offsets=[[200, -50, 50], [200, 0, -100]],
+            trun_version=1,
+            base_data_offset=True,
+            tfdt=False,
+            audio_trak=True,
+        )
+    )
+    got = _mp4_sample_index(payload)
+    assert got == list(zip(offs, [15] * 6, ts_ms, keys, pts_ms))
+    assert ts_ms == [0, 100, 150, 200, 300, 400]
+    assert pts_ms == [200, 50, 200, 400, 300, 300]
+    assert keys == [True, False, False] * 2
+    # the audio dummy bytes sit at each mdat start, before video data
+    assert payload[offs[0] - 6 : offs[0]] == b"\xaa" * 6
+
+
+def test_mp4_fragmented_walk_multi_trun_and_elst():
+    """A traf split across two trun boxes plus an empty-edit delay at
+    a distinct movie timescale — per-trun data offsets must chain and
+    the edit shift must apply across fragments."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode_fragmented(
+        **_frag_args(
+            fragments=[[bytes([k]) * 10 for k in range(6)]],
+            keyframes=[[True] * 6],
+            flags_mode="default",
+            trun_split=[2],
+            elst_edits=[(3, -1), (600, 100)],
+            movie_timescale=10,
+        )
+    )
+    got = _mp4_sample_index(payload)
+    assert got == list(zip(offs, [10] * 6, ts_ms, keys, pts_ms))
+    # delay 3 movie units @10 = 300 media units @1000, minus media_time
+    # 100 → shift +200 ms
+    assert pts_ms == [t + 200 for t in ts_ms]
+    assert keys == [True] * 6
+
+
+def test_mp4_fragmented_rejects_malformed():
+    """The fragmented walk keeps the refuse-loudly contract: missing
+    trex, the legacy implicit base-offset mode, trun sample counts
+    overrunning the box, unsupported trun versions, and a non-empty
+    stbl alongside mvex all raise named errors."""
+    import pytest
+
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    good, *_ = gf._mp4_encode_fragmented(**_frag_args())
+
+    # no trex for the video track: patch trex's track id (7 → 9)
+    k = good.index(b"trex")
+    assert good[k + 8 : k + 12] == (7).to_bytes(4, "big")
+    bad = good[: k + 8] + (9).to_bytes(4, "big") + good[k + 12 :]
+    with pytest.raises(ValueError, match="no trex for video track 7"):
+        _mp4_sample_index(bad)
+
+    # legacy implicit base mode: clear tfhd's default-base-is-moof flag
+    k = good.index(b"tfhd", good.index(b"moof"))
+    flags = int.from_bytes(good[k + 5 : k + 8], "big")
+    assert flags & 0x020000
+    bad = (
+        good[: k + 5]
+        + (flags & ~0x020000).to_bytes(3, "big")
+        + good[k + 8 :]
+    )
+    with pytest.raises(ValueError, match="unsupported tfhd base-offset"):
+        _mp4_sample_index(bad)
+
+    # trun declaring more samples than its box holds
+    k = good.index(b"trun", good.index(b"moof"))
+    cnt = int.from_bytes(good[k + 8 : k + 12], "big")
+    bad = good[: k + 8] + (cnt + 50).to_bytes(4, "big") + good[k + 12 :]
+    with pytest.raises(ValueError, match="trun declares 54 samples beyond"):
+        _mp4_sample_index(bad)
+
+    # unsupported trun version
+    bad = good[: k + 4] + b"\x02" + good[k + 5 :]
+    with pytest.raises(ValueError, match="unsupported trun version"):
+        _mp4_sample_index(bad)
+
+    # mvex coexisting with a non-empty stbl sample table: declare one
+    # sample in the (empty) stsz
+    k = good.index(b"stsz")
+    bad = good[: k + 12] + (1).to_bytes(4, "big") + good[k + 16 :]
+    with pytest.raises(ValueError, match="mvex present alongside"):
+        _mp4_sample_index(bad)
+
+
+# ---------------------------------------------------------------------------
+# Property test: random sample-table plans round-trip generator ↔ walker
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _mp4_plans(draw):
+    n = draw(st.integers(4, 24))
+    # ascending stsc run starts, first always 1
+    n_runs = draw(st.integers(1, 3))
+    starts = sorted(
+        {1}
+        | set(draw(st.lists(st.integers(2, 6), max_size=n_runs - 1)))
+    )
+    stsc = [(s, draw(st.integers(1, 5))) for s in starts]
+    # stts runs covering exactly n samples
+    cut = draw(st.integers(1, n))
+    stts = [(cut, draw(st.integers(1, 4000)))]
+    if cut < n:
+        stts.append((n - cut, draw(st.integers(1, 4000))))
+    tscale = draw(st.sampled_from([600, 1000, 24000, 30000, 90000]))
+    stss = draw(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(1, n), min_size=1, max_size=n, unique=True
+            ).map(sorted),
+        )
+    )
+    ctts = None
+    if draw(st.booleans()):
+        ccut = draw(st.integers(1, n))
+        ctts = [(ccut, draw(st.integers(0, 5000)))]
+        if ccut < n:
+            ctts.append((n - ccut, draw(st.integers(0, 5000))))
+    elst = draw(
+        st.one_of(
+            st.none(),
+            st.tuples(st.integers(0, 3000)).map(
+                lambda t: [(1000, t[0])]
+            ),
+            st.tuples(st.integers(1, 50), st.integers(0, 3000)).map(
+                lambda t: [(t[0], -1), (1000, t[1])]
+            ),
+        )
+    )
+    mvts = draw(st.one_of(st.none(), st.sampled_from([10, 600, 90000])))
+    return n, stsc, stts, tscale, stss, ctts, elst, mvts
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    plan=_mp4_plans(),
+    audio=st.booleans(),
+    large=st.booleans(),
+    co64=st.booleans(),
+    uniform=st.sampled_from([0, 24]),
+)
+def test_mp4_walker_roundtrips_random_plans(plan, audio, large, co64, uniform):
+    """ANY structurally valid combination of chunk layout, timing
+    runs, sync table, composition offsets, supported edit plan, movie
+    timescale, offset-box width, and mdat form must walk to exactly
+    the generator's own bookkeeping — not just the committed fixture
+    seeds."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    n, stsc, stts, tscale, stss, ctts, elst, mvts = plan
+    sizes = [uniform] * n if uniform else [10 + (k % 7) for k in range(n)]
+    samples = [bytes([k % 251]) * sz for k, sz in zip(range(n), sizes)]
+    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode(
+        samples, stsc, uniform, tscale, stts, audio, large,
+        stss_samples=stss, ctts_runs=ctts, use_co64=co64,
+        elst_edits=elst, movie_timescale=mvts,
+    )
+    assert _mp4_sample_index(payload) == list(
+        zip(offs, sizes, ts_ms, keys, pts_ms)
+    )
+
+
+# ---------------------------------------------------------------------------
 # ADVICE 2: nearest_centroid_assign's dist column contract per path
 # ---------------------------------------------------------------------------
 

@@ -688,6 +688,94 @@ def main() -> None:
                 "sample_pts_ms": pts_ms,
             }
         )
+
+    # FRAGMENTED rows (ids 6100+): the CMAF/DASH layout — empty stbl,
+    # geometry in moof/traf/trun — covering the knob combinations real
+    # packagers emit (see _mp4_encode_fragmented). Same bookkeeping
+    # discipline: every channel recorded from the generator's own
+    # layout arithmetic, never from the walker.
+    def _fsamples(rng, counts):
+        return [
+            [
+                bytes(rng.randint(0, 255) for _ in range(rng.randint(18, 60)))
+                for _ in range(c)
+            ]
+            for c in counts
+        ]
+
+    frag_shapes = [
+        # classic CMAF: base-is-moof, tfdt, per-sample flags, v0 ctts
+        dict(
+            fragments=_fsamples(rng9, [4, 4]),
+            timescale=30000,
+            default_duration=1001,
+            keyframes=[[True, False, False, False]] * 2,
+            ctts_offsets=[[2002, 0, 1001, 0], [2002, 1001, 0, 0]],
+        ),
+        # first-sample-flags + defaults, explicit base_data_offset, NO
+        # tfdt (running decode time), per-trun durations, v1 SIGNED
+        # composition offsets, and a leading AUDIO traf in every moof
+        dict(
+            fragments=_fsamples(rng9, [3, 4, 2]),
+            timescale=90000,
+            default_duration=3003,
+            keyframes=[[True, False, False], [True, False, False, False],
+                       [True, False]],
+            flags_mode="first",
+            dur_overrides=[[3003, 3003, 3003], [3003, 1501, 1502, 3003],
+                           [3003, 3003]],
+            ctts_offsets=[[6006, -1501, 1501], [6006, 0, -3003, 1501],
+                          [3003, 0]],
+            trun_version=1,
+            base_data_offset=True,
+            tfdt=False,
+            audio_trak=True,
+        ),
+        # all-default flags (every sample sync), multi-trun traf, and
+        # an empty-edit delay at a DISTINCT movie timescale
+        dict(
+            fragments=_fsamples(rng9, [6]),
+            timescale=1000,
+            default_duration=100,
+            keyframes=[[True] * 6],
+            flags_mode="default",
+            trun_split=[2],
+            elst_edits=[(3, -1), (600, 100)],
+            movie_timescale=10,
+        ),
+        # trimming edit over fragments: leading keyframe pts negative
+        dict(
+            fragments=_fsamples(rng9, [5, 5]),
+            timescale=1000,
+            default_duration=100,
+            keyframes=[[True, False, True, False, False]] * 2,
+            trun_split=[2, 0],
+            elst_edits=[(850, 150)],
+        ),
+    ]
+    for j, spec in enumerate(frag_shapes):
+        payload, offs, ts_ms, keys, pts_ms = _mp4_encode_fragmented(**spec)
+        sizes = [len(s) for f in spec["fragments"] for s in f]
+        n = len(sizes)
+        dur_units = (
+            sum(sum(d) for d in spec["dur_overrides"])
+            if "dur_overrides" in spec
+            else n * spec["default_duration"]
+        )
+        mp4_rows.append(
+            {
+                "media_id": 6100 + j,
+                "mime": "video/mp4",
+                "payload": payload,
+                "n_samples": n,
+                "duration_ms": dur_units * 1000 // spec["timescale"],
+                "sample_off": offs,
+                "sample_size": sizes,
+                "sample_ts_ms": ts_ms,
+                "keyframe": keys,
+                "sample_pts_ms": pts_ms,
+            }
+        )
     mp4_schema = pa.schema(
         [
             ("media_id", pa.int64()),
@@ -1071,6 +1159,314 @@ def _mp4_encode(
     final = moov(chunk_offsets)
     assert len(final) == len(probe)
     return ftyp + final + mdat, sample_offs, ts_ms, keyframes, pts_ms
+
+
+# trun sample_flags values (ISO 14496-12 §8.8.3.1): a sync sample
+# depends on nothing (sample_depends_on=2, bits 25-24); a non-sync
+# sample depends on others (=1) and sets sample_is_non_sync_sample
+# (bit 16) — the bit walkers key on
+FRAG_SYNC = 0x02000000
+FRAG_NONSYNC = 0x01010000
+
+
+def _mp4_encode_fragmented(
+    fragments: list[list[bytes]],
+    timescale: int,
+    default_duration: int,
+    keyframes: list[list[bool]],
+    flags_mode: str = "per_sample",  # per_sample | first | default
+    dur_overrides: list[list[int]] | None = None,
+    ctts_offsets: list[list[int]] | None = None,
+    trun_version: int = 0,
+    base_data_offset: bool = False,
+    tfdt: bool = True,
+    elst_edits: list[tuple[int, int]] | None = None,
+    movie_timescale: int | None = None,
+    audio_trak: bool = False,
+    track_id: int = 7,
+    trun_split: list[int] | None = None,
+):
+    """Fragmented MP4 (CMAF/DASH shape — what a streaming lake
+    actually stores): ftyp + moov(mvhd + mvex/trex + empty-stbl trak)
+    + [moof + mdat] per fragment. Sample geometry lives in each
+    moof's traf: tfhd (track id, defaults, base-data-offset mode),
+    optional tfdt (absolute decode time), trun(s) (count,
+    data_offset, per-sample duration/size/flags/composition-offset).
+    Knobs exercise the layouts real packagers emit: base-is-moof vs
+    explicit base_data_offset; flags per-sample vs
+    first-sample-flags+default vs all-default; durations from trex vs
+    trun; v0 (unsigned) vs v1 (SIGNED) composition offsets; an
+    optional leading AUDIO traf in every moof (walker must select the
+    video traf by track id, and its data precedes the video bytes in
+    mdat); multi-trun trafs via ``trun_split``. Returns the same
+    5-channel bookkeeping as _mp4_encode, recorded from the
+    generator's own layout arithmetic — never from the walker."""
+    n_frags = len(fragments)
+    assert len(keyframes) == n_frags
+    mv_tscale = movie_timescale if movie_timescale is not None else timescale
+    audio_id = track_id + 1
+    audio_bytes = b"\xaa" * 6 if audio_trak else b""
+
+    # per-sample channels in decode order (generator bookkeeping)
+    all_keys: list[bool] = [k for f in keyframes for k in f]
+    durs: list[int] = []
+    for fi, frag in enumerate(fragments):
+        if dur_overrides is not None:
+            assert len(dur_overrides[fi]) == len(frag)
+            durs += dur_overrides[fi]
+        else:
+            durs += [default_duration] * len(frag)
+    n = sum(len(f) for f in fragments)
+    ts_units = [sum(durs[:k]) for k in range(n)]
+    cofs: list[int] = []
+    for fi, frag in enumerate(fragments):
+        if ctts_offsets is not None:
+            assert len(ctts_offsets[fi]) == len(frag)
+            if trun_version == 0:
+                assert all(o >= 0 for o in ctts_offsets[fi])
+            cofs += ctts_offsets[fi]
+        else:
+            cofs += [0] * len(frag)
+    edit_shift = 0
+    if elst_edits is not None:
+        if len(elst_edits) == 2:
+            assert elst_edits[0][1] == -1 and elst_edits[1][1] >= 0
+            edit_shift = (
+                elst_edits[0][0] * timescale // mv_tscale - elst_edits[1][1]
+            )
+        else:
+            assert len(elst_edits) == 1 and elst_edits[0][1] >= 0
+            edit_shift = -elst_edits[0][1]
+    ts_ms = [t * 1000 // timescale for t in ts_units]
+    pts_ms = [
+        (t + o + edit_shift) * 1000 // timescale
+        for t, o in zip(ts_units, cofs)
+    ]
+
+    elst = b""
+    if elst_edits is not None:
+        elst = _box(
+            b"edts",
+            _full(
+                b"elst",
+                len(elst_edits).to_bytes(4, "big")
+                + b"".join(
+                    d.to_bytes(4, "big")
+                    + mt.to_bytes(4, "big", signed=True)
+                    + (0x00010000).to_bytes(4, "big")
+                    for d, mt in elst_edits
+                ),
+            ),
+        )
+
+    def tkhd(tid: int) -> bytes:
+        return _full(b"tkhd", bytes(8) + tid.to_bytes(4, "big") + bytes(68))
+
+    def empty_stbl(coding: bytes) -> bytes:
+        return _box(
+            b"stbl",
+            _full(b"stsd", (1).to_bytes(4, "big") + _box(coding, bytes(78)))
+            + _full(b"stts", (0).to_bytes(4, "big"))
+            + _full(b"stsc", (0).to_bytes(4, "big"))
+            + _full(b"stsz", bytes(8))
+            + _full(b"stco", (0).to_bytes(4, "big")),
+        )
+
+    def trak(tid: int, handler: bytes, edts_box: bytes = b"") -> bytes:
+        mdhd = _full(
+            b"mdhd", bytes(8) + timescale.to_bytes(4, "big") + bytes(8)
+        )
+        hdlr = _full(b"hdlr", bytes(4) + handler + bytes(13))
+        coding = b"mp4v" if handler == b"vide" else b"mp4a"
+        minf = _box(b"minf", _box(b"vmhd", bytes(8)) + empty_stbl(coding))
+        return _box(
+            b"trak",
+            tkhd(tid) + edts_box + _box(b"mdia", mdhd + hdlr + minf),
+        )
+
+    def trex(tid: int, d_dur: int, d_flags: int) -> bytes:
+        return _full(
+            b"trex",
+            tid.to_bytes(4, "big")
+            + (1).to_bytes(4, "big")  # default_sample_description_index
+            + d_dur.to_bytes(4, "big")
+            + (0).to_bytes(4, "big")  # default_sample_size (sizes in trun)
+            + d_flags.to_bytes(4, "big"),
+        )
+
+    trex_default_flags = (
+        FRAG_SYNC
+        if flags_mode == "default" and all(all_keys)
+        else FRAG_NONSYNC
+    )
+    if flags_mode == "default":
+        assert all(all_keys) or not any(all_keys), (
+            "flags_mode=default needs uniform keyframes"
+        )
+    mvhd = _full(
+        b"mvhd", bytes(8) + mv_tscale.to_bytes(4, "big") + bytes(84)
+    )
+    mvex_body = trex(track_id, default_duration, trex_default_flags)
+    if audio_trak:
+        mvex_body += trex(audio_id, default_duration, FRAG_NONSYNC)
+    moov_body = mvhd + _box(b"mvex", mvex_body)
+    if audio_trak:
+        moov_body += trak(audio_id, b"soun")
+    moov_body += trak(track_id, b"vide", elst)
+    moov = _box(b"moov", moov_body)
+    ftyp = _box(b"ftyp", b"iso5" + (512).to_bytes(4, "big") + b"iso5cmfc")
+
+    def build_traf(
+        fi: int,
+        frag: list[bytes],
+        decode_time: int,
+        bdo: int | None,
+        data_offsets: list[int],
+        splits: list[list[int]],
+    ) -> bytes:
+        tf_flags = 0
+        tf_body = track_id.to_bytes(4, "big")
+        if bdo is not None:
+            tf_flags |= 0x000001
+            tf_body += bdo.to_bytes(8, "big")
+        else:
+            tf_flags |= 0x020000  # default-base-is-moof
+        if flags_mode == "first":
+            tf_flags |= 0x000020
+            tf_body += FRAG_NONSYNC.to_bytes(4, "big")
+        tfhd = _box(
+            b"tfhd", tf_flags.to_bytes(4, "big") + tf_body
+        )
+        boxes = tfhd
+        if tfdt:
+            boxes += _box(
+                b"tfdt",
+                (0).to_bytes(4, "big") + decode_time.to_bytes(4, "big"),
+            )
+        kf = keyframes[fi]
+        if flags_mode == "first":
+            # first-sample-flags + non-sync default can only express
+            # the leading-keyframe pattern
+            assert kf == [True] + [False] * (len(frag) - 1)
+        fdurs = (
+            dur_overrides[fi] if dur_overrides is not None else None
+        )
+        fcofs = ctts_offsets[fi] if ctts_offsets is not None else None
+        for ti, idxs in enumerate(splits):
+            tr_flags = 0x000001  # data-offset-present
+            if fdurs is not None:
+                tr_flags |= 0x000100
+            tr_flags |= 0x000200  # sizes always present
+            if flags_mode == "per_sample":
+                tr_flags |= 0x000400
+            if flags_mode == "first" and ti == 0:
+                tr_flags |= 0x000004
+            if fcofs is not None:
+                tr_flags |= 0x000800
+            body = len(idxs).to_bytes(4, "big")
+            body += data_offsets[ti].to_bytes(4, "big", signed=True)
+            if flags_mode == "first" and ti == 0:
+                body += FRAG_SYNC.to_bytes(4, "big")
+            for si in idxs:
+                if fdurs is not None:
+                    body += fdurs[si].to_bytes(4, "big")
+                body += len(frag[si]).to_bytes(4, "big")
+                if flags_mode == "per_sample":
+                    body += (
+                        FRAG_SYNC if kf[si] else FRAG_NONSYNC
+                    ).to_bytes(4, "big")
+                if fcofs is not None:
+                    body += fcofs[si].to_bytes(
+                        4, "big", signed=trun_version == 1
+                    )
+            boxes += _box(
+                b"trun",
+                bytes([trun_version]) + tr_flags.to_bytes(3, "big") + body,
+            )
+        return _box(b"traf", boxes)
+
+    payload = ftyp + moov
+    sample_offs: list[int] = []
+    decode_time = 0
+    for fi, frag in enumerate(fragments):
+        if trun_split is not None and trun_split[fi]:
+            s = trun_split[fi]
+            splits = [list(range(s)), list(range(s, len(frag)))]
+        else:
+            splits = [list(range(len(frag)))]
+        # audio traf first (when present): one dummy sample at the
+        # start of mdat — video data begins after it
+        video_data_start_in_mdat = len(audio_bytes)
+        split_starts = []
+        pos = video_data_start_in_mdat
+        for idxs in splits:
+            split_starts.append(pos)
+            pos += sum(len(frag[si]) for si in idxs)
+
+        def moof_at(
+            moof_pos: int, moof_len_probe: int | None
+        ) -> bytes:
+            mfhd = _full(b"mfhd", (fi + 1).to_bytes(4, "big"))
+            body = mfhd
+            # mdat body starts right after this moof + 8-byte header
+            if moof_len_probe is None:
+                mdat_body = 0  # placeholder pass
+            else:
+                mdat_body = moof_pos + moof_len_probe + 8
+            if audio_trak:
+                a_flags = 0x020000 | 0x000020
+                a_tfhd = _box(
+                    b"tfhd",
+                    a_flags.to_bytes(4, "big")
+                    + audio_id.to_bytes(4, "big")
+                    + FRAG_NONSYNC.to_bytes(4, "big"),
+                )
+                a_off = (
+                    0 if moof_len_probe is None else moof_len_probe + 8
+                )
+                a_trun = _box(
+                    b"trun",
+                    bytes([0])
+                    + (0x000001 | 0x000200).to_bytes(3, "big")
+                    + (1).to_bytes(4, "big")
+                    + a_off.to_bytes(4, "big", signed=True)
+                    + len(audio_bytes).to_bytes(4, "big"),
+                )
+                body += _box(b"traf", a_tfhd + a_trun)
+            if base_data_offset:
+                # probe pass writes a 0 placeholder so both passes
+                # have the identical 8-byte bdo field (sizes must match)
+                bdo = 0 if moof_len_probe is None else mdat_body
+                offs = list(split_starts)
+            else:
+                bdo = None
+                offs = [
+                    (0 if moof_len_probe is None else moof_len_probe + 8)
+                    + s
+                    for s in split_starts
+                ]
+            body += build_traf(fi, frag, decode_time, bdo, offs, splits)
+            return _box(b"moof", body)
+
+        probe = moof_at(len(payload), None)
+        moof = moof_at(len(payload), len(probe))
+        assert len(moof) == len(probe)
+        mdat_body_abs = len(payload) + len(moof) + 8
+        for idxs, s0 in zip(splits, split_starts):
+            p = mdat_body_abs + s0
+            for si in idxs:
+                sample_offs.append(p)
+                p += len(frag[si])
+        payload += moof + _box(
+            b"mdat", audio_bytes + b"".join(frag[si] for s in splits for si in s)
+        )
+        decode_time += sum(
+            (dur_overrides[fi] if dur_overrides is not None else
+             [default_duration] * len(frag))
+        )
+
+    assert len(sample_offs) == n
+    return payload, sample_offs, ts_ms, all_keys, pts_ms
 
 
 def _gif_encode(
