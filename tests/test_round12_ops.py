@@ -2,8 +2,7 @@
 
 The round-11 verdict made round 12 a third consolidation round (zero
 discretionary window slots — the rotation itself is commit 1 and is
-policed by test_registry's staleness invariant). The code work this
-round is the two ADVICE items plus verdict item 3:
+policed by test_registry's staleness invariant). The code work:
 
 - ADVICE 1: _decode_wav / _decode_aiff must RAISE on an odd-length
   16-bit PCM data chunk instead of silently truncating the trailing
@@ -11,12 +10,24 @@ round is the two ADVICE items plus verdict item 3:
 - ADVICE 2: nearest_centroid_assign's dist column changes type and
   meaning when int_dist is supplied — the divergence is now explicit
   in the return contract and pinned here.
-- Verdict 3: keyframe-aware frame sampling — parse stss (sync
-  samples) and ctts (composition offsets) in the ISO BMFF walk and
-  emit keyframe flags + presentation timestamps; tested in its own
-  section below against generation-time coordinates the walk never
-  sees, with a no-stss (all-sync) track and a ctts-reordered track in
-  the fixture family.
+- Verdict 3: keyframe-aware frame sampling — stss (sync samples) and
+  ctts (composition offsets) in the ISO BMFF walk, keyframe flags +
+  presentation timestamps, tested against generation-time coordinates
+  the walk never sees (no-stss, first-keyframe-not-1, and
+  ctts-reordered tracks in the fixture family).
+- Verdict 4: the kmeans_step grouping-key-width tradeoff, MEASURED
+  (tools/measure_kmeans_width.py, SCALE.md §20) — the shipped
+  assign-then-rejoin spelling is pinned bit-identical to the retired
+  wide spelling here.
+
+Late-round sections extend the container surface past the verdict
+queue, each with the same oracle discipline and a hypothesis property
+test over the generator↔walker pairing: co64 (64-bit chunk offsets —
+the >4 GiB form), elst edit lists (presentation shifts,
+cross-timescale empty-edit delays, mid-GOP trims → negative pts on
+decoded-but-not-presented samples), and FRAGMENTED MP4
+(moof/traf/trun with the §8.8 defaults cascade — the CMAF/DASH shape
+streaming lakes actually store).
 """
 
 from __future__ import annotations
@@ -291,6 +302,77 @@ def test_mp4_walker_roundtrips_random_plans(plan, audio, large, co64, uniform):
     )
     assert _mp4_sample_index(payload) == list(
         zip(offs, sizes, ts_ms, keys, pts_ms)
+    )
+
+
+@st.composite
+def _frag_plans(draw):
+    n_frags = draw(st.integers(1, 3))
+    counts = [draw(st.integers(2, 6)) for _ in range(n_frags)]
+    tscale = draw(st.sampled_from([600, 1000, 30000, 90000]))
+    d_dur = draw(st.integers(1, 3003))
+    mode = draw(st.sampled_from(["per_sample", "first", "default"]))
+    if mode == "per_sample":
+        keys = [
+            [draw(st.booleans()) for _ in range(c)] for c in counts
+        ]
+    elif mode == "first":
+        keys = [[True] + [False] * (c - 1) for c in counts]
+    else:
+        keys = [[True] * c for c in counts]
+    durs = None
+    if draw(st.booleans()):
+        durs = [
+            [draw(st.integers(1, 4000)) for _ in range(c)] for c in counts
+        ]
+    ver = draw(st.integers(0, 1))
+    cofs = None
+    if draw(st.booleans()):
+        lo = -2000 if ver == 1 else 0
+        cofs = [
+            [draw(st.integers(lo, 4000)) for _ in range(c)] for c in counts
+        ]
+    split = None
+    if draw(st.booleans()):
+        split = [draw(st.integers(0, max(0, c - 1))) for c in counts]
+    elst = draw(
+        st.one_of(
+            st.none(),
+            st.tuples(st.integers(0, 500)).map(lambda t: [(1000, t[0])]),
+        )
+    )
+    return counts, tscale, d_dur, mode, keys, durs, ver, cofs, split, elst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    plan=_frag_plans(),
+    bdo=st.booleans(),
+    tfdt=st.booleans(),
+    audio=st.booleans(),
+)
+def test_mp4_fragmented_roundtrips_random_plans(plan, bdo, tfdt, audio):
+    """Random fragmented layouts across every supported knob — base
+    modes, flags modes, trex/trun durations, v0/v1 composition
+    offsets, splits, edits, audio trafs — must walk to exactly the
+    generator's bookkeeping."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    counts, tscale, d_dur, mode, keys, durs, ver, cofs, split, elst = plan
+    frags = [
+        [bytes([(fi * 7 + k) % 251]) * (12 + k) for k in range(c)]
+        for fi, c in enumerate(counts)
+    ]
+    payload, offs, ts_ms, kf, pts_ms = gf._mp4_encode_fragmented(
+        frags, tscale, d_dur, keys, flags_mode=mode,
+        dur_overrides=durs, ctts_offsets=cofs, trun_version=ver,
+        base_data_offset=bdo, tfdt=tfdt, audio_trak=audio,
+        trun_split=split, elst_edits=elst,
+    )
+    sizes = [len(s) for f in frags for s in f]
+    assert _mp4_sample_index(payload) == list(
+        zip(offs, sizes, ts_ms, kf, pts_ms)
     )
 
 
