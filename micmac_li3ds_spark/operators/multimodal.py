@@ -1106,14 +1106,25 @@ def _mp4_fragmented_index(
     for t, mb, me in _mp4_boxes(payload, 0, len(payload)):
         if t != b"moof":
             continue
-        moof_start = mb - 8  # box header precedes the body
+        # box start = body minus the header _mp4_boxes consumed — 8
+        # for the normal form, 16 for size==1 largesize (disambiguated
+        # by re-reading the size field each form would imply)
+        if int.from_bytes(payload[mb - 8 : mb - 4], "big") == me - (mb - 8):
+            moof_start = mb - 8
+        elif (
+            mb >= 16
+            and int.from_bytes(payload[mb - 16 : mb - 12], "big") == 1
+        ):
+            moof_start = mb - 16
+        else:
+            raise ValueError("cannot locate the moof box start")
         for tt, fb, fe in _mp4_boxes(payload, mb, me):
             if tt != b"traf":
                 continue
             th_b, th_e = _mp4_child(payload, fb, fe, b"tfhd")
-            tf_flags = int.from_bytes(payload[th_b + 1 : th_b + 4], "big")
             if th_b + 8 > th_e:
                 raise ValueError("truncated tfhd box")
+            tf_flags = int.from_bytes(payload[th_b + 1 : th_b + 4], "big")
             if u32(th_b + 4) != track_id:
                 continue  # another track's traf (e.g. audio)
             p = th_b + 8
