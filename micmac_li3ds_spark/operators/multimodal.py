@@ -1198,7 +1198,10 @@ def _mp4_fragmented_index(
                     + (4 if tr_flags & 0x000400 else 0)
                     + (4 if tr_flags & 0x000800 else 0)
                 )
-                if q + width * cnt > be:
+                # q > be alone must also raise: with width 0 (all
+                # defaults) the product check cannot see a header that
+                # already overran the box
+                if q > be or q + width * cnt > be:
                     raise ValueError(
                         f"trun declares {cnt} samples beyond its box end"
                     )
