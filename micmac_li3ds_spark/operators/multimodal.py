@@ -3,12 +3,20 @@ opaque binary columns with typed metadata.
 
 Design: media ride in `BinaryType` columns next to relational metadata
 (mime, dimensions, duration). Heavy per-item work (decode, resize,
-feature extraction, frame sampling) runs as Arrow-batched mapInPandas —
-the Spark-side plumbing (schema, batch iteration, partitioning) is real
-and tested; the codec calls themselves are STUBBED behind
-`_decode_stub` because no image/audio libraries exist in this container
-(a deterministic fake keyed on the payload bytes stands in; swapping in
-PIL/librosa/ffmpeg changes one function).
+feature extraction, frame sampling) runs as Arrow-batched mapInPandas.
+
+By round 12 most of the surface is REAL, zero new dependencies: six
+codecs decode genuinely (BMP, binary P6, 16-bit PCM WAV, PNG via
+stdlib zlib + filter inversion, GIF via a from-the-spec LZW
+decompressor, big-endian AIFF), and the ISO BMFF walk indexes both
+container layouts without touching a codec — classic stbl sample
+tables (stts/stsc/stsz/stco+co64, stss keyframes, ctts composition
+offsets, elst edit lists) and FRAGMENTED moof/traf/trun (CMAF/DASH)
+with the §8.8 defaults cascade. Only lossy decode (JPEG, video
+codecs) stays stubbed behind `_decode_stub` / the PIL probe seam —
+deliberately: ISO 10918 permits per-implementation IDCT slop, so
+bit-exact zero-dep oracle parity would be a self-consistency loop
+(SCALE.md §19); swapping in PIL/ffmpeg changes one function.
 
 100 TB notes: binary payloads dominate row size — store media columns
 in their own parquet (or reference object-store URIs via
