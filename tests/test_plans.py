@@ -836,15 +836,37 @@ def test_registry_wide_plan_invariants(spark):
     2. No CartesianProduct anywhere, empty allowlist (round-10 sweep:
        0/243 — every cross-shaped operator is broadcast-of-tiny or a
        keyed join). A quadratic pair expansion fails at plan time.
+    3. (r12) BroadcastNestedLoopJoin only in the PINNED set below —
+       every member is a deliberate broadcast-of-tiny shape (a query
+       vector, a centroid set, a scalar threshold row, or the §2
+       cross-theta contract row, each O(tiny)·n probe work). A BNLJ
+       appearing in any OTHER query is the classic silent quadratic:
+       a crossJoin whose "small" side stopped being small, or an
+       inequality join Catalyst could not convert — rewrite it or
+       justify membership here. Subset check, not equality: a member
+       leaving the set (rewritten to a keyed join) must not fail.
     """
     sort_allow = {"q_agg_bitmap_distinct", "q_agg_bitmap_rollup"}
-    sort_offenders, cart_offenders = [], []
+    bnlj_allow = {
+        "q_abc_pareto", "q_agg_equidepth_hist", "q_agg_gini",
+        "q_agg_heavy_hitters", "q_agg_winsorize", "q_etl_dq_summary",
+        "q_event_rfm", "q_graph_triangles", "q_important_parts",
+        "q_join_cross_theta", "q_join_fuzzy", "q_layout_zorder",
+        "q_llm_bm25", "q_llm_cluster_assign", "q_llm_hard_negatives",
+        "q_llm_kmeans_fix", "q_llm_kmeans_step", "q_llm_knn",
+        "q_llm_knn_batch", "q_llm_knn_ivf", "q_llm_knn_per_label",
+        "q_llm_knn_pq_refine", "q_llm_knn_recall", "q_llm_lsh_recall",
+        "q_llm_tfidf", "q_skyline",
+    }
+    sort_offenders, cart_offenders, bnlj_offenders = [], [], []
     for name, q in registry.registry().items():
         p = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         if "SortAggregate" in p and name not in sort_allow:
             sort_offenders.append(name)
         if "CartesianProduct" in p:
             cart_offenders.append(name)
+        if "BroadcastNestedLoopJoin" in p and name not in bnlj_allow:
+            bnlj_offenders.append(name)
     assert not sort_offenders, (
         f"SortAggregate crept into {sort_offenders} — pack the ordering "
         "into an atomic key (see nearest_centroid_assign) or extend the "
@@ -853,4 +875,9 @@ def test_registry_wide_plan_invariants(spark):
     assert not cart_offenders, (
         f"CartesianProduct planned in {cart_offenders} — broadcast the "
         "tiny side explicitly or rewrite the pairing as a keyed join"
+    )
+    assert not bnlj_offenders, (
+        f"BroadcastNestedLoopJoin crept into {bnlj_offenders} — if the "
+        "broadcast side is provably tiny add it to bnlj_allow with the "
+        "shape named; otherwise rewrite as a keyed/broadcast-hash join"
     )
