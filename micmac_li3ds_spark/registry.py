@@ -233,7 +233,7 @@ _loaded = False
 #            guard's other consumer, equivalence-tested and locally
 #            check.py-green on current code — waits one round and
 #            LEADS round 13 (r8 stratum = 48, two free slots).
-#   round 12 (this window): third consolidation by arithmetic — zero
+#   round 12: third consolidation by arithmetic — zero
 #            discretionary slots. The staleness invariant (max_round−4
 #            with CORRECTNESS_r11 on disk) enumerates exactly the 47
 #            r7-attested keys below, in its own enumeration order; the
@@ -257,65 +257,82 @@ _loaded = False
 #            hypothesis (the fixpoint re-joins the identical
 #            e.select(vec_id, vq) exchange each iteration, shareable
 #            across all k iterations) before switching.
+#   round 13 (this window): fourth consolidation by arithmetic — zero
+#            discretionary slots. The staleness invariant (max_round−4
+#            with CORRECTNESS_r12 on disk) enumerates exactly the 48
+#            r8-attested keys below, in its own enumeration order; the
+#            2 ledgered slots from the r12 comment above fill the rest:
+#            q_llm_semantic_dedup (r11 cid-guard touch on an r10 hash —
+#            the last pre-r12 hash-trails-code key) and
+#            q_mm_frame_sample (r12 keyframe/elst/co64/fragmented BMFF
+#            semantics on an r11 hash; r13 also adds sidx-seek support
+#            and the ADVICE r12 malformed-input hardening, so the fresh
+#            hash attests the current walker at birth).
+#            Round-14 ledger (carried debt, unchanged from r12): migrate
+#            kmeans_fixpoint/q_llm_kmeans_fix onto the measured
+#            assign-then-rejoin spelling (SCALE.md §20) and attest at
+#            birth; measure the ReusedExchange hypothesis on the
+#            POST-execution adaptive plan first (AQE reuses stages at
+#            runtime — the pre-execution plan does not show it).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- the 47 r7-attested keys forced by the staleness invariant
+    # --- the 48 r8-attested keys forced by the staleness invariant
     # (test_registry.py::test_window_contains_every_stale_attestation,
     # enumeration order preserved) ---
-    "q_project_select",
-    "q_filter_simple",
-    "q_filter_compound",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_project_distinct",
-    "q_agg_basic",
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_collect",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_join_sortmerge",
-    "q_join_shuffle_hash",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross_theta",
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_first_last",
-    "q_win_topk_group",
-    "q_fn_string",
-    "q_fn_regex",
-    "q_fn_datetime",
-    "q_fn_array",
-    "q_fn_map",
-    "q_event_rfm",
-    "q_win_pct_of_total",
-    "q_audit_small_files",
-    "q_agg_equidepth_hist",
-    "q_llm_bm25",
-    "q_llm_cross_dedup",
-    "q_agg_winsorize",
-    "q_er_resolve",
-    "q_abc_pareto",
-    "q_event_transitions",
-    "q_event_cohort_ltv",
-    "q_skyline",
-    "q_ts_interpolate",
-    "q_agg_corr",
-    "q_ts_rollup_multires",
-    "q_profile_entropy",
-    # --- the 3 ledgered slots (r11 verdict, mandatory): keys whose
+    "q_fn_math",
+    "q_fn_cond",
+    "q_sort_multi",
+    "q_limit",
+    "q_jdbc_roundtrip",
+    "q_llm_dedup_clusters",
+    "q_llm_ngram_jaccard",
+    "q_llm_simhash",
+    "q_llm_tfidf",
+    "q_llm_text_stats",
+    "q_llm_quality_score",
+    "q_llm_lang_id",
+    "q_llm_repetition",
+    "q_llm_corpus_filter",
+    "q_llm_decontaminate",
+    "q_llm_pii_scrub",
+    "q_llm_cosine",
+    "q_llm_knn_per_label",
+    "q_llm_embed_norm",
+    "q_returned_items",
+    "q_forecast_revenue",
+    "q_promo_revenue",
+    "q_nation_trade_volume",
+    "q_waiting_supplier",
+    "q_etl_explode_block",
+    "q_etl_get_or_create",
+    "q_etl_surrogate_keys",
+    "q_etl_pose_apply",
+    "q_etl_distortion_poly",
+    "q_etl_transfo_closure",
+    "q_sample_hash",
+    "q_reshape_unpivot",
+    "q_agg_histogram",
+    "q_profile_columns",
+    "q_mm_binary_stats",
+    "q_agg_gini",
+    "q_etl_merge_upsert",
+    "q_ts_anomaly",
+    "q_agg_sketch_rollup",
+    "q_win_moving_median",
+    "q_llm_knn_recall",
+    "q_layout_zorder",
+    "q_etl_asof_snapshot",
+    "q_agg_bitmap_rollup",
+    "q_ts_downsample_lttb",
+    "q_llm_winnowing",
+    "q_llm_winnow_matches",
+    "q_ts_seasonal_profile",
+    # --- the 2 ledgered slots (r12 verdict, mandatory): keys whose
     # newest driver hash attests superseded code ---
-    "q_llm_kmeans_step",
-    "q_llm_lsh_recall",
-    "q_llm_cluster_assign",
+    "q_llm_semantic_dedup",
+    "q_mm_frame_sample",
 ]
 
 
