@@ -733,8 +733,11 @@ def _decode_gif(payload: bytes, mime: str) -> list[float]:
 
 def _mp4_boxes(buf: bytes, start: int, end: int):
     """Iterate ISO BMFF boxes in buf[start:end] as (type, body_start,
-    box_end) — including the size==1 64-bit ``largesize`` form (ISO
-    14496-12 §4.2) that 32-bit-only walkers break on."""
+    box_end, box_start) — including the size==1 64-bit ``largesize``
+    form (ISO 14496-12 §4.2) that 32-bit-only walkers break on. The
+    box START is yielded directly (ADVICE r12 #4): default-base-is-
+    moof needs it, and back-computing it from body_start by re-reading
+    the size field is a heuristic a crafted largesize header defeats."""
     i = start
     while i + 8 <= end:
         size = int.from_bytes(buf[i : i + 4], "big")
@@ -747,14 +750,14 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
             body = i + 16
         if size < body - i or i + size > end:
             raise ValueError(f"malformed MP4 box {typ!r}")
-        yield typ, body, i + size
+        yield typ, body, i + size, i
         i += size
     if i != end:
         raise ValueError("trailing bytes after the last MP4 box")
 
 
 def _mp4_child(buf: bytes, start: int, end: int, typ: bytes):
-    for t, body, bend in _mp4_boxes(buf, start, end):
+    for t, body, bend, _ in _mp4_boxes(buf, start, end):
         if t == typ:
             return body, bend
     raise ValueError(f"missing MP4 box {typ!r}")
@@ -763,7 +766,7 @@ def _mp4_child(buf: bytes, start: int, end: int, typ: bytes):
 def _mp4_child_opt(buf: bytes, start: int, end: int, typ: bytes):
     """Like _mp4_child for the OPTIONAL sample tables (stss, ctts):
     absence is a defined state per ISO 14496-12, not an error."""
-    for t, body, bend in _mp4_boxes(buf, start, end):
+    for t, body, bend, _ in _mp4_boxes(buf, start, end):
         if t == typ:
             return body, bend
     return None
@@ -771,6 +774,7 @@ def _mp4_child_opt(buf: bytes, start: int, end: int, typ: bytes):
 
 def _mp4_sample_index(
     payload: bytes,
+    time_range_ms: tuple[int, int] | None = None,
 ) -> list[tuple[int, int, int, bool, int]]:
     """REAL video-container plumbing, zero new deps (late r11): the
     ISO BMFF sample-table walk that locates every sample's byte range
@@ -805,7 +809,12 @@ def _mp4_sample_index(
     streaming lake actually stores) dispatch to
     _mp4_fragmented_index: the stbl is empty and sample geometry
     comes from moof/traf/trun fragments instead, same return
-    contract.
+    contract. Round 13: mvhd/tkhd/mdhd accept v1 (the 64-bit-times
+    form real long-duration encoders emit — timescale/track_id shift
+    from body offset 12 to 20); ``time_range_ms=(lo, hi)`` performs a
+    sidx-led seek on fragmented files (see _mp4_fragmented_index) and
+    refuses on unfragmented ones, where no byte range could be
+    skipped anyway.
 
     Returns [(offset, size, dts_ms, keyframe, pts_ms)] per sample in
     DECODE order; pts_ms is edit-list-adjusted and NEGATIVE for
@@ -824,38 +833,71 @@ def _mp4_sample_index(
     stbl_span = timescale = None
     elst_span = None
     track_id = None
+    # mvhd: v0 OR v1 (ADVICE r12 #1) — real long-duration files
+    # commonly carry v1 (64-bit creation/modification/duration), and
+    # only the timescale field is needed; it sits at body offset 12
+    # (v0, after two u32 times) or 20 (v1, after two u64 times)
     mvhd_b, mvhd_e = _mp4_child(payload, moov_body, moov_end, b"mvhd")
-    if mvhd_b + 16 > mvhd_e:
+    if mvhd_b + 4 > mvhd_e:
         raise ValueError("truncated mvhd box")
-    if payload[mvhd_b]:
-        raise ValueError("only version-0 mvhd is supported")
-    movie_timescale = int.from_bytes(payload[mvhd_b + 12 : mvhd_b + 16], "big")
-    for t, tb, te in _mp4_boxes(payload, moov_body, moov_end):
+    if payload[mvhd_b] == 0:
+        ts_off = 12
+    elif payload[mvhd_b] == 1:
+        ts_off = 20
+    else:
+        raise ValueError("unsupported mvhd version (only 0 or 1)")
+    if mvhd_b + ts_off + 4 > mvhd_e:
+        raise ValueError("truncated mvhd box")
+    movie_timescale = int.from_bytes(
+        payload[mvhd_b + ts_off : mvhd_b + ts_off + 4], "big"
+    )
+    for t, tb, te, _ in _mp4_boxes(payload, moov_body, moov_end):
         if t != b"trak":
             continue
         mdia_b, mdia_e = _mp4_child(payload, tb, te, b"mdia")
         hdlr_b, _ = _mp4_child(payload, mdia_b, mdia_e, b"hdlr")
         if payload[hdlr_b + 8 : hdlr_b + 12] != b"vide":
             continue
+        # mdhd: v0 or v1, same rationale as mvhd (64-bit times shift
+        # the timescale from body offset 12 to 20)
         mdhd_b, mdhd_e = _mp4_child(payload, mdia_b, mdia_e, b"mdhd")
-        if mdhd_b + 16 > mdhd_e:
+        if mdhd_b + 4 > mdhd_e:
             raise ValueError("truncated mdhd box")
-        if payload[mdhd_b]:
-            raise ValueError("only version-0 mdhd is supported")
-        timescale = int.from_bytes(payload[mdhd_b + 12 : mdhd_b + 16], "big")
+        if payload[mdhd_b] == 0:
+            md_off = 12
+        elif payload[mdhd_b] == 1:
+            md_off = 20
+        else:
+            raise ValueError("unsupported mdhd version (only 0 or 1)")
+        if mdhd_b + md_off + 4 > mdhd_e:
+            raise ValueError("truncated mdhd box")
+        timescale = int.from_bytes(
+            payload[mdhd_b + md_off : mdhd_b + md_off + 4], "big"
+        )
         minf_b, minf_e = _mp4_child(payload, mdia_b, mdia_e, b"minf")
         stbl_span = _mp4_child(payload, minf_b, minf_e, b"stbl")
         # track id matters only for fragment (traf) selection — a
         # trak without tkhd stays walkable in the unfragmented path
         tkhd_span = _mp4_child_opt(payload, tb, te, b"tkhd")
         if tkhd_span is not None:
+            # bounds BEFORE the version-byte dereference (ADVICE r12
+            # #2): a degenerate empty box ending at payload end must
+            # surface as the documented ValueError, not IndexError.
+            # v0 or v1, same 64-bit-times shift as mvhd/mdhd (track_id
+            # at body offset 12 vs 20)
             tkhd_b, tkhd_e = tkhd_span
-            if payload[tkhd_b]:
-                raise ValueError("only version-0 tkhd is supported")
-            if tkhd_b + 16 > tkhd_e:
+            if tkhd_b + 4 > tkhd_e:
+                raise ValueError("truncated tkhd box")
+            if payload[tkhd_b] == 0:
+                tk_off = 12
+            elif payload[tkhd_b] == 1:
+                tk_off = 20
+            else:
+                raise ValueError("unsupported tkhd version (only 0 or 1)")
+            if tkhd_b + tk_off + 4 > tkhd_e:
                 raise ValueError("truncated tkhd box")
             track_id = int.from_bytes(
-                payload[tkhd_b + 12 : tkhd_b + 16], "big"
+                payload[tkhd_b + tk_off : tkhd_b + tk_off + 4], "big"
             )
         else:
             track_id = None
@@ -905,6 +947,8 @@ def _mp4_sample_index(
     edit_shift = 0
     if elst_span is not None:
         eb, ee = elst_span
+        if eb + 4 > ee:
+            raise ValueError("truncated elst box")
         if payload[eb]:
             raise ValueError("only version-0 elst is supported")
         n_elst = entries(eb, ee, "elst", 8, 12)
@@ -956,7 +1000,17 @@ def _mp4_sample_index(
                 "fragmented MP4 video trak is missing its tkhd track id"
             )
         return _mp4_fragmented_index(
-            payload, mvex_span, track_id, timescale, edit_shift
+            payload, mvex_span, track_id, timescale, edit_shift,
+            time_range_ms,
+        )
+    if time_range_ms is not None:
+        # the seek contract is honest: only a fragmented file with a
+        # sidx byte-range index can skip I/O for out-of-range media —
+        # an unfragmented stbl walk reads the whole moov regardless,
+        # and the caller can filter its pts there
+        raise ValueError(
+            "time-ranged indexing requires a fragmented MP4 with a "
+            "sidx segment index"
         )
 
     # chunk offsets come as EITHER stco (u32) or co64 (u64) — files
@@ -1007,6 +1061,8 @@ def _mp4_sample_index(
     stss_span = _mp4_child_opt(payload, sb, se, b"stss")
     if stss_span is not None:
         ssb, sse = stss_span
+        if ssb + 4 > sse:
+            raise ValueError("truncated stss box")
         if payload[ssb]:
             raise ValueError("only version-0 stss is supported")
         sync = set()
@@ -1023,6 +1079,8 @@ def _mp4_sample_index(
     ctts_span = _mp4_child_opt(payload, sb, se, b"ctts")
     if ctts_span is not None:
         cb, ce = ctts_span
+        if cb + 4 > ce:
+            raise ValueError("truncated ctts box")
         if payload[cb]:
             raise ValueError("only version-0 ctts is supported")
         cofs = []
@@ -1074,6 +1132,7 @@ def _mp4_fragmented_index(
     track_id: int,
     timescale: int,
     edit_shift: int,
+    time_range_ms: tuple[int, int] | None = None,
 ) -> list[tuple[int, int, int, bool, int]]:
     """The FRAGMENTED half of the BMFF walk (r12): CMAF/DASH files —
     what a streaming pipeline actually lands in a 100-TB lake — keep
@@ -1089,12 +1148,23 @@ def _mp4_fragmented_index(
     raises. Like the unfragmented walk this reads only moov + moof
     boxes (kilobytes) — never sample data — and returns the same
     [(offset, size, dts_ms, keyframe, pts_ms)] contract, with pts
-    edit-list-adjusted via ``edit_shift``."""
+    edit-list-adjusted via ``edit_shift``.
+
+    Round 13 adds the §8.16.3 ``sidx`` segment index — the DASH
+    byte-range index. When present, the full walk CROSS-CHECKS it
+    against the moofs actually found (a stale/crafted index would
+    silently mis-seek every ranged read — refuse loudly instead);
+    with ``time_range_ms=(lo, hi)`` the walk SEEKS: only the
+    sidx-covered [moof+mdat] byte ranges whose presentation window
+    intersects the range are parsed at all — at 100 TB on object
+    storage those are the only ranged GETs issued, which is the whole
+    media-pushdown story (each sought fragment must carry tfdt, since
+    the decode time of skipped fragments is unknowable)."""
     u32 = lambda o: int.from_bytes(payload[o : o + 4], "big")  # noqa: E731
 
     # trex defaults for the video track (mandatory per §8.8.3)
     trex_dur = trex_size = trex_flags = None
-    for t, tb, te in _mp4_boxes(payload, mvex_span[0], mvex_span[1]):
+    for t, tb, te, _ in _mp4_boxes(payload, mvex_span[0], mvex_span[1]):
         if t != b"trex" or tb + 24 > te:
             continue
         if u32(tb + 4) == track_id:
@@ -1111,22 +1181,16 @@ def _mp4_fragmented_index(
 
     out: list[tuple[int, int, int, bool, int]] = []
     decode_time = 0
-    for t, mb, me in _mp4_boxes(payload, 0, len(payload)):
-        if t != b"moof":
-            continue
-        # box start = body minus the header _mp4_boxes consumed — 8
-        # for the normal form, 16 for size==1 largesize (disambiguated
-        # by re-reading the size field each form would imply)
-        if int.from_bytes(payload[mb - 8 : mb - 4], "big") == me - (mb - 8):
-            moof_start = mb - 8
-        elif (
-            mb >= 16
-            and int.from_bytes(payload[mb - 16 : mb - 12], "big") == 1
-        ):
-            moof_start = mb - 16
-        else:
-            raise ValueError("cannot locate the moof box start")
-        for tt, fb, fe in _mp4_boxes(payload, mb, me):
+
+    def walk_moof(
+        mb: int, me: int, moof_start: int, require_tfdt: bool = False
+    ) -> None:
+        # moof_start comes straight from the box iterator (ADVICE r12
+        # #4) — the previous normal-vs-largesize back-computation
+        # heuristic could mislocate a crafted largesize moof whose
+        # high size word collided with the probe
+        nonlocal decode_time
+        for tt, fb, fe, _ in _mp4_boxes(payload, mb, me):
             if tt != b"traf":
                 continue
             th_b, th_e = _mp4_child(payload, fb, fe, b"tfhd")
@@ -1165,8 +1229,18 @@ def _mp4_fragmented_index(
                         "base_data_offset or default-base-is-moof)"
                     )
             td_span = _mp4_child_opt(payload, fb, fe, b"tfdt")
+            if td_span is None and require_tfdt:
+                # a sidx seek lands mid-file: without tfdt the decode
+                # time would be the running total of SKIPPED fragments
+                # — unknowable — so refuse loudly
+                raise ValueError(
+                    "time-ranged sidx seek requires tfdt in every "
+                    "sought fragment"
+                )
             if td_span is not None:
                 td_b, td_e = td_span
+                if td_b + 4 > td_e:
+                    raise ValueError("truncated tfdt box")
                 if payload[td_b] == 0:
                     if td_b + 8 > td_e:
                         raise ValueError("truncated tfdt box")
@@ -1180,15 +1254,26 @@ def _mp4_fragmented_index(
                 else:
                     raise ValueError("unsupported tfdt version")
             pos = base
-            for bt, bb, be in _mp4_boxes(payload, fb, fe):
+            for bt, bb, be, _ in _mp4_boxes(payload, fb, fe):
                 if bt != b"trun":
                     continue
+                # bounds BEFORE the version-byte dereference (ADVICE
+                # r12 #2): malformed inputs surface as the documented
+                # ValueError, never IndexError
+                if bb + 8 > be:
+                    raise ValueError("truncated trun box")
                 ver = payload[bb]
                 if ver > 1:
                     raise ValueError("unsupported trun version")
                 tr_flags = int.from_bytes(payload[bb + 1 : bb + 4], "big")
-                if bb + 8 > be:
-                    raise ValueError("truncated trun box")
+                if (tr_flags & 0x000004) and (tr_flags & 0x000400):
+                    # mutually exclusive per ISO 14496-12 §8.8.8
+                    # (ADVICE r12 #3) — refuse loudly instead of
+                    # silently letting per-sample flags win
+                    raise ValueError(
+                        "trun sets both first-sample-flags-present and "
+                        "sample-flags-present (mutually exclusive)"
+                    )
                 cnt = u32(bb + 4)
                 q = bb + 8
                 if tr_flags & 0x000001:  # data-offset-present
@@ -1255,7 +1340,123 @@ def _mp4_fragmented_index(
                     )
                     pos += size
                     decode_time += dur
+
+    sidx = _mp4_sidx_refs(payload, track_id)
+
+    if time_range_ms is not None:
+        # the 100-TB pushdown shape: a time-range sample seeks
+        # straight to the sidx-covered [moof+mdat] byte ranges instead
+        # of walking every fragment — on object storage those are the
+        # only ranged reads issued
+        if sidx is None:
+            raise ValueError(
+                "time-ranged indexing requires a sidx segment index"
+            )
+        sidx_ts, refs = sidx
+        lo_ms, hi_ms = time_range_ms
+        for roff, rsize, rt, rdur in refs:
+            if (
+                rt * 1000 // sidx_ts > hi_ms
+                or (rt + rdur) * 1000 // sidx_ts <= lo_ms
+            ):
+                continue
+            first = True
+            for bt, bb, be, bs in _mp4_boxes(payload, roff, roff + rsize):
+                if first and bt != b"moof":
+                    # §8.16.3: a media reference points at media that
+                    # STARTS with a moof
+                    raise ValueError(
+                        "sidx reference does not start at a moof box"
+                    )
+                first = False
+                if bt == b"moof":
+                    walk_moof(bb, be, bs, require_tfdt=True)
+        return out
+
+    moof_starts: list[int] = []
+    for t, mb, me, ms in _mp4_boxes(payload, 0, len(payload)):
+        if t == b"moof":
+            moof_starts.append(ms)
+            walk_moof(mb, me, ms)
+    if sidx is not None and [r[0] for r in sidx[1]] != moof_starts:
+        # full walk + sidx present: the index must agree with the
+        # fragments actually on disk — a stale or crafted sidx would
+        # otherwise silently mis-seek every time-ranged read
+        raise ValueError(
+            f"sidx reference ranges disagree with the moof walk "
+            f"(sidx starts {[r[0] for r in sidx[1]]}, walked "
+            f"{moof_starts})"
+        )
     return out
+
+
+def _mp4_sidx_refs(
+    payload: bytes, track_id: int
+) -> tuple[int, list[tuple[int, int, int, int]]] | None:
+    """Parse the OPTIONAL top-level sidx segment index (ISO 14496-12
+    §8.16.3) — the DASH byte-range index. Returns (sidx_timescale,
+    [(abs_offset, size, earliest_pts_units, dur_units)]) with offsets
+    made absolute from the spec's anchor (first byte AFTER the sidx
+    box, plus first_offset), or None when no sidx exists. v0 (32-bit
+    times) and v1 (64-bit) both parse; anything structurally unsound —
+    hierarchical (reference_type 1) references, a reference_ID that
+    is not the video track, ranges past the payload end, counts
+    overrunning the box — raises the family's named ValueError."""
+    found = None
+    for t, xb, xe, _ in _mp4_boxes(payload, 0, len(payload)):
+        if t != b"sidx":
+            continue
+        if found is not None:
+            raise ValueError("multiple sidx boxes are unsupported")
+        if xb + 4 > xe:
+            raise ValueError("truncated sidx box")
+        ver = payload[xb]
+        if ver > 1:
+            raise ValueError("unsupported sidx version")
+        w = 8 if ver else 4
+        if xb + 12 + 2 * w + 4 > xe:
+            raise ValueError("truncated sidx box")
+        ref_id = int.from_bytes(payload[xb + 4 : xb + 8], "big")
+        sidx_ts = int.from_bytes(payload[xb + 8 : xb + 12], "big")
+        if ref_id != track_id:
+            raise ValueError(
+                f"sidx reference_ID {ref_id} is not the video "
+                f"track {track_id}"
+            )
+        if not sidx_ts:
+            raise ValueError("zero sidx timescale")
+        p = xb + 12
+        ept = int.from_bytes(payload[p : p + w], "big")
+        p += w
+        first_off = int.from_bytes(payload[p : p + w], "big")
+        p += w
+        nrefs = int.from_bytes(payload[p + 2 : p + 4], "big")
+        p += 4
+        if p + 12 * nrefs > xe:
+            raise ValueError(
+                f"sidx declares {nrefs} references beyond its box end"
+            )
+        refs: list[tuple[int, int, int, int]] = []
+        cum_off, cum_t = xe + first_off, ept
+        for _r in range(nrefs):
+            head = int.from_bytes(payload[p : p + 4], "big")
+            if head >> 31:
+                raise ValueError(
+                    "unsupported hierarchical sidx reference "
+                    "(reference_type 1)"
+                )
+            rsize = head & 0x7FFFFFFF
+            rdur = int.from_bytes(payload[p + 4 : p + 8], "big")
+            p += 12  # the SAP word is not needed to locate fragments
+            if cum_off + rsize > len(payload):
+                raise ValueError(
+                    "sidx reference range extends past the payload end"
+                )
+            refs.append((cum_off, rsize, cum_t, rdur))
+            cum_off += rsize
+            cum_t += rdur
+        found = (sidx_ts, refs)
+    return found
 
 
 def _decode_pil_image(payload: bytes, mime: str) -> list[float]:
@@ -1685,7 +1886,11 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash the uppercase-hex encoding of the slice so the oracle
     (VARCHAR-only sha256, no blob substring) recomputes it — the real
     branch from generation-time stss/ctts coordinates recorded
-    independently of the walk."""
+    independently of the walk. Since r13 the fixture family includes
+    a sidx'd DASH row with v1 (64-bit-times) movie headers, so this
+    query's walk also exercises the sidx↔moof cross-check on every
+    run; the sidx-led time-range SEEK path is unit/property-tested in
+    tests/test_round13_ops.py."""
 
     schema = T.StructType(
         [

@@ -99,7 +99,7 @@ def test_mp4_fragmented_walk_hand_computed():
     from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
 
     gf = _genfix()
-    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode_fragmented(
+    payload, offs, ts_ms, keys, pts_ms, _ = gf._mp4_encode_fragmented(
         **_frag_args(ctts_offsets=[[200, 0, 100, 0], [200, 100, 0, 0]])
     )
     got = _mp4_sample_index(payload)
@@ -124,7 +124,7 @@ def test_mp4_fragmented_walk_defaults_cascade_and_bdo():
     from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
 
     gf = _genfix()
-    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode_fragmented(
+    payload, offs, ts_ms, keys, pts_ms, _ = gf._mp4_encode_fragmented(
         **_frag_args(
             fragments=[[bytes([k]) * 15 for k in range(3)]] * 2,
             keyframes=[[True, False, False]] * 2,
@@ -153,7 +153,7 @@ def test_mp4_fragmented_walk_multi_trun_and_elst():
     from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
 
     gf = _genfix()
-    payload, offs, ts_ms, keys, pts_ms = gf._mp4_encode_fragmented(
+    payload, offs, ts_ms, keys, pts_ms, _ = gf._mp4_encode_fragmented(
         **_frag_args(
             fragments=[[bytes([k]) * 10 for k in range(6)]],
             keyframes=[[True] * 6],
@@ -364,7 +364,7 @@ def test_mp4_fragmented_roundtrips_random_plans(plan, bdo, tfdt, audio):
         [bytes([(fi * 7 + k) % 251]) * (12 + k) for k in range(c)]
         for fi, c in enumerate(counts)
     ]
-    payload, offs, ts_ms, kf, pts_ms = gf._mp4_encode_fragmented(
+    payload, offs, ts_ms, kf, pts_ms, _ = gf._mp4_encode_fragmented(
         frags, tscale, d_dur, keys, flags_mode=mode,
         dur_overrides=durs, ctts_offsets=cofs, trun_version=ver,
         base_data_offset=bdo, tfdt=tfdt, audio_trak=audio,

@@ -752,9 +752,25 @@ def main() -> None:
             trun_split=[2, 0],
             elst_edits=[(850, 150)],
         ),
+        # r13: DASH shape — sidx segment index (the byte-range index a
+        # time-range sample seeks with) + v1 (64-bit-times)
+        # mvhd/tkhd/mdhd, three fragments so a mid-range seek skips
+        # fragments on both sides
+        dict(
+            fragments=_fsamples(rng9, [3, 4, 3]),
+            timescale=600,
+            default_duration=60,
+            keyframes=[[True, False, False], [True, False, True, False],
+                       [True, False, False]],
+            ctts_offsets=[[120, 0, 60], [120, 60, 0, 0], [120, 0, 60]],
+            sidx=True,
+            v1_times=True,
+        ),
     ]
     for j, spec in enumerate(frag_shapes):
-        payload, offs, ts_ms, keys, pts_ms = _mp4_encode_fragmented(**spec)
+        payload, offs, ts_ms, keys, pts_ms, frags = _mp4_encode_fragmented(
+            **spec
+        )
         sizes = [len(s) for f in spec["fragments"] for s in f]
         n = len(sizes)
         dur_units = (
@@ -762,18 +778,27 @@ def main() -> None:
             if "dur_overrides" in spec
             else n * spec["default_duration"]
         )
+        ts = spec["timescale"]
         mp4_rows.append(
             {
                 "media_id": 6100 + j,
                 "mime": "video/mp4",
                 "payload": payload,
                 "n_samples": n,
-                "duration_ms": dur_units * 1000 // spec["timescale"],
+                "duration_ms": dur_units * 1000 // ts,
                 "sample_off": offs,
                 "sample_size": sizes,
                 "sample_ts_ms": ts_ms,
                 "keyframe": keys,
                 "sample_pts_ms": pts_ms,
+                # r13: the fragment byte ranges + presentation windows
+                # a sidx-led seek lands on, from the generator's own
+                # layout arithmetic (pix_off discipline) — recorded
+                # for every fragmented row, sidx box or not
+                "frag_off": [f[0] for f in frags],
+                "frag_size": [f[1] for f in frags],
+                "frag_ept_ms": [f[2] * 1000 // ts for f in frags],
+                "frag_dur_ms": [f[3] * 1000 // ts for f in frags],
             }
         )
     mp4_schema = pa.schema(
@@ -788,6 +813,10 @@ def main() -> None:
             ("sample_ts_ms", pa.list_(pa.int64())),
             ("keyframe", pa.list_(pa.bool_())),
             ("sample_pts_ms", pa.list_(pa.int64())),
+            ("frag_off", pa.list_(pa.int64())),
+            ("frag_size", pa.list_(pa.int64())),
+            ("frag_ept_ms", pa.list_(pa.int64())),
+            ("frag_dur_ms", pa.list_(pa.int64())),
         ]
     )
     pq.write_table(
@@ -907,6 +936,12 @@ def _full(typ: bytes, body: bytes) -> bytes:
     return _box(typ, bytes(4) + body)
 
 
+def _fullv1(typ: bytes, body: bytes) -> bytes:
+    """FullBox: version 1, flags 0 — the 64-bit-times form real
+    long-duration encoders emit for mvhd/tkhd/mdhd."""
+    return _box(typ, b"\x01" + bytes(3) + body)
+
+
 def _mp4_encode(
     samples: list[bytes],
     stsc_runs: list[tuple[int, int]],
@@ -920,6 +955,7 @@ def _mp4_encode(
     use_co64: bool = False,
     elst_edits: list[tuple[int, int]] | None = None,
     movie_timescale: int | None = None,
+    v1_times: bool = False,
 ):
     """Minimal-but-genuine MP4: ftyp + moov (mvhd + [soun trak] +
     vide trak with full stbl sample tables) + mdat. Chunk layout
@@ -1090,14 +1126,27 @@ def _mp4_encode(
         )
 
     def trak(handler: bytes, stbl_body: bytes, edts_box: bytes = b"") -> bytes:
-        tkhd = _full(b"tkhd", bytes(80))
-        mdhd = _full(
-            b"mdhd",
-            bytes(8)
-            + timescale.to_bytes(4, "big")
-            + dur.to_bytes(4, "big")
-            + bytes(4),
-        )
+        # v1_times: the 64-bit creation/modification/duration form —
+        # tkhd/mdhd/mvhd field offsets all shift (timescale/track_id
+        # move from body offset 12 to 20)
+        if v1_times:
+            tkhd = _fullv1(b"tkhd", bytes(92))
+            mdhd = _fullv1(
+                b"mdhd",
+                bytes(16)
+                + timescale.to_bytes(4, "big")
+                + dur.to_bytes(8, "big")
+                + bytes(4),
+            )
+        else:
+            tkhd = _full(b"tkhd", bytes(80))
+            mdhd = _full(
+                b"mdhd",
+                bytes(8)
+                + timescale.to_bytes(4, "big")
+                + dur.to_bytes(4, "big")
+                + bytes(4),
+            )
         hdlr = _full(b"hdlr", bytes(4) + handler + bytes(13))
         minf = _box(b"minf", _box(b"vmhd", bytes(8)) + stbl_body)
         return _box(
@@ -1105,13 +1154,22 @@ def _mp4_encode(
         )
 
     def moov(stco_offsets: list[int]) -> bytes:
-        mvhd = _full(
-            b"mvhd",
-            bytes(8)
-            + mv_tscale.to_bytes(4, "big")
-            + dur.to_bytes(4, "big")
-            + bytes(80),
-        )
+        if v1_times:
+            mvhd = _fullv1(
+                b"mvhd",
+                bytes(16)
+                + mv_tscale.to_bytes(4, "big")
+                + dur.to_bytes(8, "big")
+                + bytes(80),
+            )
+        else:
+            mvhd = _full(
+                b"mvhd",
+                bytes(8)
+                + mv_tscale.to_bytes(4, "big")
+                + dur.to_bytes(4, "big")
+                + bytes(80),
+            )
         body = mvhd
         if audio_trak:
             # a non-video track FIRST: one dummy sample, its own tiny
@@ -1185,6 +1243,8 @@ def _mp4_encode_fragmented(
     audio_trak: bool = False,
     track_id: int = 7,
     trun_split: list[int] | None = None,
+    sidx: bool = False,
+    v1_times: bool = False,
 ):
     """Fragmented MP4 (CMAF/DASH shape — what a streaming lake
     actually stores): ftyp + moov(mvhd + mvex/trex + empty-stbl trak)
@@ -1198,9 +1258,17 @@ def _mp4_encode_fragmented(
     trun; v0 (unsigned) vs v1 (SIGNED) composition offsets; an
     optional leading AUDIO traf in every moof (walker must select the
     video traf by track id, and its data precedes the video bytes in
-    mdat); multi-trun trafs via ``trun_split``. Returns the same
-    5-channel bookkeeping as _mp4_encode, recorded from the
-    generator's own layout arithmetic — never from the walker."""
+    mdat); multi-trun trafs via ``trun_split``; ``sidx`` (r13) writes
+    a §8.16.3 segment-index box between moov and the first moof —
+    the DASH byte-range index that lets a time-range sample seek
+    straight to the covering moof; ``v1_times`` emits the 64-bit-times
+    v1 form of mvhd/tkhd/mdhd. Returns the 5-channel bookkeeping of
+    _mp4_encode PLUS a per-fragment channel
+    [(moof_off, moof+mdat size, earliest_pts_units, dur_units)] — all
+    recorded from the generator's own layout arithmetic, never from
+    the walker; the sidx box itself is serialized FROM that channel,
+    so the walker's sidx cross-check is against independently-derived
+    coordinates."""
     n_frags = len(fragments)
     assert len(keyframes) == n_frags
     mv_tscale = movie_timescale if movie_timescale is not None else timescale
@@ -1260,6 +1328,10 @@ def _mp4_encode_fragmented(
         )
 
     def tkhd(tid: int) -> bytes:
+        if v1_times:
+            return _fullv1(
+                b"tkhd", bytes(16) + tid.to_bytes(4, "big") + bytes(72)
+            )
         return _full(b"tkhd", bytes(8) + tid.to_bytes(4, "big") + bytes(68))
 
     def empty_stbl(coding: bytes) -> bytes:
@@ -1273,9 +1345,15 @@ def _mp4_encode_fragmented(
         )
 
     def trak(tid: int, handler: bytes, edts_box: bytes = b"") -> bytes:
-        mdhd = _full(
-            b"mdhd", bytes(8) + timescale.to_bytes(4, "big") + bytes(8)
-        )
+        if v1_times:
+            mdhd = _fullv1(
+                b"mdhd",
+                bytes(16) + timescale.to_bytes(4, "big") + bytes(12),
+            )
+        else:
+            mdhd = _full(
+                b"mdhd", bytes(8) + timescale.to_bytes(4, "big") + bytes(8)
+            )
         hdlr = _full(b"hdlr", bytes(4) + handler + bytes(13))
         coding = b"mp4v" if handler == b"vide" else b"mp4a"
         minf = _box(b"minf", _box(b"vmhd", bytes(8)) + empty_stbl(coding))
@@ -1303,9 +1381,14 @@ def _mp4_encode_fragmented(
         assert all(all_keys) or not any(all_keys), (
             "flags_mode=default needs uniform keyframes"
         )
-    mvhd = _full(
-        b"mvhd", bytes(8) + mv_tscale.to_bytes(4, "big") + bytes(84)
-    )
+    if v1_times:
+        mvhd = _fullv1(
+            b"mvhd", bytes(16) + mv_tscale.to_bytes(4, "big") + bytes(88)
+        )
+    else:
+        mvhd = _full(
+            b"mvhd", bytes(8) + mv_tscale.to_bytes(4, "big") + bytes(84)
+        )
     mvex_body = trex(track_id, default_duration, trex_default_flags)
     if audio_trak:
         mvex_body += trex(audio_id, default_duration, FRAG_NONSYNC)
@@ -1386,6 +1469,34 @@ def _mp4_encode_fragmented(
         return _box(b"traf", boxes)
 
     payload = ftyp + moov
+    # sidx placeholder: the box's size is fixed by n_frags, but its
+    # reference sizes/durations need the fragments built first — so
+    # reserve the bytes now (every absolute offset below accounts for
+    # them) and splice the real box in afterwards
+    sidx_pos, sidx_len = len(payload), 32 + 12 * n_frags
+    if sidx:
+        payload += bytes(sidx_len)
+
+    # per-fragment bookkeeping (independent of the walker): earliest
+    # presentation time + tiling durations in media units, per §8.16.3
+    frag_bounds = []
+    g = 0
+    for frag in fragments:
+        frag_bounds.append((g, g + len(frag)))
+        g += len(frag)
+    frag_ept = [
+        min(ts_units[k] + cofs[k] for k in range(g0, g1)) + edit_shift
+        for g0, g1 in frag_bounds
+    ]
+    pres_end = (
+        max(ts_units[k] + cofs[k] + durs[k] for k in range(n)) + edit_shift
+    )
+    frag_dur = [
+        (frag_ept[i + 1] if i + 1 < n_frags else pres_end) - frag_ept[i]
+        for i in range(n_frags)
+    ]
+
+    frag_ranges: list[tuple[int, int, int, int]] = []
     sample_offs: list[int] = []
     decode_time = 0
     for fi, frag in enumerate(fragments):
@@ -1457,16 +1568,58 @@ def _mp4_encode_fragmented(
             for si in idxs:
                 sample_offs.append(p)
                 p += len(frag[si])
-        payload += moof + _box(
+        mdat = _box(
             b"mdat", audio_bytes + b"".join(frag[si] for s in splits for si in s)
         )
+        frag_ranges.append(
+            (len(payload), len(moof) + len(mdat), frag_ept[fi], frag_dur[fi])
+        )
+        payload += moof + mdat
         decode_time += sum(
             (dur_overrides[fi] if dur_overrides is not None else
              [default_duration] * len(frag))
         )
 
+    if sidx:
+        # §8.16.3 v0 segment index, serialized FROM the generator's
+        # own fragment bookkeeping: reference_ID = the video track,
+        # first_offset 0 (anchor = byte after the sidx box = the first
+        # moof), one media reference (type 0) per [moof+mdat] pair,
+        # SAP word = starts_with_SAP, type 1, delta 0
+        assert all(e >= 0 for e in frag_ept), "sidx needs non-negative EPT"
+        # §8.16.3 tiling: subsegment_duration is the EPT delta to the
+        # next subsegment — valid DASH media has non-decreasing EPTs
+        # (every subsegment starts at a SAP), so a plan whose
+        # composition offsets push a later fragment's earliest pts
+        # BELOW an earlier one's is unrepresentable, not encodable
+        assert all(d >= 0 for d in frag_dur), (
+            "sidx needs non-decreasing fragment EPTs"
+        )
+        refs = b""
+        for off, size, ept_u, dur_u in frag_ranges:
+            refs += (
+                size.to_bytes(4, "big")
+                + dur_u.to_bytes(4, "big")
+                + (0x90000000).to_bytes(4, "big")
+            )
+        sidx_box = _full(
+            b"sidx",
+            track_id.to_bytes(4, "big")
+            + timescale.to_bytes(4, "big")
+            + frag_ept[0].to_bytes(4, "big")
+            + (0).to_bytes(4, "big")
+            + (0).to_bytes(2, "big")
+            + n_frags.to_bytes(2, "big")
+            + refs,
+        )
+        assert len(sidx_box) == sidx_len
+        assert frag_ranges[0][0] == sidx_pos + sidx_len
+        payload = (
+            payload[:sidx_pos] + sidx_box + payload[sidx_pos + sidx_len :]
+        )
+
     assert len(sample_offs) == n
-    return payload, sample_offs, ts_ms, all_keys, pts_ms
+    return payload, sample_offs, ts_ms, all_keys, pts_ms, frag_ranges
 
 
 def _gif_encode(
