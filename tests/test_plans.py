@@ -10,6 +10,8 @@ these away fails here even though every value still matches.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from micmac_li3ds_spark import registry
@@ -845,8 +847,20 @@ def test_registry_wide_plan_invariants(spark):
        inequality join Catalyst could not convert — rewrite it or
        justify membership here. Subset check, not equality: a member
        leaving the set (rewritten to a keyed join) must not fail.
+    4. (r13) No un-vectorized row-at-a-time Python UDF ANYWHERE —
+       the `BatchEvalPython` node (pickle per row, no Arrow batching,
+       ~10-100× the built-in cost) has an EMPTY allowlist: even the
+       §2.10 Python-UDF contract row is Arrow-optimized
+       (useArrow=True → ArrowEvalPython), and every other Python
+       seam is a pandas UDF / mapInPandas / applyInPandas Arrow
+       node. The distinct `BatchEvalPythonUDTF` node is pinned to
+       the one UDTF contract row (Python UDTFs have no row-batching
+       alternative in this Spark build; the row documents the cost).
+       A stray `@udf` without useArrow in any hot path now fails at
+       plan time instead of shipping 100× slow.
     """
     sort_allow = {"q_agg_bitmap_distinct", "q_agg_bitmap_rollup"}
+    udtf_allow = {"q_udtf_python"}
     bnlj_allow = {
         "q_abc_pareto", "q_agg_equidepth_hist", "q_agg_gini",
         "q_agg_heavy_hitters", "q_agg_winsorize", "q_etl_dq_summary",
@@ -859,6 +873,7 @@ def test_registry_wide_plan_invariants(spark):
         "q_llm_tfidf", "q_skyline",
     }
     sort_offenders, cart_offenders, bnlj_offenders = [], [], []
+    py_offenders = []
     for name, q in registry.registry().items():
         p = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         if "SortAggregate" in p and name not in sort_allow:
@@ -867,6 +882,11 @@ def test_registry_wide_plan_invariants(spark):
             cart_offenders.append(name)
         if "BroadcastNestedLoopJoin" in p and name not in bnlj_allow:
             bnlj_offenders.append(name)
+        # \b: "BatchEvalPythonUDTF" must NOT count as "BatchEvalPython"
+        if re.search(r"BatchEvalPython\b", p) or (
+            "BatchEvalPythonUDTF" in p and name not in udtf_allow
+        ):
+            py_offenders.append(name)
     assert not sort_offenders, (
         f"SortAggregate crept into {sort_offenders} — pack the ordering "
         "into an atomic key (see nearest_centroid_assign) or extend the "
@@ -880,4 +900,9 @@ def test_registry_wide_plan_invariants(spark):
         f"BroadcastNestedLoopJoin crept into {bnlj_offenders} — if the "
         "broadcast side is provably tiny add it to bnlj_allow with the "
         "shape named; otherwise rewrite as a keyed/broadcast-hash join"
+    )
+    assert not py_offenders, (
+        f"row-at-a-time Python eval planned in {py_offenders} — use a "
+        "pandas UDF / mapInPandas, or at minimum @udf(useArrow=True); "
+        "BatchEvalPython has no allowlist"
     )
