@@ -54,6 +54,24 @@ def _scoped_cache(df: DataFrame) -> DataFrame:
     return df.cache()
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Scan-parallelism guard for CPU-heavy MAP stages (r13, measured):
+    the corpus parquet ships as ONE row group, so shingling-grade
+    per-row expressions in a map-only plan run single-threaded no
+    matter how many cores the session has (q_llm_repetition measured
+    3.93 s → 1.44 s min-of-4 at sf0.1 from this guard alone). Unlike
+    ngram_jaccard's keyed repartition — which a downstream join reuses
+    — a map-only query has no key to shuffle on, so spread round-robin
+    and ONLY when the scan actually yields fewer splits than the
+    session's shuffle width: at 100 TB a properly-chunked lake takes
+    the no-op branch and no shuffle is ever added; the monolithic-file
+    case pays one tiny raw-text exchange to buy full-width compute."""
+    sp = shuffle_partitions(spark)
+    if df.rdd.getNumPartitions() < sp:
+        return df.repartition(sp)
+    return df
+
+
 # ------------------------------------------------------------ exact dedup
 
 
@@ -565,7 +583,10 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash document fingerprint from md5-derived token hashes
     (hash identical in both engines, so the oracle recomputes the exact
     fingerprint). One explode + one groupBy with 32 balance aggregates —
-    map-side combinable, linear in corpus size."""
+    map-side combinable, linear in corpus size. Deliberately NOT
+    _spread: measured 1.11 s → 1.24 s at sf0.1/32 threads — the
+    groupBy's own exchange already parallelizes everything past the
+    scan, so the extra map-side exchange costs more than it buys."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
         "h", token_hash32(F.col("t"))
@@ -833,8 +854,10 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-3-gram repetition ratio per document — the Gopher-rules
     quality signal that catches boilerplate and degenerate repetition
     (high ratio = the same phrases loop). Pure per-row array algebra
-    (total vs distinct shingle counts): map-only, no shuffle, scale-free."""
-    d = load(spark, sf_dir, "documents")
+    (total vs distinct shingle counts): map-only, scale-free; _spread
+    buys scan parallelism on the monolithic fixture file (measured
+    2.7× at sf0.1) and is a no-op on a properly-chunked lake."""
+    d = _spread(load(spark, sf_dir, "documents"), spark)
     toks = tokens("text")
     n_total = F.greatest(F.size(toks) - 2, F.lit(0)).cast("long")
     n_distinct = F.size(shingles(toks)).cast("long")
@@ -1281,10 +1304,11 @@ def q_llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate demotion (every verified LSH pair keeps only its minimum
     doc_id — the doc_b side drops). The heuristic thresholds compare
     identical integer-derived ratios on both engines, so the boundary
-    is exact. Plan shape: the metric flags are map-only column algebra;
+    is exact. Plan shape: the metric flags are map-only column algebra
+    (_spread-parallelized — they shingle every document twice);
     the dedup flag is one left-semi join against the (tiny) verified-
     pair set — the LSH pipeline's cost dominates and is unchanged."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), spark)
     toks = tokens("text")
     n_tok = F.size(toks)
     uniq = F.size(F.array_distinct(toks)).cast("double") / n_tok
