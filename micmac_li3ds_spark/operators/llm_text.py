@@ -2130,7 +2130,11 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (doc_id, pos, fp) rows feed the standard posting-list
     machinery for the cross-doc match join. Docs shorter than
     w+k−1 = 6 tokens emit nothing. The oracle replays the identical
-    selection in DuckDB list algebra; bit-exact integer parity."""
+    selection in DuckDB list algebra; bit-exact integer parity.
+    Deliberately NOT _spread (r13, measured): 2.67 s → 2.57 s at
+    sf0.1/32 threads and winnow_matches 3.44 s → 3.66 s — the 101k-row
+    result transfer and the match join's own exchanges dominate, so
+    the extra map-side exchange buys nothing here."""
     d = load(spark, sf_dir, "documents")
     toks = tokens("text")
     n_g = F.greatest(F.size(toks) - 2, F.lit(0))
