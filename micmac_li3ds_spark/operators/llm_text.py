@@ -1125,20 +1125,29 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — the Pregel shape; at 100 TB each round shuffles on doc_id
     only, and the frontier shrinks as labels stabilize. The driver-side
     loop carries only a changed-row COUNT, never row data. The DuckDB
-    oracle reaches the same fixpoint via UNION-distinct recursion."""
+    oracle reaches the same fixpoint via UNION-distinct recursion.
+
+    Iterative frames are localCheckpoint'd, not cached (r13,
+    measured: 4.45 s → 3.54 s warm min at sf0.1): cache avoids
+    re-EXECUTION but every round's count() still re-optimizes a plan
+    that chains the full LSH lineage plus one more round — the
+    checkpoint truncates lineage to the materialized blocks, so each
+    round plans O(1) work. Same trick q_llm_lsh_recall ships; the
+    final `labels` is materialized, so the caller's actions never
+    replay the loop."""
     pairs = q_llm_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("doc"))
         .distinct()
         .withColumn("lbl", F.col("doc"))
-        .cache()
+        .localCheckpoint()
     )
     while True:
         neighbor_min = (
@@ -1154,7 +1163,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -1162,13 +1171,9 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    # drop the working set; `labels` stays cached (tiny — one row per
-    # involved doc) so the caller's actions don't replay the loop
-    edges.unpersist()
     w = Window.partitionBy("cluster_id")
     return (
         labels.select("doc", F.col("lbl").alias("cluster_id"))
