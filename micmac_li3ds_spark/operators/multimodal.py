@@ -1958,6 +1958,83 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(sample, schema).unionByName(real)
 
 
+def _mp4_has_sidx(payload: bytes) -> bool:
+    return any(
+        t == b"sidx" for t, _b, _e, _s in _mp4_boxes(payload, 0, len(payload))
+    )
+
+
+def frame_sample_range(
+    spark: SparkSession, lo_ms: int, hi_ms: int
+) -> DataFrame:
+    """USER-facing time-ranged keyframe sampler over the BMFF corpus —
+    the operator the r13 sidx work exists for: "give me the keyframes
+    between lo and hi milliseconds of every video". Containers that
+    carry a §8.16.3 sidx segment index are SOUGHT: only the covering
+    [moof+mdat] byte ranges are parsed at all (at 100 TB with payloads
+    in object storage those are the only ranged GETs a real reader
+    would issue — see _mp4_fragmented_index); everything else falls
+    back to the full moov/moof walk and filters. Either way the emitted
+    rows are the presented sync samples with lo_ms <= pts <= hi_ms,
+    with ``frame_idx`` the 0-based keyframe ordinal WITHIN the range
+    (a range result is its own sequence; global ordinals would leak
+    the skipped fragments the seek never read). Same (media_id,
+    frame_idx, frame_ts_ms, frame_sha) schema as q_mm_frame_sample's
+    real branch; tests pin seek ≡ full-walk-then-filter on every
+    fixture row."""
+    if lo_ms > hi_ms:
+        raise ValueError(f"empty time range ({lo_ms} > {hi_ms})")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_sha", T.StringType()),
+        ]
+    )
+
+    def sample_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_sha": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                hx = payload.hex().upper()
+                idx = _mp4_sample_index(
+                    payload,
+                    time_range_ms=(lo_ms, hi_ms)
+                    if _mp4_has_sidx(payload)
+                    else None,
+                )
+                k = 0
+                for off, sz, _dts, key, pts_ms in idx:
+                    # presented sync samples only (pts < 0 = edit-
+                    # trimmed, decoded but never presented), inside
+                    # the requested presentation window
+                    if not key or pts_ms < 0 or not lo_ms <= pts_ms <= hi_ms:
+                        continue
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(pts_ms)
+                    out["frame_sha"].append(
+                        hashlib.sha256(
+                            hx[off * 2 : (off + sz) * 2].encode()
+                        ).hexdigest()
+                    )
+                    k += 1
+            yield pd.DataFrame(out)
+
+    return (
+        load_media_mp4(spark)
+        .select("media_id", "payload")
+        .mapInPandas(sample_range, schema)
+    )
+
+
 @register(
     "q_mm_header_parse",
     oracle=f"""

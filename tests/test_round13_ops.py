@@ -458,3 +458,57 @@ def test_mp4_sidx_seek_matches_full_walk_on_random_plans(plan, v1, data):
             exp += full[pos : pos + c]
         pos += c
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# frame_sample_range: the user-facing time-ranged sampler over the fixture
+# corpus — sidx-led seek where the container has one, full-walk fallback
+# elsewhere, identical either way
+# ---------------------------------------------------------------------------
+
+
+def test_frame_sample_range_matches_full_walk_filter(spark):
+    """For several ms windows, frame_sample_range over media_mp4 must
+    equal q_mm_frame_sample's real branch filtered to the window and
+    renumbered — across ALL 17 fixture rows (sidx'd DASH row seeks,
+    the rest full-walk), so the two paths are pinned equivalent at the
+    DataFrame level, not just per-payload."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _mp4_has_sidx,
+        _mp4_sample_index,
+        frame_sample_range,
+        load_media_mp4,
+    )
+    import hashlib
+
+    rows = load_media_mp4(spark).collect()
+    assert any(_mp4_has_sidx(bytes(r["payload"])) for r in rows)
+
+    for lo, hi in ((0, 250), (200, 800), (500, 10_000)):
+        got = sorted(
+            (r["media_id"], r["frame_idx"], r["frame_ts_ms"], r["frame_sha"])
+            for r in frame_sample_range(spark, lo, hi).collect()
+        )
+        exp = []
+        for r in rows:
+            payload = bytes(r["payload"])
+            hx = payload.hex().upper()
+            k = 0
+            for off, sz, _dts, key, pts in _mp4_sample_index(payload):
+                if not key or pts < 0 or not lo <= pts <= hi:
+                    continue
+                exp.append(
+                    (
+                        r["media_id"],
+                        k,
+                        pts,
+                        hashlib.sha256(
+                            hx[off * 2 : (off + sz) * 2].encode()
+                        ).hexdigest(),
+                    )
+                )
+                k += 1
+        assert got == sorted(exp), (lo, hi)
+
+    with pytest.raises(ValueError, match="empty time range"):
+        frame_sample_range(spark, 10, 5)
