@@ -1362,9 +1362,10 @@ def _mp4_fragmented_index(
                 continue
             first = True
             for bt, bb, be, bs in _mp4_boxes(payload, roff, roff + rsize):
-                if first and bt != b"moof":
+                if first and bt not in (b"moof", b"styp"):
                     # §8.16.3: a media reference points at media that
-                    # STARTS with a moof
+                    # starts with a moof — or, for concatenated CMAF
+                    # segments, the segment-type box directly before it
                     raise ValueError(
                         "sidx reference does not start at a moof box"
                     )
@@ -1373,19 +1374,24 @@ def _mp4_fragmented_index(
                     walk_moof(bb, be, bs, require_tfdt=True)
         return out
 
-    moof_starts: list[int] = []
+    # subsegment start = the styp directly before the moof when one
+    # exists (concatenated CMAF segments), else the moof itself — the
+    # coordinate a spec-conformant sidx references
+    sub_starts: list[int] = []
+    prev_styp = None
     for t, mb, me, ms in _mp4_boxes(payload, 0, len(payload)):
         if t == b"moof":
-            moof_starts.append(ms)
+            sub_starts.append(prev_styp if prev_styp is not None else ms)
             walk_moof(mb, me, ms)
-    if sidx is not None and [r[0] for r in sidx[1]] != moof_starts:
+        prev_styp = ms if t == b"styp" else None
+    if sidx is not None and [r[0] for r in sidx[1]] != sub_starts:
         # full walk + sidx present: the index must agree with the
         # fragments actually on disk — a stale or crafted sidx would
         # otherwise silently mis-seek every time-ranged read
         raise ValueError(
             f"sidx reference ranges disagree with the moof walk "
             f"(sidx starts {[r[0] for r in sidx[1]]}, walked "
-            f"{moof_starts})"
+            f"{sub_starts})"
         )
     return out
 

@@ -866,7 +866,9 @@ def test_mp4_walker_matches_generation_coordinates(spark):
     )
 
     rows = load_media_mp4(spark).collect()
-    assert len(rows) == 17  # r13 added the sidx'd v1-times DASH row
+    # r13 added the sidx'd v1-times DASH row and the styp'd
+    # concatenated-CMAF row
+    assert len(rows) == 18
     saw_large = saw_audio = saw_co64 = False
     saw_nostss = saw_reordered = saw_late_first_key = False
     saw_trimmed = saw_elst = saw_frag = saw_frag_audio = False

@@ -512,3 +512,53 @@ def test_frame_sample_range_matches_full_walk_filter(spark):
 
     with pytest.raises(ValueError, match="empty time range"):
         frame_sample_range(spark, 10, 5)
+
+
+# ---------------------------------------------------------------------------
+# styp: concatenated-CMAF segments — sidx references anchor at the styp
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_styp_segments_walk_and_seek():
+    """A styp box before each moof (the concatenated-CMAF shape): the
+    full walk skips it, the sidx cross-check expects references to
+    anchor at the STYP (§8.16.3 start-of-referenced-material), and the
+    ranged seek tolerates it as the reference's first box."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _mp4_sample_index,
+        _mp4_sidx_refs,
+    )
+
+    gf = _genfix()
+    payload, offs, ts_ms, keys, pts_ms, frs = gf._mp4_encode_fragmented(
+        **_frag(styp=True, ctts_offsets=None)
+    )
+    assert payload.count(b"styp") == 3
+    exp = list(zip(offs, [20] * 9, ts_ms, keys, pts_ms))
+    assert _mp4_sample_index(payload) == exp  # cross-check green
+    # references anchor at each styp, 24 bytes before its moof
+    _, refs = _mp4_sidx_refs(payload, 7)
+    assert refs == frs
+    for roff, _sz, _e, _d in refs:
+        assert payload[roff + 4 : roff + 8] == b"styp"
+        assert payload[roff + 28 : roff + 32] == b"moof"
+    # ranged seek lands on the styp and walks through to the moof
+    lo, hi = _ranges_ms(frs, 600)[1]
+    assert _mp4_sample_index(payload, time_range_ms=(lo, hi - 1)) == exp[3:6]
+
+    # a sidx anchored at the MOOF of a styp'd file must fail the
+    # cross-check (that is exactly the off-by-a-styp staleness bug):
+    # shift every reference to the moof via first_offset=24 (the styp
+    # size) and shrink the last ref to stay in-payload
+    k = payload.index(b"sidx") + 4
+    off_at = k + 16
+    bad = payload[:off_at] + (24).to_bytes(4, "big") + payload[off_at + 4 :]
+    last_ref = k + 24 + 12 * 2
+    last_sz = int.from_bytes(bad[last_ref : last_ref + 4], "big")
+    bad = (
+        bad[:last_ref]
+        + (last_sz - 24).to_bytes(4, "big")
+        + bad[last_ref + 4 :]
+    )
+    with pytest.raises(ValueError, match="disagree with the moof walk"):
+        _mp4_sample_index(bad)

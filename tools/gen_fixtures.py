@@ -766,6 +766,16 @@ def main() -> None:
             sidx=True,
             v1_times=True,
         ),
+        # r13: concatenated-CMAF segments — a styp box before each
+        # moof, with the sidx references anchored at the styp
+        dict(
+            fragments=_fsamples(rng9, [4, 4]),
+            timescale=1000,
+            default_duration=50,
+            keyframes=[[True, False, False, False]] * 2,
+            sidx=True,
+            styp=True,
+        ),
     ]
     for j, spec in enumerate(frag_shapes):
         payload, offs, ts_ms, keys, pts_ms, frags = _mp4_encode_fragmented(
@@ -1245,6 +1255,7 @@ def _mp4_encode_fragmented(
     trun_split: list[int] | None = None,
     sidx: bool = False,
     v1_times: bool = False,
+    styp: bool = False,
 ):
     """Fragmented MP4 (CMAF/DASH shape — what a streaming lake
     actually stores): ftyp + moov(mvhd + mvex/trex + empty-stbl trak)
@@ -1262,7 +1273,10 @@ def _mp4_encode_fragmented(
     a §8.16.3 segment-index box between moov and the first moof —
     the DASH byte-range index that lets a time-range sample seek
     straight to the covering moof; ``v1_times`` emits the 64-bit-times
-    v1 form of mvhd/tkhd/mdhd. Returns the 5-channel bookkeeping of
+    v1 form of mvhd/tkhd/mdhd; ``styp`` writes a segment-type box
+    before each moof (the concatenated-CMAF shape — sidx references
+    then point at the styp, per §8.16.3's start-of-referenced-material
+    anchor). Returns the 5-channel bookkeeping of
     _mp4_encode PLUS a per-fragment channel
     [(moof_off, moof+mdat size, earliest_pts_units, dur_units)] — all
     recorded from the generator's own layout arithmetic, never from
@@ -1559,10 +1573,19 @@ def _mp4_encode_fragmented(
             body += build_traf(fi, frag, decode_time, bdo, offs, splits)
             return _box(b"moof", body)
 
-        probe = moof_at(len(payload), None)
-        moof = moof_at(len(payload), len(probe))
+        # concatenated-CMAF shape: a segment-type box before each
+        # moof; the subsegment (and its sidx reference) starts at it
+        styp_box = (
+            _box(b"styp", b"cmfs" + (0).to_bytes(4, "big") + b"cmfscmff")
+            if styp
+            else b""
+        )
+        sub_start = len(payload)
+        moof_pos = sub_start + len(styp_box)
+        probe = moof_at(moof_pos, None)
+        moof = moof_at(moof_pos, len(probe))
         assert len(moof) == len(probe)
-        mdat_body_abs = len(payload) + len(moof) + 8
+        mdat_body_abs = moof_pos + len(moof) + 8
         for idxs, s0 in zip(splits, split_starts):
             p = mdat_body_abs + s0
             for si in idxs:
@@ -1572,9 +1595,14 @@ def _mp4_encode_fragmented(
             b"mdat", audio_bytes + b"".join(frag[si] for s in splits for si in s)
         )
         frag_ranges.append(
-            (len(payload), len(moof) + len(mdat), frag_ept[fi], frag_dur[fi])
+            (
+                sub_start,
+                len(styp_box) + len(moof) + len(mdat),
+                frag_ept[fi],
+                frag_dur[fi],
+            )
         )
-        payload += moof + mdat
+        payload += styp_box + moof + mdat
         decode_time += sum(
             (dur_overrides[fi] if dur_overrides is not None else
              [default_duration] * len(frag))
