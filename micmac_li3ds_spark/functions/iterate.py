@@ -60,6 +60,32 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 
+def unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks of a SUPERSEDED localCheckpoint'd frame
+    deterministically (ADVICE r13 #3). ``DataFrame.unpersist()`` is a
+    no-op here — checkpoint blocks belong to the internal RDD Spark
+    materialized, not to the plan cache — so without this, every
+    superseded round's blocks stay on executors until driver GC
+    happens to collect the py4j references: storage grows linearly
+    with convergence rounds on large graphs. The analyzed plan of a
+    localCheckpoint result IS the ``LogicalRDD`` wrapping the persisted
+    internal RDD; unpersist that RDD directly (non-blocking — the
+    caller has already materialized its successor, so the blocks are
+    garbage the moment this returns).
+
+    Only ever call this on a frame the loop has REPLACED: a local
+    checkpoint's lineage is truncated by design, so its blocks cannot
+    be recomputed after unpersisting.
+
+    Best-effort by contract: if a Spark upgrade changes the plan shape
+    the reflection expects, the loop must still converge — driver GC
+    remains the (slower) backstop, exactly the pre-fix behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape changed under us: fall back to driver GC
+
+
 class DurableLoopState:
     """Parquet-backed per-iteration state with atomic round commit and
     bounded retention, on any Hadoop-visible filesystem."""

@@ -1134,7 +1134,15 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint truncates lineage to the materialized blocks, so each
     round plans O(1) work. Same trick q_llm_lsh_recall ships; the
     final `labels` is materialized, so the caller's actions never
-    replay the loop."""
+    replay the loop. Superseded rounds' checkpoint blocks are
+    unpersisted as soon as the changed-count confirms the new frame is
+    materialized (ADVICE r13 #3): without that, executor storage grows
+    linearly with convergence rounds — each dead round's (doc, lbl)
+    blocks sat pinned until driver GC."""
+    from micmac_li3ds_spark.functions.iterate import (
+        unpersist_local_checkpoint,
+    )
+
     pairs = q_llm_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -1171,9 +1179,16 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # the count() above materialized new_labels' checkpoint, so the
+        # previous round's blocks are now garbage — free them instead
+        # of letting them pin executor storage until driver GC
+        unpersist_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    # converged: the result below derives from `labels` alone, so the
+    # edge list's checkpoint blocks are garbage too
+    unpersist_local_checkpoint(edges)
     w = Window.partitionBy("cluster_id")
     return (
         labels.select("doc", F.col("lbl").alias("cluster_id"))

@@ -1275,10 +1275,14 @@ def kmeans_fixpoint(spark: SparkSession, sf_dir: str, k_iter: int) -> DataFrame:
     determinism guarantee as q_graph_pagerank_fix's integer fixed
     point, closing the round-6 advice note that round(distance, 6)
     parity was only probabilistic. Within an iteration the shape is
-    q_llm_kmeans_step's: broadcast centroids, map-side scoring, a
-    packed-key argmin whose shuffle carries n rows (not n·k — routed
+    q_llm_kmeans_step's, including (since r14) its ASSIGN-THEN-REJOIN
+    spelling: broadcast centroids, map-side scoring, a packed-key
+    argmin whose shuffle carries n NARROW rows (vec_id only — routed
     through nearest_centroid_assign with int_dist since round 11),
-    then a (k·64)-key partial-sum shuffle for the means. The driver
+    a shuffle-hash rejoin to the quantized vectors (the identical
+    e.select(vec_id, vq) exchange every iteration — AQE's
+    ReusedExchange shares it across all k_iter iterations), then a
+    (k·64)-key partial-sum shuffle for the means. The driver
     loop chains k_iter such plans; at production
     scale each iteration's 8×64-value centroid state would simply be
     collected to the driver (KB-sized at any corpus size) and
@@ -1311,19 +1315,36 @@ def kmeans_fixpoint(spark: SparkSession, sf_dir: str, k_iter: int) -> DataFrame:
         # packed-key argmin via int_dist — d2·2^17 + cid stays far below
         # 2^63 (d2 ≤ 64·(4e4)² ≈ 1e11 for the 1e-4-quantized corpus), so
         # min over the packed key IS lexicographic (d2, cid), the exact
-        # ordering the unrolled oracle's row_number replays. The member
-        # vector vq rides as an extra grouping column (functionally
-        # determined by vec_id): the shuffle carries n rows per
-        # iteration, not n·k, and no WindowExec appears in any of the
-        # k_iter chained assignment stages (r10 verdict item 2).
+        # ordering the unrolled oracle's row_number replays.
+        # ASSIGN-THEN-REJOIN spelling (the r12/r13 ledgered migration,
+        # executed r14 — SCALE.md §20): the argmin groupBy carries only
+        # vec_id (a LONG hash per scored row), then the narrow
+        # (vec_id, cid) assignment joins back to the SAME
+        # e.select(vec_id, vq) projection every iteration — AQE shares
+        # that exchange across all k_iter iterations (post-execution
+        # adaptive plan shows ReusedExchange ×k, recorded r13), while
+        # the retired wide spelling re-hashed the 64-long member vector
+        # on every one of the n·k scored rows map-side (step-level ~20 %
+        # win that grows with n·k; fixpoint-level sf0.1 wall-clock is a
+        # statistical tie — the case is the at-scale hashing cost plus
+        # spelling consistency with q_llm_kmeans_step). shuffle_hash on
+        # the unique vec_id key: no skew, no SMJ sorts, and at 100 TB
+        # the n-row assignment is not broadcastable, so the measured
+        # plan IS the at-scale plan. Still zero WindowExec and n (not
+        # n·k) rows per exchange. Bit-exactness vs the wide spelling is
+        # asserted on every run of tools/measure_kmeans_width.py
+        # --fixpoint and in tests/test_round14_ops.py.
         d2 = F.aggregate(
             F.zip_with("vq", "cq", lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        assigned = nearest_centroid_assign(
-            e, cent, ("vq",), n_centroids=_N_CENTROIDS, int_dist=d2
-        ).select("vec_id", "vq", F.col("centroid_id").alias("cid"))
+        narrow = nearest_centroid_assign(
+            e, cent, n_centroids=_N_CENTROIDS, int_dist=d2
+        ).select("vec_id", F.col("centroid_id").alias("cid"))
+        assigned = narrow.hint("shuffle_hash").join(
+            e.select("vec_id", "vq"), "vec_id"
+        )
         comp = (
             assigned.select("cid", F.posexplode("vq").alias("i0", "x"))
             .select("cid", (F.col("i0") + 1).alias("i"), "x")

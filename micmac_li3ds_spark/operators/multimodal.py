@@ -1355,9 +1355,20 @@ def _mp4_fragmented_index(
         sidx_ts, refs = sidx
         lo_ms, hi_ms = time_range_ms
         for roff, rsize, rt, rdur in refs:
+            # exact tick-unit window intersection (ADVICE r13 #1): the
+            # earlier floored-ms spelling `(rt + rdur) * 1000 //
+            # sidx_ts <= lo_ms` skipped a fragment whose LAST tick
+            # (rt + rdur - 1) still floors to lo_ms whenever
+            # sidx_ts > 1000 — silently dropping an in-range keyframe
+            # the full walk returns. Skip only when the fragment's last
+            # tick floors strictly below lo_ms, or its first tick
+            # floors strictly above hi_ms — both spelled as exact
+            # integer comparisons with no intermediate floor:
+            #   floor(rt·1000/ts) > hi  ⇔  rt·1000 ≥ (hi+1)·ts
+            #   floor((rt+rdur−1)·1000/ts) < lo  ⇔  (rt+rdur−1)·1000 < lo·ts
             if (
-                rt * 1000 // sidx_ts > hi_ms
-                or (rt + rdur) * 1000 // sidx_ts <= lo_ms
+                rt * 1000 >= (hi_ms + 1) * sidx_ts
+                or (rt + rdur - 1) * 1000 < lo_ms * sidx_ts
             ):
                 continue
             first = True
@@ -1970,6 +1981,20 @@ def _mp4_has_sidx(payload: bytes) -> bool:
     )
 
 
+def _mp4_is_fragmented(payload: bytes) -> bool:
+    """True when the moov carries an mvex box — sample geometry lives
+    in moof fragments. The seek gate needs BOTH this and a sidx
+    (ADVICE r13 #4): a non-fragmented file with a stray top-level sidx
+    would otherwise be routed into _mp4_sample_index(time_range_ms=…),
+    which correctly raises for unfragmented layouts — failing the whole
+    mapInPandas batch for one odd payload instead of falling back to
+    the full stbl walk the caller filters anyway."""
+    for t, b, e, _s in _mp4_boxes(payload, 0, len(payload)):
+        if t == b"moov":
+            return _mp4_child_opt(payload, b, e, b"mvex") is not None
+    return False
+
+
 def frame_sample_range(
     spark: SparkSession, lo_ms: int, hi_ms: int
 ) -> DataFrame:
@@ -2012,8 +2037,11 @@ def frame_sample_range(
                 hx = payload.hex().upper()
                 idx = _mp4_sample_index(
                     payload,
+                    # seek only when the payload is BOTH sidx'd and
+                    # fragmented (ADVICE r13 #4) — a stray top-level
+                    # sidx on a flat file falls back to the full walk
                     time_range_ms=(lo_ms, hi_ms)
-                    if _mp4_has_sidx(payload)
+                    if _mp4_has_sidx(payload) and _mp4_is_fragmented(payload)
                     else None,
                 )
                 k = 0
@@ -2039,6 +2067,58 @@ def frame_sample_range(
         .select("media_id", "payload")
         .mapInPandas(sample_range, schema)
     )
+
+
+# the registered range: chosen to slice INTO most fixture rows (partial
+# fragment coverage — the seek must skip leading/trailing fragments),
+# leave one row (media_id 6004, pts 1500–1962) entirely outside (every
+# fragment skipped), and sit on non-trivial floored-ms boundaries
+_FSR_LO_MS, _FSR_HI_MS = 100, 450
+
+
+@register(
+    "q_mm_frame_sample_range",
+    oracle=f"""
+-- generation-time truth for the r13 sidx-seek walker (r13 verdict
+-- item 2): the presented sync samples whose PRESENTATION time falls in
+-- [{_FSR_LO_MS}, {_FSR_HI_MS}] ms, re-sliced from the (sample_off,
+-- sample_size, keyframe, sample_pts_ms) coordinates the generator's
+-- own bookkeeping recorded — independent of the Spark side's
+-- moov/moof/sidx walk, so a mis-seek (a skipped covering fragment, a
+-- boundary off-by-one in the sidx window arithmetic) is a value
+-- mismatch, not just a row-count drift
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY i) - 1
+            AS INTEGER) AS frame_idx,
+       CAST(sample_pts_ms[i + 1] AS BIGINT) AS frame_ts_ms,
+       sha256(substring(hx, sample_off[i + 1] * 2 + 1,
+                        sample_size[i + 1] * 2)) AS frame_sha
+FROM (
+  SELECT media_id, hex(payload) AS hx,
+         sample_off, sample_size, sample_pts_ms, keyframe,
+         unnest(range(len(sample_off))) AS i
+  FROM read_parquet('{MEDIA_MP4_PARQUET}')
+)
+WHERE keyframe[i + 1]
+  AND sample_pts_ms[i + 1] BETWEEN {_FSR_LO_MS} AND {_FSR_HI_MS}
+""",
+    tags=("multimodal", "mapinpandas"),
+)
+def q_mm_frame_sample_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle registration of ``frame_sample_range`` — the
+    user-facing time-ranged keyframe sampler the round-13 sidx work
+    exists for, at a fixed [100, 450] ms window over the BMFF fixture
+    corpus. sidx'd fragmented rows take the SEEK path (only the
+    covering [moof+mdat] byte ranges are parsed — the 100-TB
+    media-pushdown shape: those are the only ranged GETs a real reader
+    would issue against object storage); flat rows take the full
+    stbl walk and filter. The oracle recomputes the window from the
+    generator's independent per-sample bookkeeping, so this key pins
+    seek ≡ full-walk-then-filter under the driver's value hash — not
+    just under pytest. Carries the ADVICE r13 fixes at birth: exact
+    tick-unit sidx window intersection (no floored-ms lower-bound
+    drop) and the sidx∧mvex seek gate."""
+    return frame_sample_range(spark, _FSR_LO_MS, _FSR_HI_MS)
 
 
 @register(

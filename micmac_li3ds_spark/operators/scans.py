@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from micmac_li3ds_spark.registry import register
+from micmac_li3ds_spark.sources.sinks import write_partitioned_parquet
 from micmac_li3ds_spark.tables import load
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -63,33 +64,104 @@ ACCOUNTS_SCHEMA = T.StructType(
 @register(
     "q_scan_csv",
     oracle=f"""
+-- valid channel: DuckDB's typed read with ignore_errors drops exactly
+-- the rows Spark's PERMISSIVE mode flags corrupt (the fixture's
+-- corruption modes are controlled: always 4 fields, untypeable
+-- acct_id/balance/opened); corrupt channel: raw all-VARCHAR row count
+-- minus the typed row count
+-- MATERIALIZED is load-bearing: with an inline CTE, DuckDB's
+-- projection pushdown prunes unread columns out of the scan, and
+-- ignore_errors only drops a row when a SCANNED column fails its cast
+-- — COUNT(*) would then count every structurally-valid row (casting
+-- nothing), and the per-segment channel would keep rows whose only
+-- corruption is in a pruned column. Materializing casts all four
+-- declared columns, which is exactly Spark's PERMISSIVE row rule.
+WITH v AS MATERIALIZED (
+  SELECT * FROM read_csv('{TEXT_DIR}/accounts_dirty.csv',
+              columns = {{'acct_id': 'BIGINT', 'segment': 'VARCHAR',
+                          'balance': 'DOUBLE', 'opened': 'DATE'}},
+              header = true, ignore_errors = true)
+)
 SELECT segment,
        COUNT(*) AS n_accts,
-       SUM(CAST(round(balance * 100, 0) AS BIGINT)) / 100.0 AS total_balance
-FROM read_csv('{TEXT_DIR}/accounts.csv',
-              columns = {{'acct_id': 'BIGINT', 'segment': 'VARCHAR',
-                          'balance': 'DOUBLE', 'opened': 'DATE'}})
+       SUM(CAST(round(balance * 100, 0) AS BIGINT)) / 100.0 AS total_balance,
+       MIN(opened) AS first_opened,
+       MAX(acct_id) AS last_acct
+FROM v
 WHERE balance > 0.0
 GROUP BY segment
+UNION ALL
+SELECT '__corrupt__' AS segment,
+       (SELECT COUNT(*)
+        FROM read_csv('{TEXT_DIR}/accounts_dirty.csv',
+                      columns = {{'a': 'VARCHAR', 'b': 'VARCHAR',
+                                  'c': 'VARCHAR', 'd': 'VARCHAR'}},
+                      header = true))
+       - (SELECT COUNT(*) FROM v) AS n_accts,
+       0.0 AS total_balance,
+       CAST(NULL AS DATE) AS first_opened,
+       CAST(NULL AS BIGINT) AS last_acct
 """,
     tags=("scan", "csv"),
 )
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV scan with declared schema + header; filter and aggregate
-    downstream (CSV gets no pushdown — the reason the engine's interchange
-    format is parquet and CSV is ingest-only)."""
+    """CSV scan with declared schema + header over a DIRTY input, in
+    PERMISSIVE mode with the corrupt-record channel (round 14, r13
+    verdict item 8): real ingest at 100 TB never gets clean files, and
+    FAILFAST turns one bad row in a billion into a dead job. Malformed
+    rows surface as a counted '__corrupt__' channel row (count only —
+    partially-parsed fields of a corrupt row never leak into the
+    totals) instead of being silently dropped (DROPMALFORMED) or
+    killing the load. Valid rows filter and aggregate exactly as
+    before — downstream, since CSV gets no pushdown: the reason the
+    engine's interchange format is parquet and CSV is ingest-only.
+
+    PRUNING TRAP, deliberately closed on both engines: Spark's CSV
+    parser only parses the columns the plan requires, and the corrupt
+    flag fires only for failures in PARSED columns — a parse-audit
+    query that reads (segment, balance) would silently accept a row
+    whose only corruption is a bad date. So the audit references every
+    declared column in its output (first_opened / last_acct per
+    segment). DuckDB has the mirror-image behavior (ignore_errors only
+    drops rows whose SCANNED columns fail), closed in the oracle with
+    a MATERIALIZED CTE. A parse audit must touch every column it
+    claims to audit."""
     df = (
-        spark.read.schema(ACCOUNTS_SCHEMA)
+        # a FRESH StructType per call: StructType.add mutates the
+        # receiver, so reusing the module-level schema would append a
+        # second _corrupt_record on the next invocation
+        spark.read.schema(
+            T.StructType(
+                ACCOUNTS_SCHEMA.fields
+                + [T.StructField("_corrupt_record", T.StringType())]
+            )
+        )
         .option("header", "true")
-        .csv(os.path.join(TEXT_DIR, "accounts.csv"))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(os.path.join(TEXT_DIR, "accounts_dirty.csv"))
     )
+    corrupt = F.col("_corrupt_record").isNotNull()
     cents = F.round(F.col("balance") * 100).cast("long")
     return (
-        df.filter(F.col("balance") > 0.0)
-        .groupBy("segment")
+        # corrupt rows are kept regardless of their (partially parsed)
+        # balance; valid rows keep the balance > 0 business filter
+        df.filter(corrupt | (F.col("balance") > 0.0))
+        .groupBy(
+            F.when(corrupt, F.lit("__corrupt__"))
+            .otherwise(F.col("segment"))
+            .alias("segment")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_accts"),
-            (F.sum(cents) / 100.0).alias("total_balance"),
+            (
+                F.coalesce(
+                    F.sum(F.when(~corrupt, cents)), F.lit(0)
+                )
+                / 100.0
+            ).alias("total_balance"),
+            F.min(F.when(~corrupt, F.col("opened"))).alias("first_opened"),
+            F.max(F.when(~corrupt, F.col("acct_id"))).alias("last_acct"),
         )
     )
 
@@ -107,24 +179,90 @@ CLICKS_SCHEMA = T.StructType(
 @register(
     "q_scan_json",
     oracle=f"""
-SELECT page,
+-- DuckDB's read_json(ignore_errors) NULLs failing fields instead of
+-- skipping rows, so it cannot mirror Spark's row-level corrupt
+-- classification; the oracle re-derives it from raw lines instead:
+-- a line is corrupt iff it is not valid JSON, or a declared-BIGINT
+-- key holds a non-numeric JSON type, or the BOOLEAN key holds a
+-- non-boolean — exactly Spark's PERMISSIVE rule over the fixture's
+-- controlled corruption modes (no numeric strings, which the two
+-- engines coerce differently)
+WITH lines AS (
+  SELECT line FROM (
+    SELECT unnest(string_split(content, chr(10))) AS line
+    FROM read_text('{TEXT_DIR}/clicks_dirty.jsonl')
+  ) WHERE line <> ''
+),
+cls AS (
+  -- CASE, not OR: json_extract THROWS on invalid JSON and vectorized
+  -- OR does not short-circuit, so the validity test must gate the
+  -- extraction structurally
+  SELECT line,
+         CASE WHEN NOT json_valid(line) THEN TRUE
+              ELSE (json_extract(line, '$.click_id') IS NOT NULL AND
+                    json_type(json_extract(line, '$.click_id'))
+                      NOT IN ('BIGINT', 'UBIGINT', 'NULL'))
+                OR (json_extract(line, '$.ms') IS NOT NULL AND
+                    json_type(json_extract(line, '$.ms'))
+                      NOT IN ('BIGINT', 'UBIGINT', 'NULL'))
+                OR (json_extract(line, '$.ok') IS NOT NULL AND
+                    json_type(json_extract(line, '$.ok'))
+                      NOT IN ('BOOLEAN', 'NULL'))
+         END AS corrupt
+  FROM lines
+)
+SELECT line ->> '$.page' AS page,
        COUNT(*) AS n_clicks,
-       COUNT(*) FILTER (WHERE ok) AS n_ok,
-       CAST(SUM(ms) AS BIGINT) AS total_ms
-FROM read_json('{TEXT_DIR}/clicks.jsonl',
-               columns = {{'click_id': 'BIGINT', 'page': 'VARCHAR',
-                           'ms': 'BIGINT', 'ok': 'BOOLEAN'}})
+       COUNT(*) FILTER (WHERE CAST(line ->> '$.ok' AS BOOLEAN)) AS n_ok,
+       CAST(SUM(CAST(line ->> '$.ms' AS BIGINT)) AS BIGINT) AS total_ms,
+       MAX(CAST(line ->> '$.click_id' AS BIGINT)) AS last_click
+FROM cls WHERE NOT corrupt
 GROUP BY page
+UNION ALL
+SELECT '__corrupt__' AS page,
+       COUNT(*) AS n_clicks,
+       0 AS n_ok,
+       0 AS total_ms,
+       CAST(NULL AS BIGINT) AS last_click
+FROM cls WHERE corrupt
 """,
     tags=("scan", "json"),
 )
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines scan with declared schema (no inference pass)."""
-    df = spark.read.schema(CLICKS_SCHEMA).json(os.path.join(TEXT_DIR, "clicks.jsonl"))
-    return df.groupBy("page").agg(
-        F.count(F.lit(1)).alias("n_clicks"),
-        F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
-        F.sum("ms").alias("total_ms"),
+    """JSON-lines scan with declared schema (no inference pass) over a
+    DIRTY input, PERMISSIVE mode + corrupt-record channel (round 14,
+    same rationale as q_scan_csv): syntactically broken lines and
+    type-mismatched fields become a counted '__corrupt__' channel row
+    — count only, since Spark still parses the GOOD fields of a
+    type-mismatched row and those partial values must not leak into
+    per-page totals. Valid rows aggregate exactly as before, plus a
+    last_click channel so every declared column is referenced: like
+    the CSV parser (see q_scan_csv), Spark's JSON parser only
+    type-checks the fields the plan requires — an audit that ignored
+    click_id would silently accept a row whose only corruption is
+    there (pinned by a fixture line)."""
+    df = spark.read.schema(
+        T.StructType(
+            CLICKS_SCHEMA.fields
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(os.path.join(TEXT_DIR, "clicks_dirty.jsonl"))
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return (
+        df.groupBy(
+            F.when(corrupt, F.lit("__corrupt__"))
+            .otherwise(F.col("page"))
+            .alias("page")
+        ).agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count(F.when(~corrupt & F.col("ok"), 1)).alias("n_ok"),
+            F.coalesce(
+                F.sum(F.when(~corrupt, F.col("ms"))), F.lit(0)
+            ).alias("total_ms"),
+            F.max(F.when(~corrupt, F.col("click_id"))).alias("last_click"),
+        )
     )
 
 
@@ -240,13 +378,20 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition. Proves round-trip AND that the re-read scan can
     partition-prune (the count groups are exactly the directory keys).
     At 100 TB this layout (low-cardinality dirs, sized files) is what
-    makes downstream queries prunable."""
+    makes downstream queries prunable. Since round 14 the write goes
+    through write_partitioned_parquet (sources/sinks.py) with its
+    production knobs live: zstd compression (codec + knob effect pinned
+    by tests/test_round14_ops.py against the parquet footers) and a
+    records-per-file cap so one skewed partition directory cannot
+    become one giant straggler file."""
     out = os.path.join(SCRATCH, "orders_partitioned")
     shutil.rmtree(out, ignore_errors=True)
     o = load(spark, sf_dir, "orders").withColumn(
         "yr", F.year("o_orderdate")
     )
-    o.write.mode("overwrite").partitionBy("o_orderstatus", "yr").parquet(out)
+    write_partitioned_parquet(
+        o, out, ["o_orderstatus", "yr"], max_records_per_file=500_000
+    )
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus", "yr").agg(F.count(F.lit(1)).alias("n_orders"))
 

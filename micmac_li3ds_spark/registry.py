@@ -274,65 +274,97 @@ _loaded = False
 #            birth; measure the ReusedExchange hypothesis on the
 #            POST-execution adaptive plan first (AQE reuses stages at
 #            runtime — the pre-execution plan does not show it).
+#   round 14 (this window): fifth consolidation — 46 forced + 4 slots.
+#            The staleness invariant (max_round−4 with CORRECTNESS_r13
+#            on disk) enumerates the 46 r9-attested keys below
+#            (set-ops/subquery/UDF/scan/sink/report/graph/layout
+#            families). The 4 remaining slots: the ledgered
+#            q_llm_kmeans_fix migration (assign-then-rejoin, SCALE.md
+#            §20, bit-exactness asserted); q_mm_frame_sample_range —
+#            a NEW key giving the r13 sidx-seek walker a driver-oracle
+#            hash (r13 verdict item 2) and carrying the ADVICE r13
+#            lower-bound-floor fix + mvex gating at birth;
+#            q_mm_feature_extract (r11 hash trails the r12 odd-PCM
+#            guard — last such key, r13 verdict item 4); and
+#            q_llm_dedup_clusters (ADVICE r13: unpersist superseded
+#            localCheckpoint frames — code changes this round, so it
+#            re-attests at birth rather than opening a new gap).
+#            Round-15 slot ledger (r10 stratum = 48 forced, 2 free):
+#            slot 1 is RESERVED for q_llm_dedup_keep_best — it calls
+#            q_llm_dedup_clusters, so the r14 unpersist fix runs under
+#            its r11 hash until re-attested (locally check.py-green on
+#            current code this round; result-invariant by construction
+#            — the fix only frees superseded executor blocks — but the
+#            semantic_dedup discipline says attest anyway). It cannot
+#            take an r14 slot: the window is exactly full at 46 forced
+#            + the kmeans ledger + 3 mandated discretionary items.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- the 48 r8-attested keys forced by the staleness invariant
-    # (test_registry.py::test_window_contains_every_stale_attestation,
-    # enumeration order preserved) ---
-    "q_fn_math",
-    "q_fn_cond",
-    "q_sort_multi",
-    "q_limit",
-    "q_jdbc_roundtrip",
+    # --- the 46 r9-attested keys forced by the staleness invariant
+    # (test_registry.py::test_window_contains_every_stale_attestation
+    # with CORRECTNESS_r13 on disk; enumeration order preserved) ---
+    "q_set_intersect",
+    "q_set_except",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_corr_agg",
+    "q_subquery_exists_range",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf_applyinpandas",
+    "q_udtf_python",
+    "q_udf_cogrouped",
+    "q_udf_sql",
+    "q_scan_python_datasource",
+    "q_scan_parquet",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_sink_parquet_partitioned",
+    "q_sink_orc_roundtrip",
+    "q_scan_binaryfile",
+    "q_topk_global",
+    "q_llm_knn_ivf",
+    "q_llm_knn_batch",
+    "q_llm_hard_negatives",
+    "q_llm_embed_quant",
+    "q_llm_lm_score",
+    "q_priority_linestatus",
+    "q_order_count_distribution",
+    "q_small_qty_revenue",
+    "q_disjunctive_revenue",
+    "q_idle_customer_balance",
+    "q_win_nth_value",
+    "q_etl_sessionize",
+    "q_etl_snapshot_diff",
+    "q_sample_weighted",
+    "q_join_skew_salted",
+    "q_join_null_safe",
+    "q_graph_triangles",
+    "q_graph_cc",
+    "q_graph_sssp",
+    "q_agg_heavy_hitters",
+    "q_graph_kcore",
+    "q_layout_bucketed_join",
+    "q_layout_partition_pruning",
+    # --- the ledgered slot (r12+r13 verdicts, mandatory):
+    # kmeans fixpoint migrated this round onto the measured
+    # assign-then-rejoin spelling (SCALE.md §20) — birth attestation ---
+    "q_llm_kmeans_fix",
+    # --- 3 discretionary slots (r13 verdict items 2/4 + ADVICE r13):
+    # q_mm_frame_sample_range — NEW key this round (sidx-seek path
+    # oracled against generation-time fragment bookkeeping);
+    # q_mm_feature_extract — last hash-trails-code key (r11 hash,
+    # r12 odd-PCM guard); q_llm_dedup_clusters — ADVICE r13 fix
+    # (unpersist superseded localCheckpoint frames in the CC loop)
+    # touches its code this round, so it re-attests at birth ---
+    "q_mm_frame_sample_range",
+    "q_mm_feature_extract",
     "q_llm_dedup_clusters",
-    "q_llm_ngram_jaccard",
-    "q_llm_simhash",
-    "q_llm_tfidf",
-    "q_llm_text_stats",
-    "q_llm_quality_score",
-    "q_llm_lang_id",
-    "q_llm_repetition",
-    "q_llm_corpus_filter",
-    "q_llm_decontaminate",
-    "q_llm_pii_scrub",
-    "q_llm_cosine",
-    "q_llm_knn_per_label",
-    "q_llm_embed_norm",
-    "q_returned_items",
-    "q_forecast_revenue",
-    "q_promo_revenue",
-    "q_nation_trade_volume",
-    "q_waiting_supplier",
-    "q_etl_explode_block",
-    "q_etl_get_or_create",
-    "q_etl_surrogate_keys",
-    "q_etl_pose_apply",
-    "q_etl_distortion_poly",
-    "q_etl_transfo_closure",
-    "q_sample_hash",
-    "q_reshape_unpivot",
-    "q_agg_histogram",
-    "q_profile_columns",
-    "q_mm_binary_stats",
-    "q_agg_gini",
-    "q_etl_merge_upsert",
-    "q_ts_anomaly",
-    "q_agg_sketch_rollup",
-    "q_win_moving_median",
-    "q_llm_knn_recall",
-    "q_layout_zorder",
-    "q_etl_asof_snapshot",
-    "q_agg_bitmap_rollup",
-    "q_ts_downsample_lttb",
-    "q_llm_winnowing",
-    "q_llm_winnow_matches",
-    "q_ts_seasonal_profile",
-    # --- the 2 ledgered slots (r12 verdict, mandatory): keys whose
-    # newest driver hash attests superseded code ---
-    "q_llm_semantic_dedup",
-    "q_mm_frame_sample",
 ]
 
 

@@ -452,9 +452,15 @@ def test_mp4_sidx_seek_matches_full_walk_on_random_plans(plan, v1, data):
     exp = []
     pos = 0
     for (roff, rsize, ept_u, dur_u), c in zip(frs, counts):
-        lo_f = ept_u * 1000 // tscale
-        hi_f = (ept_u + dur_u) * 1000 // tscale
-        if not (lo_f > hi or hi_f <= lo):
+        # exact tick-unit mirror (ADVICE r13 #1): the earlier floored-ms
+        # mirror `(ept+dur)*1000//tscale <= lo` replicated the walker's
+        # own lower-bound bug, so the test could never catch it — a
+        # fragment is covering unless its LAST tick floors below lo or
+        # its FIRST tick floors above hi
+        if not (
+            ept_u * 1000 >= (hi + 1) * tscale
+            or (ept_u + dur_u - 1) * 1000 < lo * tscale
+        ):
             exp += full[pos : pos + c]
         pos += c
     assert got == exp

@@ -1,0 +1,424 @@
+"""Round-14 tests.
+
+Round 14 is the fifth consolidation round (46 forced window keys + the
+ledgered kmeans_fix migration + 3 discretionary slots). The code work
+tested here:
+
+- ADVICE r13 #1 (medium): the sidx seek's lower-bound skip compared
+  FLOORED milliseconds, so for timescales > 1000 a fragment whose
+  floored end equals lo_ms was skipped even though its last sample's
+  floored pts_ms == lo_ms is in range — the seek silently dropped an
+  in-range keyframe the full walk returns. Fixed with exact tick-unit
+  comparisons; the deterministic repro and a pts-filtered property
+  test (which, unlike the r13 mirror, cannot replicate the bug) live
+  here.
+- ADVICE r13 #4: frame_sample_range gated the seek on _mp4_has_sidx
+  alone; a FLAT file carrying a stray top-level sidx box was routed
+  into the time-ranged walk, which correctly raises for unfragmented
+  layouts — failing the whole mapInPandas batch for one odd payload.
+  The gate now also requires mvex (fragmented), falling back to the
+  full-walk-then-filter path.
+- q_mm_frame_sample_range: the user-facing ranged sampler gets a
+  driver-oracle registry key (r13 verdict item 2) at a fixed
+  [100, 450] ms window over the BMFF fixture corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.test_round11_ops import _genfix
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 #1: exact tick-unit sidx window intersection
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sidx_seek_keeps_fragment_whose_floored_end_equals_lo():
+    """The ADVICE repro: timescale 30000, two single-sample fragments
+    with durations [30000, 1] ticks. Fragment 1's earliest pts is tick
+    30000 = exactly 1000.0 ms, and its sidx window end floors to
+    1000 ms — the old `(rt + rdur) * 1000 // sidx_ts <= lo_ms` skip
+    dropped it for lo_ms = 1000, losing a keyframe whose pts_ms == lo
+    is squarely in range. The seek must return exactly that sample."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    payload, offs, ts_ms, kf, pts_ms, frs = gf._mp4_encode_fragmented(
+        [[b"\x11" * 24], [b"\x22" * 24]],
+        30000,
+        30000,
+        [[True], [True]],
+        dur_overrides=[[30000], [1]],
+        sidx=True,
+    )
+    full = _mp4_sample_index(payload)
+    assert [s[4] for s in full] == [0, 1000]  # floored pts_ms
+
+    got = _mp4_sample_index(payload, time_range_ms=(1000, 1000))
+    assert got == [full[1]], (
+        "seek dropped the fragment whose floored window end == lo_ms"
+    )
+    # and the symmetric upper bound: a range ending at 999 ms must
+    # cover ONLY fragment 0 (fragment 1's first tick floors to 1000)
+    assert _mp4_sample_index(payload, time_range_ms=(0, 999)) == [full[0]]
+
+
+@st.composite
+def _contained_sidx_plans(draw):
+    """Random fragmented plans whose sample pts are CONTAINED in their
+    fragment's sidx window (coff for sample k is bounded by the ticks
+    remaining to the fragment end) — the closed-GOP/SAP shape real DASH
+    has, and the precondition for the pts-filter contract below. The
+    timescale pool leans on values > 1000, where the old floored-ms
+    arithmetic actually diverges from the exact one."""
+    n_frags = draw(st.integers(1, 4))
+    counts = [draw(st.integers(1, 4)) for _ in range(n_frags)]
+    tscale = draw(st.sampled_from([600, 1000, 30000, 90000]))
+    d_dur = draw(st.integers(40, 2000))
+    keys = [
+        [k == 0 or draw(st.booleans()) for k in range(c)] for c in counts
+    ]
+    if draw(st.booleans()):
+        cofs = None
+    else:
+        cofs = [
+            [
+                0
+                if k == 0
+                else draw(st.integers(0, (c - 1 - k) * d_dur))
+                for k in range(c)
+            ]
+            for c in counts
+        ]
+    return counts, tscale, d_dur, keys, cofs
+
+
+@settings(max_examples=40, deadline=None)
+@given(plan=_contained_sidx_plans(), data=st.data())
+def test_mp4_sidx_seek_pts_filter_matches_full_walk_pts_filter(plan, data):
+    """The contract frame_sample_range actually relies on, stated
+    WITHOUT mirroring the walker's window arithmetic (ADVICE r13 #1:
+    the r13 mirror reproduced the walker's own floor bug, so it could
+    never catch it): for any ms range, the seek's samples filtered by
+    pts must equal the FULL walk's samples filtered by pts — every
+    in-range presented sample is found — and the seek must be a subset
+    of the full walk (it never invents samples)."""
+    from micmac_li3ds_spark.operators.multimodal import _mp4_sample_index
+
+    gf = _genfix()
+    counts, tscale, d_dur, keys, cofs = plan
+    frags = [
+        [bytes([(fi * 13 + k) % 251]) * (10 + k) for k in range(c)]
+        for fi, c in enumerate(counts)
+    ]
+    payload, offs, ts_ms, kf, pts_ms, frs = gf._mp4_encode_fragmented(
+        frags, tscale, d_dur, keys, ctts_offsets=cofs, sidx=True
+    )
+    full = _mp4_sample_index(payload)
+
+    total_ms = max(p for p in pts_ms) + 1
+    lo = data.draw(st.integers(0, total_ms), label="lo")
+    hi = data.draw(st.integers(lo, total_ms + 10), label="hi")
+    got = _mp4_sample_index(payload, time_range_ms=(lo, hi))
+
+    full_set = set(full)
+    assert all(s in full_set for s in got)
+    in_range = lambda s: lo <= s[4] <= hi  # noqa: E731
+    assert sorted(filter(in_range, got)) == sorted(filter(in_range, full))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 #4: a stray top-level sidx on a FLAT file must not route
+# frame_sample_range into the (raising) time-ranged walk
+# ---------------------------------------------------------------------------
+
+
+def _flat_with_stray_sidx():
+    gf = _genfix()
+    flat, *_ = gf._mp4_encode(
+        [b"ab" * 10, b"cd" * 10, b"ef" * 10],
+        [(1, 3)],
+        20,
+        1000,
+        [(3, 250)],
+        False,
+        False,
+    )
+    # a syntactically valid, semantically stray top-level sidx box
+    stray = (8 + 12).to_bytes(4, "big") + b"sidx" + bytes(12)
+    return flat + stray
+
+
+def test_flat_file_with_stray_sidx_is_not_seekable():
+    from micmac_li3ds_spark.operators.multimodal import (
+        _mp4_has_sidx,
+        _mp4_is_fragmented,
+        _mp4_sample_index,
+    )
+
+    payload = _flat_with_stray_sidx()
+    assert _mp4_has_sidx(payload)
+    assert not _mp4_is_fragmented(payload)
+    # the raw walk still raises for a time-ranged request on a flat
+    # file (the seek contract is honest: no byte range can be skipped)
+    with pytest.raises(ValueError, match="requires a fragmented MP4"):
+        _mp4_sample_index(payload, time_range_ms=(0, 100))
+    # ... which is exactly why the DataFrame-level gate must not route
+    # this payload there; the plain walk works
+    assert len(_mp4_sample_index(payload)) == 3
+
+
+def test_frame_sample_range_falls_back_on_stray_sidx_flat_file(
+    spark, monkeypatch
+):
+    """End-to-end: a corpus containing one flat-but-stray-sidx payload
+    must not fail the mapInPandas batch — the row takes the full-walk
+    path and its in-range keyframes come back (ADVICE r13 #4)."""
+    import micmac_li3ds_spark.operators.multimodal as mm
+
+    payload = _flat_with_stray_sidx()
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    monkeypatch.setattr(mm, "load_media_mp4", lambda s: df)
+
+    rows = mm.frame_sample_range(spark, 0, 10_000).collect()
+    full = mm._mp4_sample_index(payload)
+    hx = payload.hex().upper()
+    exp = [
+        (1, k, pts, hashlib.sha256(hx[o * 2 : (o + sz) * 2].encode()).hexdigest())
+        for k, (o, sz, _d, key, pts) in enumerate(
+            s for s in full if s[3] and s[4] >= 0
+        )
+    ]
+    got = [
+        (r["media_id"], r["frame_idx"], r["frame_ts_ms"], r["frame_sha"])
+        for r in sorted(rows, key=lambda r: r["frame_idx"])
+    ]
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# q_mm_frame_sample_range: the registered fixed-window key
+# ---------------------------------------------------------------------------
+
+
+def test_q_mm_frame_sample_range_equals_operator_call(spark):
+    """The registry key is exactly frame_sample_range at the fixed
+    window — and the window is non-trivial on the fixture corpus:
+    some rows contribute, at least one (media_id 6004, pts ≥ 1500)
+    contributes nothing (every fragment skipped / filtered)."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _FSR_HI_MS,
+        _FSR_LO_MS,
+        frame_sample_range,
+        q_mm_frame_sample_range,
+    )
+
+    got = sorted(
+        map(tuple, q_mm_frame_sample_range(spark, "unused").collect())
+    )
+    exp = sorted(
+        map(tuple, frame_sample_range(spark, _FSR_LO_MS, _FSR_HI_MS).collect())
+    )
+    assert got == exp and len(got) > 0
+    contributing = {r[0] for r in got}
+    assert 6004 not in contributing
+    assert all(_FSR_LO_MS <= r[2] <= _FSR_HI_MS for r in got)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 #3: superseded localCheckpoint frames are freed
+# ---------------------------------------------------------------------------
+
+
+def test_unpersist_local_checkpoint_frees_blocks_and_spares_successor(spark):
+    """The helper must free exactly the superseded frame's blocks while
+    a successor checkpoint built FROM it stays readable (its own blocks
+    are independent once materialized)."""
+    from micmac_li3ds_spark.functions.iterate import (
+        unpersist_local_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    a = spark.range(500).selectExpr("id", "id * 2 AS x").localCheckpoint(
+        eager=True
+    )
+    b = a.selectExpr("id", "x + 1 AS x").localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == base + 2
+    unpersist_local_checkpoint(a)
+    assert jsc.getPersistentRDDs().size() == base + 1
+    assert b.count() == 500  # successor unaffected
+    unpersist_local_checkpoint(b)
+    assert jsc.getPersistentRDDs().size() == base
+    # non-checkpointed frames are a harmless no-op (best-effort contract)
+    unpersist_local_checkpoint(spark.range(3))
+
+
+def test_dedup_clusters_loop_does_not_accumulate_checkpoint_blocks(spark):
+    """q_llm_dedup_clusters must leave O(1) persistent RDDs behind —
+    the final labels frame (plus any checkpoint its near-dedup input
+    pins), never one frame per convergence round (ADVICE r13 #3)."""
+    from micmac_li3ds_spark.operators.llm_text import q_llm_dedup_clusters
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    out = q_llm_dedup_clusters(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    # final labels + the near-dedup pipeline's own eager checkpoint:
+    # a fixed budget, NOT proportional to min-label rounds (the loop
+    # ran >= 1 round, each of which would have leaked a frame before)
+    assert jsc.getPersistentRDDs().size() <= base + 2
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fixpoint assign-then-rejoin migration (the r12/r13 ledger,
+# executed this round): bit-exact vs the retired wide spelling
+# ---------------------------------------------------------------------------
+
+
+def _measure_tool():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "measure_kmeans_width.py",
+    )
+    spec = importlib.util.spec_from_file_location("_kmw", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_kmeans_fixpoint_rejoin_matches_retired_wide_spelling(spark):
+    """The shipped kmeans_fixpoint (rejoin since r14) must be
+    bit-identical to the retired wide spelling on the exact-integer
+    recurrence — the measurement tool's own wide variant is the
+    reference replica, so this pin survives even though the wide
+    spelling no longer exists in the operator."""
+    from micmac_li3ds_spark.operators.llm_vector import kmeans_fixpoint
+
+    kmw = _measure_tool()
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, kmeans_fixpoint(spark, sf, 3).collect()))
+    wide = sorted(
+        map(tuple, kmw._fixpoint_variant(spark, sf, 3, rejoin=False).collect())
+    )
+    assert got == wide and len(got) > 0
+
+
+def test_kmeans_fixpoint_rejoin_plan_shape(spark):
+    """Plan pins for the migrated fixpoint: zero WindowExec, zero
+    SortAggregate, no cartesian, and the rejoin spelled as a shuffled
+    hash join (unique key, no SMJ sorts) — per-iteration, ×3."""
+    from micmac_li3ds_spark.operators.llm_vector import kmeans_fixpoint
+
+    df = kmeans_fixpoint(spark, "/root/testdata/sf0.001", 3)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in s
+    assert "SortAggregate" not in s
+    assert "CartesianProduct" not in s
+    assert s.count("ShuffledHashJoin") >= 3
+
+
+# ---------------------------------------------------------------------------
+# Permissive-mode corrupt-record channel (q_scan_csv / q_scan_json,
+# in-window capability work) — the channel counts, and the pruning trap
+# is actually closed
+# ---------------------------------------------------------------------------
+
+
+def test_scan_csv_corrupt_channel(spark):
+    from micmac_li3ds_spark.operators.scans import q_scan_csv
+
+    rows = {r["segment"]: r for r in q_scan_csv(spark, "unused").collect()}
+    # the fixture plants exactly 6 corrupt rows (generator asserts the
+    # interleave landed); one is corrupt ONLY in a column the old
+    # 2-column aggregate never parsed
+    assert rows["__corrupt__"]["n_accts"] == 6
+    assert rows["__corrupt__"]["total_balance"] == 0.0
+    assert rows["__corrupt__"]["first_opened"] is None
+    assert rows["__corrupt__"]["last_acct"] is None
+    # no partially-parsed corrupt value leaked into a valid segment:
+    # valid acct_ids are 0..119, the corrupt rows use >= 9001
+    assert all(
+        r["last_acct"] < 9000
+        for seg, r in rows.items()
+        if seg != "__corrupt__"
+    )
+    assert sum(r["n_accts"] for r in rows.values()) <= 126
+
+
+def test_scan_json_corrupt_channel(spark):
+    from micmac_li3ds_spark.operators.scans import q_scan_json
+
+    rows = {r["page"]: r for r in q_scan_json(spark, "unused").collect()}
+    assert rows["__corrupt__"]["n_clicks"] == 6
+    assert rows["__corrupt__"]["n_ok"] == 0
+    assert rows["__corrupt__"]["total_ms"] == 0
+    # the click_id-only-corrupt line must NOT appear in p6's totals
+    assert all(
+        r["last_click"] < 9000
+        for pg, r in rows.items()
+        if pg != "__corrupt__"
+    )
+
+
+# ---------------------------------------------------------------------------
+# write_partitioned_parquet: the zstd + records-per-file knobs bite
+# ---------------------------------------------------------------------------
+
+
+def test_write_partitioned_parquet_knobs(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.sources.sinks import write_partitioned_parquet
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+
+    def files(p):
+        return glob.glob(str(p) + "/**/*.parquet", recursive=True)
+
+    def total(p):
+        import os
+
+        return sum(os.path.getsize(f) for f in files(p))
+
+    write_partitioned_parquet(df, str(tmp_path / "z1"), ["o_orderstatus"], zstd_level=1)
+    write_partitioned_parquet(df, str(tmp_path / "z19"), ["o_orderstatus"], zstd_level=19)
+    # the codec really is zstd (parquet footer, not trust-the-option)
+    meta = pq.ParquetFile(files(tmp_path / "z19")[0]).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
+    # the level knob reached parquet-mr: higher level = smaller files
+    assert total(tmp_path / "z19") < total(tmp_path / "z1")
+
+    write_partitioned_parquet(
+        df, str(tmp_path / "capped"), ["o_orderstatus"], max_records_per_file=100
+    )
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files(tmp_path / "capped")]
+    assert max(counts) <= 100
+    # round-trip integrity under file rolling
+    assert spark.read.parquet(str(tmp_path / "capped")).count() == df.count()
+
+    with pytest.raises(ValueError, match="zstd_level"):
+        write_partitioned_parquet(
+            df, str(tmp_path / "bad"), ["o_orderstatus"],
+            compression="snappy", zstd_level=3,
+        )
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_partitioned_parquet(
+            df, str(tmp_path / "bad2"), ["o_orderstatus"],
+            max_records_per_file=0,
+        )

@@ -275,6 +275,63 @@ def main() -> None:
                 % (i, i % 7, rng2.randint(10, 5000), "true" if i % 3 else "false")
             )
 
+    # --- DIRTY variants (round 14): the permissive-mode corrupt-record
+    # channel needs inputs that actually carry malformed rows. A
+    # SEPARATE rng keeps the clean files above byte-stable. Corruption
+    # modes are CONTROLLED so both engines classify identically:
+    # CSV — always exactly 4 fields (DuckDB's all-VARCHAR raw count
+    # must parse every row), corrupt = an untypeable acct_id / balance
+    # / opened; JSON — malformed syntax, a NON-NUMERIC string where
+    # BIGINT is declared, or a non-boolean string for ok (numeric
+    # strings are avoided: engines disagree on "123" → BIGINT
+    # coercion).
+    rng4 = random.Random(11)
+    csv_bad = [
+        "9001,AUTOMOBILE,notanumber,2023-05-05",
+        "9002,BUILDING,12.5,not-a-date",
+        "oops,FURNITURE,1.0,2023-01-01",
+        "9004,HOUSEHOLD,--,2023-02-02",
+        "9005,MACHINERY,4.25,2023-13-45",
+        "none,AUTOMOBILE,nan?,never",
+    ]
+    with open(os.path.join(text_dir, "accounts_dirty.csv"), "w") as f:
+        f.write("acct_id,segment,balance,opened\n")
+        bad_at = {18 * (j + 1): row for j, row in enumerate(csv_bad)}
+        for i in range(120):
+            if i in bad_at:
+                f.write(bad_at[i] + "\n")
+            f.write(
+                f"{i},{segs[i % 5]},{round(rng4.uniform(-500, 5000), 2)},"
+                f"2023-{1 + i % 12:02d}-{1 + i % 28:02d}\n"
+            )
+    json_bad = [
+        '{"click_id": 9101, "page": "p1", "ms": "fast", "ok": true}',
+        '{"click_id": 9102, "page": "p2", "ms": 10',
+        '{"click_id": 9103, "page": "p3", "ms": 5, "ok": "maybe"}',
+        "not json at all",
+        '{"click_id": 9105, "page": "p5", "ms": "slow-ish", "ok": false}',
+        # corrupt ONLY in click_id: pins that the audit actually
+        # type-checks every declared column (a plan that pruned
+        # click_id would accept this row)
+        '{"click_id": "x7", "page": "p6", "ms": 44, "ok": true}',
+    ]
+    with open(os.path.join(text_dir, "clicks_dirty.jsonl"), "w") as f:
+        # keys must stay BELOW the loop bound or the tail entries are
+        # silently never written (the round-14 off-by-one, caught by
+        # the fixture-count assertion below)
+        bad_at = {22 * (j + 1): row for j, row in enumerate(json_bad)}
+        for i in range(150):
+            if i in bad_at:
+                f.write(bad_at[i] + "\n")
+            f.write(
+                '{"click_id": %d, "page": "p%d", "ms": %d, "ok": %s}\n'
+                % (i, i % 7, rng4.randint(10, 5000), "true" if i % 3 else "false")
+            )
+    with open(os.path.join(text_dir, "accounts_dirty.csv")) as f:
+        assert sum(1 for _ in f) == 1 + 120 + len(csv_bad)
+    with open(os.path.join(text_dir, "clicks_dirty.jsonl")) as f:
+        assert sum(1 for _ in f) == 150 + len(json_bad)
+
     # --- multimodal fixture: binary payloads + typed metadata ---
     # Each payload starts with a 12-byte container header (the EXIF-ish
     # structure q_mm_header_parse audits): magic b"SMM1", then two
