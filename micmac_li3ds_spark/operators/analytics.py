@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from micmac_li3ds_spark.functions.exact import cents, duck_cents, duck_pct, pct
+from micmac_li3ds_spark.functions.iterate import unpersist_local_checkpoint
 from micmac_li3ds_spark.registry import register
 from micmac_li3ds_spark.session import shuffle_partitions
 from micmac_li3ds_spark.tables import load
@@ -2216,9 +2217,26 @@ def bfs_distances(e: DataFrame, source: int | None = None) -> tuple:
         new = cand.join(settled.select("node"), "node", "left_anti")
         new = new.localCheckpoint(eager=True)
         if new.limit(1).count() == 0:
+            # the empty terminal frame has no consumer
+            unpersist_local_checkpoint(new)
             break
+        # the new settled checkpoint is materialized (eager), so the
+        # superseded settled — and the frontier it already absorbed a
+        # round ago — are garbage; freeing them keeps executor storage
+        # at O(|settled| + |frontier|), not O(rounds · |settled|)
+        # (ADVICE r13 #3 applied to every in-window driver loop).
+        # Round 1 aliases frontier to settled — guard the double free.
+        old_settled, old_frontier = settled, frontier
         settled = settled.unionByName(new).localCheckpoint(eager=True)
+        if old_frontier is not old_settled:
+            unpersist_local_checkpoint(old_frontier)
+        unpersist_local_checkpoint(old_settled)
         frontier = new
+    # the returned `settled` is a self-contained checkpoint: the edge
+    # list and the last frontier are not part of its lineage
+    if frontier is not settled:
+        unpersist_local_checkpoint(frontier)
+    unpersist_local_checkpoint(sym)
     return settled, source, rounds
 
 
@@ -2374,8 +2392,15 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = copurchase_edges(spark, sf_dir)
     sym = _kcore_sym(e)
     alive = sym.select(F.col("a").alias("node")).distinct()
+    prev = None
     for _ in range(_KCORE_PEELS):
         alive = _kcore_peel(sym, alive, _KCORE_K).localCheckpoint(eager=True)
+        if prev is not None:
+            # the new peel is materialized — the superseded alive set's
+            # checkpoint blocks are garbage (ADVICE r13 #3 pattern)
+            unpersist_local_checkpoint(prev)
+        prev = alive
+    # sym stays persisted: the RETURNED plan still reads it lazily
     return _kcore_deg(sym, alive)
 
 
@@ -2462,6 +2487,11 @@ def kcore_fixpoint(
         )
         n_next = peeled.count()  # the round's single driver scalar
         changed = n_alive - n_next
+        if state is None:
+            # localCheckpoint mode only: the superseded alive frame's
+            # blocks are garbage once peeled is materialized (durable
+            # rounds are parquet files with their own retention)
+            unpersist_local_checkpoint(alive)
         alive, n_alive = peeled, n_next
         rounds += 1
         if fail_after is not None and rounds >= fail_after and changed != 0:

@@ -422,3 +422,46 @@ def test_write_partitioned_parquet_knobs(spark, tmp_path):
             df, str(tmp_path / "bad2"), ["o_orderstatus"],
             max_records_per_file=0,
         )
+
+
+def test_bfs_and_kcore_loops_do_not_accumulate_checkpoint_blocks(spark):
+    """Same ADVICE r13 #3 accounting for the other in-window driver
+    loops: after q_graph_sssp's BFS the ONLY surviving checkpoint is
+    the returned settled frame (sym and every superseded
+    settled/frontier round are freed — the result is a self-contained
+    checkpoint); q_graph_kcore's fixed unroll keeps the final alive
+    set plus the sym the returned plan still reads, never one frame
+    per peel."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.analytics import (
+        _KCORE_K,
+        _KCORE_PEELS,
+        _kcore_deg,
+        _kcore_peel,
+        _kcore_sym,
+        bfs_distances,
+        kcore_fixpoint,
+    )
+
+    edges = spark.createDataFrame(
+        # a chain forces multiple BFS rounds (one per hop)
+        [(i, i + 1) for i in range(8)] + [(0, 100), (100, 101)],
+        "u long, v long",
+    )
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    settled, src, rounds = bfs_distances(edges)
+    assert rounds >= 5 and settled.count() == 11 and src == 0
+    assert jsc.getPersistentRDDs().size() == base + 1  # settled only
+    from micmac_li3ds_spark.functions.iterate import (
+        unpersist_local_checkpoint,
+    )
+
+    unpersist_local_checkpoint(settled)
+    assert jsc.getPersistentRDDs().size() == base
+
+    core, k_rounds = kcore_fixpoint(edges, k=1)
+    assert core.count() > 0 and k_rounds >= 1
+    # final alive + sym (still read by the returned lazy plan)
+    assert jsc.getPersistentRDDs().size() <= base + 2
