@@ -232,6 +232,81 @@ def run_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint: str):
     )
 
 
+CLICKS_DLQ_SCHEMA = T.StructType(
+    [
+        T.StructField("click_id", T.LongType()),
+        T.StructField("page", T.StringType()),
+        T.StructField("ms", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def read_clicks_json_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """JSON-lines file stream in PERMISSIVE mode with the corrupt-record
+    channel — the streaming twin of q_scan_json's parse-audit posture
+    (round 14): a continuously-fed ingest directory never gets clean
+    files either, and FAILFAST would kill the long-running query on the
+    first bad line. One file per micro-batch mirrors a
+    file-notification ingest; all declared columns are materialized
+    downstream, so the parser's column pruning cannot mask corruption
+    (see q_scan_csv's PRUNING TRAP note)."""
+    return (
+        spark.readStream.schema(CLICKS_DLQ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+
+
+def run_dead_letter_split(
+    stream: DataFrame, clean_dir: str, dlq_dir: str, checkpoint: str
+):
+    """Dead-letter-queue ingest: each micro-batch splits into the CLEAN
+    table (typed rows, corrupt column dropped) and the DLQ table (the
+    raw offending line + batch id + ingest time — everything a replay
+    job needs after the parser or upstream producer is fixed). The
+    production contract for a 100-TB training-data feed: bad records
+    are never silently dropped (DROPMALFORMED), never kill the query
+    (FAILFAST), and never pollute the clean table with partially-parsed
+    fields — they land whole in the DLQ for triage.
+
+    Exactly-once without a transactional target: each batch writes to
+    its own ``batch=<id>`` subdirectory with mode=overwrite, so a batch
+    retried after a crash REPLACES its own previous partial output
+    instead of appending duplicates (the write-by-batch-id idempotency
+    pattern; Spark's checkpoint guarantees batch ids are stable across
+    restarts). Readers scan the directory tree as ordinary partitioned
+    parquet."""
+    corrupt = F.col("_corrupt_record").isNotNull()
+
+    def split(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            (
+                batch_df.filter(~corrupt)
+                .drop("_corrupt_record")
+                .write.mode("overwrite")
+                .parquet(f"{clean_dir}/batch={batch_id}")
+            )
+            (
+                batch_df.filter(corrupt)
+                .select(
+                    F.col("_corrupt_record").alias("raw_line"),
+                    F.lit(batch_id).alias("batch_id"),
+                    F.current_timestamp().alias("ingest_ts"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{dlq_dir}/batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return run_foreach_batch(stream, split, checkpoint)
+
+
 def tws_user_totals(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Per-user running totals on the Spark 4 ``transformWithStateInPandas``
     API — the successor to ``applyInPandasWithState`` (same semantics as

@@ -1057,3 +1057,74 @@ def test_session_window_exact_gap_boundary(spark):
         .collect()
     )
     assert [(r.u, r.n_sessions) for r in out] == [(1, 1), (2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Round 14: dead-letter-queue ingest — the streaming twin of the batch
+# corrupt-record channel (q_scan_json)
+# ---------------------------------------------------------------------------
+
+
+def test_dead_letter_split_routes_and_is_idempotent(spark, tmp_path):
+    """Three micro-batches (one file each) of dirty JSON lines: valid
+    rows land typed in the clean table, corrupt lines land RAW in the
+    DLQ with their batch id; totals account for every input line; and
+    re-running a batch function with the same batch id REPLACES its
+    output instead of duplicating it (the write-by-batch-id pattern)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    good = '{"click_id": %d, "page": "p%d", "ms": %d, "ok": true}'
+    bad = [
+        '{"click_id": 901, "page": "p1", "ms": "fast", "ok": true}',
+        '{"click_id": 902, "page": "p2"',
+        "not json",
+    ]
+    (src / "a.jsonl").write_text(
+        "\n".join([good % (1, 1, 10), bad[0], good % (2, 2, 20)]) + "\n"
+    )
+    (src / "b.jsonl").write_text(
+        "\n".join([bad[1], bad[2], good % (3, 3, 30)]) + "\n"
+    )
+    (src / "c.jsonl").write_text(good % (4, 4, 40) + "\n")
+
+    clean_dir = str(tmp_path / "clean")
+    dlq_dir = str(tmp_path / "dlq")
+    stream = jobs.read_clicks_json_stream(spark, str(src))
+    q = jobs.run_dead_letter_split(
+        stream, clean_dir, dlq_dir, str(tmp_path / "ckpt")
+    )
+    _drain(q)
+
+    clean = spark.read.parquet(clean_dir)
+    dlq = spark.read.parquet(dlq_dir)
+    assert {r["click_id"] for r in clean.collect()} == {1, 2, 3, 4}
+    assert "_corrupt_record" not in clean.columns
+    # every corrupt line preserved verbatim for replay
+    assert {r["raw_line"] for r in dlq.collect()} == set(bad)
+    assert clean.count() + dlq.count() == 7
+    # batch provenance: the DLQ rows carry the batch id of their file
+    assert dlq.select("batch_id").distinct().count() == 2
+
+    # idempotency: re-running one batch's writes with the same id must
+    # not duplicate rows (simulates a post-crash retry of a committed
+    # micro-batch)
+    corrupt = F.col("_corrupt_record").isNotNull()
+    replay = (
+        spark.read.schema(jobs.CLICKS_DLQ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(src / "a.jsonl"))
+    )
+    bid = (
+        spark.read.parquet(clean_dir)
+        .filter(F.col("click_id").isin(1, 2))
+        .select(F.expr("regexp_extract(input_file_name(), 'batch=(\\\\d+)', 1)"))
+        .distinct()
+        .collect()
+    )
+    assert len(bid) == 1
+    bno = int(bid[0][0])
+    replay.filter(~corrupt).drop("_corrupt_record").write.mode(
+        "overwrite"
+    ).parquet(f"{clean_dir}/batch={bno}")
+    assert spark.read.parquet(clean_dir).count() == 4  # unchanged
