@@ -21,6 +21,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from micmac_li3ds_spark.registry import register
 from micmac_li3ds_spark.tables import load
@@ -327,39 +333,78 @@ def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     registration, schema declaration, partition planning (4 splits →
     4 parallel tasks), and per-partition iteration. At scale a real
     implementation controls parallelism exactly like this —
-    ``partitions()`` returns one split per shard/file/offset-range."""
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceReader,
-        InputPartition,
-    )
-
-    class SeqReader(DataSourceReader):
-        def __init__(self, n_parts: int = 4, per_part: int = 25):
-            self.n_parts = n_parts
-            self.per_part = per_part
-
-        def partitions(self):
-            return [InputPartition(k) for k in range(self.n_parts)]
-
-        def read(self, partition):
-            lo = partition.value * self.per_part
-            for i in range(lo, lo + self.per_part):
-                yield (i, i * i + i % 7)
-
-    class SeqSource(DataSource):
-        @classmethod
-        def name(cls):
-            return "seq_demo"
-
-        def schema(self):
-            return "i bigint, v bigint"
-
-        def reader(self, schema):
-            return SeqReader()
-
+    ``partitions()`` returns one split per shard/file/offset-range.
+    Since round 14 the same source also exposes a STREAMING side
+    (simpleStreamReader — see SeqSource; harness-tested in
+    tests/test_streaming.py), so one registration serves both
+    spark.read and spark.readStream, the way production custom
+    sources ship."""
     spark.dataSource.register(SeqSource)
     return spark.read.format("seq_demo").load()
+
+
+def _seq_rows(lo: int, hi: int):
+    return iter([(i, i * i + i % 7) for i in range(lo, hi)])
+
+
+class _SeqReader(DataSourceReader):
+    def __init__(self, n_parts: int = 4, per_part: int = 25):
+        self.n_parts = n_parts
+        self.per_part = per_part
+
+    def partitions(self):
+        return [InputPartition(k) for k in range(self.n_parts)]
+
+    def read(self, partition):
+        lo = partition.value * self.per_part
+        return _seq_rows(lo, lo + self.per_part)
+
+
+class _SeqStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the demo source (round 14): the Spark 4
+    ``SimpleDataSourceStreamReader`` contract — driver-side reads with
+    engine-managed offsets. ``read(start)`` returns (rows, nextOffset)
+    and advances ``per_batch`` rows per micro-batch until ``max_rows``;
+    ``readBetweenOffsets(start, end)`` is the REPLAY path the engine
+    calls when recovering a batch after a crash — it must reproduce
+    exactly the rows the original read returned, which a deterministic
+    generator does by construction and the harness test pins. At scale
+    this simple (non-partitioned) form suits low-volume control feeds;
+    high-volume sources implement DataSourceStreamReader with
+    per-partition splits instead — same offset algebra, executor-side
+    reads."""
+
+    def __init__(self, per_batch: int = 20, max_rows: int = 100):
+        self.per_batch = per_batch
+        self.max_rows = max_rows
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        if pos >= self.max_rows:
+            return iter([]), start
+        end = min(pos + self.per_batch, self.max_rows)
+        return _seq_rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return _seq_rows(start["pos"], end["pos"])
+
+
+class SeqSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "seq_demo"
+
+    def schema(self):
+        return "i bigint, v bigint"
+
+    def reader(self, schema):
+        return _SeqReader()
+
+    def simpleStreamReader(self, schema):
+        return _SeqStreamReader()
 
 
 @register(

@@ -1128,3 +1128,68 @@ def test_dead_letter_split_routes_and_is_idempotent(spark, tmp_path):
         "overwrite"
     ).parquet(f"{clean_dir}/batch={bno}")
     assert spark.read.parquet(clean_dir).count() == 4  # unchanged
+
+
+# ---------------------------------------------------------------------------
+# Round 14: Python Data Source streaming side (SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+def test_python_datasource_stream_matches_batch_and_replays(spark):
+    """The demo custom source's STREAMING side must deliver, across
+    multiple engine-managed micro-batches, exactly the rows its batch
+    reader returns (stream ≡ batch for the same generator), and its
+    readBetweenOffsets replay path — what the engine calls when
+    recovering a committed batch after a crash — must reproduce the
+    original rows for any offset pair."""
+    import time
+
+    from micmac_li3ds_spark.operators.udfs import (
+        SeqSource,
+        _SeqStreamReader,
+    )
+
+    spark.dataSource.register(SeqSource)
+    q = (
+        spark.readStream.format("seq_demo")
+        .load()
+        .writeStream.format("memory")
+        .queryName("seq_stream14")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT count(*) FROM seq_stream14").collect()[0][0]
+                >= 100
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM seq_stream14").collect()
+    )
+    batch = sorted(
+        tuple(r) for r in spark.read.format("seq_demo").load().collect()
+    )
+    assert got == batch and len(got) == 100
+
+    # replay determinism: recovering any committed offset range yields
+    # exactly the rows the original read returned
+    r = _SeqStreamReader(per_batch=20, max_rows=100)
+    start = r.initialOffset()
+    seen = []
+    offsets = [start]
+    while True:
+        rows, nxt = r.read(offsets[-1])
+        rows = list(rows)
+        if not rows:
+            break
+        seen.append(rows)
+        offsets.append(nxt)
+    assert sum(len(x) for x in seen) == 100 and len(seen) == 5
+    for k in range(len(seen)):
+        assert list(r.readBetweenOffsets(offsets[k], offsets[k + 1])) == seen[k]
