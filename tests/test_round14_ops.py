@@ -465,3 +465,198 @@ def test_bfs_and_kcore_loops_do_not_accumulate_checkpoint_blocks(spark):
     assert core.count() > 0 and k_rounds >= 1
     # final alive + sym (still read by the returned lazy plan)
     assert jsc.getPersistentRDDs().size() <= base + 2
+
+
+# ---------------------------------------------------------------------------
+# Property test: the corrupt-channel engine parity holds for RANDOM dirty
+# inputs, not just the committed fixture — Spark's PERMISSIVE row rule
+# (all columns referenced) and DuckDB's MATERIALIZED ignore_errors must
+# classify identical row sets across the controlled corruption modes
+# ---------------------------------------------------------------------------
+
+
+_CSV_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+_CSV_CORRUPT_MODES = [
+    lambda i: f"{i},AUTOMOBILE,notanum,2023-01-01",  # bad double
+    lambda i: f"{i},BUILDING,1.5,not-a-date",        # bad date
+    lambda i: f"x{i},FURNITURE,2.5,2023-02-02",      # bad bigint
+    lambda i: f"{i},FURNITURE,--,2023-13-45",        # two bad fields
+]
+
+
+@st.composite
+def _dirty_csv_plans(draw):
+    n = draw(st.integers(2, 25))
+    rows = []
+    for i in range(n):
+        if draw(st.booleans()):
+            rows.append((True, _CSV_CORRUPT_MODES[
+                draw(st.integers(0, len(_CSV_CORRUPT_MODES) - 1))
+            ](i)))
+        else:
+            seg = draw(st.sampled_from(_CSV_SEGS))
+            bal = draw(st.integers(-400, 4000))
+            rows.append(
+                (False, f"{i},{seg},{bal / 100},2023-{1 + i % 12:02d}-15")
+            )
+    return rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_dirty_csv_plans())
+def test_corrupt_channel_engine_parity_on_random_csv(rows, tmp_path_factory, spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    p = tmp_path_factory.mktemp("dirty") / "r.csv"
+    p.write_text(
+        "acct_id,segment,balance,opened\n"
+        + "\n".join(r for _, r in rows)
+        + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("acct_id", T.LongType()),
+            T.StructField("segment", T.StringType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("opened", T.DateType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        # reference every declared column so pruning can't mask a mode
+        .select("acct_id", "segment", "balance", "opened", "_corrupt_record")
+        .collect()
+    )
+    spark_valid = sorted(
+        r["acct_id"] for r in df if r["_corrupt_record"] is None
+    )
+    spark_corrupt = sum(1 for r in df if r["_corrupt_record"] is not None)
+
+    con = duckdb.connect()
+    duck = con.execute(
+        f"""
+        WITH v AS MATERIALIZED (
+          SELECT * FROM read_csv('{p}',
+            columns = {{'acct_id': 'BIGINT', 'segment': 'VARCHAR',
+                        'balance': 'DOUBLE', 'opened': 'DATE'}},
+            header = true, ignore_errors = true)
+        )
+        SELECT list(acct_id ORDER BY acct_id) FROM v
+        """
+    ).fetchone()[0]
+    assert sorted(duck or []) == spark_valid
+    assert spark_corrupt == len(rows) - len(spark_valid)
+    # ground truth: the plan knows which rows it corrupted
+    assert spark_corrupt == sum(1 for bad, _ in rows if bad)
+
+
+_JSON_CORRUPT_MODES = [
+    lambda i: '{"click_id": %d, "page": "p1", "ms": "fast", "ok": true}' % i,
+    lambda i: '{"click_id": %d, "page": "p2", "ms": 3' % i,
+    lambda i: '{"click_id": %d, "page": "p3", "ms": 5, "ok": "maybe"}' % i,
+    lambda i: '{"click_id": "x%d", "page": "p4", "ms": 7, "ok": false}' % i,
+    lambda i: "garbage line %d" % i,
+]
+_JSON_VALID_MODES = [
+    lambda i, ms: '{"click_id": %d, "page": "p5", "ms": %d, "ok": true}' % (i, ms),
+    # explicit JSON null and a MISSING key are both valid (field null,
+    # row NOT corrupt) — the classification must not confuse null with
+    # untypeable
+    lambda i, ms: '{"click_id": %d, "page": "p6", "ms": null, "ok": false}' % i,
+    lambda i, ms: '{"click_id": %d, "page": "p7", "ok": true}' % i,
+]
+
+
+@st.composite
+def _dirty_json_plans(draw):
+    n = draw(st.integers(2, 25))
+    rows = []
+    for i in range(n):
+        if draw(st.booleans()):
+            rows.append((True, _JSON_CORRUPT_MODES[
+                draw(st.integers(0, len(_JSON_CORRUPT_MODES) - 1))
+            ](i)))
+        else:
+            rows.append((False, _JSON_VALID_MODES[
+                draw(st.integers(0, len(_JSON_VALID_MODES) - 1))
+            ](i, draw(st.integers(1, 5000)))))
+    return rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_dirty_json_plans())
+def test_corrupt_channel_engine_parity_on_random_json(rows, tmp_path_factory, spark):
+    """The q_scan_json oracle's raw-line classification (json_valid +
+    json_type, CASE-guarded) must agree with Spark's PERMISSIVE
+    row-level corrupt flag on random dirty feeds built from the
+    controlled corruption modes — including the null-vs-missing-vs-
+    untypeable distinction."""
+    import duckdb
+
+    from pyspark.sql import types as T
+
+    p = tmp_path_factory.mktemp("dirtyj") / "r.jsonl"
+    p.write_text("\n".join(r for _, r in rows) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("click_id", T.LongType()),
+            T.StructField("page", T.StringType()),
+            T.StructField("ms", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .select("click_id", "page", "ms", "ok", "_corrupt_record")
+        .collect()
+    )
+    spark_corrupt = sum(1 for r in df if r["_corrupt_record"] is not None)
+    spark_valid_ids = sorted(
+        r["click_id"] for r in df if r["_corrupt_record"] is None
+    )
+
+    con = duckdb.connect()
+    duck_valid, duck_corrupt = con.execute(
+        f"""
+        WITH lines AS (
+          SELECT line FROM (
+            SELECT unnest(string_split(content, chr(10))) AS line
+            FROM read_text('{p}')
+          ) WHERE line <> ''
+        ),
+        cls AS (
+          SELECT line,
+                 CASE WHEN NOT json_valid(line) THEN TRUE
+                      ELSE (json_extract(line, '$.click_id') IS NOT NULL AND
+                            json_type(json_extract(line, '$.click_id'))
+                              NOT IN ('BIGINT', 'UBIGINT', 'NULL'))
+                        OR (json_extract(line, '$.ms') IS NOT NULL AND
+                            json_type(json_extract(line, '$.ms'))
+                              NOT IN ('BIGINT', 'UBIGINT', 'NULL'))
+                        OR (json_extract(line, '$.ok') IS NOT NULL AND
+                            json_type(json_extract(line, '$.ok'))
+                              NOT IN ('BOOLEAN', 'NULL'))
+                 END AS corrupt
+          FROM lines
+        )
+        SELECT
+          (SELECT list(CAST(line ->> '$.click_id' AS BIGINT)
+                       ORDER BY CAST(line ->> '$.click_id' AS BIGINT))
+           FROM cls WHERE NOT corrupt),
+          (SELECT COUNT(*) FROM cls WHERE corrupt)
+        """
+    ).fetchone()
+    assert sorted(duck_valid or [], key=lambda x: (x is None, x)) == sorted(
+        spark_valid_ids, key=lambda x: (x is None, x)
+    )
+    assert duck_corrupt == spark_corrupt == sum(1 for bad, _ in rows if bad)
