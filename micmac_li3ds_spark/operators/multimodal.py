@@ -1996,7 +1996,10 @@ def _mp4_is_fragmented(payload: bytes) -> bool:
 
 
 def frame_sample_range(
-    spark: SparkSession, lo_ms: int, hi_ms: int
+    spark: SparkSession,
+    lo_ms: int,
+    hi_ms: int,
+    media: DataFrame | None = None,
 ) -> DataFrame:
     """USER-facing time-ranged keyframe sampler over the BMFF corpus —
     the operator the r13 sidx work exists for: "give me the keyframes
@@ -2012,7 +2015,11 @@ def frame_sample_range(
     the skipped fragments the seek never read). Same (media_id,
     frame_idx, frame_ts_ms, frame_sha) schema as q_mm_frame_sample's
     real branch; tests pin seek ≡ full-walk-then-filter on every
-    fixture row."""
+    fixture row. ``media`` (round 14) lets callers run the sampler
+    over their OWN corpus DataFrame — any (media_id, payload) frame,
+    e.g. a binaryFile scan of a lake prefix — instead of the fixture
+    loader; the default stays the fixture corpus the registry key
+    attests."""
     if lo_ms > hi_ms:
         raise ValueError(f"empty time range ({lo_ms} > {hi_ms})")
     schema = T.StructType(
@@ -2062,10 +2069,9 @@ def frame_sample_range(
                     k += 1
             yield pd.DataFrame(out)
 
-    return (
-        load_media_mp4(spark)
-        .select("media_id", "payload")
-        .mapInPandas(sample_range, schema)
+    src = media if media is not None else load_media_mp4(spark)
+    return src.select("media_id", "payload").mapInPandas(
+        sample_range, schema
     )
 
 

@@ -307,6 +307,43 @@ def run_dead_letter_split(
     return run_foreach_batch(stream, split, checkpoint)
 
 
+def replay_dead_letters(
+    spark: SparkSession, dlq_dir: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Second half of the DLQ contract: after the parser or the
+    upstream producer is fixed, re-parse the quarantined raw lines
+    against the (possibly amended) schema and split once more. Returns
+    (recovered, still_dead): recovered rows are typed and ready to
+    append to the clean table; still_dead keeps the raw line + its
+    original batch_id/ingest_ts provenance for the next triage round.
+    Distributed end-to-end — from_json is a JVM expression over the
+    DLQ scan, no driver-side loop; at 100 TB a replay is an ordinary
+    batch job over the DLQ directory tree."""
+    raw = spark.read.parquet(dlq_dir)
+    # from_json carries the SAME PERMISSIVE corrupt-record contract as
+    # the streaming JSON source (note: NOT struct-nullness — a
+    # malformed line parses to an all-NULL struct, not a NULL struct),
+    # so classification at replay time is bit-identical to what ingest
+    # would have decided under the amended schema
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col("raw_line"),
+            with_corrupt,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    ok = F.col("_parsed._corrupt").isNull()
+    recovered = parsed.filter(ok).select(
+        *[F.col(f"_parsed.{f.name}") for f in schema.fields]
+    )
+    still_dead = parsed.filter(~ok).drop("_parsed")
+    return recovered, still_dead
+
+
 def tws_user_totals(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Per-user running totals on the Spark 4 ``transformWithStateInPandas``
     API — the successor to ``applyInPandasWithState`` (same semantics as

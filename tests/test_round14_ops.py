@@ -187,6 +187,10 @@ def test_frame_sample_range_falls_back_on_stray_sidx_flat_file(
     monkeypatch.setattr(mm, "load_media_mp4", lambda s: df)
 
     rows = mm.frame_sample_range(spark, 0, 10_000).collect()
+    # the explicit-corpus parameter (round 14) must agree with the
+    # default-loader path byte for byte
+    explicit = mm.frame_sample_range(spark, 0, 10_000, media=df).collect()
+    assert sorted(map(tuple, explicit)) == sorted(map(tuple, rows))
     full = mm._mp4_sample_index(payload)
     hx = payload.hex().upper()
     exp = [

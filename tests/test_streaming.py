@@ -1193,3 +1193,53 @@ def test_python_datasource_stream_matches_batch_and_replays(spark):
     assert sum(len(x) for x in seen) == 100 and len(seen) == 5
     for k in range(len(seen)):
         assert list(r.readBetweenOffsets(offsets[k], offsets[k + 1])) == seen[k]
+
+
+def test_replay_dead_letters_recovers_after_schema_fix(spark, tmp_path):
+    """The DLQ's second half: raw quarantined lines re-parsed after a
+    fix. With the ORIGINAL schema the type-mismatched lines stay dead;
+    with an AMENDED schema (ms widened to string — 'the producer sends
+    free-text latencies now') those rows recover, while syntactically
+    broken lines stay dead forever. Provenance survives the round trip."""
+    from pyspark.sql import types as T
+
+    dlq = tmp_path / "dlq"
+    rows = [
+        ('{"click_id": 901, "page": "p1", "ms": "fast", "ok": true}', 0),
+        ('{"click_id": 902, "page": "p2"', 1),
+        ("not json", 1),
+        ('{"click_id": 903, "page": "p3", "ms": 5, "ok": "maybe"}', 2),
+    ]
+    spark.createDataFrame(
+        [(r, b) for r, b in rows], "raw_line string, batch_id long"
+    ).withColumn("ingest_ts", F.current_timestamp()).write.parquet(str(dlq))
+
+    orig = T.StructType(
+        [
+            T.StructField("click_id", T.LongType()),
+            T.StructField("page", T.StringType()),
+            T.StructField("ms", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    rec, dead = jobs.replay_dead_letters(spark, str(dlq), orig)
+    assert rec.count() == 0  # nothing recoverable without a fix
+    assert dead.count() == 4
+    assert set(dead.columns) == {"raw_line", "batch_id", "ingest_ts"}
+
+    fixed = T.StructType(
+        [
+            T.StructField("click_id", T.LongType()),
+            T.StructField("page", T.StringType()),
+            T.StructField("ms", T.StringType()),  # widened
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    rec2, dead2 = jobs.replay_dead_letters(spark, str(dlq), fixed)
+    got = {tuple(r) for r in rec2.collect()}
+    assert got == {(901, "p1", "fast", True)}
+    assert {r["raw_line"] for r in dead2.collect()} == {
+        rows[1][0],
+        rows[2][0],
+        rows[3][0],  # ok still untypeable
+    }
