@@ -421,7 +421,10 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(SCRATCH, "lineitem_orc")
     shutil.rmtree(out, ignore_errors=True)
     li = load(spark, sf_dir, "lineitem")
-    li.write.mode("overwrite").orc(out)
+    # zstd for ORC too (round 14, mirroring write_partitioned_parquet's
+    # default): same storage/scan-bandwidth trade, verified against the
+    # ORC footer in tests/test_round14_ops.py
+    li.write.mode("overwrite").option("compression", "zstd").orc(out)
     back = spark.read.orc(out).filter(F.col("l_quantity") >= 25.0)
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return back.groupBy("l_returnflag", "l_linestatus").agg(

@@ -43,6 +43,7 @@ def write_partitioned_parquet(
     compression: str = "zstd",
     zstd_level: Optional[int] = None,
     max_records_per_file: Optional[int] = None,
+    sort_within: Sequence[str] = (),
     mode: str = "overwrite",
 ) -> None:
     """Partitioned parquet sink with the two knobs a 100-TB layout
@@ -64,8 +65,25 @@ def write_partitioned_parquet(
       rolling to part-...-c001 etc; unlike AQE coalescing it also caps
       the LARGE side, not just merges the small one.
 
+    * ``sort_within`` — clusters rows on the given columns WITHIN each
+      task's output files (``sortWithinPartitions``, no extra shuffle:
+      a per-partition sort only). The payoff is row-group skipping on
+      the sorted columns: parquet keeps per-row-group min/max, and a
+      sorted layout makes those ranges disjoint, so a time- or
+      key-range query reads a few row groups instead of all of them —
+      the within-partition half of the layout story (partition pruning
+      handles the directory half; q_layout_zorder the multi-dim case).
+
     Layout contract unchanged from the bare writer: one directory per
     partition-column value, so downstream scans partition-prune."""
+    if sort_within:
+        # partition columns lead the sort: FileFormatWriter itself
+        # requires task rows ordered by the partition columns (to keep
+        # one open file at a time) and would insert its OWN — not
+        # necessarily stable — sort if the incoming order didn't
+        # satisfy that, destroying the clustering; leading with them
+        # satisfies the writer's requirement so exactly one sort runs
+        df = df.sortWithinPartitions(*partition_cols, *sort_within)
     w = df.write.mode(mode).option("compression", compression)
     if zstd_level is not None:
         if compression != "zstd":

@@ -664,3 +664,49 @@ def test_corrupt_channel_engine_parity_on_random_json(rows, tmp_path_factory, sp
         spark_valid_ids, key=lambda x: (x is None, x)
     )
     assert duck_corrupt == spark_corrupt == sum(1 for bad, _ in rows if bad)
+
+
+def test_sink_knobs_sort_within_and_orc_zstd(spark, tmp_path):
+    """sort_within clusters every output file on the sort columns (the
+    row-group-skipping layout; the writer's own partition-column sort
+    requirement is satisfied by leading with them, so clustering
+    survives file rolling), and the ORC sink really writes zstd (footer
+    check, not trust-the-option)."""
+    import glob
+    import os
+
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.scans import (
+        SCRATCH,
+        q_sink_orc_roundtrip,
+    )
+    from micmac_li3ds_spark.sources.sinks import write_partitioned_parquet
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "sorted")
+    write_partitioned_parquet(
+        df,
+        out,
+        ["o_orderstatus"],
+        sort_within=["o_orderdate"],
+        max_records_per_file=300,
+    )
+    files = glob.glob(out + "/**/*.parquet", recursive=True)
+    assert len(files) > 3  # rolling happened, clustering must survive it
+    for f in files:
+        col = pq.read_table(f, columns=["o_orderdate"]).to_pandas()[
+            "o_orderdate"
+        ]
+        assert col.is_monotonic_increasing, f
+
+    assert q_sink_orc_roundtrip(spark, "/root/testdata/sf0.001").count() > 0
+    orc_files = glob.glob(
+        os.path.join(SCRATCH, "lineitem_orc", "*.orc")
+    ) or glob.glob(os.path.join(SCRATCH, "lineitem_orc", "part-*"))
+    assert orc_files
+    assert po.ORCFile(orc_files[0]).compression.upper() == "ZSTD"
