@@ -298,73 +298,96 @@ _loaded = False
 #            semantic_dedup discipline says attest anyway). It cannot
 #            take an r14 slot: the window is exactly full at 46 forced
 #            + the kmeans ledger + 3 mandated discretionary items.
+#   round 15 (this window): sixth consolidation — 48 forced + 2 slots,
+#            exactly the r14-verdict ledger. The staleness invariant
+#            (max_round−4 with CORRECTNESS_r14 on disk) enumerates the
+#            48 r10-attested keys below (reports, agg tails, join/
+#            window heads, fn family, LLM heads, stream batch-twins,
+#            set-op heads, ETL, samplers, mm header/hash). Slot 1:
+#            the ledgered q_llm_dedup_keep_best — the only key whose
+#            driver hash (r11) trails its code (it calls
+#            q_llm_dedup_clusters, whose loop gained the r14 unpersist
+#            fix). Slot 2: q_scan_python_datasource — re-attested over
+#            the round-15 partitioned DataSourceStreamReader work (the
+#            demo source family gains SeqPartSource; the query now
+#            reads BOTH formats union-tagged, so the r15 hash covers
+#            the new source's batch side at birth).
+#            Round-16 slot ledger (r11 stratum = 47 forced, 3 free):
+#            slot 1 RESERVED for q_llm_semantic_dedup and slot 2 for
+#            q_er_resolve — apply functions/iterate.py's
+#            checkpoint-block freeing to analytics.cc_fixpoint in the
+#            SAME commit (deferred from r14 precisely because those
+#            two consumers' hashes — r13 and r12 — would otherwise
+#            trail the code; with both in the r16 window the fix and
+#            its fresh attestations land together). Slot 3 RESERVED
+#            for q_mm_tiff_decode — registered this round (r15) AFTER
+#            the window froze at 48 forced + 2 mandated slots, so per
+#            the round-6→7 precedent it takes its first driver row in
+#            r16 (locally check.py-green at sf0.01 at birth).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
-    # --- the 46 r9-attested keys forced by the staleness invariant
+    # --- the 48 r10-attested keys forced by the staleness invariant
     # (test_registry.py::test_window_contains_every_stale_attestation
-    # with CORRECTNESS_r13 on disk; enumeration order preserved) ---
-    "q_set_intersect",
-    "q_set_except",
-    "q_set_intersect_all",
-    "q_set_except_all",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_corr_agg",
-    "q_subquery_exists_range",
-    "q_udf_python",
-    "q_udf_pandas",
-    "q_udaf_pandas",
-    "q_udtf_applyinpandas",
-    "q_udtf_python",
-    "q_udf_cogrouped",
-    "q_udf_sql",
+    # with CORRECTNESS_r14 on disk; enumeration order preserved) ---
+    "q_pricing_summary",
+    "q_agg_grouping_sets",
+    "q_agg_pivot",
+    "q_agg_conditional",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_asof",
+    "q_join_self",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_moving",
+    "q_win_dedup_latest",
+    "q_fn_json",
+    "q_fn_variant",
+    "q_llm_exact_dedup",
+    "q_llm_tokenize_tf",
+    "q_llm_knn",
+    "q_llm_embed_dedup",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_large_volume_customer",
+    "q_event_funnel",
+    "q_etl_fk_check",
+    "q_llm_train_split",
+    "q_llm_seq_pack",
+    "q_etl_scd2",
+    "q_stream_tumbling",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_dedup_subset",
+    "q_udf_mapinpandas",
+    "q_event_retention",
+    "q_win_range_frame",
+    "q_agg_listagg",
+    "q_agg_boolean",
+    "q_agg_mode",
+    "q_join_lateral",
+    "q_fn_bitwise",
+    "q_fn_hash",
+    "q_fn_interval",
+    "q_llm_token_count",
+    "q_llm_fingerprint",
+    "q_etl_transfo_closure_cte",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_sample_stratified",
+    "q_mm_payload_hash",
+    "q_mm_header_parse",
+    # --- slot 1 (r14-verdict ledger, mandatory): the only
+    # hash-trails-code key — its r11 hash predates the r14 unpersist
+    # fix in the shared q_llm_dedup_clusters loop it calls ---
+    "q_llm_dedup_keep_best",
+    # --- slot 2 (r14 verdict item 3): re-attested over the round-15
+    # partitioned DataSourceStreamReader — the query now registers and
+    # reads BOTH demo formats (seq_demo + seq_demo_part) union-tagged,
+    # so the new source's shared batch path is driver-hashed at birth ---
     "q_scan_python_datasource",
-    "q_scan_parquet",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_sink_parquet_partitioned",
-    "q_sink_orc_roundtrip",
-    "q_scan_binaryfile",
-    "q_topk_global",
-    "q_llm_knn_ivf",
-    "q_llm_knn_batch",
-    "q_llm_hard_negatives",
-    "q_llm_embed_quant",
-    "q_llm_lm_score",
-    "q_priority_linestatus",
-    "q_order_count_distribution",
-    "q_small_qty_revenue",
-    "q_disjunctive_revenue",
-    "q_idle_customer_balance",
-    "q_win_nth_value",
-    "q_etl_sessionize",
-    "q_etl_snapshot_diff",
-    "q_sample_weighted",
-    "q_join_skew_salted",
-    "q_join_null_safe",
-    "q_graph_triangles",
-    "q_graph_cc",
-    "q_graph_sssp",
-    "q_agg_heavy_hitters",
-    "q_graph_kcore",
-    "q_layout_bucketed_join",
-    "q_layout_partition_pruning",
-    # --- the ledgered slot (r12+r13 verdicts, mandatory):
-    # kmeans fixpoint migrated this round onto the measured
-    # assign-then-rejoin spelling (SCALE.md §20) — birth attestation ---
-    "q_llm_kmeans_fix",
-    # --- 3 discretionary slots (r13 verdict items 2/4 + ADVICE r13):
-    # q_mm_frame_sample_range — NEW key this round (sidx-seek path
-    # oracled against generation-time fragment bookkeeping);
-    # q_mm_feature_extract — last hash-trails-code key (r11 hash,
-    # r12 odd-PCM guard); q_llm_dedup_clusters — ADVICE r13 fix
-    # (unpersist superseded localCheckpoint frames in the CC loop)
-    # touches its code this round, so it re-attests at birth ---
-    "q_mm_frame_sample_range",
-    "q_mm_feature_extract",
-    "q_llm_dedup_clusters",
 ]
 
 
