@@ -1355,20 +1355,28 @@ def _mp4_fragmented_index(
         sidx_ts, refs = sidx
         lo_ms, hi_ms = time_range_ms
         for roff, rsize, rt, rdur in refs:
-            # exact tick-unit window intersection (ADVICE r13 #1): the
-            # earlier floored-ms spelling `(rt + rdur) * 1000 //
-            # sidx_ts <= lo_ms` skipped a fragment whose LAST tick
-            # (rt + rdur - 1) still floors to lo_ms whenever
-            # sidx_ts > 1000 — silently dropping an in-range keyframe
-            # the full walk returns. Skip only when the fragment's last
-            # tick floors strictly below lo_ms, or its first tick
-            # floors strictly above hi_ms — both spelled as exact
-            # integer comparisons with no intermediate floor:
-            #   floor(rt·1000/ts) > hi  ⇔  rt·1000 ≥ (hi+1)·ts
-            #   floor((rt+rdur−1)·1000/ts) < lo  ⇔  (rt+rdur−1)·1000 < lo·ts
+            # exact tick-unit window intersection (ADVICE r13 #1 +
+            # r14 #1): the original floored-ms spelling `(rt + rdur) *
+            # 1000 // sidx_ts <= lo_ms` skipped a fragment whose LAST
+            # tick still floors to lo_ms whenever sidx_ts > 1000; the
+            # r14 last-tick spelling `(rt + rdur - 1) * 1000 < lo·ts`
+            # fixed that but still assumed samples sit ON sidx ticks —
+            # §8.16.3 lets the sidx carry its OWN (possibly coarser)
+            # timescale than the track, and a sample presented strictly
+            # BETWEEN ticks rt+rdur−1 and rt+rdur can floor into the
+            # window while the last-tick test rejects the fragment.
+            # Timescale-agnostic bounds: the fragment spans real
+            # presentation time [rt/ts, (rt+rdur)/ts) seconds, so
+            #   every sample ms-floors > hi  ⇐  rt·1000 ≥ (hi+1)·ts
+            #   every sample ms-floors < lo  ⇐  (rt+rdur)·1000 ≤ lo·ts
+            # (exclusive end: x < lo with integer lo ⟹ floor(x) < lo).
+            # When timescales match this keeps at most one extra
+            # fragment vs the last-tick test — harmless, the per-sample
+            # pts filter downstream discards its samples; when they
+            # differ it never drops a covering fragment.
             if (
                 rt * 1000 >= (hi_ms + 1) * sidx_ts
-                or (rt + rdur - 1) * 1000 < lo_ms * sidx_ts
+                or (rt + rdur) * 1000 <= lo_ms * sidx_ts
             ):
                 continue
             first = True

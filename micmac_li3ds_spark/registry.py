@@ -312,9 +312,10 @@ _loaded = False
 #            demo source family gains SeqPartSource; the query now
 #            reads BOTH formats union-tagged, so the r15 hash covers
 #            the new source's batch side at birth).
-#            Round-16 slot ledger (r11 stratum = 47 forced, 3 free):
-#            slot 1 RESERVED for q_llm_semantic_dedup and slot 2 for
-#            q_er_resolve — apply functions/iterate.py's
+#            Round-16 slot ledger (r11 stratum = 46 forced after this
+#            round re-attests the r11-stratum q_llm_dedup_keep_best,
+#            so 4 free): slot 1 RESERVED for q_llm_semantic_dedup and
+#            slot 2 for q_er_resolve — apply functions/iterate.py's
 #            checkpoint-block freeing to analytics.cc_fixpoint in the
 #            SAME commit (deferred from r14 precisely because those
 #            two consumers' hashes — r13 and r12 — would otherwise
@@ -323,7 +324,15 @@ _loaded = False
 #            for q_mm_tiff_decode — registered this round (r15) AFTER
 #            the window froze at 48 forced + 2 mandated slots, so per
 #            the round-6→7 precedent it takes its first driver row in
-#            r16 (locally check.py-green at sf0.01 at birth).
+#            r16 (locally check.py-green at sf0.01 at birth). Slot 4
+#            RESERVED for q_mm_frame_sample_range — the ADVICE r14 #1
+#            exclusive-end sidx lower bound lands this round under its
+#            r14 hash; the change is result-invariant on matching
+#            timescales (the new predicate keeps a SUPERSET of
+#            fragments and the per-sample pts filter discards the
+#            extras — re-asserted by test_round15_ops and a 3/3
+#            check.py pass on the mm keys), but the attest-anyway
+#            discipline applies.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50

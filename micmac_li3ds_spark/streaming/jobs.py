@@ -324,19 +324,35 @@ def replay_dead_letters(
     # the streaming JSON source (note: NOT struct-nullness — a
     # malformed line parses to an all-NULL struct, not a NULL struct),
     # so classification at replay time is bit-identical to what ingest
-    # would have decided under the amended schema
+    # would have decided under the amended schema.
+    # ADVICE r14 #2: the corrupt-record column must not collide with a
+    # field the AMENDED schema already declares (a producer is free to
+    # ship a real `_corrupt` JSON field) — from_json would then route
+    # that field's data into the classification column and misclassify
+    # every such row. Grow underscores until the name is free.
+    corrupt_col = "_corrupt"
+    declared = {f.name for f in schema.fields}
+    while corrupt_col in declared:
+        corrupt_col += "_"
     with_corrupt = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
     parsed = raw.withColumn(
         "_parsed",
         F.from_json(
             F.col("raw_line"),
             with_corrupt,
-            {"columnNameOfCorruptRecord": "_corrupt"},
+            {"columnNameOfCorruptRecord": corrupt_col},
         ),
     )
-    ok = F.col("_parsed._corrupt").isNull()
+    # ADVICE r14 #2 (second half): from_json(NULL) returns a NULL
+    # struct, so `corrupt IS NULL` alone would classify a NULL raw
+    # line as recovered and append an all-NULL row to the clean table;
+    # a NULL line is not recoverable by any schema amendment — it
+    # stays dead with its provenance
+    ok = F.col("raw_line").isNotNull() & F.col(
+        f"_parsed.{corrupt_col}"
+    ).isNull()
     recovered = parsed.filter(ok).select(
         *[F.col(f"_parsed.{f.name}") for f in schema.fields]
     )

@@ -1313,6 +1313,7 @@ def _mp4_encode_fragmented(
     sidx: bool = False,
     v1_times: bool = False,
     styp: bool = False,
+    sidx_timescale: int | None = None,
 ):
     """Fragmented MP4 (CMAF/DASH shape — what a streaming lake
     actually stores): ftyp + moov(mvhd + mvex/trex + empty-stbl trak)
@@ -1680,18 +1681,32 @@ def _mp4_encode_fragmented(
         assert all(d >= 0 for d in frag_dur), (
             "sidx needs non-decreasing fragment EPTs"
         )
+        # §8.16.3 lets the sidx carry its OWN timescale, typically
+        # coarser than the track's (r14 ADVICE #1's corner: a sample
+        # presented BETWEEN sidx ticks). Times in the box are sidx
+        # ticks; the conversion from track ticks must be exact here —
+        # a generator that silently floors would bake the walker's
+        # bug class into the oracle bookkeeping.
+        s_ts = sidx_timescale if sidx_timescale is not None else timescale
+
+        def _to_sidx_units(u: int) -> int:
+            assert (u * s_ts) % timescale == 0, (
+                "sidx fixture times must be exact in the sidx timescale"
+            )
+            return u * s_ts // timescale
+
         refs = b""
         for off, size, ept_u, dur_u in frag_ranges:
             refs += (
                 size.to_bytes(4, "big")
-                + dur_u.to_bytes(4, "big")
+                + _to_sidx_units(dur_u).to_bytes(4, "big")
                 + (0x90000000).to_bytes(4, "big")
             )
         sidx_box = _full(
             b"sidx",
             track_id.to_bytes(4, "big")
-            + timescale.to_bytes(4, "big")
-            + frag_ept[0].to_bytes(4, "big")
+            + s_ts.to_bytes(4, "big")
+            + _to_sidx_units(frag_ept[0]).to_bytes(4, "big")
             + (0).to_bytes(4, "big")
             + (0).to_bytes(2, "big")
             + n_frags.to_bytes(2, "big")
