@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -318,9 +319,9 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scan_python_datasource",
     oracle="""
-SELECT i,
-       i * i + i % 7 AS v
-FROM range(0, 100) t(i)
+SELECT 'seq' AS src, i, i * i + i % 7 AS v FROM range(0, 100) t(i)
+UNION ALL
+SELECT 'seq_part' AS src, i, i * i + i % 7 AS v FROM range(0, 100) t(i)
 """,
     tags=("scan", "datasource"),
 )
@@ -334,13 +335,27 @@ def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 parallel tasks), and per-partition iteration. At scale a real
     implementation controls parallelism exactly like this —
     ``partitions()`` returns one split per shard/file/offset-range.
-    Since round 14 the same source also exposes a STREAMING side
-    (simpleStreamReader — see SeqSource; harness-tested in
-    tests/test_streaming.py), so one registration serves both
+    Since round 14 the source family also exposes a STREAMING side —
+    the Simple (driver-side) reader on seq_demo, and since round 15
+    the partitioned executor-side DataSourceStreamReader on
+    seq_demo_part (see SeqPartSource; both harness-tested in
+    tests/test_streaming.py) — so one registration serves both
     spark.read and spark.readStream, the way production custom
-    sources ship."""
+    sources ship. The query reads BOTH registered formats
+    source-tagged, so the driver value hash covers the partitioned
+    source's (inherited) batch path at birth."""
     spark.dataSource.register(SeqSource)
-    return spark.read.format("seq_demo").load()
+    spark.dataSource.register(SeqPartSource)
+    return (
+        spark.read.format("seq_demo")
+        .load()
+        .select(F.lit("seq").alias("src"), "i", "v")
+        .unionByName(
+            spark.read.format("seq_demo_part")
+            .load()
+            .select(F.lit("seq_part").alias("src"), "i", "v")
+        )
+    )
 
 
 def _seq_rows(lo: int, hi: int):
@@ -372,7 +387,8 @@ class _SeqStreamReader(SimpleDataSourceStreamReader):
     this simple (non-partitioned) form suits low-volume control feeds;
     high-volume sources implement DataSourceStreamReader with
     per-partition splits instead — same offset algebra, executor-side
-    reads."""
+    reads — which _SeqPartStreamReader below does for the same
+    generator (round 15)."""
 
     def __init__(self, per_batch: int = 20, max_rows: int = 100):
         self.per_batch = per_batch
@@ -392,6 +408,65 @@ class _SeqStreamReader(SimpleDataSourceStreamReader):
         return _seq_rows(start["pos"], end["pos"])
 
 
+class _SeqPartStreamReader(DataSourceStreamReader):
+    """Partitioned streaming side (round 15) — the full Spark 4
+    ``DataSourceStreamReader`` contract the r14 docstring below calls
+    the high-volume shape. Unlike the Simple form (driver-side reads,
+    engine-prefetched), here the DRIVER only does offset algebra —
+    ``latestOffset`` advances an availability watermark, ``partitions
+    (start, end)`` splits the micro-batch's offset range into
+    ``n_parts`` contiguous sub-ranges — and the actual ``read`` of each
+    split runs ON EXECUTORS, one task per split, exactly how a Kafka/
+    Kinesis-class source scales reads across a 1000-executor cluster.
+
+    Replay exactness is structural, not stateful: ``partitions`` is a
+    pure function of (start, end) and ``read`` a pure function of its
+    split, so when the engine recovers a write-ahead-logged batch after
+    a crash it replans the SAME splits and re-reads the SAME rows — no
+    readBetweenOffsets analogue is needed in this contract. The
+    harness pins both properties (tests/test_streaming.py): engine-run
+    stream ≡ batch-reader rows, and per-offset-pair replan/re-read
+    determinism across every committed offset pair.
+
+    ``commit(end)`` is where a real source releases upstream resources
+    (acknowledge a queue, advance a retention cursor); the generator
+    has none, so it inherits the no-op default."""
+
+    def __init__(
+        self, n_parts: int = 4, per_batch: int = 20, max_rows: int = 100
+    ):
+        self.n_parts = n_parts
+        self.per_batch = per_batch
+        self.max_rows = max_rows
+        self._available = 0  # driver-side availability watermark
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # one per_batch tranche becomes available per trigger until
+        # the generator is exhausted — a real source would ask the
+        # external system instead of a counter
+        self._available = min(
+            self._available + self.per_batch, self.max_rows
+        )
+        return {"pos": self._available}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        if lo >= hi:  # start == end: the engine plans an empty batch
+            return []
+        step = -(-(hi - lo) // self.n_parts)  # ceil → n_parts splits
+        return [
+            InputPartition((s, min(s + step, hi)))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        return _seq_rows(lo, hi)
+
+
 class SeqSource(DataSource):
     @classmethod
     def name(cls):
@@ -405,6 +480,24 @@ class SeqSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _SeqStreamReader()
+
+
+class SeqPartSource(SeqSource):
+    """The same generator under the PARTITIONED streaming contract —
+    batch reader and schema are inherited (one source family, two
+    streaming shapes, the way a production custom source graduates
+    from the Simple driver-side form to executor-side splits without
+    touching its batch path). ``streamReader`` takes precedence over
+    the inherited ``simpleStreamReader`` (pyspark's
+    datasource_internal._streamReader falls back to the Simple form
+    only when streamReader raises NOT_IMPLEMENTED)."""
+
+    @classmethod
+    def name(cls):
+        return "seq_demo_part"
+
+    def streamReader(self, schema):
+        return _SeqPartStreamReader()
 
 
 @register(

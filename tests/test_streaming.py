@@ -1243,3 +1243,98 @@ def test_replay_dead_letters_recovers_after_schema_fix(spark, tmp_path):
         rows[2][0],
         rows[3][0],  # ok still untypeable
     }
+
+
+# ---------------------------------------------------------------------------
+# Round 15: partitioned Python Data Source streaming (DataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+def test_python_datasource_partitioned_stream_matches_batch(spark):
+    """The PARTITIONED streaming contract (executor-side reads, one
+    task per split) must deliver, across engine-managed micro-batches,
+    exactly the rows the inherited batch reader returns — the same
+    stream ≡ batch pin the Simple form got in round 14. streamReader
+    takes precedence over the inherited simpleStreamReader, so this
+    exercises the executor-side path, not the driver-side one."""
+    import time
+
+    from micmac_li3ds_spark.operators.udfs import SeqPartSource
+
+    spark.dataSource.register(SeqPartSource)
+    q = (
+        spark.readStream.format("seq_demo_part")
+        .load()
+        .writeStream.format("memory")
+        .queryName("seq_part_stream15")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if (
+                spark.sql(
+                    "SELECT count(*) FROM seq_part_stream15"
+                ).collect()[0][0]
+                >= 100
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM seq_part_stream15").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("seq_demo_part").load().collect()
+    )
+    assert got == batch and len(got) == 100
+
+
+def test_python_datasource_partitioned_replay_is_deterministic():
+    """Replay exactness for the partitioned contract is structural:
+    partitions(start, end) is a pure function of the offset pair and
+    read(split) a pure function of its split, so recovering any
+    write-ahead-logged batch replans the SAME splits and re-reads the
+    SAME rows. Drive the reader like the engine does — initialOffset,
+    a latestOffset per trigger, partitions + read per pair — then
+    replan/re-read every committed pair on a FRESH reader instance
+    (the post-crash state) and demand identity. Also pins the split
+    algebra: ≤ n_parts contiguous disjoint ranges covering [lo, hi)."""
+    from micmac_li3ds_spark.operators.udfs import _SeqPartStreamReader
+
+    r = _SeqPartStreamReader(n_parts=4, per_batch=20, max_rows=100)
+    offsets = [r.initialOffset()]
+    per_batch_rows = []
+    while True:
+        end = r.latestOffset()
+        if end == offsets[-1]:
+            break
+        splits = r.partitions(offsets[-1], end)
+        assert 1 <= len(splits) <= 4
+        bounds = [s.value for s in splits]
+        # contiguous disjoint cover of [start, end)
+        assert bounds[0][0] == offsets[-1]["pos"]
+        assert bounds[-1][1] == end["pos"]
+        assert all(
+            bounds[k][1] == bounds[k + 1][0] for k in range(len(bounds) - 1)
+        )
+        rows = [row for s in splits for row in r.read(s)]
+        per_batch_rows.append(rows)
+        r.commit(end)
+        offsets.append(end)
+    assert sum(len(b) for b in per_batch_rows) == 100
+    assert len(per_batch_rows) == 5
+    assert r.partitions(offsets[-1], offsets[-1]) == []  # empty batch
+
+    fresh = _SeqPartStreamReader(n_parts=4, per_batch=20, max_rows=100)
+    for k in range(len(per_batch_rows)):
+        replay = [
+            row
+            for s in fresh.partitions(offsets[k], offsets[k + 1])
+            for row in fresh.read(s)
+        ]
+        assert replay == per_batch_rows[k]
