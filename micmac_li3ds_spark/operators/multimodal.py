@@ -78,6 +78,9 @@ MEDIA_MP4_PARQUET = os.path.join(
 MEDIA_AIFF_PARQUET = os.path.join(
     _REPO, "fixtures", "parquet", "media_aiff.parquet"
 )
+MEDIA_TIFF_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_tiff.parquet"
+)
 
 
 def load_media(spark: SparkSession) -> DataFrame:
@@ -2195,4 +2198,284 @@ def q_mm_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hdr_f1",
         "hdr_f2",
         consistent.alias("metadata_consistent"),
+    )
+
+
+# --------------------------------------------------- TIFF (round 15)
+
+
+def load_media_tiff(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_TIFF_PARQUET)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits DECOMPRESSOR (TIFF 6.0 §9) — the inverse of the
+    generator's independent compressor (tools/gen_fixtures.py
+    _packbits_encode; the two meet at the fixture's raw bytes, the
+    GIF/LZW posture). Control byte n as signed: 0..127 copies n+1
+    literal bytes, -1..-127 repeats the next byte 1-n times, -128 is
+    a NO-OP (a decoder that treats it as a repeat desynchronizes —
+    the fixtures inject them). Strict on malformed input: a literal
+    or repeat that runs past the compressed bytes, producing more
+    than ``expected`` output, or leaving trailing compressed garbage
+    all raise — at 100 TB a silent desync is corrupt training data,
+    not a warning."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        if len(out) >= expected:
+            raise ValueError(
+                "PackBits stream continues past the expected output size"
+            )
+        c = data[i]
+        i += 1
+        if c == 0x80:  # -128: no-op
+            continue
+        if c < 0x80:
+            cnt = c + 1
+            if i + cnt > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + cnt]
+            i += cnt
+        else:
+            cnt = 257 - c
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += data[i : i + 1] * cnt
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits output size mismatch: got {len(out)}, "
+            f"expected {expected}"
+        )
+    return bytes(out)
+
+
+def _tiff_ifd(payload: bytes, en: str):
+    """Walk the first IFD: returns {tag: list[int]} for numeric
+    (SHORT/LONG) entries, skipping ASCII and other types. Inline
+    values (total ≤ 4 bytes) are read from the 4-byte value field in
+    the FILE's byte order (left-justified — the classic gotcha an
+    MM-file decoder gets wrong); larger values follow the 4-byte
+    offset, bounds-checked."""
+    import struct
+
+    (ifd_off,) = struct.unpack_from(en + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset past payload end")
+    (n_entries,) = struct.unpack_from(en + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    sizes = {3: 2, 4: 4}
+    fmts = {3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(en + "HHI", payload, e)
+        if typ not in sizes:
+            continue  # ASCII/RATIONAL/...: not needed for baseline RGB
+        total = sizes[typ] * count
+        if total <= 4:
+            off = e + 8
+        else:
+            (off,) = struct.unpack_from(en + "I", payload, e + 8)
+            if off + total > len(payload):
+                raise ValueError(
+                    f"TIFF tag {tag} value range past payload end"
+                )
+        tags[tag] = list(
+            struct.unpack_from(en + fmts[typ] * count, payload, off)
+        )
+    return tags
+
+
+def _decode_tiff(payload: bytes, mime: str) -> list[float]:
+    """REAL decoder #7, zero new deps: baseline TIFF 6.0, 8-bit RGB
+    chunky, strip-organized, uncompressed (1) or PackBits (32773),
+    BOTH byte orders. The IFD walk reads ImageWidth/Length,
+    BitsPerSample, Compression, Photometric, StripOffsets,
+    SamplesPerPixel, RowsPerStrip (spec default: all rows in one
+    strip when absent), StripByteCounts; each strip is bounds-checked,
+    size-validated against its row count, PackBits-decoded where
+    compressed, and the concatenated pixels emit the shared strip-mean
+    contract (_strip_means) the BMP/PPM/PNG/GIF decoders use — so the
+    oracle replays it with the same exact-integer arithmetic. Raises
+    on anything outside the profile it really decodes: tiled layouts
+    (TileWidth/TileLength), planar configuration 2, predictors,
+    palettes, other bit depths or compressions — at 100 TB a decoder
+    that guesses is corrupt training data."""
+    import numpy as np
+
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    order = payload[:2]
+    if order == b"II":
+        en = "<"
+    elif order == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    import struct
+
+    (magic,) = struct.unpack_from(en + "H", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    tags = _tiff_ifd(payload, en)
+
+    def one(tag: int, default: "int | None" = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        vals = tags[tag]
+        if len(vals) != 1:
+            raise ValueError(f"TIFF tag {tag} must have one value")
+        return vals[0]
+
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported (strip profile only)")
+    w, h = one(256), one(257)
+    comp = one(259, default=1)
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if one(262) != 2 or one(277, default=1) != 3:
+        raise ValueError("only chunky 8-bit RGB TIFF supported")
+    if tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only 8-bit-per-sample TIFF supported")
+    if one(284, default=1) != 1 or one(317, default=1) != 1:
+        raise ValueError("planar or predictor TIFF unsupported")
+    if h <= 0 or w < _FEAT_DIM:
+        raise ValueError(
+            f"TIFF width >= {_FEAT_DIM} and positive height required "
+            f"(got w={w} h={h})"
+        )
+    rps = one(278, default=h)  # spec default: one strip of all rows
+    rps = min(rps, h)
+    n_strips = -(-h // rps)
+    soffs = tags.get(273)
+    scnts = tags.get(279)
+    if soffs is None or scnts is None:
+        raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+    if not (len(soffs) == len(scnts) == n_strips):
+        raise ValueError(
+            f"TIFF strip bookkeeping mismatch: {len(soffs)} offsets, "
+            f"{len(scnts)} counts, {n_strips} strips for h={h} rps={rps}"
+        )
+    px = bytearray()
+    for s, (off, cnt) in enumerate(zip(soffs, scnts)):
+        if off + cnt > len(payload):
+            raise ValueError(f"TIFF strip {s} range past payload end")
+        rows = min(rps, h - s * rps)
+        expected = rows * w * 3
+        blob = payload[off : off + cnt]
+        if comp == 1:
+            if cnt != expected:
+                raise ValueError(
+                    f"TIFF uncompressed strip {s} size {cnt} != "
+                    f"expected {expected}"
+                )
+            px += blob
+        else:
+            px += _packbits_decode(blob, expected)
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, 3)
+    col_sums = arr.sum(axis=2, dtype=np.int64).sum(axis=0)
+    return _strip_means(col_sums, w, h)
+
+
+def _tiff_feature_oracle() -> str:
+    """Two branches, one per compression. Uncompressed rows are
+    re-decoded BYTE-FOR-BYTE from hex(payload) at the generation-time
+    strip_offsets/rows_per_strip coordinates (the WAV posture — the
+    oracle never trusts the walker); PackBits rows are recomputed from
+    the generation-time raw_px ground truth (the PNG/GIF posture —
+    SQL cannot run-length-decode; encoder and decoder are independent
+    spec implementations meeting at those bytes)."""
+    byte = (
+        "CAST('0x' || substring(hx, (soff[r // rps + 1]"
+        " + ((r % rps) * w + x) * 3 + {d}) * 2 + 1, 2) AS INTEGER)"
+    )
+    rgb = " + ".join(byte.format(d=d) for d in range(3))
+    cols = ",\n       ".join(
+        f"MAX(CASE WHEN strip = {i} THEN CAST(s AS DOUBLE) / (768.0 * npix)"
+        f" END) AS f{i}"
+        for i in range(_FEAT_DIM)
+    )
+    raw_byte = (
+        "CAST('0x' || substring(hx, ((r * w + x) * 3 + {d}) * 2 + 1,"
+        " 2) AS INTEGER)"
+    )
+    raw_rgb = " + ".join(raw_byte.format(d=d) for d in range(3))
+    return f"""
+WITH u_src AS (
+  SELECT media_id, mime, hex(payload) AS hx, width AS w, height AS h,
+         CAST(rows_per_strip AS BIGINT) AS rps, strip_offsets AS soff
+  FROM read_parquet('{MEDIA_TIFF_PARQUET}') WHERE compression = 1
+),
+u_xs AS (
+  SELECT media_id, mime, hx, h, w, rps, soff,
+         CAST(unnest(range(0, w)) AS BIGINT) AS x
+  FROM u_src
+),
+u_px AS (
+  SELECT media_id, mime, hx, w, rps, soff, x,
+         (x * {_FEAT_DIM}) // w AS strip,
+         CAST(unnest(range(0, h)) AS BIGINT) AS r
+  FROM u_xs
+),
+u_sums AS (
+  SELECT media_id, mime, strip, SUM({rgb}) AS s, COUNT(*) AS npix
+  FROM u_px GROUP BY media_id, mime, strip
+),
+p_src AS (
+  SELECT media_id, mime, hex(raw_px) AS hx, width AS w, height AS h
+  FROM read_parquet('{MEDIA_TIFF_PARQUET}') WHERE compression = 32773
+),
+p_xs AS (
+  SELECT media_id, mime, hx, h, w,
+         CAST(unnest(range(0, w)) AS BIGINT) AS x
+  FROM p_src
+),
+p_px AS (
+  SELECT media_id, mime, hx, w, x, (x * {_FEAT_DIM}) // w AS strip,
+         CAST(unnest(range(0, h)) AS BIGINT) AS r
+  FROM p_xs
+),
+p_sums AS (
+  SELECT media_id, mime, strip, SUM({raw_rgb}) AS s, COUNT(*) AS npix
+  FROM p_px GROUP BY media_id, mime, strip
+)
+SELECT media_id, mime, {cols},
+       'tiff-strips-v1' AS decoder
+FROM u_sums GROUP BY media_id, mime
+UNION ALL
+SELECT media_id, mime, {cols},
+       'tiff-strips-v1' AS decoder
+FROM p_sums GROUP BY media_id, mime
+"""
+
+
+@register(
+    "q_mm_tiff_decode",
+    oracle=_tiff_feature_oracle(),
+    tags=("multimodal", "mapinpandas"),
+)
+def q_mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the baseline-TIFF fixture corpus —
+    round 15's lossless-decoder extension (r14 verdict item 6): the
+    seventh real zero-dep decoder, and the first whose compression
+    (PackBits) is implemented on BOTH sides as independent spec
+    implementations — the generator compresses per TIFF 6.0 §9
+    (per-row restart, max-length runs, -128 no-op injection), the
+    decoder here inverts it, and the DuckDB oracle recomputes the
+    strip means from independent bytes (uncompressed rows:
+    byte-for-byte payload re-decode at generation-time strip
+    coordinates; PackBits rows: the raw_px ground truth). Runs the
+    SAME Arrow-batched mapInPandas plumbing and strip-mean feature
+    contract as q_mm_feature_extract, over both byte orders,
+    multi-strip layouts, non-minimal file layouts, and a
+    RowsPerStrip-defaulted row."""
+    return feature_extract(
+        load_media_tiff(spark),
+        decode=_decode_tiff,
+        decoder_name="tiff-strips-v1",
     )

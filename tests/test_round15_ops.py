@@ -175,3 +175,236 @@ def test_replay_dead_letters_null_raw_line_stays_dead(spark, tmp_path):
     assert [tuple(r) for r in recovered.collect()] == [(7,)]
     dead = still_dead.collect()
     assert len(dead) == 1 and dead[0]["raw_line"] is None
+
+
+# ---------------------------------------------------------------------------
+# Round 15: baseline TIFF decoder (q_mm_tiff_decode)
+# ---------------------------------------------------------------------------
+
+
+def _strip_means_ref(raw: bytes, w: int, h: int) -> list[float]:
+    """Reference strip means computed straight from raw RGB bytes —
+    pure-python, independent of both the decoder's numpy path and the
+    oracle's SQL."""
+    from micmac_li3ds_spark.operators.multimodal import _FEAT_DIM
+
+    sums = [0] * _FEAT_DIM
+    npix = [0] * _FEAT_DIM
+    for x in range(w):
+        s = (x * _FEAT_DIM) // w
+        npix[s] += h
+        for r in range(h):
+            o = (r * w + x) * 3
+            sums[s] += raw[o] + raw[o + 1] + raw[o + 2]
+    return [sums[i] / (768.0 * npix[i]) for i in range(_FEAT_DIM)]
+
+
+def test_tiff_decoder_matches_generation_ground_truth_all_fixtures():
+    """Every committed media_tiff row — both compressions, both byte
+    orders, multi-strip, padded layouts, RowsPerStrip-defaulted —
+    decodes to exactly the strip means of its generation-time raw_px."""
+    import pyarrow.parquet as pq
+
+    from micmac_li3ds_spark.operators.multimodal import (
+        MEDIA_TIFF_PARQUET,
+        _decode_tiff,
+    )
+
+    t = pq.read_table(MEDIA_TIFF_PARQUET).to_pylist()
+    assert len(t) == 12
+    assert {r["compression"] for r in t} == {1, 32773}
+    for row in t:
+        got = _decode_tiff(bytes(row["payload"]), row["mime"])
+        want = _strip_means_ref(
+            bytes(row["raw_px"]), row["width"], row["height"]
+        )
+        assert got == want, f"media_id {row['media_id']}"
+
+
+def test_packbits_roundtrip_properties():
+    """Encoder/decoder are independent implementations; meet at the
+    bytes. Includes max-length runs (128 literals, 128 repeats) and
+    injected -128 no-ops."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from micmac_li3ds_spark.operators.multimodal import _packbits_decode
+    from tests.test_round11_ops import _genfix
+
+    gf = _genfix()
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=600),
+        noop=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def inner(data, noop, seed):
+        enc = gf._packbits_encode(
+            data, random.Random(seed) if noop else None
+        )
+        assert _packbits_decode(enc, len(data)) == data
+
+    inner()
+    # deterministic maxima: 200 equal bytes → two repeat runs; 200
+    # distinct-ish bytes → two literal runs
+    for data in [b"\x55" * 200, bytes(range(200))]:
+        assert _packbits_decode(gf._packbits_encode(data), 200) == data
+
+
+def test_tiff_encode_decode_roundtrip_property():
+    """Random geometry/layout plans through the generator must decode
+    to the reference strip means — both byte orders, strip counts from
+    1 to h, both compressions, pad bytes, no-op injection."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from micmac_li3ds_spark.operators.multimodal import _decode_tiff
+    from tests.test_round11_ops import _genfix
+
+    gf = _genfix()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(8, 40),
+        h=st.integers(1, 12),
+        rps=st.one_of(st.none(), st.integers(1, 15)),
+        comp=st.sampled_from([1, 32773]),
+        big=st.booleans(),
+        pad=st.integers(0, 7),
+        sw=st.booleans(),
+        runny=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def inner(w, h, rps, comp, big, pad, sw, runny, seed):
+        rng = random.Random(seed)
+        if runny:
+            raw = bytearray()
+            while len(raw) < 3 * w * h:
+                raw += bytes([rng.randint(0, 255)]) * rng.choice(
+                    [1, 3, 50, 128, 140]
+                )
+            raw = bytes(raw[: 3 * w * h])
+        else:
+            raw = bytes(rng.randint(0, 255) for _ in range(3 * w * h))
+        payload, _, _ = gf._tiff_encode(
+            raw, w, h, rows_per_strip=rps, compression=comp,
+            big_endian=big, pad=pad, software_tag=sw,
+            noop_rng=rng if comp == 32773 and runny else None,
+        )
+        assert _decode_tiff(payload, "image/tiff") == _strip_means_ref(
+            raw, w, h
+        )
+
+    inner()
+
+
+def _tiff_payload(**kw):
+    import random
+
+    from tests.test_round11_ops import _genfix
+
+    gf = _genfix()
+    rng = random.Random(4242)
+    w, h = kw.pop("w", 10), kw.pop("h", 4)
+    raw = bytes(rng.randint(0, 255) for _ in range(3 * w * h))
+    args = dict(rows_per_strip=2, compression=1)
+    args.update(kw)
+    payload, soffs, scnts = gf._tiff_encode(raw, w, h, **args)
+    return payload
+
+
+def _patch_tag(payload: bytes, tag: int, *, value=None, typ=None):
+    """Independent IFD re-walk for test mutation: find ``tag`` and
+    overwrite its inline value (or type), honoring the file's byte
+    order. Does NOT share code with the decoder under test."""
+    import struct
+
+    en = "<" if payload[:2] == b"II" else ">"
+    (ifd,) = struct.unpack_from(en + "I", payload, 4)
+    (n,) = struct.unpack_from(en + "H", payload, ifd)
+    buf = bytearray(payload)
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        t, ty, cnt = struct.unpack_from(en + "HHI", payload, e)
+        if t != tag:
+            continue
+        if typ is not None:
+            struct.pack_into(en + "H", buf, e + 2, typ)
+        if value is not None:
+            fmt = {3: "H", 4: "I"}[ty]
+            struct.pack_into(en + fmt, buf, e + 8, value)
+        return bytes(buf)
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_tiff_decoder_rejects_malformed_inputs():
+    """The BMFF walk's malformed-input rigor, for TIFF: every
+    structural lie raises a named ValueError instead of desyncing or
+    silently mis-decoding."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _decode_tiff,
+        _packbits_decode,
+    )
+
+    good = _tiff_payload()
+    assert isinstance(_decode_tiff(good, "image/tiff"), list)
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _decode_tiff(b"XX" + good[2:], "image/tiff")
+    with pytest.raises(ValueError, match="magic"):
+        _decode_tiff(good[:2] + b"\x2b\x00" + good[4:], "image/tiff")
+    with pytest.raises(ValueError, match="truncated TIFF header"):
+        _decode_tiff(good[:6], "image/tiff")
+    with pytest.raises(ValueError, match="IFD offset past"):
+        _decode_tiff(
+            good[:4] + len(good).to_bytes(4, "little") + good[8:],
+            "image/tiff",
+        )
+    with pytest.raises(ValueError, match="unsupported TIFF compression"):
+        _decode_tiff(_patch_tag(good, 259, value=5), "image/tiff")
+    with pytest.raises(ValueError, match="chunky 8-bit RGB"):
+        _decode_tiff(_patch_tag(good, 262, value=1), "image/tiff")
+    # multi-strip: StripOffsets live in the EXTERNAL value area, so a
+    # lying pointer is caught at the IFD walk
+    with pytest.raises(ValueError, match="value range past payload end"):
+        _decode_tiff(
+            _patch_tag(good, 273, value=len(good) - 3), "image/tiff"
+        )
+    # single-strip: StripOffsets is inline — a lying offset is caught
+    # at the strip bounds check
+    one = _tiff_payload(rows_per_strip=100)
+    with pytest.raises(ValueError, match="strip .* past payload end"):
+        _decode_tiff(
+            _patch_tag(one, 273, value=len(one) - 3), "image/tiff"
+        )
+    # single-strip file lying about its byte count
+    with pytest.raises(ValueError, match="size .* != "):
+        _decode_tiff(_patch_tag(one, 279, value=7), "image/tiff")
+    # strip bookkeeping mismatch: claim more strips than offsets exist
+    with pytest.raises(ValueError, match="bookkeeping mismatch"):
+        _decode_tiff(_patch_tag(one, 278, value=1), "image/tiff")
+    # tiled layouts are a named rejection (can't ADD a tag by patching;
+    # overwrite an existing entry's TAG NUMBER with TileWidth instead)
+    import struct
+
+    en_ifd = struct.unpack_from("<I", good, 4)[0]
+    buf = bytearray(good)
+    struct.pack_into("<H", buf, en_ifd + 2, 322)
+    with pytest.raises(ValueError, match="tiled TIFF"):
+        _decode_tiff(bytes(buf), "image/tiff")
+
+    # PackBits stream malformations
+    with pytest.raises(ValueError, match="truncated PackBits literal"):
+        _packbits_decode(b"\x05\x01\x02", 6)
+    with pytest.raises(ValueError, match="truncated PackBits repeat"):
+        _packbits_decode(b"\xfe", 3)
+    with pytest.raises(ValueError, match="output size mismatch"):
+        _packbits_decode(b"\x00\x41", 2)  # underrun
+    with pytest.raises(ValueError, match="continues past"):
+        _packbits_decode(b"\x00\x41\x00\x42", 1)  # trailing garbage
+    assert _packbits_decode(b"\x80\xff\x41", 2) == b"AA"  # no-op skipped

@@ -933,6 +933,100 @@ def main() -> None:
         pa.Table.from_pylist(aiff_rows, schema=wav_schema),
         os.path.join(PQ_DIR, "media_aiff.parquet"),
     )
+    # --- REAL-format media fixture #8: baseline TIFF, 8-bit RGB,
+    # strip-organized (round 15 — the verdict's lossless-decoder
+    # extension). Uncompressed (compression 1) and PackBits (32773)
+    # variants; the PackBits COMPRESSOR lives here, independently
+    # implemented from TIFF 6.0 §9 (literal/repeat runs split at 128,
+    # per-ROW restart as the spec requires, optional -128 no-op
+    # controls injected), while the decoder in multimodal.py runs the
+    # inverse — the GIF/LZW two-independent-implementations posture.
+    # Layout knobs exercise what real writers emit: both byte orders
+    # (II and MM — inline IFD values are left-justified in the FILE's
+    # byte order, the classic decoder gotcha), multi-strip images with
+    # varying RowsPerStrip (1, tiny, exact, > height), pad bytes
+    # before the strip data (non-minimal layouts), an ASCII Software
+    # tag to be skipped, and a missing RowsPerStrip on one row (spec
+    # default: all rows in one strip). ``strip_offsets``/
+    # ``strip_bytecounts``/``raw_px`` are recorded at GENERATION time:
+    # the oracle re-decodes UNCOMPRESSED payloads byte-for-byte from
+    # those independent coordinates (the WAV posture) and recomputes
+    # PackBits rows from raw_px (the PNG/GIF posture — SQL cannot
+    # run-length-decode).
+    rngT = random.Random(151515)
+    tiff_rows = []
+    plans = [
+        # (w, h, rows_per_strip|None, compression, big_endian,
+        #  pad, software_tag, noop, runny)
+        (8, 5, 2, 1, False, 0, False, False, False),
+        (11, 4, 1, 1, True, 0, True, False, False),
+        (16, 7, 7, 32773, False, 0, False, False, False),
+        (23, 3, 2, 32773, True, 6, False, True, True),
+        (32, 9, 4, 1, False, 3, True, False, False),
+        (40, 6, 100, 32773, False, 0, False, False, True),
+        (9, 12, 5, 1, True, 0, False, False, False),
+        (13, 2, None, 1, False, 0, True, False, False),
+        (17, 11, 3, 32773, True, 0, True, True, False),
+        (25, 8, 8, 32773, False, 2, False, False, True),
+        (33, 1, 1, 32773, True, 0, False, True, True),
+        (48, 10, 6, 1, True, 5, False, False, False),
+    ]
+    for i, (w, h, rps, comp, big, pad, sw, noop, runny) in enumerate(plans):
+        if runny:
+            # flat segments so PackBits repeat runs (incl. length-128
+            # maxima) actually occur; pure-random bytes almost never run
+            raw = bytearray()
+            while len(raw) < 3 * w * h:
+                raw += bytes([rngT.randint(0, 255)]) * rngT.choice(
+                    [1, 2, 3, 7, 40, 128, 140]
+                )
+            raw = bytes(raw[: 3 * w * h])
+        else:
+            raw = bytes(rngT.randint(0, 255) for _ in range(3 * w * h))
+        payload, soffs, scnts = _tiff_encode(
+            raw,
+            w,
+            h,
+            rows_per_strip=rps,
+            compression=comp,
+            big_endian=big,
+            pad=pad,
+            software_tag=sw,
+            noop_rng=rngT if noop else None,
+        )
+        tiff_rows.append(
+            {
+                "media_id": 8000 + i,
+                "mime": "image/tiff",
+                "payload": payload,
+                "width": w,
+                "height": h,
+                "raw_px": raw,
+                "compression": comp,
+                "rows_per_strip": rps if rps is not None else h,
+                "strip_offsets": soffs,
+                "strip_bytecounts": scnts,
+            }
+        )
+    tiff_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("raw_px", pa.binary()),
+            ("compression", pa.int32()),
+            ("rows_per_strip", pa.int32()),
+            ("strip_offsets", pa.list_(pa.int64())),
+            ("strip_bytecounts", pa.list_(pa.int64())),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(tiff_rows, schema=tiff_schema),
+        os.path.join(PQ_DIR, "media_tiff.parquet"),
+    )
+
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
 
 
@@ -1867,6 +1961,142 @@ def _png_encode(
         + b"".join(chunk(b"IDAT", p) for p in parts)
         + chunk(b"IEND", b"")
     )
+
+
+def _packbits_encode(
+    row: bytes, noop_rng: "random.Random | None" = None
+) -> bytes:
+    """Real PackBits COMPRESSOR for ONE pixel row (TIFF 6.0 §9 says
+    rows are compressed separately — runs never cross row boundaries;
+    the per-strip caller concatenates row streams). Control byte n as
+    signed: 0..127 → copy n+1 literal bytes; -1..-127 → repeat the
+    next byte 1-n times; -128 → no-op. Repeat runs are taken at
+    length ≥ 2 and capped at 128; literal runs break before a length-3
+    repeat and cap at 128 (so both maximum-length controls occur in
+    the fixtures). ``noop_rng`` sprinkles -128 no-op controls between
+    runs — a decoder that treats -128 as a repeat desynchronizes.
+    Independent of the decoder in multimodal.py; the two meet at the
+    fixture's raw bytes."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        if noop_rng is not None and noop_rng.random() < 0.15:
+            out.append(0x80)
+        j = i + 1
+        while j < n and row[j] == row[i] and j - i < 128:
+            j += 1
+        if j - i >= 2:
+            out.append((257 - (j - i)) & 0xFF)
+            out.append(row[i])
+            i = j
+        else:
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += row[i:j]
+            i = j
+    return bytes(out)
+
+
+def _tiff_encode(
+    raw: bytes,
+    w: int,
+    h: int,
+    rows_per_strip: "int | None",
+    compression: int,
+    big_endian: bool = False,
+    pad: int = 0,
+    software_tag: bool = False,
+    noop_rng: "random.Random | None" = None,
+):
+    """Baseline TIFF 6.0, 8-bit RGB chunky, strip-organized — built
+    from the public spec, independent of the walker in multimodal.py.
+    Layout: 8-byte header | ``pad`` junk bytes | strip data | IFD |
+    external value area (BitsPerSample triple, multi-strip offset/
+    count arrays, optional Software ASCII). IFD entries are emitted in
+    ascending tag order as the spec requires; inline values (≤ 4
+    bytes) are left-justified in the file's byte order.
+    ``rows_per_strip=None`` omits tag 278 entirely (spec default: all
+    rows in one strip). Returns (payload, strip_offsets,
+    strip_byte_counts) recorded from the generator's own layout
+    arithmetic — the oracle's independent coordinates."""
+    import struct
+
+    en = ">" if big_endian else "<"
+    rps = rows_per_strip if rows_per_strip is not None else h
+    n_strips = -(-h // rps)
+    strips = []
+    for s in range(n_strips):
+        rows = range(s * rps, min(h, (s + 1) * rps))
+        if compression == 32773:
+            data = b"".join(
+                _packbits_encode(raw[r * w * 3 : (r + 1) * w * 3], noop_rng)
+                for r in rows
+            )
+        else:
+            assert compression == 1
+            data = raw[rows[0] * w * 3 : (rows[-1] + 1) * w * 3]
+        strips.append(data)
+
+    pos = 8 + pad
+    soffs, scnts = [], []
+    for sdata in strips:
+        soffs.append(pos)
+        scnts.append(len(sdata))
+        pos += len(sdata)
+    ifd_off = pos
+
+    entries = []  # (tag, type, count, packed-or-deferred value)
+    TYPE_FMT = {3: "H", 4: "I"}
+    TYPE_SIZE = {2: 1, 3: 2, 4: 4}
+
+    def num_entry(tag, typ, values):
+        b = b"".join(
+            struct.pack(en + TYPE_FMT[typ], v) for v in values
+        )
+        entries.append((tag, typ, len(values), b))
+
+    num_entry(256, 4, [w])
+    num_entry(257, 4, [h])
+    num_entry(258, 3, [8, 8, 8])  # 6 bytes → external
+    num_entry(259, 3, [compression])
+    num_entry(262, 3, [2])  # RGB
+    num_entry(273, 4, soffs)
+    num_entry(277, 3, [3])
+    if rows_per_strip is not None:
+        num_entry(278, 4, [rps])
+    num_entry(279, 4, scnts)
+    if software_tag:
+        entries.append((305, 2, 8, b"genfix\x00\x00"))  # ASCII, external
+    entries.sort()
+
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = struct.pack(en + "H", len(entries))
+    ext = b""
+    for tag, typ, count, vb in entries:
+        ifd += struct.pack(en + "HHI", tag, typ, count)
+        if len(vb) <= 4:
+            ifd += vb + b"\x00" * (4 - len(vb))  # inline, left-justified
+        else:
+            ifd += struct.pack(en + "I", ext_off + len(ext))
+            ext += vb
+    ifd += struct.pack(en + "I", 0)  # no next IFD
+
+    payload = (
+        struct.pack(en + "2sH", b"MM" if big_endian else b"II", 42)
+        + struct.pack(en + "I", ifd_off)
+        + bytes(pad)
+        + b"".join(strips)
+        + ifd
+        + ext
+    )
+    assert payload[ifd_off : ifd_off + 2] == struct.pack(
+        en + "H", len(entries)
+    )
+    return payload, soffs, scnts
 
 
 if __name__ == "__main__":
