@@ -768,3 +768,138 @@ def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def run_streaming_near_dedup(
+    stream: DataFrame,
+    shingle_dir: str,
+    bands_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    bucket_cap: int = 4096,
+):
+    """Incremental MinHash/LSH near-dedup of a continuously-fed corpus
+    (r14 verdict item 7) — the streaming twin of q_llm_near_dedup,
+    completing the DLQ-ingest posture: a 100-TB training-data feed
+    dedups AGAINST EVERYTHING ALREADY SEEN as batches arrive, not in a
+    nightly all-corpus rebuild.
+
+    Shares the batch pipeline's EXACT components (tokens → 3-token
+    shingles → minhash_band_keys → lsh_candidate_pairs → exact-Jaccard
+    verify at the same threshold), so streaming ≡ batch is a theorem
+    about bookkeeping, not a reimplementation's luck — and the harness
+    pins it (multi-batch feed vs q_llm_near_dedup's pipeline on the
+    union).
+
+    Per micro-batch, under foreachBatch:
+
+    1. the batch's (doc_id, shingles) and (doc_id, band_key) rows land
+       in ``shingle_dir``/``bands_dir`` under ``batch=<id>`` with
+       mode=overwrite — the write-by-batch-id idempotency pattern (a
+       replayed batch REPLACES its own previous output; the harness
+       re-runs a checkpoint-cleared feed and demands an identical pair
+       set).
+    2. candidates come from the ACCUMULATED band state restricted to
+       band keys the new batch touches (a semi-join — band keys are
+       per-doc deterministic, so any old-old pair sharing a bucket was
+       already a candidate when the younger doc arrived; only pairs
+       with ≥1 new side are kept, making each pair's emission
+       unique-by-construction for distinct doc_ids).
+    3. exact Jaccard verification joins shingles from the accumulated
+       corpus state; pairs ≥ threshold append to
+       ``pairs_dir``/``batch=<id>``.
+
+    Scale posture, inherited: no all-pairs join anywhere — the wide
+    ops are one groupBy(band_key) over the TOUCHED buckets (not the
+    full state), one distinct, and the verification joins on candidate
+    ids only. ``bucket_cap`` is at-arrival semantics: a bucket's pairs
+    are dropped only once the accumulated bucket exceeds the cap;
+    pairs emitted while it was small stay emitted (streams cannot
+    retract) — the batch twin matches exactly whenever no bucket
+    crosses the cap mid-feed, which the harness corpus asserts.
+    Re-fed doc_ids are idempotent in state (collect_set in the bucket
+    expansion) and can re-emit their pairs; ``read_near_dedup_pairs``
+    reads the pair log distinct for exactly that reason."""
+    from micmac_li3ds_spark.operators.llm_text import (
+        jaccard,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+        shingles,
+        tokens,
+    )
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = (
+            batch_df.filter(F.size(tokens("text")) >= 3)
+            .select("doc_id", shingles(tokens("text")).alias("sh"))
+            .persist()
+        )
+        try:
+            d.write.mode("overwrite").parquet(
+                f"{shingle_dir}/batch={batch_id}"
+            )
+            minhash_band_keys(d).write.mode("overwrite").parquet(
+                f"{bands_dir}/batch={batch_id}"
+            )
+
+            all_bands = spark.read.parquet(bands_dir)
+            new_ids = d.select("doc_id")
+            hot_keys = (
+                spark.read.parquet(f"{bands_dir}/batch={batch_id}")
+                .select("band_key")
+                .distinct()
+            )
+            touched = all_bands.join(hot_keys, "band_key", "left_semi")
+            pairs = lsh_candidate_pairs(touched, bucket_cap)
+            na = new_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
+                "a_new", F.lit(True)
+            )
+            nb = new_ids.select(F.col("doc_id").alias("doc_b")).withColumn(
+                "b_new", F.lit(True)
+            )
+            fresh = (
+                pairs.join(na, "doc_a", "left")
+                .join(nb, "doc_b", "left")
+                .filter(
+                    F.col("a_new").isNotNull() | F.col("b_new").isNotNull()
+                )
+                .select("doc_a", "doc_b")
+            )
+
+            corpus = spark.read.parquet(shingle_dir)
+            sa = corpus.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            )
+            sb = corpus.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            )
+            (
+                fresh.join(sa, "doc_a")
+                .join(sb, "doc_b")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.round(
+                        jaccard(F.col("sh_a"), F.col("sh_b")), 6
+                    ).alias("jac"),
+                )
+                .filter(F.col("jac") >= threshold)
+                .write.mode("overwrite")
+                .parquet(f"{pairs_dir}/batch={batch_id}")
+            )
+        finally:
+            d.unpersist()
+
+    return run_foreach_batch(stream, dedup_batch, checkpoint)
+
+
+def read_near_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """The emitted near-duplicate pair log, distinct: a doc_id re-fed
+    in a later batch legitimately re-emits its pairs (same jac by
+    determinism), and a pair of same-batch duplicates is emitted once
+    — distinct on the full row collapses both."""
+    return spark.read.parquet(pairs_dir).select(
+        "doc_a", "doc_b", "jac"
+    ).distinct()

@@ -1338,3 +1338,153 @@ def test_python_datasource_partitioned_replay_is_deterministic():
             for row in fresh.read(s)
         ]
         assert replay == per_batch_rows[k]
+
+
+# ---------------------------------------------------------------------------
+# Round 15: streaming near-dedup (incremental MinHash/LSH, r14 verdict item 7)
+# ---------------------------------------------------------------------------
+
+
+def _near_dedup_dirs(tmp_path):
+    return {
+        "shingle_dir": str(tmp_path / "shingles"),
+        "bands_dir": str(tmp_path / "bands"),
+        "pairs_dir": str(tmp_path / "pairs"),
+    }
+
+
+def test_streaming_near_dedup_matches_batch_pipeline(spark, tmp_path, sf_dir):
+    """Batch-twin equality: feed the documents corpus as THREE
+    micro-batches and demand the union of emitted pairs equals
+    q_llm_near_dedup's pairs on the full corpus — same shingles, same
+    band keys, same bucket expansion, same exact-Jaccard threshold, so
+    equality pins the incremental BOOKKEEPING (state accumulation,
+    touched-bucket restriction, ≥1-new-side filter), not a parallel
+    reimplementation. Then two replay shapes: (a) re-running the SAME
+    checkpoint with no new files is a no-op; (b) a fresh checkpoint
+    over the same feed and surviving state dirs re-derives the
+    identical pair set (write-by-batch-id overwrite + set-level
+    emission idempotence)."""
+    import os
+
+    from micmac_li3ds_spark.operators.llm_text import q_llm_near_dedup
+    from micmac_li3ds_spark.streaming import jobs
+    from micmac_li3ds_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for k in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(feed / f"b{k}.parquet"))
+    # flatten: the file-stream source wants files under one dir
+    feed_dir = tmp_path / "feed_flat"
+    feed_dir.mkdir()
+    n = 0
+    for k in range(3):
+        for f in sorted(os.listdir(feed / f"b{k}.parquet")):
+            if f.endswith(".parquet"):
+                os.link(feed / f"b{k}.parquet" / f, feed_dir / f"{k}_{f}")
+                n += 1
+    assert n == 3
+
+    dirs = _near_dedup_dirs(tmp_path)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed_dir))
+    )
+    q = jobs.run_streaming_near_dedup(
+        stream, checkpoint=str(tmp_path / "ckpt"), **dirs
+    )
+    q.awaitTermination(300)
+
+    # three micro-batches really happened, each with its own pair log
+    batches = sorted(
+        d for d in os.listdir(dirs["pairs_dir"]) if d.startswith("batch=")
+    )
+    assert len(batches) == 3
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in jobs.read_near_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in q_llm_near_dedup(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # (a) same checkpoint, no new files: a no-op, pair set unchanged
+    q2 = jobs.run_streaming_near_dedup(
+        stream, checkpoint=str(tmp_path / "ckpt"), **dirs
+    )
+    q2.awaitTermination(300)
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in jobs.read_near_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert got2 == want
+
+    # (b) fresh checkpoint over the same feed + surviving state dirs:
+    # every batch replays, overwrites its own subdirectories, and the
+    # distinct pair set is bit-identical
+    q3 = jobs.run_streaming_near_dedup(
+        stream, checkpoint=str(tmp_path / "ckpt2"), **dirs
+    )
+    q3.awaitTermination(300)
+    got3 = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in jobs.read_near_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert got3 == want
+
+
+def test_streaming_near_dedup_cross_batch_pairs_found(spark, tmp_path):
+    """The incremental property in isolation: two docs that are
+    near-duplicates of each other arriving in DIFFERENT micro-batches
+    must pair when the second arrives — plus a third batch containing
+    an unrelated doc emits nothing new."""
+    import os
+
+    from micmac_li3ds_spark.streaming import jobs
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy dog again and again!"
+    c = "completely unrelated text about spark shuffle partitions here"
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    for k, (did, txt) in enumerate([(1, a), (2, b), (3, c)]):
+        spark.createDataFrame(
+            [(did, txt)], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tmp{k}")
+        )
+        src = [
+            f
+            for f in os.listdir(tmp_path / f"tmp{k}")
+            if f.endswith(".parquet")
+        ][0]
+        os.link(tmp_path / f"tmp{k}" / src, feed_dir / f"{k}.parquet")
+
+    dirs = _near_dedup_dirs(tmp_path)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed_dir))
+    )
+    q = jobs.run_streaming_near_dedup(
+        stream, checkpoint=str(tmp_path / "ckpt"), **dirs
+    )
+    q.awaitTermination(300)
+
+    pairs = jobs.read_near_dedup_pairs(spark, dirs["pairs_dir"]).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jac"] >= 0.5
