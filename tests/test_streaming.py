@@ -1304,7 +1304,10 @@ def test_python_datasource_partitioned_replay_is_deterministic():
     replan/re-read every committed pair on a FRESH reader instance
     (the post-crash state) and demand identity. Also pins the split
     algebra: ≤ n_parts contiguous disjoint ranges covering [lo, hi)."""
-    from micmac_li3ds_spark.operators.udfs import _SeqPartStreamReader
+    from micmac_li3ds_spark.operators.udfs import (
+        _SeqPartStreamReader,
+        _seq_rows as _seq_rows_ref,
+    )
 
     r = _SeqPartStreamReader(n_parts=4, per_batch=20, max_rows=100)
     offsets = [r.initialOffset()]
@@ -1338,6 +1341,25 @@ def test_python_datasource_partitioned_replay_is_deterministic():
             for row in fresh.read(s)
         ]
         assert replay == per_batch_rows[k]
+
+    # uneven geometry: per_batch not divisible by n_parts, final batch
+    # short — the ceil split must still cover exactly and never emit
+    # an empty split
+    r7 = _SeqPartStreamReader(n_parts=3, per_batch=7, max_rows=20)
+    start = r7.initialOffset()
+    seen = []
+    while True:
+        end = r7.latestOffset()
+        if end == start:
+            break
+        splits = r7.partitions(start, end)
+        sizes = [s.value[1] - s.value[0] for s in splits]
+        assert all(sz > 0 for sz in sizes) and sum(sizes) == (
+            end["pos"] - start["pos"]
+        )
+        seen += [row for s in splits for row in r7.read(s)]
+        start = end
+    assert seen == list(_seq_rows_ref(0, 20))
 
 
 # ---------------------------------------------------------------------------
