@@ -336,6 +336,17 @@ _loaded = False
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
+
+# Keys registered AFTER their round's window froze arithmetic-full, with
+# the round being built when they were registered. The birth-attestation
+# invariant (test_registry.py::test_window_contains_every_never_attested_
+# query) grants exactly ONE round of grace — once CORRECTNESS_r<round>
+# lands, the test fails until the key takes a window slot (mirroring the
+# staleness forcing function, which cannot see never-attested keys).
+# q_mm_tiff_decode: registered r15 after 48 forced + 2 mandated slots
+# filled the window; r16 slot 3 is reserved for it (ledger above).
+POST_FREEZE_LEDGER: dict[str, int] = {"q_mm_tiff_decode": 15}
+
 _PRIORITY: list[str] = [
     # --- the 48 r10-attested keys forced by the staleness invariant
     # (test_registry.py::test_window_contains_every_stale_attestation

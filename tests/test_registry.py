@@ -193,10 +193,24 @@ def test_window_contains_every_never_attested_query():
     """Birth-round attestation, mechanized: a registered query with NO
     driver CORRECTNESS row yet must occupy a window slot — this is the
     invariant whose absence let six round-8 additions silently drop
-    out of the window when a killed shell ate the list edits."""
-    latest, _ = _latest_attestations()
+    out of the window when a killed shell ate the list edits.
+
+    One mechanized exception (round 15, codifying the round-6→7
+    precedent): a key registered AFTER its round's window froze
+    arithmetic-full may sit out exactly ONE round, by declaring itself
+    in registry.POST_FREEZE_LEDGER with the round being built. The
+    grace expires the moment that round's CORRECTNESS file lands —
+    from then on this test fails until the key takes a window slot,
+    the same forcing-function shape as the staleness test below
+    (never-attested keys never enter ``latest``, so that test can
+    never force them; this one must)."""
+    latest, max_round = _latest_attestations()
     missing = [
-        n for n in R.registry() if n not in latest and n not in R._PRIORITY
+        n
+        for n in R.registry()
+        if n not in latest
+        and n not in R._PRIORITY
+        and R.POST_FREEZE_LEDGER.get(n) != max_round + 1
     ]
     assert not missing, f"never-attested queries outside the window: {missing}"
 
