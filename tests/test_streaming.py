@@ -1510,3 +1510,50 @@ def test_streaming_near_dedup_cross_batch_pairs_found(spark, tmp_path):
     pairs = jobs.read_near_dedup_pairs(spark, dirs["pairs_dir"]).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["jac"] >= 0.5
+
+
+def test_streaming_near_dedup_survives_ineligible_batch(spark, tmp_path):
+    """A micro-batch whose docs are ALL too short to shingle (< 3
+    tokens) must write empty-but-valid state and emit nothing — and a
+    later batch pairing across it must still work. Also covers a
+    re-fed doc_id: state stays idempotent (collect_set in the bucket
+    expansion) and the pair log reads distinct."""
+    import os
+
+    from micmac_li3ds_spark.streaming import jobs
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    batches = [
+        [(1, a)],
+        [(2, "too short"), (3, "tiny")],  # nothing shingles
+        [(4, a + "!"), (1, a)],  # pairs with batch 0 + re-fed doc 1
+    ]
+    for k, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tmp{k}")
+        )
+        src = [
+            f
+            for f in os.listdir(tmp_path / f"tmp{k}")
+            if f.endswith(".parquet")
+        ][0]
+        os.link(tmp_path / f"tmp{k}" / src, feed_dir / f"{k}.parquet")
+
+    dirs = _near_dedup_dirs(tmp_path)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed_dir))
+    )
+    q = jobs.run_streaming_near_dedup(
+        stream, checkpoint=str(tmp_path / "ckpt"), **dirs
+    )
+    q.awaitTermination(300)
+
+    assert len(os.listdir(dirs["pairs_dir"])) >= 3  # every batch logged
+    pairs = jobs.read_near_dedup_pairs(spark, dirs["pairs_dir"]).collect()
+    assert sorted((r["doc_a"], r["doc_b"]) for r in pairs) == [(1, 4)]
