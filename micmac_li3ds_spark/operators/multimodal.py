@@ -2479,3 +2479,604 @@ def q_mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode=_decode_tiff,
         decoder_name="tiff-strips-v1",
     )
+
+
+# ---------------------------------------------- Matroska/EBML (round 15)
+# The second major container family next to ISO BMFF (r14 verdict item 6
+# named it the natural extension): a from-the-spec EBML walk (RFC 8794 +
+# the public Matroska element registry) that indexes every video frame's
+# byte range, keyframe flag, and presentation time WITHOUT any codec —
+# the exact contract _mp4_sample_index established. The muxer lives in
+# tools/gen_fixtures.py as an independent implementation; the fixture
+# bookkeeping (sample_off/sample_size/sample_pts_ms/keyframe + cluster
+# spans) is the generator's own layout arithmetic, so any walker
+# mis-parse (vint width, lace arithmetic, the BlockGroup keyframe rule,
+# an unknown-size element end, a cue seek bound) is a value mismatch.
+#
+# Registration note (registry.py ledger): q_mm_mkv_frame_sample_range is
+# fully implemented and locally oracle-green this round, but CANNOT be
+# born in r15 — the r15 window froze at 48 forced + 2 mandated slots and
+# the r16 window is already arithmetic-full (46 forced + 4 reserved
+# slots), so a key born now could not take its one-round-grace slot.
+# The ledger schedules registration at r16 with the birth attestation in
+# r17's single free slot.
+
+MEDIA_MKV_PARQUET = os.path.join(
+    _REPO, "fixtures", "parquet", "media_mkv.parquet"
+)
+
+
+def load_media_mkv(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(MEDIA_MKV_PARQUET)
+
+
+class _MkvSeekNonConformant(ValueError):
+    """A PARSED cluster violated a constraint the cues seek relies on
+    (negative relative timestamp, non-monotone cluster timestamps).
+    The seek driver catches this and falls back to the full walk —
+    the validate-or-fallback posture ADVICE r14 #1 established for the
+    sidx timescale mismatch."""
+
+
+def _ebml_parse_vint(buf: bytes, p: int, end: int):
+    """Raw EBML vint (RFC 8794 §4): the first byte's leading-zero count
+    gives the width; the marker bit is stripped. Returns
+    (value, n_bytes, all_ones_max) — callers that parse element SIZES
+    map value == all_ones_max to "unknown"; track numbers and lace
+    sizes use the value verbatim (no reserved encoding there)."""
+    if p >= end:
+        raise ValueError("truncated EBML vint")
+    b0 = buf[p]
+    if b0 == 0:
+        raise ValueError("EBML vint longer than 8 bytes")
+    ln = 9 - b0.bit_length()
+    if p + ln > end:
+        raise ValueError("truncated EBML vint")
+    raw = int.from_bytes(buf[p : p + ln], "big")
+    mx = (1 << (7 * ln)) - 1
+    return raw & mx, ln, mx
+
+
+def _ebml_parse_id(buf: bytes, p: int, end: int):
+    """Element IDs keep their marker bits (they are matched verbatim,
+    e.g. Segment = 0x18538067) and are at most 4 bytes."""
+    if p >= end:
+        raise ValueError("truncated EBML element id")
+    b0 = buf[p]
+    ln = 9 - b0.bit_length() if b0 else 9
+    if ln > 4:
+        raise ValueError("invalid EBML id (more than 4 bytes)")
+    if p + ln > end:
+        raise ValueError("truncated EBML element id")
+    return int.from_bytes(buf[p : p + ln], "big"), ln
+
+
+def _ebml_parse_size(buf: bytes, p: int, end: int):
+    val, ln, mx = _ebml_parse_vint(buf, p, end)
+    return (None if val == mx else val), ln
+
+
+def _mkv_children(buf: bytes, start: int, end: int):
+    """Sized-children iterator: yields (id, body_start, body_end,
+    elem_start). Unknown-size children raise — only Segment and Cluster
+    may be unsized, and their ends are resolved by the segment scan
+    before anything iterates their children."""
+    p = start
+    while p < end:
+        eid, idl = _ebml_parse_id(buf, p, end)
+        sz, szl = _ebml_parse_size(buf, p + idl, end)
+        body = p + idl + szl
+        if sz is None:
+            raise ValueError("unknown-size element where a sized child is required")
+        if body + sz > end:
+            raise ValueError("EBML element overruns its parent")
+        yield eid, body, body + sz, p
+        p = body + sz
+
+
+_MKV_SEGMENT = 0x18538067
+_MKV_CLUSTER = 0x1F43B675
+_MKV_CUES = 0x1C53BB6B
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+# every other Matroska segment-level element an unknown-size cluster
+# can legally be terminated by (SeekHead, Chapters, Tags, Attachments)
+_MKV_SEG_LEVEL = frozenset(
+    {
+        _MKV_CLUSTER,
+        _MKV_CUES,
+        _MKV_INFO,
+        _MKV_TRACKS,
+        0x114D9B74,  # SeekHead
+        0x1043A770,  # Chapters
+        0x1254C367,  # Tags
+        0x1941A469,  # Attachments
+    }
+)
+
+
+def _mkv_unknown_end(buf: bytes, body: int, se: int) -> int:
+    """End of an unknown-size Cluster (RFC 8794 §6.2: it ends at the
+    first element that is not a valid child — in practice the next
+    segment-level element) — the live-muxing shape, resolved by a
+    header-only scan that never reads frame bytes."""
+    p = body
+    while p < se:
+        eid, idl = _ebml_parse_id(buf, p, se)
+        if eid in _MKV_SEG_LEVEL:
+            return p
+        sz, szl = _ebml_parse_size(buf, p + idl, se)
+        if sz is None:
+            raise ValueError("unknown-size element inside a cluster")
+        p += idl + szl + sz
+        if p > se:
+            raise ValueError("cluster child overruns the segment")
+    return se
+
+
+def _mkv_segment_scan(payload: bytes):
+    """Header-only structural scan: validates the EBML header/DocType,
+    locates the Segment, and walks its CHILD HEADERS (id + size only —
+    cluster bodies are skipped by their size fields, so corrupt frame
+    data in a cluster this query never parses is never read). Returns
+    (timestamp_scale_ns, video_track, cluster_spans, cues, seg_start)
+    where cluster_spans = [(elem_start, body_start, body_end)] and
+    cues = [(cue_ticks, segment_relative_pos)] for the video track
+    (None when the file carries no Cues index)."""
+    if not payload.startswith(b"\x1a\x45\xdf\xa3"):
+        raise ValueError("not an EBML stream (bad magic)")
+    n = len(payload)
+    _eid, idl = _ebml_parse_id(payload, 0, n)
+    sz, szl = _ebml_parse_size(payload, idl, n)
+    if sz is None:
+        raise ValueError("EBML header with unknown size")
+    hb, he = idl + szl, idl + szl + sz
+    if he > n:
+        raise ValueError("EBML header overruns the payload")
+    doctype = b"matroska"  # the spec default when DocType is absent
+    for deid, db, de, _s in _mkv_children(payload, hb, he):
+        if deid == 0x4282:
+            doctype = payload[db:de]
+    if doctype not in (b"matroska", b"webm"):
+        raise ValueError(f"unsupported EBML DocType {doctype!r}")
+
+    p, seg = he, None
+    while p < n:
+        eid, idl = _ebml_parse_id(payload, p, n)
+        sz, szl = _ebml_parse_size(payload, p + idl, n)
+        body = p + idl + szl
+        if eid == _MKV_SEGMENT:
+            seg = (body, n if sz is None else body + sz)
+            break
+        if eid != 0xEC or sz is None:  # only Void may precede the Segment
+            raise ValueError("expected a Segment element at the top level")
+        p = body + sz
+    if seg is None:
+        raise ValueError("no Segment element")
+    sb, se = seg
+    if se > n:
+        raise ValueError("Segment overruns the payload")
+
+    scale, vtrack, clusters, raw_cues = 1_000_000, None, [], None
+    p = sb
+    while p < se:
+        eid, idl = _ebml_parse_id(payload, p, se)
+        sz, szl = _ebml_parse_size(payload, p + idl, se)
+        body = p + idl + szl
+        if sz is None:
+            if eid != _MKV_CLUSTER:
+                raise ValueError(
+                    "unknown-size element other than Segment/Cluster"
+                )
+            end = _mkv_unknown_end(payload, body, se)
+        else:
+            end = body + sz
+            if end > se:
+                raise ValueError("EBML element overruns the Segment")
+        if eid == _MKV_INFO:
+            for ceid, cb, ce, _s in _mkv_children(payload, body, end):
+                if ceid == 0x2AD7B1:
+                    scale = int.from_bytes(payload[cb:ce], "big")
+        elif eid == _MKV_TRACKS:
+            for ceid, cb, ce, _s in _mkv_children(payload, body, end):
+                if ceid != 0xAE:
+                    continue
+                tnum = ttype = None
+                for teid, tb, te, _t in _mkv_children(payload, cb, ce):
+                    if teid == 0xD7:
+                        tnum = int.from_bytes(payload[tb:te], "big")
+                    elif teid == 0x83:
+                        ttype = int.from_bytes(payload[tb:te], "big")
+                if ttype == 1 and vtrack is None:
+                    vtrack = tnum
+        elif eid == _MKV_CLUSTER:
+            clusters.append((p, body, end))
+        elif eid == _MKV_CUES:
+            raw_cues = []
+            for ceid, cb, ce, _s in _mkv_children(payload, body, end):
+                if ceid != 0xBB:  # CuePoint
+                    continue
+                ctime = None
+                positions = []
+                for peid, pb, pe, _q in _mkv_children(payload, cb, ce):
+                    if peid == 0xB3:  # CueTime
+                        ctime = int.from_bytes(payload[pb:pe], "big")
+                    elif peid == 0xB7:  # CueTrackPositions
+                        ctrk = cpos = None
+                        for qeid, qb, qe, _r in _mkv_children(
+                            payload, pb, pe
+                        ):
+                            if qeid == 0xF7:
+                                ctrk = int.from_bytes(payload[qb:qe], "big")
+                            elif qeid == 0xF1:
+                                cpos = int.from_bytes(payload[qb:qe], "big")
+                        positions.append((ctrk, cpos))
+                if ctime is None:
+                    raise ValueError("CuePoint without a CueTime")
+                raw_cues.append((ctime, positions))
+        p = end
+    if vtrack is None:
+        raise ValueError("no video track in the Tracks element")
+    if scale == 0:
+        raise ValueError("zero TimestampScale")
+    cues = None
+    if raw_cues is not None:
+        cues = [
+            (t, cpos)
+            for t, positions in raw_cues
+            for ctrk, cpos in positions
+            if ctrk == vtrack and cpos is not None
+        ]
+    return scale, vtrack, clusters, cues, sb
+
+
+def _mkv_block_frames(buf: bytes, b: int, e: int):
+    """Block/SimpleBlock payload parse: track vint, int16 BE relative
+    timestamp, flags, then the lacing table (flags bits 0x06: 01=Xiph
+    cumulative-255 sizes, 10=fixed equal split, 11=EBML first-size +
+    signed-vint deltas; the LAST laced frame's size is always implicit).
+    Returns (track, rel_ticks, flags, [(abs_off, size)])."""
+    track, tl, _mx = _ebml_parse_vint(buf, b, e)
+    p = b + tl
+    if p + 3 > e:
+        raise ValueError("truncated block header")
+    rel = int.from_bytes(buf[p : p + 2], "big", signed=True)
+    flags = buf[p + 2]
+    p += 3
+    mode = (flags >> 1) & 0x3
+    if mode == 0:
+        return track, rel, flags, [(p, e - p)]
+    if p >= e:
+        raise ValueError("truncated lace header")
+    nf = buf[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if mode == 1:  # Xiph
+        for _ in range(nf - 1):
+            s = 0
+            while True:
+                if p >= e:
+                    raise ValueError("Xiph lace sizes overrun the block")
+                v = buf[p]
+                p += 1
+                s += v
+                if v < 255:
+                    break
+            sizes.append(s)
+    elif mode == 2:  # fixed-size
+        total = e - p
+        if total % nf:
+            raise ValueError("fixed lacing does not divide the block evenly")
+        sizes = [total // nf] * (nf - 1)
+    else:  # EBML
+        if nf >= 2:
+            first, ln, _mx = _ebml_parse_vint(buf, p, e)
+            p += ln
+            sizes, prev = [first], first
+            for _ in range(nf - 2):
+                v, ln, mx = _ebml_parse_vint(buf, p, e)
+                p += ln
+                prev += v - (mx >> 1)  # signed vint: bias 2^(7L-1)-1
+                if prev < 0:
+                    raise ValueError("negative EBML lace size")
+                sizes.append(prev)
+    last = (e - p) - sum(sizes)
+    if last < 0:
+        raise ValueError("lace sizes exceed the block")
+    frames = []
+    for s in sizes:
+        frames.append((p, s))
+        p += s
+    frames.append((p, last))
+    return track, rel, flags, frames
+
+
+def _mkv_parse_cluster(
+    payload: bytes,
+    body: int,
+    end: int,
+    vtrack: int,
+    seek_validate: bool = False,
+):
+    """One cluster's video frames: (cluster_ts_ticks, [(off, size,
+    keyframe, rel_ticks)]). SimpleBlock keyframe-ness is flags bit
+    0x80; a Block inside a BlockGroup is a keyframe iff the group has
+    NO ReferenceBlock child (the classic Matroska gotcha). CRC-32,
+    Void, BlockDuration etc. are skipped; other tracks' blocks are
+    parsed (the lace table must be walked to find the element end is
+    already known — they are simply not emitted)."""
+    cts = None
+    recs = []
+    for eid, b, e, _s in _mkv_children(payload, body, end):
+        if eid == 0xE7:  # Timestamp
+            if cts is None:
+                cts = int.from_bytes(payload[b:e], "big")
+        elif eid in (0xA3, 0xA0):  # SimpleBlock | BlockGroup
+            if cts is None:
+                raise ValueError("block before the cluster Timestamp")
+            if eid == 0xA3:
+                track, rel, flags, frames = _mkv_block_frames(payload, b, e)
+                key = bool(flags & 0x80)
+            else:
+                bspan, ref = None, False
+                for geid, gb, ge, _g in _mkv_children(payload, b, e):
+                    if geid == 0xA1 and bspan is None:
+                        bspan = (gb, ge)
+                    elif geid == 0xFB:
+                        ref = True
+                if bspan is None:
+                    raise ValueError("BlockGroup without a Block")
+                track, rel, _flags, frames = _mkv_block_frames(
+                    payload, *bspan
+                )
+                key = not ref
+            if track != vtrack:
+                continue
+            if seek_validate and rel < 0:
+                raise _MkvSeekNonConformant("negative relative timestamp")
+            for off, sz in frames:
+                recs.append((off, sz, key, rel))
+    if cts is None:
+        raise ValueError("cluster without a Timestamp element")
+    return cts, recs
+
+
+def _mkv_sample_index(
+    payload: bytes,
+    time_range_ms: "tuple[int, int] | None" = None,
+    _touched: "list | None" = None,
+) -> list:
+    """[(offset, size, keyframe, pts_ms)] for the first video track in
+    file order — the _mp4_sample_index contract for Matroska. pts_ms =
+    floor((cluster_ts + rel) · TimestampScale / 1e6).
+
+    With ``time_range_ms=(lo, hi)`` the walk SEEKS via the Cues index
+    (Matroska's sidx): it starts at the cluster of the LAST cue with
+    cue_ticks·scale ≤ lo·1e6 — exclusive-end form in the RAW tick
+    domain (the ADVICE r14 #1 lesson), safe because blocks in skipped
+    clusters have ticks strictly below the cued cluster's timestamp ≤
+    its cue time — and stops at the first cluster with cts·scale ≥
+    (hi+1)·1e6. Only the covering cluster bodies are parsed (at 100 TB
+    on object storage: SeekHead → Cues → covering clusters are the only
+    ranged GETs; everything else is skipped by size fields without
+    reading frame bytes). The skip arithmetic trusts the same muxer
+    constraints real players rely on (monotone cluster timestamps,
+    rel ≥ 0, no block spilling past the next cluster's ts — the trust
+    class of sidx durations); everything PARSED is validated and any
+    violation falls back to the full walk. A cue that does not point
+    at a cluster start, or an unsorted Cues index, is refused loudly
+    (the sidx cross-check posture: a crafted/stale index would
+    silently mis-seek every ranged read)."""
+    scale, vtrack, clusters, cues, seg = _mkv_segment_scan(payload)
+    if time_range_ms is None:
+        out = []
+        for _es, b, e in clusters:
+            cts, recs = _mkv_parse_cluster(payload, b, e, vtrack)
+            if _touched is not None:
+                _touched.append((b, e))
+            for off, sz, key, rel in recs:
+                out.append(
+                    (off, sz, key, (cts + rel) * scale // 1_000_000)
+                )
+        return out
+
+    if not cues:
+        raise ValueError("time-ranged cues seek requires a Cues index")
+    lo_ms, hi_ms = time_range_ms
+    for (t0, p0), (t1, p1) in zip(cues, cues[1:]):
+        if t1 < t0 or p1 <= p0:
+            raise ValueError(
+                "Cues index is not sorted — refusing a crafted/stale index"
+            )
+    starts = {es: i for i, (es, _b, _e) in enumerate(clusters)}
+    start_idx = 0
+    for t, pos in cues:
+        if t * scale <= lo_ms * 1_000_000:
+            ap = seg + pos
+            if ap not in starts:
+                raise ValueError(
+                    "cue position does not start a cluster — refusing a "
+                    "crafted/stale index"
+                )
+            start_idx = starts[ap]
+        else:
+            break
+    try:
+        out = []
+        prev_cts = None
+        for _es, b, e in clusters[start_idx:]:
+            cts, recs = _mkv_parse_cluster(
+                payload, b, e, vtrack, seek_validate=True
+            )
+            if _touched is not None:
+                _touched.append((b, e))
+            if prev_cts is not None and cts <= prev_cts:
+                raise _MkvSeekNonConformant(
+                    "cluster timestamps not monotone"
+                )
+            prev_cts = cts
+            if cts * scale >= (hi_ms + 1) * 1_000_000:
+                break  # monotone ⇒ every later block is past the range
+            for off, sz, key, rel in recs:
+                out.append(
+                    (off, sz, key, (cts + rel) * scale // 1_000_000)
+                )
+        return out
+    except _MkvSeekNonConformant:
+        return _mkv_sample_index(payload, None, _touched)
+
+
+def _mkv_has_cues(payload: bytes) -> bool:
+    """Seek-path gate (the _mp4_has_sidx twin): True when the segment
+    carries a Cues index for the video track. Runs the header-only
+    structural scan — no frame bytes are read."""
+    return bool(_mkv_segment_scan(payload)[3])
+
+
+def mkv_frame_sample(
+    spark: SparkSession, media: DataFrame | None = None
+) -> DataFrame:
+    """All presented keyframes of every Matroska payload — the
+    q_mm_frame_sample contract (media_id, frame_idx, frame_ts_ms,
+    frame_sha) over the EBML walk. ``media`` lets callers run it over
+    their own (media_id, payload) corpus, e.g. a binaryFile scan."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_sha", T.StringType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_sha": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                hx = payload.hex().upper()
+                k = 0
+                for off, sz, key, pts_ms in _mkv_sample_index(payload):
+                    if not key or pts_ms < 0:
+                        continue
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(pts_ms)
+                    out["frame_sha"].append(
+                        hashlib.sha256(
+                            hx[off * 2 : (off + sz) * 2].encode()
+                        ).hexdigest()
+                    )
+                    k += 1
+            yield pd.DataFrame(out)
+
+    src = media if media is not None else load_media_mkv(spark)
+    return src.select("media_id", "payload").mapInPandas(sample, schema)
+
+
+def mkv_frame_sample_range(
+    spark: SparkSession,
+    lo_ms: int,
+    hi_ms: int,
+    media: DataFrame | None = None,
+) -> DataFrame:
+    """Time-ranged keyframe sampler over the Matroska corpus — the
+    frame_sample_range twin: payloads with a Cues index are SOUGHT
+    (only covering cluster byte ranges parsed); everything else falls
+    back to the full EBML walk and filters. frame_idx is the keyframe
+    ordinal WITHIN the range."""
+    if lo_ms > hi_ms:
+        raise ValueError(f"empty time range ({lo_ms} > {hi_ms})")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_sha", T.StringType()),
+        ]
+    )
+
+    def sample_range(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_sha": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                hx = payload.hex().upper()
+                idx = _mkv_sample_index(
+                    payload,
+                    time_range_ms=(lo_ms, hi_ms)
+                    if _mkv_has_cues(payload)
+                    else None,
+                )
+                k = 0
+                for off, sz, key, pts_ms in idx:
+                    if not key or pts_ms < 0 or not lo_ms <= pts_ms <= hi_ms:
+                        continue
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(pts_ms)
+                    out["frame_sha"].append(
+                        hashlib.sha256(
+                            hx[off * 2 : (off + sz) * 2].encode()
+                        ).hexdigest()
+                    )
+                    k += 1
+            yield pd.DataFrame(out)
+
+    src = media if media is not None else load_media_mkv(spark)
+    return src.select("media_id", "payload").mapInPandas(
+        sample_range, schema
+    )
+
+
+# the window the r16 registration will pin: slices INTO most fixture
+# rows (partial cluster coverage), sits exactly ON a coarse-tick
+# keyframe at 700 ms (row 9005), leaves row 9006 entirely outside, and
+# routes the no-cues row (9003) and the negative-rel row (9007) through
+# the full-walk fallback
+_MKV_FSR_LO_MS, _MKV_FSR_HI_MS = 120, 700
+
+# Ready-to-register DuckDB oracle (r16 ledger): generation-time truth —
+# the presented keyframes whose pts falls in the window, re-sliced from
+# the muxer's OWN bookkeeping coordinates, independent of the EBML walk.
+MKV_FRAME_RANGE_ORACLE = f"""
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY i) - 1
+            AS INTEGER) AS frame_idx,
+       CAST(sample_pts_ms[i + 1] AS BIGINT) AS frame_ts_ms,
+       sha256(substring(hx, sample_off[i + 1] * 2 + 1,
+                        sample_size[i + 1] * 2)) AS frame_sha
+FROM (
+  SELECT media_id, hex(payload) AS hx,
+         sample_off, sample_size, sample_pts_ms, keyframe,
+         unnest(range(len(sample_off))) AS i
+  FROM read_parquet('{MEDIA_MKV_PARQUET}')
+)
+WHERE keyframe[i + 1]
+  AND sample_pts_ms[i + 1] BETWEEN {_MKV_FSR_LO_MS} AND {_MKV_FSR_HI_MS}
+"""
+
+
+def q_mm_mkv_frame_sample_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT YET REGISTERED — r16 ledger (see registry.py): the r15/r16
+    windows are arithmetic-full, so this key is scheduled to register
+    in r16 and take its one-round-grace slot in r17. Locally
+    oracle-green at birth (tests/test_round15_mkv.py runs
+    MKV_FRAME_RANGE_ORACLE through DuckDB and value-compares). The
+    query: time-ranged keyframe sampling over the Matroska fixture
+    corpus at a fixed [120, 700] ms window — cued rows take the Cues
+    seek, the no-cues and non-conformant rows take the full-walk
+    fallback, and one row sits entirely outside the window."""
+    return mkv_frame_sample_range(spark, _MKV_FSR_LO_MS, _MKV_FSR_HI_MS)

@@ -333,6 +333,21 @@ _loaded = False
 #            extras — re-asserted by test_round15_ops and a 3/3
 #            check.py pass on the mm keys), but the attest-anyway
 #            discipline applies.
+#            Round-17 pre-registration ledger: the round-15 Matroska/
+#            EBML walk (operators/multimodal.py,
+#            q_mm_mkv_frame_sample_range + MKV_FRAME_RANGE_ORACLE) is
+#            fully implemented and locally oracle-green
+#            (tests/test_round15_mkv.py runs the DuckDB oracle and
+#            value-compares) but CANNOT register in r15: this window
+#            froze at 48 forced + 2 mandated slots, and r16 is already
+#            arithmetic-full (46 forced + the 4 reserved slots above),
+#            so a key born r15 could not take its one-round-grace
+#            slot. Plan: REGISTER it in r16 (add @register(...,
+#            oracle=MKV_FRAME_RANGE_ORACLE) plus the POST_FREEZE_LEDGER
+#            entry {"q_mm_mkv_frame_sample_range": 16}); it then takes
+#            r17's single free slot (the r12 stratum shrinks to 49
+#            forced once r16 re-attests q_er_resolve, leaving exactly
+#            1 slot).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50

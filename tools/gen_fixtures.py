@@ -1027,6 +1027,200 @@ def main() -> None:
         os.path.join(PQ_DIR, "media_tiff.parquet"),
     )
 
+    # --- REAL-format media fixture #9: Matroska/EBML (round 15 — the
+    # second major container family next to ISO BMFF). The muxer below
+    # (_mkv_encode) is an independent from-the-spec implementation; the
+    # bookkeeping arrays here are its OWN layout arithmetic, so a walker
+    # mis-parse (vint width, lace arithmetic, BlockGroup keyframe rule,
+    # unknown-size element end, cue seek bound) is a value mismatch.
+    # Layout knobs exercise what real muxers emit: all four lacings
+    # (none/Xiph/fixed/EBML incl. multi-255 Xiph bytes, a zero-byte
+    # laced frame, signed EBML deltas), BlockGroup+ReferenceBlock
+    # keyframe semantics, unknown-size Segment/Cluster (live muxing),
+    # CRC-32/Void skippables, a 2-byte track-number vint with the video
+    # track NOT first, non-default and coarse TimestampScales, and a
+    # deliberate negative-relative-timestamp row that seek must detect
+    # and fall back on (seek_conformant=False).
+    rngM = random.Random(181818)
+
+    def _fr(n: int) -> bytes:
+        return bytes(rngM.randint(0, 255) for _ in range(n))
+
+    def _blk(rel=0, key=True, size=20, lacing="none", sizes=None, **kw):
+        frames = [_fr(s) for s in sizes] if sizes else [_fr(size)]
+        return dict(rel=rel, key=key, lacing=lacing, frames=frames, **kw)
+
+    mkv_specs = [
+        # 9000: sized elements, 1 ms ticks, SimpleBlocks, no lacing
+        dict(
+            clusters=[
+                dict(ts=0, blocks=[_blk(0, True), _blk(40, False, 16),
+                                   _blk(180, True, 24)]),
+                dict(ts=400, blocks=[_blk(0, True), _blk(120, False, 18),
+                                     _blk(250, True, 22)]),
+                dict(ts=900, blocks=[_blk(0, True), _blk(80, False, 30)]),
+            ],
+            duration_elem=True,
+        ),
+        # 9001: 0.5 ms ticks, Xiph lacing (255/510-byte frames force
+        # multi-255 lace bytes; one zero-byte frame)
+        dict(
+            clusters=[
+                dict(ts=0, blocks=[
+                    _blk(0, True, lacing="xiph", sizes=[255, 510, 17]),
+                    _blk(401, False, 12),
+                ]),
+                dict(ts=700, blocks=[
+                    _blk(0, True, 14),
+                    _blk(500, True, lacing="xiph", sizes=[0, 9, 33]),
+                ]),
+                dict(ts=1500, blocks=[_blk(0, True), _blk(300, False)]),
+                dict(ts=2300, blocks=[_blk(0, True)]),
+            ],
+            timestamp_scale=500_000,
+        ),
+        # 9002: BlockGroups (keyframe ⟺ no ReferenceBlock) + EBML lacing
+        dict(
+            clusters=[
+                dict(ts=100, blocks=[
+                    _blk(0, True, lacing="ebml", sizes=[60, 200, 90, 5],
+                         group=True),
+                    _blk(150, False, 18, group=True),
+                    _blk(300, True, 20),
+                ]),
+                dict(ts=500, blocks=[
+                    _blk(0, True, lacing="ebml", sizes=[10, 10, 300],
+                         group=True),
+                    _blk(120, False, 25),
+                ]),
+            ],
+        ),
+        # 9003: unknown-size Segment + unknown-size Clusters, fixed
+        # lacing, CRC-32/Void skippables, NO cues (full-walk row)
+        dict(
+            clusters=[
+                dict(ts=0, crc=True, blocks=[
+                    _blk(0, True, lacing="fixed", sizes=[24] * 4),
+                    _blk(150, False, 11),
+                ]),
+                dict(ts=300, unknown=True, void=True, blocks=[
+                    _blk(0, True, 19),
+                    _blk(200, False, lacing="fixed", sizes=[10, 10]),
+                ]),
+                dict(ts=800, unknown=True, blocks=[_blk(0, True, 21)]),
+            ],
+            cues=False,
+            unknown_segment=True,
+            void_pad=9,
+        ),
+        # 9004: video track 200 (2-byte vint), audio track 1 FIRST in
+        # Tracks, interleaved audio blocks the walker must skip
+        dict(
+            clusters=[
+                dict(ts=0, blocks=[
+                    _blk(10, True, 8, track=1),
+                    _blk(0, True, 20),
+                    _blk(90, True, 9, track=1),
+                    _blk(200, False, 17),
+                ]),
+                dict(ts=450, blocks=[
+                    _blk(0, True, 23),
+                    _blk(5, True, 7, track=1),
+                    _blk(230, True, 26),
+                ]),
+            ],
+            video_track=200,
+            audio_track=1,
+            audio_first=True,
+        ),
+        # 9005: coarse 2 ms ticks, keyframe exactly AT the registered
+        # window's hi bound (700 ms) plus one just past it
+        dict(
+            clusters=[
+                dict(ts=61, blocks=[_blk(0, True), _blk(39, False, 13),
+                                    _blk(89, True, 15)]),
+                dict(ts=333, blocks=[_blk(0, True), _blk(17, True, 28),
+                                     _blk(18, False, 12)]),
+            ],
+            timestamp_scale=2_000_000,
+        ),
+        # 9006: entirely past the registered window (seek parses at
+        # most one cluster header and emits nothing)
+        dict(
+            clusters=[
+                dict(ts=5000, blocks=[_blk(0, True), _blk(100, False)]),
+                dict(ts=6000, blocks=[_blk(0, True)]),
+            ],
+        ),
+        # 9007: negative relative timestamp in an in-window cluster —
+        # the seek-path validator must fall back to the full walk
+        dict(
+            clusters=[
+                dict(ts=0, blocks=[_blk(0, True)]),
+                dict(ts=400, blocks=[_blk(-40, True, 16), _blk(50, False)]),
+                dict(ts=900, blocks=[_blk(0, True)]),
+            ],
+        ),
+    ]
+    mkv_rows = []
+    for j, spec in enumerate(mkv_specs):
+        payload, offs, sizes, keys, pts_ms, cmeta = _mkv_encode(**spec)
+        scale = spec.get("timestamp_scale", 1_000_000)
+        conformant = j != 7
+        if spec.get("cues", True) and conformant:
+            # assert the muxer kept the seek-trust constraints the
+            # walker documents: monotone cluster timestamps, rel ≥ 0,
+            # every block tick strictly below the NEXT cluster's ts
+            cts = [m[2] for m in cmeta]
+            assert cts == sorted(set(cts)), "cluster ts not monotone"
+            for c, nxt in zip(spec["clusters"], cts[1:] + [None]):
+                for b in c["blocks"]:
+                    assert b.get("rel", 0) >= 0
+                    if nxt is not None:
+                        assert c["ts"] + b.get("rel", 0) < nxt
+        mkv_rows.append(
+            {
+                "media_id": 9000 + j,
+                "mime": "video/x-matroska",
+                "payload": payload,
+                "n_samples": len(offs),
+                "duration_ms": max(pts_ms) if pts_ms else 0,
+                "sample_off": offs,
+                "sample_size": sizes,
+                "sample_pts_ms": pts_ms,
+                "keyframe": keys,
+                "cluster_off": [m[0] for m in cmeta],
+                "cluster_size": [m[1] for m in cmeta],
+                "cluster_ts_ticks": [m[2] for m in cmeta],
+                "timestamp_scale": scale,
+                "has_cues": spec.get("cues", True),
+                "seek_conformant": conformant,
+            }
+        )
+    mkv_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("n_samples", pa.int32()),
+            ("duration_ms", pa.int64()),
+            ("sample_off", pa.list_(pa.int32())),
+            ("sample_size", pa.list_(pa.int32())),
+            ("sample_pts_ms", pa.list_(pa.int64())),
+            ("keyframe", pa.list_(pa.bool_())),
+            ("cluster_off", pa.list_(pa.int64())),
+            ("cluster_size", pa.list_(pa.int64())),
+            ("cluster_ts_ticks", pa.list_(pa.int64())),
+            ("timestamp_scale", pa.int64()),
+            ("has_cues", pa.bool_()),
+            ("seek_conformant", pa.bool_()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(mkv_rows, schema=mkv_schema),
+        os.path.join(PQ_DIR, "media_mkv.parquet"),
+    )
+
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
 
 
@@ -2097,6 +2291,269 @@ def _tiff_encode(
         en + "H", len(entries)
     )
     return payload, soffs, scnts
+
+
+# ------------------------------------------------------------ Matroska
+# Minimal-but-real Matroska muxer (EBML per RFC 8794 + the public
+# Matroska element registry), written from the spec and INDEPENDENT of
+# the walker in operators/multimodal.py — the two-implementations
+# posture every media fixture family follows. The walker's oracle
+# coordinates (sample_off / sample_size / sample_pts_ms / keyframe and
+# the per-cluster byte spans) fall out of this muxer's own layout
+# arithmetic, never out of re-parsing the payload.
+
+
+def _ebml_vint(n: int, width: "int | None" = None) -> bytes:
+    """EBML variable-length integer (RFC 8794 §4): the first byte has
+    (width−1) leading zero bits then a 1; the remaining 7·width bits
+    carry the value big-endian. The all-ones value is RESERVED (unknown
+    size), so the minimal width must satisfy n < 2^(7w) − 1."""
+    w = width or next(k for k in range(1, 9) if n < (1 << (7 * k)) - 1)
+    assert 0 <= n < (1 << (7 * w)) - 1
+    return ((1 << (7 * w)) | n).to_bytes(w, "big")
+
+
+def _ebml_svint(n: int) -> bytes:
+    """Signed vint (EBML lacing deltas): stored as the unsigned vint of
+    n + 2^(7w−1) − 1 at the minimal width that fits."""
+    for w in range(1, 9):
+        bias = (1 << (7 * w - 1)) - 1
+        if -bias <= n <= bias:
+            return _ebml_vint(n + bias, w)
+    raise AssertionError("lace delta out of vint range")
+
+
+def _ebml_uint(n: int) -> bytes:
+    return n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+
+
+def _ebml_elem(
+    eid: int, body: bytes, size_width: "int | None" = None, unknown: bool = False
+) -> bytes:
+    """id + size vint + body. Element IDs carry their own length marker,
+    so they are emitted verbatim big-endian. ``unknown=True`` writes the
+    1-byte all-ones size (0xFF) — the live-muxing shape for Segment and
+    Cluster."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    size = b"\xff" if unknown else _ebml_vint(len(body), size_width)
+    return idb + size + body
+
+
+def _mkv_block_body(
+    track: int, rel: int, key: bool, lacing: str, frames: list, simple: bool
+):
+    """Block/SimpleBlock payload: track vint, int16 BE relative
+    timestamp, flags (keyframe bit 0x80 on SimpleBlock only; lacing
+    bits 0x06: 01=Xiph, 10=fixed, 11=EBML), lace sizes, frame data.
+    Returns (body, [frame offset within body])."""
+    head = _ebml_vint(track) + rel.to_bytes(2, "big", signed=True)
+    flags = 0x80 if (simple and key) else 0x00
+    lace = b""
+    if lacing == "none":
+        assert len(frames) == 1
+    elif lacing == "xiph":
+        flags |= 0x02
+        lace = bytes([len(frames) - 1])
+        for f in frames[:-1]:
+            sz = len(f)
+            lace += b"\xff" * (sz // 255) + bytes([sz % 255])
+    elif lacing == "fixed":
+        flags |= 0x04
+        assert len({len(f) for f in frames}) == 1
+        lace = bytes([len(frames) - 1])
+    elif lacing == "ebml":
+        flags |= 0x06
+        lace = bytes([len(frames) - 1])
+        if len(frames) >= 2:  # sizes cover all but the LAST frame
+            lace += _ebml_vint(len(frames[0]))
+            prev = len(frames[0])
+            for f in frames[1:-1]:
+                lace += _ebml_svint(len(f) - prev)
+                prev = len(f)
+    else:  # pragma: no cover - generator misuse
+        raise AssertionError(f"unknown lacing {lacing}")
+    body = head + bytes([flags]) + lace
+    offs = []
+    for f in frames:
+        offs.append(len(body))
+        body += f
+    return body, offs
+
+
+def _mkv_encode(
+    clusters: list,
+    timestamp_scale: int = 1_000_000,
+    cues: bool = True,
+    unknown_segment: bool = False,
+    video_track: int = 1,
+    audio_track: "int | None" = None,
+    audio_first: bool = False,
+    duration_elem: bool = False,
+    void_pad: int = 0,
+    doctype: bytes = b"matroska",
+):
+    """Layout: EBML header | Segment [ SeekHead(→Cues, 8-byte-forced
+    positions) | Void? | Info | Tracks | Cluster* | Cues? ]. Each
+    cluster dict: ``ts`` (ticks), ``unknown`` (unknown-size element),
+    ``crc`` (dummy CRC-32 first child), ``void`` (Void between blocks),
+    ``blocks``: list of dicts with ``frames`` (list[bytes]) and
+    optional track / rel / key / lacing ('none'|'xiph'|'fixed'|'ebml')
+    / group (BlockGroup+Block, keyframe = NO ReferenceBlock child).
+
+    Returns (payload, offs, sizes, keys, pts_ms, cluster_meta) — the
+    sample arrays cover VIDEO-track frames in file order (laced frames
+    share their block's timestamp); cluster_meta is
+    [(abs_elem_off, elem_len, ts_ticks)]."""
+    ebml_hdr = _ebml_elem(
+        0x1A45DFA3,
+        _ebml_elem(0x4286, _ebml_uint(1))  # EBMLVersion
+        + _ebml_elem(0x42F7, _ebml_uint(1))  # EBMLReadVersion
+        + _ebml_elem(0x42F2, _ebml_uint(4))  # EBMLMaxIDLength
+        + _ebml_elem(0x42F3, _ebml_uint(8))  # EBMLMaxSizeLength
+        + _ebml_elem(0x4282, doctype)  # DocType
+        + _ebml_elem(0x4287, _ebml_uint(4))  # DocTypeVersion
+        + _ebml_elem(0x4285, _ebml_uint(2)),  # DocTypeReadVersion
+    )
+
+    import struct
+
+    info_body = _ebml_elem(0x2AD7B1, _ebml_uint(timestamp_scale))
+    if duration_elem:
+        last = clusters[-1]
+        dur_ticks = last["ts"] + max(
+            (b.get("rel", 0) for b in last["blocks"]), default=0
+        )
+        info_body += _ebml_elem(0x4489, struct.pack(">d", float(dur_ticks)))
+    info_body += _ebml_elem(0x4D80, b"genfix") + _ebml_elem(0x5741, b"genfix")
+    info = _ebml_elem(0x1549A966, info_body)
+
+    ventry = _ebml_elem(
+        0xAE,
+        _ebml_elem(0xD7, _ebml_uint(video_track))
+        + _ebml_elem(0x73C5, _ebml_uint(0x1234))
+        + _ebml_elem(0x83, _ebml_uint(1))  # TrackType video
+        + _ebml_elem(0x86, b"V_FAKE")
+        + _ebml_elem(
+            0xE0,
+            _ebml_elem(0xB0, _ebml_uint(64)) + _ebml_elem(0xBA, _ebml_uint(48)),
+        ),
+    )
+    entries = [ventry]
+    if audio_track is not None:
+        aentry = _ebml_elem(
+            0xAE,
+            _ebml_elem(0xD7, _ebml_uint(audio_track))
+            + _ebml_elem(0x73C5, _ebml_uint(0x5678))
+            + _ebml_elem(0x83, _ebml_uint(2))  # TrackType audio
+            + _ebml_elem(0x86, b"A_FAKE")
+            + _ebml_elem(0xE1, _ebml_elem(0xB5, struct.pack(">d", 48000.0))),
+        )
+        entries = [aentry, ventry] if audio_first else [ventry, aentry]
+    tracks = _ebml_elem(0x1654AE6B, b"".join(entries))
+
+    # clusters: build bodies, recording video-frame offsets per cluster
+    cluster_elems = []  # (elem_bytes, ts, [(off_in_elem, size, key, pts_ticks)])
+    for c in clusters:
+        cbody = b""
+        if c.get("crc"):
+            cbody += _ebml_elem(0xBF, b"\x00\x00\x00\x00")
+        cbody += _ebml_elem(0xE7, _ebml_uint(c["ts"]))
+        recs = []
+        for blk in c["blocks"]:
+            track = blk.get("track", video_track)
+            rel = blk.get("rel", 0)
+            key = blk.get("key", True)
+            lacing = blk.get("lacing", "none")
+            frames = blk["frames"]
+            group = blk.get("group", False)
+            body, foffs = _mkv_block_body(
+                track, rel, key, lacing, frames, simple=not group
+            )
+            if group:
+                belem = _ebml_elem(0xA1, body)
+                gbody = belem
+                if not key:  # keyframe ⟺ NO ReferenceBlock child
+                    gbody += _ebml_elem(
+                        0xFB, (-1).to_bytes(1, "big", signed=True)
+                    )
+                gbody += _ebml_elem(0x9B, _ebml_uint(40))  # BlockDuration
+                elem = _ebml_elem(0xA0, gbody)
+                shift = (len(elem) - len(gbody)) + (len(belem) - len(body))
+            else:
+                elem = _ebml_elem(0xA3, body)
+                shift = len(elem) - len(body)
+            if c.get("void"):
+                cbody += _ebml_elem(0xEC, bytes(3))
+            if track == video_track:
+                for f, fo in zip(frames, foffs):
+                    recs.append(
+                        (len(cbody) + shift + fo, len(f), key, c["ts"] + rel)
+                    )
+            cbody += elem
+        celem = _ebml_elem(0x1F43B675, cbody, unknown=c.get("unknown", False))
+        hdr = len(celem) - len(cbody)
+        cluster_elems.append(
+            (celem, c["ts"], [(hdr + o, s, k, t) for o, s, k, t in recs])
+        )
+
+    # assemble the segment body; SeekHead size is fixed (8-byte-forced
+    # SeekPosition), so cluster positions are known in one pass
+    def seekhead(cues_pos: int) -> bytes:
+        return _ebml_elem(
+            0x114D9B74,
+            _ebml_elem(
+                0x4DBB,
+                _ebml_elem(0x53AB, (0x1C53BB6B).to_bytes(4, "big"))
+                + _ebml_elem(0x53AC, cues_pos.to_bytes(8, "big")),
+            ),
+        )
+
+    parts = []
+    if cues:
+        parts.append(seekhead(0))  # placeholder, fixed size
+    if void_pad:
+        parts.append(_ebml_elem(0xEC, bytes(void_pad)))
+    parts.append(info)
+    parts.append(tracks)
+    cluster_seg_offs = []
+    for celem, _ts, _recs in cluster_elems:
+        cluster_seg_offs.append(sum(len(p) for p in parts))
+        parts.append(celem)
+    if cues:
+        cues_pos = sum(len(p) for p in parts)
+        cbody = b""
+        for (celem, ts, _recs), seg_off in zip(cluster_elems, cluster_seg_offs):
+            cbody += _ebml_elem(
+                0xBB,
+                _ebml_elem(0xB3, _ebml_uint(ts))
+                + _ebml_elem(
+                    0xB7,
+                    _ebml_elem(0xF7, _ebml_uint(video_track))
+                    + _ebml_elem(0xF1, _ebml_uint(seg_off)),
+                ),
+            )
+        parts.append(_ebml_elem(0x1C53BB6B, cbody))
+        sh = seekhead(cues_pos)
+        assert len(sh) == len(parts[0])
+        parts[0] = sh
+
+    seg_body = b"".join(parts)
+    segment = _ebml_elem(0x18538067, seg_body, unknown=unknown_segment)
+    payload = ebml_hdr + segment
+    seg_body_start = len(payload) - len(seg_body)
+
+    offs, sizes, keys, pts_ms, cluster_meta = [], [], [], [], []
+    for (celem, ts, recs), seg_off in zip(cluster_elems, cluster_seg_offs):
+        abs_off = seg_body_start + seg_off
+        cluster_meta.append((abs_off, len(celem), ts))
+        for o, s, k, t in recs:
+            offs.append(abs_off + o)
+            sizes.append(s)
+            keys.append(k)
+            pts_ms.append(t * timestamp_scale // 1_000_000)
+    for o, s in zip(offs, sizes):
+        assert s == 0 or len(payload[o : o + s]) == s, "frame slice overrun"
+    return payload, offs, sizes, keys, pts_ms, cluster_meta
 
 
 if __name__ == "__main__":
