@@ -903,3 +903,87 @@ def read_near_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     return spark.read.parquet(pairs_dir).select(
         "doc_a", "doc_b", "jac"
     ).distinct()
+
+
+def read_media_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """binaryFile FILE STREAM over a media-lake prefix — the ingest
+    shape the multimodal docstrings advertise (payloads live as object
+    files, never inside relational rows): Spark's binaryFile source
+    emits (path, modificationTime, length, content) and streams NEW
+    files per micro-batch. The schema is declared, not inferred — the
+    binaryFile schema is fixed by the source."""
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.mkv")
+        .load(src_dir)
+    )
+
+
+def run_streaming_frame_sample(
+    stream: DataFrame,
+    frames_dir: str,
+    checkpoint: str,
+    lo_ms: "int | None" = None,
+    hi_ms: "int | None" = None,
+):
+    """Continuous media ingest → keyframe index (round 15): as Matroska
+    files land in the lake, each micro-batch runs the EBML walk
+    (operators/multimodal.py:_mkv_sample_index) over the NEW payloads
+    only and appends their keyframe rows — the media twin of the DLQ/
+    near-dedup ingest posture, replacing a nightly whole-lake re-walk.
+    With (lo_ms, hi_ms) the per-file walk takes the Cues seek where the
+    payload carries an index (covering clusters only — the ranged-GET
+    shape); otherwise it indexes every presented keyframe.
+
+    media_id is the file-name stem (the lake layout contract:
+    ``<media_id>.mkv``); frames land under ``frames_dir/batch=<id>``
+    with mode=overwrite — the write-by-batch-id idempotency pattern
+    (a WAL-replayed batch REPLACES its own previous output). Each
+    file's walk is independent map work over the binary column: no
+    shuffle anywhere, so ingest scales with files-per-batch ×
+    executors exactly like the batch sampler."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        mkv_frame_sample,
+        mkv_frame_sample_range,
+    )
+
+    if (lo_ms is None) != (hi_ms is None):
+        raise ValueError("lo_ms and hi_ms must be given together")
+
+    def sample_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        media = batch_df.select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"^(\d+)", 1
+            )
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+        out = (
+            mkv_frame_sample(spark, media=media)
+            if lo_ms is None
+            else mkv_frame_sample_range(spark, lo_ms, hi_ms, media=media)
+        )
+        out.write.mode("overwrite").parquet(f"{frames_dir}/batch={batch_id}")
+
+    return run_foreach_batch(stream, sample_batch, checkpoint)
+
+
+def read_frame_sample_log(spark: SparkSession, frames_dir: str) -> DataFrame:
+    """The accumulated keyframe index, distinct: a media file re-fed
+    (touched/re-uploaded) in a later batch legitimately re-emits its
+    frames — the walk is deterministic in the payload, so distinct on
+    the full row collapses the duplicate attestations."""
+    return spark.read.parquet(frames_dir).select(
+        "media_id", "frame_idx", "frame_ts_ms", "frame_sha"
+    ).distinct()

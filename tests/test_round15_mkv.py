@@ -671,3 +671,134 @@ def test_mkv_full_sampler_over_custom_corpus(spark):
             )
             k += 1
     assert got == sorted(exp)
+
+
+# ---------------------------------------------------------------------------
+# media-lake ingest: binaryFile batch scan + continuous streaming walk
+# ---------------------------------------------------------------------------
+
+
+def _write_lake(tmp_path, rows, sub="lake"):
+    d = tmp_path / sub
+    d.mkdir(exist_ok=True)
+    for r in rows:
+        (d / f"{r['media_id']}.mkv").write_bytes(bytes(r["payload"]))
+    return str(d)
+
+
+def test_mkv_binaryfile_scan_feeds_the_sampler(spark, tmp_path):
+    """The 100-TB layout the multimodal docstrings advertise: payloads
+    live as object files, not parquet rows. A binaryFile scan of
+    <media_id>.mkv files mapped to (media_id, payload) must produce
+    byte-identical sampler output to the fixture-loader path."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.multimodal import (
+        _MKV_FSR_HI_MS,
+        _MKV_FSR_LO_MS,
+        mkv_frame_sample_range,
+    )
+
+    rows = _rows()
+    lake = _write_lake(tmp_path, rows)
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mkv")
+        .load(lake)
+        .select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"^(\d+)", 1
+            )
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in mkv_frame_sample_range(
+            spark, _MKV_FSR_LO_MS, _MKV_FSR_HI_MS, media=media
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mkv_frame_sample_range(
+            spark, _MKV_FSR_LO_MS, _MKV_FSR_HI_MS
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_mkv_streaming_frame_sample_multibatch(spark, tmp_path):
+    """Continuous media ingest: files fed across micro-batches produce
+    exactly the batch sampler's keyframe index on the union; draining
+    the same checkpoint again is a no-op; a fresh checkpoint over the
+    same lake replays every batch idempotently (write-by-batch-id) to
+    the identical distinct index."""
+    import os
+
+    from micmac_li3ds_spark.operators.multimodal import (
+        load_media_mkv,
+        mkv_frame_sample,
+    )
+    from micmac_li3ds_spark.streaming import jobs
+
+    rows = _rows()
+    lake = _write_lake(tmp_path, rows[:3])
+    frames_dir = str(tmp_path / "frames")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(checkpoint):
+        stream = jobs.read_media_file_stream(spark, lake)
+        # one file per micro-batch: 8 real batches by the end
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(stream.schema)
+            .option("pathGlobFilter", "*.mkv")
+            .option("maxFilesPerTrigger", 1)
+            .load(lake)
+        )
+        q = jobs.run_streaming_frame_sample(
+            stream, frames_dir, checkpoint
+        )
+        q.awaitTermination(300)
+
+    drain(ckpt)
+    n_batches_first = len(
+        [d for d in os.listdir(frames_dir) if d.startswith("batch=")]
+    )
+    assert n_batches_first == 3
+
+    # feed the remaining five files; the SAME checkpoint picks up only
+    # the new ones
+    _write_lake(tmp_path, rows[3:])
+    drain(ckpt)
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.read_frame_sample_log(spark, frames_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mkv_frame_sample(
+            spark, media=load_media_mkv(spark)
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # same checkpoint, nothing new: a no-op
+    drain(ckpt)
+    got2 = sorted(
+        tuple(r)
+        for r in jobs.read_frame_sample_log(spark, frames_dir).collect()
+    )
+    assert got2 == want
+
+    # fresh checkpoint: every batch replays over the surviving
+    # frames_dir, overwriting its own batch= subdirectory
+    drain(str(tmp_path / "ckpt2"))
+    got3 = sorted(
+        tuple(r)
+        for r in jobs.read_frame_sample_log(spark, frames_dir).collect()
+    )
+    assert got3 == want
