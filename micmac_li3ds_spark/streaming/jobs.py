@@ -905,6 +905,156 @@ def read_near_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     ).distinct()
 
 
+def run_streaming_semantic_dedup(
+    stream: DataFrame,
+    centroids: DataFrame,
+    vectors_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    tau: float = 0.42,
+    cluster_cap: int = 4096,
+):
+    """Incremental SemDeDup (round 15) — the EMBEDDING member of the
+    streaming dedup family, next to exact (dropDuplicates-within-
+    watermark) and lexical near-dup (run_streaming_near_dedup): a
+    continuously-fed vector corpus dedups against everything already
+    seen as batches arrive, instead of a nightly whole-corpus re-run.
+
+    ``centroids`` is a STATIC (cid, cv) DataFrame fixed for the
+    stream's lifetime — the stream-static shape production SemDeDup
+    ships (centroids are re-fit OFFLINE and a new stream generation
+    rolls out with them; changing centroids mid-stream would silently
+    re-bucket history). Because assignment is deterministic in
+    (vector, centroids), a vector's cluster never changes, which is
+    exactly what makes the old-old-pair argument carry over from the
+    LSH twin: any two old vectors sharing a cluster became a candidate
+    when the younger one arrived.
+
+    Per micro-batch, under foreachBatch (all components SHARED with
+    q_llm_semantic_dedup — streaming ≡ batch is bookkeeping):
+
+    1. nearest_centroid_assign scores the batch against the broadcast
+       centroid set (map-side packed-key argmin — the exchange carries
+       batch rows, not batch×k); (vec_id, cid, v) lands in
+       ``vectors_dir/batch=<id>`` with mode=overwrite (idempotent
+       WAL replay).
+    2. candidates come from the ACCUMULATED vector state restricted to
+       clusters the batch TOUCHES (semi-join on cid), expanded by the
+       shared capped in-array lsh_candidate_pairs; only pairs with
+       ≥1 new side are kept.
+    3. cosine verification joins vectors from the accumulated state;
+       pairs with round(cos, 6) ≥ tau append to
+       ``pairs_dir/batch=<id>``.
+
+    Per-batch cost scales with batch size × cluster occupancy, never
+    corpus size. ``cluster_cap`` has the at-arrival semantics of the
+    LSH twin's bucket_cap (a stream cannot retract; the batch twin
+    matches whenever no cluster crosses the cap mid-feed — asserted on
+    the harness corpus). Keeper materialization is NOT streamed:
+    connected components over the pair log are monotone (components
+    only ever merge as edges append — no retraction), so
+    read_semantic_dedup_keepers snapshots them on demand with the
+    batch cc_fixpoint."""
+    from micmac_li3ds_spark.operators.llm_text import lsh_candidate_pairs
+    from micmac_li3ds_spark.operators.llm_vector import (
+        nearest_centroid_assign,
+    )
+    from micmac_li3ds_spark.functions.vector import cosine
+
+    n_cent = centroids.count()
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        asg = nearest_centroid_assign(
+            batch_df.select("vec_id", "v"),
+            centroids,
+            extra_cols=("v",),
+            n_centroids=n_cent,
+        ).select("vec_id", F.col("centroid_id").alias("cid"), "v")
+        asg.write.mode("overwrite").parquet(
+            f"{vectors_dir}/batch={batch_id}"
+        )
+
+        state = spark.read.parquet(vectors_dir)
+        new = spark.read.parquet(f"{vectors_dir}/batch={batch_id}")
+        hot = new.select("cid").distinct()
+        touched = state.join(hot, "cid", "left_semi")
+        pairs = lsh_candidate_pairs(
+            touched.select(
+                F.col("cid").cast("string").alias("band_key"),
+                F.col("vec_id").alias("doc_id"),
+            ),
+            bucket_cap=cluster_cap,
+        )
+        na = new.select(F.col("vec_id").alias("doc_a")).withColumn(
+            "a_new", F.lit(True)
+        )
+        nb = new.select(F.col("vec_id").alias("doc_b")).withColumn(
+            "b_new", F.lit(True)
+        )
+        fresh = (
+            pairs.join(na, "doc_a", "left")
+            .join(nb, "doc_b", "left")
+            .filter(F.col("a_new").isNotNull() | F.col("b_new").isNotNull())
+            .select("doc_a", "doc_b")
+        )
+        va = state.select(
+            F.col("vec_id").alias("doc_a"), F.col("v").alias("va")
+        )
+        vb = state.select(
+            F.col("vec_id").alias("doc_b"), F.col("v").alias("vb")
+        )
+        (
+            fresh.join(va, "doc_a")
+            .join(vb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= tau)
+            .write.mode("overwrite")
+            .parquet(f"{pairs_dir}/batch={batch_id}")
+        )
+
+    return run_foreach_batch(stream, dedup_batch, checkpoint)
+
+
+def read_semantic_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """The emitted semantic near-duplicate pair log, distinct (a
+    re-fed vec_id legitimately re-emits its pairs — assignment and
+    cosine are deterministic)."""
+    return spark.read.parquet(pairs_dir).select(
+        "doc_a", "doc_b", "cos"
+    ).distinct()
+
+
+def read_semantic_dedup_keepers(
+    spark: SparkSession, vectors_dir: str, pairs_dir: str
+) -> DataFrame:
+    """On-demand keeper snapshot over the accumulated pair log:
+    connected components only MERGE as edges append (monotone — no
+    retraction), so running the shared cc_fixpoint over the log at any
+    moment yields the same (vec_id, keeper, is_kept) contract as
+    q_llm_semantic_dedup over the corpus-so-far."""
+    from micmac_li3ds_spark.operators.analytics import cc_fixpoint
+
+    edges = (
+        spark.read.parquet(pairs_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+    )
+    lbl, _rounds = cc_fixpoint(edges)
+    vecs = spark.read.parquet(vectors_dir).select("vec_id").distinct()
+    return vecs.join(lbl, vecs["vec_id"] == lbl["node"], "left").select(
+        "vec_id",
+        F.coalesce(F.col("lbl"), F.col("vec_id")).alias("keeper"),
+        (
+            F.coalesce(F.col("lbl"), F.col("vec_id")) == F.col("vec_id")
+        ).alias("is_kept"),
+    )
+
+
 def read_media_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """binaryFile FILE STREAM over a media-lake prefix — the ingest
     shape the multimodal docstrings advertise (payloads live as object

@@ -1557,3 +1557,175 @@ def test_streaming_near_dedup_survives_ineligible_batch(spark, tmp_path):
     assert len(os.listdir(dirs["pairs_dir"])) >= 3  # every batch logged
     pairs = jobs.read_near_dedup_pairs(spark, dirs["pairs_dir"]).collect()
     assert sorted((r["doc_a"], r["doc_b"]) for r in pairs) == [(1, 4)]
+
+
+# ---------------------------------------------------------------------------
+# round 15: incremental SemDeDup — the embedding member of the
+# streaming dedup family (exact / lexical-LSH / semantic)
+# ---------------------------------------------------------------------------
+
+
+def _sem_dedup_dirs(tmp_path):
+    return {
+        "vectors_dir": str(tmp_path / "vectors"),
+        "pairs_dir": str(tmp_path / "sem_pairs"),
+    }
+
+
+def _embeddings_feed(spark, tmp_path, sf_dir, n_batches=3):
+    """The embeddings corpus split into pmod(vec_id) batches, one
+    parquet file per micro-batch (maxFilesPerTrigger=1)."""
+    import os
+
+    from micmac_li3ds_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    feed_dir = tmp_path / "emb_feed"
+    feed_dir.mkdir()
+    for k in range(n_batches):
+        e.filter(F.pmod("vec_id", F.lit(n_batches)) == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / f"embtmp{k}"))
+        src = [
+            f
+            for f in os.listdir(tmp_path / f"embtmp{k}")
+            if f.endswith(".parquet")
+        ][0]
+        os.link(tmp_path / f"embtmp{k}" / src, feed_dir / f"{k}.parquet")
+    return str(feed_dir)
+
+
+def _emb_stream(spark, feed_dir):
+    from micmac_li3ds_spark.functions.vector import as_double
+
+    return (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+
+
+def test_streaming_semantic_dedup_matches_batch_pipeline(
+    spark, tmp_path, sf_dir
+):
+    """A 3-batch embedding feed against fixed centroids must emit
+    exactly the batch SemDeDup's verified edge set (4 of the 6 corpus
+    edges cross batch boundaries, so the accumulated-state semi-join
+    really runs), and the on-demand keeper snapshot must equal
+    q_llm_semantic_dedup row for row — streaming ≡ batch for the
+    embedding dedup geometry. Re-draining the same checkpoint is a
+    no-op; a fresh checkpoint over the surviving state re-derives the
+    identical sets (write-by-batch-id idempotence)."""
+    import os
+
+    from micmac_li3ds_spark.operators.llm_vector import (
+        _emb,
+        q_llm_semantic_dedup,
+    )
+
+    feed_dir = _embeddings_feed(spark, tmp_path, sf_dir)
+    centroids = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dirs = _sem_dedup_dirs(tmp_path)
+
+    def drain(ckpt):
+        q = jobs.run_streaming_semantic_dedup(
+            _emb_stream(spark, feed_dir),
+            centroids,
+            checkpoint=str(tmp_path / ckpt),
+            **dirs,
+        )
+        q.awaitTermination(300)
+
+    drain("ckpt")
+    batches = [
+        d for d in os.listdir(dirs["pairs_dir"]) if d.startswith("batch=")
+    ]
+    assert len(batches) == 3
+
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jobs.read_semantic_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert len(got_pairs) == 6
+    # the cross-batch edges prove candidates come from ACCUMULATED state
+    assert sum(1 for a, b in got_pairs if a % 3 != b % 3) == 4
+
+    got = sorted(
+        (r["vec_id"], r["keeper"], r["is_kept"])
+        for r in jobs.read_semantic_dedup_keepers(spark, **dirs).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["keeper"], r["is_kept"])
+        for r in q_llm_semantic_dedup(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) == 500
+
+    # same checkpoint: no new files → a no-op
+    drain("ckpt")
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in jobs.read_semantic_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    } == got_pairs
+
+    # fresh checkpoint: every batch replays idempotently over the
+    # surviving state dirs
+    drain("ckpt2")
+    got3 = sorted(
+        (r["vec_id"], r["keeper"], r["is_kept"])
+        for r in jobs.read_semantic_dedup_keepers(spark, **dirs).collect()
+    )
+    assert got3 == want
+
+
+def test_streaming_semantic_dedup_unrelated_batch_emits_nothing(
+    spark, tmp_path, sf_dir
+):
+    """A second batch whose vectors share no cluster-mates above tau
+    with anything seen must append an EMPTY pair log for its batch id
+    — per-batch cost is bucket-occupancy work, never an all-pairs
+    rescan. Uses tau=1.01 (> any rounded cosine) so no pair can ever
+    verify, while assignments still accumulate."""
+    import os
+
+    from micmac_li3ds_spark.operators.llm_vector import _emb
+
+    feed_dir = _embeddings_feed(spark, tmp_path, sf_dir, n_batches=2)
+    centroids = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dirs = _sem_dedup_dirs(tmp_path)
+    q = jobs.run_streaming_semantic_dedup(
+        _emb_stream(spark, feed_dir),
+        centroids,
+        checkpoint=str(tmp_path / "ckpt"),
+        tau=1.01,
+        **dirs,
+    )
+    q.awaitTermination(300)
+    assert (
+        len(
+            [
+                d
+                for d in os.listdir(dirs["vectors_dir"])
+                if d.startswith("batch=")
+            ]
+        )
+        == 2
+    )
+    assert jobs.read_semantic_dedup_pairs(
+        spark, dirs["pairs_dir"]
+    ).count() == 0
+    # every vector is its own keeper when no edge ever verified
+    keep = jobs.read_semantic_dedup_keepers(spark, **dirs).collect()
+    assert len(keep) == 500 and all(r["is_kept"] for r in keep)
