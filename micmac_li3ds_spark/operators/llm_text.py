@@ -75,6 +75,16 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------ exact dedup
 
 
+def exact_fingerprint(col) -> F.Column:
+    """The exact-dedup content fingerprint shared by q_llm_exact_dedup
+    and the streaming twin (streaming/jobs.py:run_streaming_exact_dedup)
+    — normalize (lower, trim, collapse runs of spaces) then sha256, so
+    byte-insignificant formatting differences collapse while any real
+    content change survives. Factored (round 15) so streaming ≡ batch
+    is shared code, not a re-derivation."""
+    return F.sha2(F.lower(F.trim(F.regexp_replace(col, " +", " "))), 256)
+
+
 @register(
     "q_llm_exact_dedup",
     oracle="""
@@ -106,9 +116,7 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = d.withColumn("batch", F.lit(1)).unionByName(
         d.withColumn("batch", F.lit(2))
     )
-    fp = F.sha2(
-        F.lower(F.trim(F.regexp_replace("text", " +", " "))), 256
-    )
+    fp = exact_fingerprint("text")
     return (
         batches.withColumn("fp", fp)
         .groupBy("fp")

@@ -905,6 +905,110 @@ def read_near_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _read_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Accumulated-state reader for by-batch-id parquet dirs that may
+    not exist yet (the very first micro-batch of a stream): returns an
+    empty DataFrame of the declared schema instead of failing the
+    batch. Declared, never inferred — an empty dir must still join."""
+    import os
+
+    if os.path.isdir(path) and any(
+        d.startswith("batch=") for d in os.listdir(path)
+    ):
+        return spark.read.schema(ddl).parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
+def run_streaming_exact_dedup(
+    stream: DataFrame,
+    seen_dir: str,
+    dups_dir: str,
+    checkpoint: str,
+):
+    """Incremental EXACT dedup against ALL history (round 15) — the
+    first member of the streaming dedup family stated as its own job.
+    Watermarked ``dropDuplicates`` bounds its state by event time (the
+    q_stream-dedup twin) — correct for at-most-once-per-window feeds,
+    but a training-data lake needs "have I EVER ingested these bytes",
+    which is unbounded by design and therefore lives as external
+    partitioned state, not stream-operator state.
+
+    Per micro-batch under foreachBatch, sharing q_llm_exact_dedup's
+    fingerprint (operators/llm_text.py:exact_fingerprint — streaming ≡
+    batch is shared code):
+
+    1. fingerprint the batch; the within-batch winner per NEW
+       fingerprint is min(doc_id) (deterministic tie-break, the batch
+       query's keeper rule);
+    2. fingerprints never seen before land in ``seen_dir/batch=<id>``
+       as (fp, kept_doc_id) — the only state this job ever writes, so
+       state size is the number of DISTINCT documents ever seen;
+    3. every other arriving row (an already-seen fingerprint, or a
+       same-batch non-winner) lands in ``dups_dir/batch=<id>`` as
+       (doc_id, fp) — the audit log a curation pipeline reports on.
+
+    Both writes are mode=overwrite by batch id (idempotent WAL
+    replay). Keeper semantics are FIRST-SEEN: a stream cannot retract
+    an emitted keeper, so a smaller doc_id arriving later for a seen
+    fingerprint is a dup, not a new keeper — identical to the batch
+    min-doc_id rule whenever feeding order is doc_id-ascending per
+    fingerprint (the harness double-import corpus satisfies it; the
+    divergence is documented, not hidden). At scale ``seen_dir``
+    would be bucketed by fingerprint prefix so the anti-join prunes
+    files — the same layout argument as the LSH band state."""
+    from micmac_li3ds_spark.operators.llm_text import exact_fingerprint
+
+    SEEN_DDL = "fp string, kept_doc_id long"
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            "doc_id", exact_fingerprint("text").alias("fp")
+        ).persist()
+        try:
+            seen = _read_or_empty(spark, seen_dir, SEEN_DDL)
+            new = (
+                b.groupBy("fp")
+                .agg(F.min("doc_id").alias("kept_doc_id"))
+                .join(seen.select("fp"), "fp", "left_anti")
+            )
+            new.write.mode("overwrite").parquet(
+                f"{seen_dir}/batch={batch_id}"
+            )
+            kept = spark.read.schema(SEEN_DDL).parquet(
+                f"{seen_dir}/batch={batch_id}"
+            ).select("fp", F.col("kept_doc_id").alias("doc_id"))
+            (
+                b.join(kept, ["fp", "doc_id"], "left_anti")
+                .select("doc_id", "fp")
+                .write.mode("overwrite")
+                .parquet(f"{dups_dir}/batch={batch_id}")
+            )
+        finally:
+            b.unpersist()
+
+    return run_foreach_batch(stream, dedup_batch, checkpoint)
+
+
+def read_exact_dedup(
+    spark: SparkSession, seen_dir: str, dups_dir: str
+) -> DataFrame:
+    """The accumulated exact-dedup report: one row per distinct
+    fingerprint ever seen, its first-seen keeper, and the total copy
+    count (1 + logged dup arrivals) — q_llm_exact_dedup's output
+    contract over the stream's history."""
+    seen = spark.read.schema("fp string, kept_doc_id long").parquet(
+        seen_dir
+    )
+    dups = _read_or_empty(spark, dups_dir, "doc_id long, fp string")
+    counts = dups.groupBy("fp").agg(F.count(F.lit(1)).alias("n_dups"))
+    return seen.join(counts, "fp", "left").select(
+        "fp",
+        "kept_doc_id",
+        (F.coalesce(F.col("n_dups"), F.lit(0)) + 1).alias("n_copies"),
+    )
+
+
 def run_streaming_semantic_dedup(
     stream: DataFrame,
     centroids: DataFrame,

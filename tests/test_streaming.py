@@ -1729,3 +1729,137 @@ def test_streaming_semantic_dedup_unrelated_batch_emits_nothing(
     # every vector is its own keeper when no edge ever verified
     keep = jobs.read_semantic_dedup_keepers(spark, **dirs).collect()
     assert len(keep) == 500 and all(r["is_kept"] for r in keep)
+
+
+# ---------------------------------------------------------------------------
+# round 15: incremental EXACT dedup against all history
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_exact_dedup_double_import_matches_batch(
+    spark, tmp_path, sf_dir
+):
+    """q_llm_exact_dedup's scenario — the corpus imported twice — fed
+    as two micro-batches: the accumulated report (fp, first-seen
+    keeper, total copies) must equal the batch query row for row,
+    and replay must be idempotent."""
+    import os
+
+    from micmac_li3ds_spark.operators.llm_text import q_llm_exact_dedup
+    from micmac_li3ds_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feed_dir = tmp_path / "docs_feed"
+    feed_dir.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "docs_once")
+    )
+    src = [
+        f
+        for f in os.listdir(tmp_path / "docs_once")
+        if f.endswith(".parquet")
+    ][0]
+    for k in range(2):  # the double import: the same bytes, twice
+        os.link(tmp_path / "docs_once" / src, feed_dir / f"{k}.parquet")
+
+    seen_dir = str(tmp_path / "seen")
+    dups_dir = str(tmp_path / "dups")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed_dir))
+        )
+        q = jobs.run_streaming_exact_dedup(
+            stream, seen_dir, dups_dir, checkpoint=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(300)
+
+    drain("ckpt")
+    assert (
+        len([d for d in os.listdir(seen_dir) if d.startswith("batch=")])
+        == 2
+    )
+
+    got = sorted(
+        (r["fp"], r["kept_doc_id"], r["n_copies"])
+        for r in jobs.read_exact_dedup(spark, seen_dir, dups_dir).collect()
+    )
+    want = sorted(
+        (r["fp"], r["kept_doc_id"], r["n_copies"])
+        for r in q_llm_exact_dedup(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) > 0
+    assert all(n == 2 for _fp, _k, n in got)
+
+    # second batch discovered NOTHING new — state size is distinct-docs
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    b1 = f"{seen_dir}/batch=1"
+    n_b1 = sum(
+        pq_.read_table(f"{b1}/{f}").num_rows
+        for f in os.listdir(b1)
+        if f.endswith(".parquet")
+    )
+    assert n_b1 == 0
+
+    drain("ckpt")  # no new files: a no-op
+    drain("ckpt2")  # full replay over surviving state: idempotent
+    got3 = sorted(
+        (r["fp"], r["kept_doc_id"], r["n_copies"])
+        for r in jobs.read_exact_dedup(spark, seen_dir, dups_dir).collect()
+    )
+    assert got3 == want
+
+
+def test_streaming_exact_dedup_first_seen_keeper_semantics(
+    spark, tmp_path
+):
+    """The documented stream-vs-batch divergence, pinned: a SMALLER
+    doc_id arriving in a later batch for an already-seen fingerprint
+    is a dup (streams cannot retract an emitted keeper) — while a
+    same-batch tie still resolves to min(doc_id). Whitespace/case
+    variants collapse to one fingerprint; distinct text does not."""
+    import os
+
+    feed_dir = tmp_path / "tiny_feed"
+    feed_dir.mkdir()
+    b0 = spark.createDataFrame(
+        [(5, "Hello  World"), (9, "hello world"), (7, "other text")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "HELLO WORLD"), (2, "brand new")],
+        "doc_id long, text string",
+    )
+    for k, df in enumerate([b0, b1]):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tb{k}")
+        )
+        src = [
+            f
+            for f in os.listdir(tmp_path / f"tb{k}")
+            if f.endswith(".parquet")
+        ][0]
+        os.link(tmp_path / f"tb{k}" / src, feed_dir / f"{k}.parquet")
+
+    seen_dir = str(tmp_path / "tiny_seen")
+    dups_dir = str(tmp_path / "tiny_dups")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed_dir))
+    )
+    q = jobs.run_streaming_exact_dedup(
+        stream, seen_dir, dups_dir, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    rep = {
+        r["kept_doc_id"]: r["n_copies"]
+        for r in jobs.read_exact_dedup(spark, seen_dir, dups_dir).collect()
+    }
+    # keeper 5 (same-batch min over {5, 9}), NOT 3 (arrived later);
+    # "hello world" has 3 copies total; the other two are singletons
+    assert rep == {5: 3, 7: 1, 2: 1}
