@@ -943,9 +943,12 @@ def run_streaming_exact_dedup(
     2. fingerprints never seen before land in ``seen_dir/batch=<id>``
        as (fp, kept_doc_id) — the only state this job ever writes, so
        state size is the number of DISTINCT documents ever seen;
-    3. every other arriving row (an already-seen fingerprint, or a
-       same-batch non-winner) lands in ``dups_dir/batch=<id>`` as
-       (doc_id, fp) — the audit log a curation pipeline reports on.
+    3. every other ARRIVAL (an already-seen fingerprint, a same-batch
+       non-winner, or an extra copy of the kept row itself — the
+       hypothesis-found edge: the same (doc_id, text) twice in one
+       batch is two arrivals) lands in ``dups_dir/batch=<id>``
+       aggregated as (doc_id, fp, n) — counting arrivals, not rows,
+       keeps the log at distinct-(doc, fp) granularity.
 
     Both writes are mode=overwrite by batch id (idempotent WAL
     replay). Keeper semantics are FIRST-SEEN: a stream cannot retract
@@ -975,12 +978,23 @@ def run_streaming_exact_dedup(
             new.write.mode("overwrite").parquet(
                 f"{seen_dir}/batch={batch_id}"
             )
-            kept = spark.read.schema(SEEN_DDL).parquet(
-                f"{seen_dir}/batch={batch_id}"
-            ).select("fp", F.col("kept_doc_id").alias("doc_id"))
+            kept = (
+                spark.read.schema(SEEN_DDL)
+                .parquet(f"{seen_dir}/batch={batch_id}")
+                .select("fp", F.col("kept_doc_id").alias("doc_id"))
+                .withColumn("is_keep", F.lit(1))
+            )
+            # arrivals minus the one kept copy per newly-seen fp —
+            # identical rows arriving twice are two arrivals
             (
-                b.join(kept, ["fp", "doc_id"], "left_anti")
-                .select("doc_id", "fp")
+                b.groupBy("fp", "doc_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .join(kept, ["fp", "doc_id"], "left")
+                .withColumn(
+                    "n", F.col("n") - F.coalesce("is_keep", F.lit(0))
+                )
+                .filter(F.col("n") > 0)
+                .select("doc_id", "fp", "n")
                 .write.mode("overwrite")
                 .parquet(f"{dups_dir}/batch={batch_id}")
             )
@@ -1000,8 +1014,8 @@ def read_exact_dedup(
     seen = spark.read.schema("fp string, kept_doc_id long").parquet(
         seen_dir
     )
-    dups = _read_or_empty(spark, dups_dir, "doc_id long, fp string")
-    counts = dups.groupBy("fp").agg(F.count(F.lit(1)).alias("n_dups"))
+    dups = _read_or_empty(spark, dups_dir, "doc_id long, fp string, n long")
+    counts = dups.groupBy("fp").agg(F.sum("n").alias("n_dups"))
     return seen.join(counts, "fp", "left").select(
         "fp",
         "kept_doc_id",

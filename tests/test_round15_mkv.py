@@ -802,3 +802,66 @@ def test_mkv_streaming_frame_sample_multibatch(spark, tmp_path):
         for r in jobs.read_frame_sample_log(spark, frames_dir).collect()
     )
     assert got3 == want
+
+
+def test_mkv_webm_doctype_accepted_and_void_prefix_skipped(spark=None):
+    """DocType 'webm' is the same container grammar (accepted); a Void
+    element between the EBML header and the Segment — emitted by some
+    muxers as patch space — is skipped."""
+    from micmac_li3ds_spark.operators.multimodal import _mkv_sample_index
+
+    gf = _genfix()
+    body, _ = gf._mkv_block_body(1, 3, True, "none", [b"vp9ish"], True)
+    cluster = _cluster(gf, 40, gf._ebml_elem(0xA3, body))
+    webm = _craft(gf, clusters=[cluster], doctype=b"webm")
+    idx = _mkv_sample_index(webm)
+    assert [(k, t) for _o, _s, k, t in idx] == [(True, 43)]
+
+    plain = _craft(gf, clusters=[cluster])
+    hdr = gf._ebml_elem(0x1A45DFA3, gf._ebml_elem(0x4282, b"matroska"))
+    void = gf._ebml_elem(0xEC, bytes(11))
+    padded = hdr + void + plain[len(hdr):]
+    # same frames, absolute offsets shifted by the Void element
+    assert _mkv_sample_index(padded) == [
+        (o + len(void), s, k, t)
+        for o, s, k, t in _mkv_sample_index(plain)
+    ]
+
+
+def test_mkv_streaming_frame_sample_ranged(spark, tmp_path):
+    """run_streaming_frame_sample with a time window: the accumulated
+    log equals the batch range sampler (cued rows seek, others fall
+    back) over the full lake."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _MKV_FSR_HI_MS,
+        _MKV_FSR_LO_MS,
+        load_media_mkv,
+        mkv_frame_sample_range,
+    )
+    from micmac_li3ds_spark.streaming import jobs
+
+    lake = _write_lake(tmp_path, _rows())
+    frames_dir = str(tmp_path / "rframes")
+    stream = jobs.read_media_file_stream(spark, lake)
+    q = jobs.run_streaming_frame_sample(
+        stream,
+        frames_dir,
+        str(tmp_path / "rckpt"),
+        lo_ms=_MKV_FSR_LO_MS,
+        hi_ms=_MKV_FSR_HI_MS,
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r)
+        for r in jobs.read_frame_sample_log(spark, frames_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mkv_frame_sample_range(
+            spark,
+            _MKV_FSR_LO_MS,
+            _MKV_FSR_HI_MS,
+            media=load_media_mkv(spark),
+        ).collect()
+    )
+    assert got == want and len(want) > 0

@@ -1863,3 +1863,166 @@ def test_streaming_exact_dedup_first_seen_keeper_semantics(
     # keeper 5 (same-batch min over {5, 9}), NOT 3 (arrived later);
     # "hello world" has 3 copies total; the other two are singletons
     assert rep == {5: 3, 7: 1, 2: 1}
+
+
+def test_streaming_semantic_dedup_refed_vector_idempotent(
+    spark, tmp_path, sf_dir
+):
+    """A later batch RE-FEEDING already-seen vectors must leave the
+    distinct pair set and the keeper snapshot unchanged: assignment
+    and cosine are deterministic, the bucket expansion collect_sets
+    doc ids, and read_semantic_dedup_pairs reads distinct — the
+    documented re-fed contract, pinned."""
+    import os
+
+    from micmac_li3ds_spark.operators.llm_vector import _emb
+    from micmac_li3ds_spark.tables import load
+
+    feed_dir = _embeddings_feed(spark, tmp_path, sf_dir)
+    # append a 4th file re-feeding the pmod-0 slice verbatim
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e.filter(F.pmod("vec_id", F.lit(3)) == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "refed"))
+    src = [
+        f for f in os.listdir(tmp_path / "refed") if f.endswith(".parquet")
+    ][0]
+    os.link(tmp_path / "refed" / src, f"{feed_dir}/3_refed.parquet")
+
+    centroids = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dirs = _sem_dedup_dirs(tmp_path)
+    q = jobs.run_streaming_semantic_dedup(
+        _emb_stream(spark, feed_dir),
+        centroids,
+        checkpoint=str(tmp_path / "ckpt"),
+        **dirs,
+    )
+    q.awaitTermination(300)
+    assert (
+        len(
+            [
+                d
+                for d in os.listdir(dirs["pairs_dir"])
+                if d.startswith("batch=")
+            ]
+        )
+        == 4
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jobs.read_semantic_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert len(pairs) == 6  # identical to the 3-batch feed's set
+    keep = jobs.read_semantic_dedup_keepers(spark, **dirs).collect()
+    assert len(keep) == 500  # re-fed vec_ids collapse in the snapshot
+
+
+def test_streaming_exact_dedup_random_feeds_differential():
+    """Hypothesis differential: random document multisets split into
+    random micro-batches must always produce the reference first-seen
+    report (computed by a 15-line python fold) — duplicates within a
+    batch, across batches, and across re-feeds included."""
+    import hashlib
+    import re
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    texts = st.sampled_from(
+        ["alpha beta", "Alpha  Beta", "gamma", "delta delta", "  gamma "]
+    )
+
+    @st.composite
+    def feeds(draw):
+        n = draw(st.integers(1, 10))
+        docs = [
+            (draw(st.integers(0, 20)), draw(texts)) for _ in range(n)
+        ]
+        cuts = sorted(
+            draw(
+                st.lists(
+                    st.integers(0, n), min_size=0, max_size=3
+                )
+            )
+        )
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            if c > prev:
+                batches.append(docs[prev:c])
+                prev = c
+        return batches or [docs]
+
+    def norm_fp(text):
+        return hashlib.sha256(
+            re.sub(" +", " ", text).strip().lower().encode()
+        ).hexdigest()
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(feeds())
+    def inner(batches):
+        import tempfile
+
+        from micmac_li3ds_spark.session import get_spark
+
+        spark = get_spark("tests", cpus=4, shuffle_partitions=8)
+        with tempfile.TemporaryDirectory() as td:
+            seen_dir, dups_dir = f"{td}/seen", f"{td}/dups"
+            # reference fold: first-seen keeper (same-batch ties: min),
+            # n_copies counts every arrival
+            ref = {}
+            for batch in batches:
+                newly = {}
+                for doc_id, text in batch:
+                    fp = norm_fp(text)
+                    if fp in ref:
+                        ref[fp][1] += 1
+                    elif fp in newly:
+                        newly[fp][0] = min(newly[fp][0], doc_id)
+                        newly[fp][1] += 1
+                    else:
+                        newly[fp] = [doc_id, 1]
+                ref.update(newly)
+            # drive the real job batch by batch via one-file triggers
+            import os
+
+            feed = f"{td}/feed"
+            os.makedirs(feed)
+            for k, batch in enumerate(batches):
+                spark.createDataFrame(
+                    batch, "doc_id long, text string"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{td}/b{k}"
+                )
+                src = [
+                    f
+                    for f in os.listdir(f"{td}/b{k}")
+                    if f.endswith(".parquet")
+                ][0]
+                os.link(f"{td}/b{k}/{src}", f"{feed}/{k}.parquet")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+            )
+            q = jobs.run_streaming_exact_dedup(
+                stream, seen_dir, dups_dir, checkpoint=f"{td}/ckpt"
+            )
+            q.awaitTermination(300)
+            got = {
+                r["fp"]: (r["kept_doc_id"], r["n_copies"])
+                for r in jobs.read_exact_dedup(
+                    spark, seen_dir, dups_dir
+                ).collect()
+            }
+            assert got == {fp: tuple(v) for fp, v in ref.items()}
+
+    inner()
