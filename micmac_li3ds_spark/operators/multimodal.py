@@ -2481,6 +2481,35 @@ def q_mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mime → (real zero-dep decoder, its per-format decoder tag): the
+# dispatch table behind decode_auto — one entry per format the engine
+# decodes for real (SURVEY §2.11). Keys are the fixture corpus's mime
+# strings; a lake would map file extensions onto them at scan time
+# (streaming/jobs.py:run_streaming_feature_extract does exactly that).
+_REAL_DECODERS = {
+    "image/bmp": (_decode_bmp, "bmp24-strips-v1"),
+    "image/x-portable-pixmap": (_decode_ppm, "ppm6-strips-v1"),
+    "audio/x-wav-pcm": (_decode_wav, "wav16-winabs-v1"),
+    "image/png": (_decode_png, "png8-strips-v1"),
+    "image/gif": (_decode_gif, "gif-lzw-strips-v1"),
+    "audio/aiff": (_decode_aiff, "aiff16-winabs-v1"),
+    "image/tiff": (_decode_tiff, "tiff-strips-v1"),
+}
+
+
+def decode_auto(payload: bytes, mime: str) -> list[float]:
+    """Mime-dispatching decode for MIXED corpora (round 15): routes
+    each item to its real zero-dep decoder — the shape a lake scan
+    needs, where one directory holds many formats and feature_extract
+    takes a single decode callable. Unknown mimes raise (a lake sweep
+    must surface unexpected formats, not silently stub them; callers
+    that want the stub pass it explicitly)."""
+    entry = _REAL_DECODERS.get(mime)
+    if entry is None:
+        raise ValueError(f"decode_auto: no real decoder for mime {mime!r}")
+    return entry[0](payload, mime)
+
+
 # ---------------------------------------------- Matroska/EBML (round 15)
 # The second major container family next to ISO BMFF (r14 verdict item 6
 # named it the natural extension): a from-the-spec EBML walk (RFC 8794 +

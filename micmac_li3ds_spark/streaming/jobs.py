@@ -1173,7 +1173,37 @@ def read_semantic_dedup_keepers(
     )
 
 
-def read_media_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_near_dedup_clusters(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """On-demand duplicate-cluster snapshot over the accumulated LSH
+    pair log — q_llm_dedup_clusters' (doc_id, cluster_id, cluster_size)
+    contract for the stream's history, by the same monotonicity
+    argument as the semantic twin: connected components over an
+    append-only edge log only MERGE as pairs arrive, so a snapshot at
+    any moment is consistent with the corpus-so-far (whereas streaming
+    the labels themselves would require retracting assignments each
+    merge invalidates). Involved documents only, like the batch key —
+    singletons never enter the pair log."""
+    from micmac_li3ds_spark.operators.analytics import cc_fixpoint
+    from pyspark.sql.window import Window
+
+    edges = (
+        spark.read.parquet(pairs_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+    )
+    lbl, _rounds = cc_fixpoint(edges)
+    w = Window.partitionBy("cluster_id")
+    return (
+        lbl.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+
+
+def read_media_file_stream(
+    spark: SparkSession, src_dir: str, glob: str = "*.mkv"
+) -> DataFrame:
     """binaryFile FILE STREAM over a media-lake prefix — the ingest
     shape the multimodal docstrings advertise (payloads live as object
     files, never inside relational rows): Spark's binaryFile source
@@ -1191,9 +1221,82 @@ def read_media_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return (
         spark.readStream.format("binaryFile")
         .schema(schema)
-        .option("pathGlobFilter", "*.mkv")
+        .option("pathGlobFilter", glob)
         .load(src_dir)
     )
+
+
+# lake file extension → the fixture corpus's mime vocabulary (the keys
+# of multimodal._REAL_DECODERS) — what run_streaming_feature_extract
+# stamps on each file before dispatch
+MEDIA_EXT_MIME = {
+    "bmp": "image/bmp",
+    "ppm": "image/x-portable-pixmap",
+    "wav": "audio/x-wav-pcm",
+    "png": "image/png",
+    "gif": "image/gif",
+    "aif": "audio/aiff",
+    "aiff": "audio/aiff",
+    "tif": "image/tiff",
+    "tiff": "image/tiff",
+}
+
+
+def run_streaming_feature_extract(
+    stream: DataFrame,
+    features_dir: str,
+    checkpoint: str,
+):
+    """Continuous decode + feature-extract over a MIXED media lake
+    (round 15): as image/audio files land, each micro-batch maps
+    <media_id>.<ext> to (media_id, mime, payload) — mime from the
+    extension via MEDIA_EXT_MIME — and runs the shared
+    feature_extract plumbing with the mime-dispatching decode_auto
+    (every real zero-dep decoder: BMP, PPM, WAV, PNG, GIF, AIFF,
+    TIFF). Features land by batch id (idempotent WAL replay). An
+    unknown extension fails the batch loudly — a lake sweep must
+    surface unexpected formats, not stub them silently. Pure map work
+    over the binary column: no shuffle in the stage, scale-out is
+    files-per-batch × executors."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        decode_auto,
+        feature_extract,
+    )
+
+    mime_expr = None
+    fname = F.element_at(F.split("path", "/"), -1)
+    ext = F.lower(F.element_at(F.split(fname, r"\."), -1))
+    for e, m in MEDIA_EXT_MIME.items():
+        mime_expr = (
+            F.when(ext == e, F.lit(m))
+            if mime_expr is None
+            else mime_expr.when(ext == e, F.lit(m))
+        )
+    mime_expr = mime_expr.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("run_streaming_feature_extract: unknown media "
+                      "extension in "),
+                fname,
+            )
+        )
+    )
+
+    def fx_batch(batch_df: DataFrame, batch_id: int) -> None:
+        media = batch_df.select(
+            F.regexp_extract(fname, r"^(\d+)", 1)
+            .cast("long")
+            .alias("media_id"),
+            mime_expr.alias("mime"),
+            F.col("content").alias("payload"),
+        )
+        feature_extract(
+            media, decode=decode_auto, decoder_name="auto-dispatch-v1"
+        ).write.mode("overwrite").parquet(
+            f"{features_dir}/batch={batch_id}"
+        )
+
+    return run_foreach_batch(stream, fx_batch, checkpoint)
 
 
 def run_streaming_frame_sample(

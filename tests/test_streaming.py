@@ -1468,6 +1468,23 @@ def test_streaming_near_dedup_matches_batch_pipeline(spark, tmp_path, sf_dir):
     }
     assert got3 == want
 
+    # (c) the monotone cluster snapshot over the accumulated pair log
+    # equals the batch cluster assembly (round 15: read_near_dedup_
+    # clusters shares the semantic twin's merge-only argument)
+    from micmac_li3ds_spark.operators.llm_text import q_llm_dedup_clusters
+
+    got_cl = sorted(
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in jobs.read_near_dedup_clusters(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    )
+    want_cl = sorted(
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in q_llm_dedup_clusters(spark, sf_dir).collect()
+    )
+    assert got_cl == want_cl and len(want_cl) > 0
+
 
 def test_streaming_near_dedup_cross_batch_pairs_found(spark, tmp_path):
     """The incremental property in isolation: two docs that are
@@ -2026,3 +2043,129 @@ def test_streaming_exact_dedup_random_feeds_differential():
             assert got == {fp: tuple(v) for fp, v in ref.items()}
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# round 15: continuous decode + feature-extract over a MIXED media lake
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_feature_extract_mixed_lake(spark, tmp_path):
+    """Seven formats in one lake directory, fed across micro-batches:
+    the accumulated feature log must equal the batch feature_extract
+    with the mime-dispatching decode_auto over the same items — the
+    real decoders (BMP, PPM, WAV, PNG, GIF, AIFF, TIFF) behind one
+    scan. Also pins filename→mime stamping and by-batch idempotence
+    (fresh-checkpoint replay)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from micmac_li3ds_spark.operators.multimodal import (
+        decode_auto,
+        feature_extract,
+    )
+    from micmac_li3ds_spark.streaming import jobs
+
+    fams = {
+        "bmp": "bmp",
+        "ppm": "ppm",
+        "wav": "wav",
+        "png": "png",
+        "gif": "gif",
+        "aiff": "aiff",
+        "tiff": "tif",  # exercise the short-extension alias
+    }
+    from micmac_li3ds_spark.operators import multimodal as mm
+
+    lake = tmp_path / "mixed_lake"
+    lake.mkdir()
+    picked = []
+    for fam, ext in fams.items():
+        rows = pq_.read_table(
+            os.path.join(mm._REPO, "fixtures", "parquet",
+                         f"media_{fam}.parquet"),
+            columns=["media_id", "mime", "payload"],
+        ).to_pylist()[:3]
+        for r in rows:
+            (lake / f"{r['media_id']}.{ext}").write_bytes(
+                bytes(r["payload"])
+            )
+        picked.extend(rows)
+
+    features_dir = str(tmp_path / "features")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(jobs.read_media_file_stream(spark, str(lake)).schema)
+            .option("maxFilesPerTrigger", 8)
+            .load(str(lake))
+        )
+        q = jobs.run_streaming_feature_extract(
+            stream, features_dir, checkpoint=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(300)
+
+    drain("ckpt")
+    batches = [
+        d for d in os.listdir(features_dir) if d.startswith("batch=")
+    ]
+    assert len(batches) >= 2  # 21 files at 8 per trigger
+
+    media = spark.createDataFrame(
+        [
+            (r["media_id"], r["mime"], bytes(r["payload"]))
+            for r in picked
+        ],
+        "media_id long, mime string, payload binary",
+    )
+    want = sorted(
+        tuple(r)
+        for r in feature_extract(
+            media, decode=decode_auto, decoder_name="auto-dispatch-v1"
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(features_dir)
+        .drop("batch")
+        .collect()
+    )
+    assert got == want and len(want) == 21
+
+    drain("ckpt2")  # full replay, idempotent by batch id
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(features_dir).drop("batch").collect()
+    )
+    assert got2 == want
+
+
+def test_streaming_feature_extract_unknown_extension_fails_loudly(
+    spark, tmp_path
+):
+    """A file with an unmapped extension must FAIL the batch (named
+    error), not silently stub its features."""
+    from py4j.protocol import Py4JJavaError
+
+    from micmac_li3ds_spark.streaming import jobs
+
+    lake = tmp_path / "bad_lake"
+    lake.mkdir()
+    (lake / "1234.xyz").write_bytes(b"whatever")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(jobs.read_media_file_stream(spark, str(lake)).schema)
+        .load(str(lake))
+    )
+    q = jobs.run_streaming_feature_extract(
+        stream,
+        str(tmp_path / "feat"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(
+        (Py4JJavaError, Exception), match="unknown media extension"
+    ):
+        q.awaitTermination(300)
+        raise AssertionError("stream should have failed")
