@@ -2912,13 +2912,17 @@ def _mkv_sample_index(
     if not cues:
         raise ValueError("time-ranged cues seek requires a Cues index")
     lo_ms, hi_ms = time_range_ms
+    # non-decreasing positions: several CuePoints may legally index
+    # DIFFERENT keyframes of the SAME cluster (equal positions); a
+    # position going backwards is a crafted/stale index
     for (t0, p0), (t1, p1) in zip(cues, cues[1:]):
-        if t1 < t0 or p1 <= p0:
+        if t1 < t0 or p1 < p0:
             raise ValueError(
                 "Cues index is not sorted — refusing a crafted/stale index"
             )
     starts = {es: i for i, (es, _b, _e) in enumerate(clusters)}
     start_idx = 0
+    anchor_ticks = None  # the chosen cue's time, validated at parse
     for t, pos in cues:
         if t * scale <= lo_ms * 1_000_000:
             ap = seg + pos
@@ -2928,6 +2932,7 @@ def _mkv_sample_index(
                     "crafted/stale index"
                 )
             start_idx = starts[ap]
+            anchor_ticks = t
         else:
             break
     try:
@@ -2939,6 +2944,15 @@ def _mkv_sample_index(
             )
             if _touched is not None:
                 _touched.append((b, e))
+            if prev_cts is None and anchor_ticks is not None:
+                # the skip-safety proof needs CueTime ≥ its cluster's
+                # ts (CueTime is a block timestamp, ≥ cts under
+                # rel ≥ 0); the anchor cluster is parsed, so a lying
+                # index is caught here instead of trusted
+                if cts > anchor_ticks:
+                    raise _MkvSeekNonConformant(
+                        "anchor CueTime below its cluster timestamp"
+                    )
             if prev_cts is not None and cts <= prev_cts:
                 raise _MkvSeekNonConformant(
                     "cluster timestamps not monotone"

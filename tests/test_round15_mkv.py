@@ -207,9 +207,11 @@ def test_mkv_seek_falls_back_on_negative_relative_timestamp():
 
 
 def _craft(gf, *, clusters, info=None, tracks=None, cues_body=None,
-           doctype=b"matroska"):
+           doctype=b"matroska", cues_first=False):
     """Hand-assembled minimal Matroska from the generator's EBML
-    primitives — full adversarial control over every element."""
+    primitives — full adversarial control over every element.
+    ``cues_first`` places the Cues element BEFORE the clusters (the
+    streaming-friendly layout some muxers emit)."""
     hdr = gf._ebml_elem(0x1A45DFA3, gf._ebml_elem(0x4282, doctype))
     if info is None:
         info = gf._ebml_elem(
@@ -224,9 +226,15 @@ def _craft(gf, *, clusters, info=None, tracks=None, cues_body=None,
                 + gf._ebml_elem(0x83, b"\x01"),
             ),
         )
-    body = info + tracks + b"".join(clusters)
-    if cues_body is not None:
-        body += gf._ebml_elem(0x1C53BB6B, cues_body)
+    cues = (
+        gf._ebml_elem(0x1C53BB6B, cues_body)
+        if cues_body is not None
+        else b""
+    )
+    if cues_first:
+        body = info + tracks + cues + b"".join(clusters)
+    else:
+        body = info + tracks + b"".join(clusters) + cues
     return hdr + gf._ebml_elem(0x18538067, body)
 
 
@@ -865,3 +873,126 @@ def test_mkv_streaming_frame_sample_ranged(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def _cue(gf, t, pos, track=1):
+    return gf._ebml_elem(
+        0xBB,
+        gf._ebml_elem(0xB3, gf._ebml_uint(t))
+        + gf._ebml_elem(
+            0xB7,
+            gf._ebml_elem(0xF7, bytes([track]))
+            + gf._ebml_elem(0xF1, gf._ebml_uint(pos)),
+        ),
+    )
+
+
+def _three_cluster_file(gf, cues_times_positions=None, cues_first=False):
+    """Three clusters at ts 0/300/800, two keyframes each (+30 rel on
+    the second); positions are computed by a probe pass."""
+    cls = []
+    for ts in (0, 300, 800):
+        b0, _ = gf._mkv_block_body(1, 0, True, "none", [b"k0" + bytes([ts % 251])], True)
+        b1, _ = gf._mkv_block_body(1, 30, True, "none", [b"k3" + bytes([ts % 251])], True)
+        cls.append(
+            _cluster(gf, ts, gf._ebml_elem(0xA3, b0) + gf._ebml_elem(0xA3, b1))
+        )
+    from micmac_li3ds_spark.operators.multimodal import _mkv_segment_scan
+
+    if cues_times_positions is None:
+        cues_times_positions = [(0, 0), (300, 1), (800, 2)]
+    # positions depend on the cues element's own length when Cues
+    # precede the clusters — iterate to the fixpoint
+    pos = [0, 0, 0]
+    for _ in range(4):
+        cues_body = b"".join(
+            _cue(gf, t, pos[i]) for t, i in cues_times_positions
+        )
+        payload = _craft(gf, clusters=cls, cues_body=cues_body,
+                         cues_first=cues_first)
+        _s, _v, clusters, _c, seg = _mkv_segment_scan(payload)
+        new_pos = [es - seg for es, _b, _e in clusters]
+        if new_pos == pos:
+            break
+        pos = new_pos
+    else:  # pragma: no cover - vint width oscillation
+        raise AssertionError("cue position fixpoint did not converge")
+    return payload, pos
+
+
+def test_mkv_multiple_cues_per_cluster_and_cues_first_layout():
+    """Real muxers emit several CuePoints into the SAME cluster (one
+    per keyframe — equal CueClusterPositions, the non-decreasing case
+    the validator must accept) and often place Cues BEFORE the
+    clusters. Both layouts must seek identically to the full walk."""
+    from micmac_li3ds_spark.operators.multimodal import _mkv_sample_index
+
+    gf = _genfix()
+    for cues_first in (False, True):
+        payload, _pos = _three_cluster_file(
+            gf,
+            cues_times_positions=[
+                (0, 0), (30, 0), (300, 1), (330, 1), (800, 2), (830, 2)
+            ],
+            cues_first=cues_first,
+        )
+        full = _mkv_sample_index(payload)
+        assert [x[3] for x in full] == [0, 30, 300, 330, 800, 830]
+        for lo, hi in [(0, 10), (31, 300), (330, 830), (801, 9999)]:
+            got = [
+                r
+                for r in _mkv_sample_index(payload, time_range_ms=(lo, hi))
+                if lo <= r[3] <= hi
+            ]
+            assert got == [r for r in full if lo <= r[3] <= hi], (
+                cues_first, lo, hi,
+            )
+
+
+def test_mkv_sparse_cues_uncued_middle_cluster_still_parsed():
+    """Cues index only clusters 0 and 2 (the every-few-seconds cue
+    cadence real muxers use): a window over the UN-CUED middle
+    cluster's content must still find its keyframes — the seek anchors
+    at the last cue ≤ lo and walks forward through un-cued clusters."""
+    from micmac_li3ds_spark.operators.multimodal import _mkv_sample_index
+
+    gf = _genfix()
+    payload, _pos = _three_cluster_file(
+        gf, cues_times_positions=[(0, 0), (800, 2)]
+    )
+    got = [
+        r
+        for r in _mkv_sample_index(payload, time_range_ms=(300, 340))
+        if 300 <= r[3] <= 340
+    ]
+    assert [x[3] for x in got] == [300, 330]
+    # and the window before any content still returns nothing
+    assert [
+        r
+        for r in _mkv_sample_index(payload, time_range_ms=(840, 900))
+        if 840 <= r[3] <= 900
+    ] == []
+
+
+def test_mkv_lying_anchor_cuetime_falls_back():
+    """A CueTime BELOW its cluster's timestamp breaks the skip-safety
+    proof; the anchor cluster is parsed, so the walk detects the lie
+    and falls back to the full walk instead of trusting the index."""
+    from micmac_li3ds_spark.operators.multimodal import _mkv_sample_index
+
+    gf = _genfix()
+    # cue claims time 100 for cluster 1 (actual ts 300): choosing it as
+    # the anchor for lo=120 would skip cluster 0 — whose blocks are
+    # genuinely below 120 here, but the index cannot be trusted once it
+    # lies, so the seek must fall back and still answer exactly
+    payload, _pos = _three_cluster_file(
+        gf, cues_times_positions=[(0, 0), (100, 1), (800, 2)]
+    )
+    full = _mkv_sample_index(payload)
+    got = [
+        r
+        for r in _mkv_sample_index(payload, time_range_ms=(120, 900))
+        if 120 <= r[3] <= 900
+    ]
+    assert got == [r for r in full if 120 <= r[3] <= 900]
+    assert [x[3] for x in got] == [300, 330, 800, 830]
