@@ -573,14 +573,19 @@ def test_mkv_random_plans_roundtrip_and_seek_property():
             clusters.append(dict(ts=ts, blocks=blocks))
             ts += gap
         lo = draw(st.integers(0, 900))
-        return clusters, scale, lo, lo + draw(st.integers(0, 500))
+        # sparse cues: each cluster independently cued or not — the
+        # realistic every-few-seconds cadence (None = cue-per-cluster)
+        subset = [
+            k for k in range(n_clusters) if draw(st.booleans())
+        ]
+        return clusters, scale, lo, lo + draw(st.integers(0, 500)), subset
 
     @settings(max_examples=40, deadline=None)
     @given(plan())
     def inner(p):
         import random
 
-        clusters, scale, lo, hi = p
+        clusters, scale, lo, hi, cue_subset = p
         rng = random.Random(7)
         spec_clusters = []
         for c in clusters:
@@ -600,15 +605,19 @@ def test_mkv_random_plans_roundtrip_and_seek_property():
                 )
             spec_clusters.append(dict(ts=c["ts"], blocks=blocks))
         payload, offs, sizes, keys, pts, _meta = gf._mkv_encode(
-            spec_clusters, timestamp_scale=scale
+            spec_clusters, timestamp_scale=scale, cue_subset=cue_subset
         )
+        from micmac_li3ds_spark.operators.multimodal import _mkv_has_cues
+
         full = _mkv_sample_index(payload)
         assert full == list(zip(offs, sizes, keys, pts))
-        got = [
-            r
-            for r in _mkv_sample_index(payload, time_range_ms=(lo, hi))
-            if lo <= r[3] <= hi
-        ]
+        # the sampler gate: seek when a (non-empty) Cues index exists —
+        # sparse subsets included — full walk otherwise
+        idx = _mkv_sample_index(
+            payload,
+            time_range_ms=(lo, hi) if _mkv_has_cues(payload) else None,
+        )
+        got = [r for r in idx if lo <= r[3] <= hi]
         assert got == [r for r in full if lo <= r[3] <= hi]
 
     inner()

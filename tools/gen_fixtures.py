@@ -2391,6 +2391,7 @@ def _mkv_encode(
     duration_elem: bool = False,
     void_pad: int = 0,
     doctype: bytes = b"matroska",
+    cue_subset: "list[int] | None" = None,
 ):
     """Layout: EBML header | Segment [ SeekHead(→Cues, 8-byte-forced
     positions) | Void? | Info | Tracks | Cluster* | Cues? ]. Each
@@ -2522,7 +2523,11 @@ def _mkv_encode(
     if cues:
         cues_pos = sum(len(p) for p in parts)
         cbody = b""
-        for (celem, ts, _recs), seg_off in zip(cluster_elems, cluster_seg_offs):
+        for k, ((celem, ts, _recs), seg_off) in enumerate(
+            zip(cluster_elems, cluster_seg_offs)
+        ):
+            if cue_subset is not None and k not in cue_subset:
+                continue  # sparse cues: real muxers cue every few sec
             cbody += _ebml_elem(
                 0xBB,
                 _ebml_elem(0xB3, _ebml_uint(ts))
