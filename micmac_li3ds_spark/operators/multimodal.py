@@ -2874,6 +2874,7 @@ def _mkv_sample_index(
     payload: bytes,
     time_range_ms: "tuple[int, int] | None" = None,
     _touched: "list | None" = None,
+    no_cues: str = "raise",
 ) -> list:
     """[(offset, size, keyframe, pts_ms)] for the first video track in
     file order — the _mp4_sample_index contract for Matroska. pts_ms =
@@ -2897,6 +2898,16 @@ def _mkv_sample_index(
     (the sidx cross-check posture: a crafted/stale index would
     silently mis-seek every ranged read)."""
     scale, vtrack, clusters, cues, seg = _mkv_segment_scan(payload)
+    if time_range_ms is not None and not cues:
+        # ``no_cues="full"`` is the sampler gate folded in (code-review
+        # r15: the former _mkv_has_cues pre-check ran the whole
+        # structural scan a second time per payload)
+        if no_cues == "full":
+            time_range_ms = None
+        else:
+            raise ValueError(
+                "time-ranged cues seek requires a Cues index"
+            )
     if time_range_ms is None:
         out = []
         for _es, b, e in clusters:
@@ -2908,9 +2919,6 @@ def _mkv_sample_index(
                     (off, sz, key, (cts + rel) * scale // 1_000_000)
                 )
         return out
-
-    if not cues:
-        raise ValueError("time-ranged cues seek requires a Cues index")
     lo_ms, hi_ms = time_range_ms
     # non-decreasing positions: several CuePoints may legally index
     # DIFFERENT keyframes of the SAME cluster (equal positions); a
@@ -3057,11 +3065,13 @@ def mkv_frame_sample_range(
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
                 hx = payload.hex().upper()
+                # no_cues="full": un-indexed payloads take the full
+                # walk in ONE structural scan (the former has-cues
+                # pre-gate parsed every header twice per file)
                 idx = _mkv_sample_index(
                     payload,
-                    time_range_ms=(lo_ms, hi_ms)
-                    if _mkv_has_cues(payload)
-                    else None,
+                    time_range_ms=(lo_ms, hi_ms),
+                    no_cues="full",
                 )
                 k = 0
                 for off, sz, key, pts_ms in idx:

@@ -905,18 +905,46 @@ def read_near_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     ).distinct()
 
 
-def _read_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+def _read_or_empty(
+    spark: SparkSession,
+    path: str,
+    ddl: str,
+    before_batch: "int | None" = None,
+) -> DataFrame:
     """Accumulated-state reader for by-batch-id parquet dirs that may
     not exist yet (the very first micro-batch of a stream): returns an
     empty DataFrame of the declared schema instead of failing the
-    batch. Declared, never inferred — an empty dir must still join."""
+    batch. Declared, never inferred — an empty dir must still join.
+
+    ``before_batch`` restricts the read to ``batch=<k>`` dirs with
+    k < before_batch — REQUIRED whenever a batch's logic reads state
+    it also writes: on a WAL replay the state dir already contains the
+    replayed batch's own previous output, and reading it back would
+    make the replay see itself as history (the exact-dedup erasure bug
+    a code-review differential reproduced: replayed fingerprints
+    anti-joined against their own prior write → `new` empty → the
+    overwrite destroyed the batch's first-seen rows)."""
     import os
 
-    if os.path.isdir(path) and any(
-        d.startswith("batch=") for d in os.listdir(path)
-    ):
-        return spark.read.schema(ddl).parquet(path)
-    return spark.createDataFrame([], ddl)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], ddl)
+    dirs = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+        and (
+            before_batch is None
+            or int(d.split("=", 1)[1]) < before_batch
+        )
+    ]
+    if not dirs:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(
+        *(os.path.join(path, d) for d in dirs)
+    )
+
+
+_EXACT_SEEN_DDL = "fp string, kept_doc_id long"
 
 
 def run_streaming_exact_dedup(
@@ -961,7 +989,7 @@ def run_streaming_exact_dedup(
     files — the same layout argument as the LSH band state."""
     from micmac_li3ds_spark.operators.llm_text import exact_fingerprint
 
-    SEEN_DDL = "fp string, kept_doc_id long"
+    SEEN_DDL = _EXACT_SEEN_DDL
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -969,7 +997,11 @@ def run_streaming_exact_dedup(
             "doc_id", exact_fingerprint("text").alias("fp")
         ).persist()
         try:
-            seen = _read_or_empty(spark, seen_dir, SEEN_DDL)
+            # STRICTLY EARLIER batches only: a WAL replay must not see
+            # its own previous output as history (see _read_or_empty)
+            seen = _read_or_empty(
+                spark, seen_dir, SEEN_DDL, before_batch=batch_id
+            )
             new = (
                 b.groupBy("fp")
                 .agg(F.min("doc_id").alias("kept_doc_id"))
@@ -1011,9 +1043,7 @@ def read_exact_dedup(
     fingerprint ever seen, its first-seen keeper, and the total copy
     count (1 + logged dup arrivals) — q_llm_exact_dedup's output
     contract over the stream's history."""
-    seen = spark.read.schema("fp string, kept_doc_id long").parquet(
-        seen_dir
-    )
+    seen = _read_or_empty(spark, seen_dir, _EXACT_SEEN_DDL)
     dups = _read_or_empty(spark, dups_dir, "doc_id long, fp string, n long")
     counts = dups.groupBy("fp").agg(F.sum("n").alias("n_dups"))
     return seen.join(counts, "fp", "left").select(
@@ -1226,6 +1256,34 @@ def read_media_file_stream(
     )
 
 
+def _media_id_expr(fname, job: str):
+    """media_id from the lake layout contract ``<media_id>.<ext>`` —
+    ENFORCED, not pattern-matched loosely (code-review r15): a
+    versioned re-upload like ``9000_v2.mkv`` must not silently merge
+    with ``9000.mkv`` under one id, and a non-numeric stem must not
+    become a NULL id — both fail the batch loudly, the same posture as
+    the unknown-extension raise."""
+    ok = fname.rlike(r"^\d+\.[^.]+$")
+    return (
+        F.when(
+            ~ok,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{job}: file name violates the <media_id>.<ext> "
+                        "lake contract: "
+                    ),
+                    fname,
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.regexp_extract(fname, r"^(\d+)", 1).cast("long")
+        )
+        .alias("media_id")
+    )
+
+
 # lake file extension → the fixture corpus's mime vocabulary (the keys
 # of multimodal._REAL_DECODERS) — what run_streaming_feature_extract
 # stamps on each file before dispatch
@@ -1284,9 +1342,7 @@ def run_streaming_feature_extract(
 
     def fx_batch(batch_df: DataFrame, batch_id: int) -> None:
         media = batch_df.select(
-            F.regexp_extract(fname, r"^(\d+)", 1)
-            .cast("long")
-            .alias("media_id"),
+            _media_id_expr(fname, "run_streaming_feature_extract"),
             mime_expr.alias("mime"),
             F.col("content").alias("payload"),
         )
@@ -1332,12 +1388,9 @@ def run_streaming_frame_sample(
 
     def sample_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        fname = F.element_at(F.split("path", "/"), -1)
         media = batch_df.select(
-            F.regexp_extract(
-                F.element_at(F.split("path", "/"), -1), r"^(\d+)", 1
-            )
-            .cast("long")
-            .alias("media_id"),
+            _media_id_expr(fname, "run_streaming_frame_sample"),
             F.col("content").alias("payload"),
         )
         out = (

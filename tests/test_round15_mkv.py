@@ -1005,3 +1005,25 @@ def test_mkv_lying_anchor_cuetime_falls_back():
     ]
     assert got == [r for r in full if 120 <= r[3] <= 900]
     assert [x[3] for x in got] == [300, 330, 800, 830]
+
+
+def test_streaming_media_jobs_enforce_filename_contract(spark, tmp_path):
+    """A lake file violating <media_id>.<ext> — a versioned stem like
+    9000_v2.mkv — must FAIL the batch loudly (code-review r15): before
+    the guard it silently truncated to media_id 9000 and merged two
+    different files' keyframes under one id."""
+    from micmac_li3ds_spark.streaming import jobs
+
+    rows = _rows()
+    lake = tmp_path / "bad_names"
+    lake.mkdir()
+    (lake / "9000.mkv").write_bytes(bytes(rows[0]["payload"]))
+    (lake / "9000_v2.mkv").write_bytes(bytes(rows[1]["payload"]))
+    q = jobs.run_streaming_frame_sample(
+        jobs.read_media_file_stream(spark, str(lake)),
+        str(tmp_path / "frames"),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="violates the <media_id>"):
+        q.awaitTermination(300)
+        raise AssertionError("stream should have failed")

@@ -1881,6 +1881,32 @@ def test_streaming_exact_dedup_first_seen_keeper_semantics(
     # "hello world" has 3 copies total; the other two are singletons
     assert rep == {5: 3, 7: 1, 2: 1}
 
+    # WAL-replay erasure regression (code-review r15, reproduced):
+    # replaying DISTINCT batches over the surviving state dirs must
+    # not let a batch anti-join against its OWN previous output —
+    # before the before_batch fix, batch 0's replay saw its old
+    # fingerprints as "seen", wrote ZERO state rows, and every
+    # first-seen keeper of that batch vanished from the report
+    q2 = jobs.run_streaming_exact_dedup(
+        stream, seen_dir, dups_dir, checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(300)
+    rep2 = {
+        r["kept_doc_id"]: r["n_copies"]
+        for r in jobs.read_exact_dedup(spark, seen_dir, dups_dir).collect()
+    }
+    assert rep2 == {5: 3, 7: 1, 2: 1}
+
+
+def test_streaming_exact_dedup_report_before_first_batch(spark, tmp_path):
+    """The report reader must return an EMPTY report, not raise, when
+    called before the stream's first batch commits (both state dirs
+    absent)."""
+    rep = jobs.read_exact_dedup(
+        spark, str(tmp_path / "nope_seen"), str(tmp_path / "nope_dups")
+    ).collect()
+    assert rep == []
+
 
 def test_streaming_semantic_dedup_refed_vector_idempotent(
     spark, tmp_path, sf_dir
