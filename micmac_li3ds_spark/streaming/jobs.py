@@ -899,9 +899,10 @@ def read_near_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """The emitted near-duplicate pair log, distinct: a doc_id re-fed
     in a later batch legitimately re-emits its pairs (same jac by
     determinism), and a pair of same-batch duplicates is emitted once
-    — distinct on the full row collapses both."""
-    return spark.read.parquet(pairs_dir).select(
-        "doc_a", "doc_b", "jac"
+    — distinct on the full row collapses both. Empty (never raising)
+    before the stream's first batch commits."""
+    return _read_or_empty(
+        spark, pairs_dir, "doc_a long, doc_b long, jac double"
     ).distinct()
 
 
@@ -1171,9 +1172,10 @@ def run_streaming_semantic_dedup(
 def read_semantic_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """The emitted semantic near-duplicate pair log, distinct (a
     re-fed vec_id legitimately re-emits its pairs — assignment and
-    cosine are deterministic)."""
-    return spark.read.parquet(pairs_dir).select(
-        "doc_a", "doc_b", "cos"
+    cosine are deterministic). Empty (never raising) before the
+    stream's first batch commits."""
+    return _read_or_empty(
+        spark, pairs_dir, "doc_a long, doc_b long, cos double"
     ).distinct()
 
 
@@ -1188,12 +1190,12 @@ def read_semantic_dedup_keepers(
     from micmac_li3ds_spark.operators.analytics import cc_fixpoint
 
     edges = (
-        spark.read.parquet(pairs_dir)
+        _read_or_empty(spark, pairs_dir, "doc_a long, doc_b long")
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
     )
     lbl, _rounds = cc_fixpoint(edges)
-    vecs = spark.read.parquet(vectors_dir).select("vec_id").distinct()
+    vecs = _read_or_empty(spark, vectors_dir, "vec_id long").distinct()
     return vecs.join(lbl, vecs["vec_id"] == lbl["node"], "left").select(
         "vec_id",
         F.coalesce(F.col("lbl"), F.col("vec_id")).alias("keeper"),
@@ -1217,7 +1219,7 @@ def read_near_dedup_clusters(spark: SparkSession, pairs_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     edges = (
-        spark.read.parquet(pairs_dir)
+        _read_or_empty(spark, pairs_dir, "doc_a long, doc_b long")
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
     )
@@ -1407,7 +1409,10 @@ def read_frame_sample_log(spark: SparkSession, frames_dir: str) -> DataFrame:
     """The accumulated keyframe index, distinct: a media file re-fed
     (touched/re-uploaded) in a later batch legitimately re-emits its
     frames — the walk is deterministic in the payload, so distinct on
-    the full row collapses the duplicate attestations."""
-    return spark.read.parquet(frames_dir).select(
-        "media_id", "frame_idx", "frame_ts_ms", "frame_sha"
+    the full row collapses the duplicate attestations. Empty (never
+    raising) before the stream's first batch commits."""
+    return _read_or_empty(
+        spark,
+        frames_dir,
+        "media_id long, frame_idx int, frame_ts_ms long, frame_sha string",
     ).distinct()

@@ -2195,3 +2195,22 @@ def test_streaming_feature_extract_unknown_extension_fails_loudly(
     ):
         q.awaitTermination(300)
         raise AssertionError("stream should have failed")
+
+
+def test_streaming_state_readers_empty_before_first_batch(spark, tmp_path):
+    """EVERY accumulated-state reader must return an empty result —
+    never raise — when called before its stream's first batch commits
+    (the monitoring-job race, code-review r15): absent dirs read as
+    declared-schema empties."""
+    d = str(tmp_path / "absent")
+    assert jobs.read_near_dedup_pairs(spark, d).collect() == []
+    assert jobs.read_near_dedup_clusters(spark, d).collect() == []
+    assert jobs.read_semantic_dedup_pairs(spark, d).collect() == []
+    assert (
+        jobs.read_semantic_dedup_keepers(
+            spark, vectors_dir=d, pairs_dir=d
+        ).collect()
+        == []
+    )
+    assert jobs.read_frame_sample_log(spark, d).collect() == []
+    assert jobs.read_exact_dedup(spark, d, d).collect() == []
