@@ -2044,7 +2044,17 @@ def cc_fixpoint(
     call RESUMABLE: a re-invocation with the same state dir continues
     from the highest committed round instead of round 0. ``fail_after``
     is the test hook that simulates a mid-loop crash (raises AFTER
-    committing that many rounds)."""
+    committing that many rounds).
+
+    Storage hygiene (ADVICE r13 #3, landed here r16): in localCheckpoint
+    mode every superseded round's label frame is freed the moment its
+    successor is materialized, and ``sym`` is freed once the loop exits
+    — the returned labels frame is the ONLY surviving checkpoint, so
+    executor storage is O(1) in convergence rounds instead of O(rounds)
+    (on long convergences over large graphs the old behavior pinned one
+    dead vertex-state copy per round until driver GC). Durable mode
+    needs none of this: rounds live in parquet with their own bounded
+    retention."""
     sym = (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
@@ -2097,14 +2107,23 @@ def cc_fixpoint(
             .filter(F.col("nw.lbl") != F.col("old.lbl"))
             .count()
         )
+        superseded = lbl
         lbl = jumped
         rounds += 1
+        if state is None:
+            # jumped is an eager checkpoint and `changed` has been
+            # computed from it — the previous round's blocks are garbage
+            unpersist_local_checkpoint(superseded)
         if fail_after is not None and rounds >= fail_after and changed != 0:
             raise RuntimeError(
                 f"simulated driver crash after {rounds} committed rounds"
             )
         if changed == 0:
             break
+    # the returned labels are a self-contained checkpoint (or parquet
+    # round in durable mode); the symmetric edge list is no longer
+    # reachable from any surviving plan
+    unpersist_local_checkpoint(sym)
     return lbl, rounds
 
 

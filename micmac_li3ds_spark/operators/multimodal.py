@@ -2522,13 +2522,11 @@ def decode_auto(payload: bytes, mime: str) -> list[float]:
 # mis-parse (vint width, lace arithmetic, the BlockGroup keyframe rule,
 # an unknown-size element end, a cue seek bound) is a value mismatch.
 #
-# Registration note (registry.py ledger): q_mm_mkv_frame_sample_range is
-# fully implemented and locally oracle-green this round, but CANNOT be
-# born in r15 — the r15 window froze at 48 forced + 2 mandated slots and
-# the r16 window is already arithmetic-full (46 forced + 4 reserved
-# slots), so a key born now could not take its one-round-grace slot.
-# The ledger schedules registration at r16 with the birth attestation in
-# r17's single free slot.
+# Registration note (registry.py ledger): q_mm_mkv_frame_sample_range
+# was implemented and locally oracle-green in r15 but registered in r16
+# (the r15 window froze at 48 forced + 2 mandated slots and the r16
+# window was arithmetic-full before the key existed); POST_FREEZE_LEDGER
+# reserves its birth attestation for r17's single free slot.
 
 MEDIA_MKV_PARQUET = os.path.join(
     _REPO, "fixtures", "parquet", "media_mkv.parquet"
@@ -3122,12 +3120,17 @@ WHERE keyframe[i + 1]
 """
 
 
+@register(
+    "q_mm_mkv_frame_sample_range",
+    oracle=MKV_FRAME_RANGE_ORACLE,
+    tags=("multimodal", "mapinpandas"),
+)
 def q_mm_mkv_frame_sample_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT YET REGISTERED — r16 ledger (see registry.py): the r15/r16
-    windows are arithmetic-full, so this key is scheduled to register
-    in r16 and take its one-round-grace slot in r17. Locally
-    oracle-green at birth (tests/test_round15_mkv.py runs
-    MKV_FRAME_RANGE_ORACLE through DuckDB and value-compares). The
+    """Registered r16 per the r15-verdict ledger (registry.py:
+    POST_FREEZE_LEDGER — the r16 window froze arithmetic-full before
+    this key existed, so its birth attestation takes r17's single free
+    slot). Locally oracle-green at birth (tests/test_round15_mkv.py
+    runs MKV_FRAME_RANGE_ORACLE through DuckDB and value-compares). The
     query: time-ranged keyframe sampling over the Matroska fixture
     corpus at a fixed [120, 700] ms window — cued rows take the Cues
     seek, the no-cues and non-conformant rows take the full-walk

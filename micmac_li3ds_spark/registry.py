@@ -348,6 +348,31 @@ _loaded = False
 #            r17's single free slot (the r12 stratum shrinks to 49
 #            forced once r16 re-attests q_er_resolve, leaving exactly
 #            1 slot).
+#   round 16 (this window): seventh consolidation — exactly the
+#            r15-verdict ledger, 46 forced + 4 reserved slots. The
+#            staleness invariant (max_round−4 with CORRECTNESS_r15 on
+#            disk) enumerates the 46 r11-attested keys below. Slot 1:
+#            q_llm_semantic_dedup and slot 2: q_er_resolve — BOTH
+#            cc_fixpoint consumers, re-attested in the same commit
+#            that applies functions/iterate.py's
+#            unpersist_local_checkpoint inside the cc_fixpoint loop
+#            (analytics.py — superseded rounds + sym freed; the fix is
+#            result-invariant by construction, it only frees executor
+#            blocks of frames the loop has replaced, but the
+#            attest-anyway discipline applies and was the reason the
+#            fix waited for this window). Slot 3: q_mm_tiff_decode —
+#            clearing the never-attested grace (POST_FREEZE_LEDGER
+#            r15; judge-verified green at sf0.01 in the r15 session).
+#            Slot 4: q_mm_frame_sample_range — the r15 exclusive-end
+#            sidx lower bound lands under its r14 hash; fresh hash
+#            covers the current walker.
+#            Round-17 slot ledger (r12 stratum): with r16 re-attesting
+#            q_er_resolve (r12-attested) the r12 stratum shrinks to 49
+#            forced, leaving exactly 1 free slot — RESERVED for
+#            q_mm_mkv_frame_sample_range, registered THIS round (r16,
+#            post-freeze by the arithmetic above, POST_FREEZE_LEDGER
+#            entry {"q_mm_mkv_frame_sample_range": 16}, grace expires
+#            when CORRECTNESS_r16 lands).
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
@@ -358,71 +383,74 @@ DRIVER_WINDOW = 50
 # query) grants exactly ONE round of grace — once CORRECTNESS_r<round>
 # lands, the test fails until the key takes a window slot (mirroring the
 # staleness forcing function, which cannot see never-attested keys).
-# q_mm_tiff_decode: registered r15 after 48 forced + 2 mandated slots
-# filled the window; r16 slot 3 is reserved for it (ledger above).
-POST_FREEZE_LEDGER: dict[str, int] = {"q_mm_tiff_decode": 15}
+# q_mm_mkv_frame_sample_range: registered r16 per the r15 verdict /
+# round-17 ledger above — the r16 window was arithmetic-full (46 forced
+# + 4 reserved) before the key existed; r17's single free slot is
+# reserved for it. (q_mm_tiff_decode's r15 entry cleared: it takes r16
+# window slot 3.)
+POST_FREEZE_LEDGER: dict[str, int] = {"q_mm_mkv_frame_sample_range": 16}
 
 _PRIORITY: list[str] = [
-    # --- the 48 r10-attested keys forced by the staleness invariant
+    # --- the 46 r11-attested keys forced by the staleness invariant
     # (test_registry.py::test_window_contains_every_stale_attestation
-    # with CORRECTNESS_r14 on disk; enumeration order preserved) ---
-    "q_pricing_summary",
-    "q_agg_grouping_sets",
-    "q_agg_pivot",
-    "q_agg_conditional",
-    "q_join_broadcast",
-    "q_join_range",
-    "q_join_asof",
-    "q_join_self",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_moving",
-    "q_win_dedup_latest",
-    "q_fn_json",
-    "q_fn_variant",
-    "q_llm_exact_dedup",
-    "q_llm_tokenize_tf",
-    "q_llm_knn",
-    "q_llm_embed_dedup",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_large_volume_customer",
-    "q_event_funnel",
-    "q_etl_fk_check",
-    "q_llm_train_split",
-    "q_llm_seq_pack",
-    "q_etl_scd2",
-    "q_stream_tumbling",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_dedup_subset",
-    "q_udf_mapinpandas",
-    "q_event_retention",
-    "q_win_range_frame",
-    "q_agg_listagg",
-    "q_agg_boolean",
-    "q_agg_mode",
-    "q_join_lateral",
-    "q_fn_bitwise",
-    "q_fn_hash",
-    "q_fn_interval",
-    "q_llm_token_count",
-    "q_llm_fingerprint",
-    "q_etl_transfo_closure_cte",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_sample_stratified",
-    "q_mm_payload_hash",
-    "q_mm_header_parse",
-    # --- slot 1 (r14-verdict ledger, mandatory): the only
-    # hash-trails-code key — its r11 hash predates the r14 unpersist
-    # fix in the shared q_llm_dedup_clusters loop it calls ---
-    "q_llm_dedup_keep_best",
-    # --- slot 2 (r14 verdict item 3): re-attested over the round-15
-    # partitioned DataSourceStreamReader — the query now registers and
-    # reads BOTH demo formats (seq_demo + seq_demo_part) union-tagged,
-    # so the new source's shared batch path is driver-hashed at birth ---
-    "q_scan_python_datasource",
+    # with CORRECTNESS_r15 on disk; enumeration order preserved) ---
+    "q_agg_approx_distinct",
+    "q_llm_near_dedup",
+    "q_win_percent_rank",
+    "q_llm_chunk_split",
+    "q_llm_dup_ratio_by_source",
+    "q_llm_curate_pipeline",
+    "q_llm_mixture_sample",
+    "q_profile_columns_sketch",
+    "q_ts_gap_fill",
+    "q_etl_xml_normalize",
+    "q_scan_xml",
+    "q_win_cumulative_distinct",
+    "q_ts_resample_ohlc",
+    "q_event_funnel_windowed",
+    "q_etl_cdc_apply",
+    "q_llm_posting_lists",
+    "q_agg_bitmap_distinct",
+    "q_graph_pagerank_step",
+    "q_win_anomaly_zscore",
+    "q_llm_pq_encode",
+    "q_llm_knn_pq",
+    "q_llm_knn_pq_refine",
+    "q_stream_ohlc",
+    "q_top_supplier",
+    "q_market_share",
+    "q_llm_containment",
+    "q_agg_approx_quantile",
+    "q_ts_ewma",
+    "q_concurrent_sessions",
+    "q_graph_pagerank_fix",
+    "q_llm_substring_dup",
+    "q_sink_csv_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_join_fuzzy",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_important_parts",
+    "q_supplier_part_count",
+    "q_excess_volume_supplier",
+    "q_etl_dq_summary",
+    "q_event_attribution",
+    "q_win_streaks",
+    "q_agg_mad",
+    "q_etl_incremental_agg",
+    "q_join_spatial_grid",
+    "q_llm_vocab_induction",
+    # --- slot 1 + slot 2 (r15-verdict ledger, mandatory): the two
+    # cc_fixpoint consumers, re-attested in the SAME commit that adds
+    # the unpersist_local_checkpoint storage-hygiene fix to the loop
+    # they share ---
+    "q_llm_semantic_dedup",
+    "q_er_resolve",
+    # --- slot 3: clearing the r15 post-freeze never-attested grace ---
+    "q_mm_tiff_decode",
+    # --- slot 4: the r15 exclusive-end sidx lower bound lands under
+    # an r14 hash; fresh hash covers the current walker ---
+    "q_mm_frame_sample_range",
 ]
 
 

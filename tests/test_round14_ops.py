@@ -240,6 +240,20 @@ def test_q_mm_frame_sample_range_equals_operator_call(spark):
 # ---------------------------------------------------------------------------
 
 
+def _persisted_rdd_ids(spark):
+    """Id-set snapshot of currently persisted RDDs. Storage accounting
+    must diff id SETS, not compare global counts (r15 verdict item 3):
+    the suite shares one session, so driver GC can unpersist frames
+    left behind by NEIGHBORING tests at any moment — a global count can
+    shrink under the test and break `== base + k` in a way that depends
+    on suite order. Ids are monotonically assigned and pytest runs
+    serially, so ids newly present after a snapshot were created by the
+    code under test and nothing else; GC of older frames never adds
+    ids."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
 def test_unpersist_local_checkpoint_frees_blocks_and_spares_successor(spark):
     """The helper must free exactly the superseded frame's blocks while
     a successor checkpoint built FROM it stays readable (its own blocks
@@ -248,18 +262,18 @@ def test_unpersist_local_checkpoint_frees_blocks_and_spares_successor(spark):
         unpersist_local_checkpoint,
     )
 
-    jsc = spark.sparkContext._jsc
-    base = jsc.getPersistentRDDs().size()
+    before = _persisted_rdd_ids(spark)
     a = spark.range(500).selectExpr("id", "id * 2 AS x").localCheckpoint(
         eager=True
     )
     b = a.selectExpr("id", "x + 1 AS x").localCheckpoint(eager=True)
-    assert jsc.getPersistentRDDs().size() == base + 2
+    created = _persisted_rdd_ids(spark) - before
+    assert len(created) == 2
     unpersist_local_checkpoint(a)
-    assert jsc.getPersistentRDDs().size() == base + 1
+    assert len(_persisted_rdd_ids(spark) & created) == 1
     assert b.count() == 500  # successor unaffected
     unpersist_local_checkpoint(b)
-    assert jsc.getPersistentRDDs().size() == base
+    assert not (_persisted_rdd_ids(spark) & created)
     # non-checkpointed frames are a harmless no-op (best-effort contract)
     unpersist_local_checkpoint(spark.range(3))
 
@@ -270,14 +284,13 @@ def test_dedup_clusters_loop_does_not_accumulate_checkpoint_blocks(spark):
     pins), never one frame per convergence round (ADVICE r13 #3)."""
     from micmac_li3ds_spark.operators.llm_text import q_llm_dedup_clusters
 
-    jsc = spark.sparkContext._jsc
-    base = jsc.getPersistentRDDs().size()
+    before = _persisted_rdd_ids(spark)
     out = q_llm_dedup_clusters(spark, "/root/testdata/sf0.001")
     assert out.count() > 0
     # final labels + the near-dedup pipeline's own eager checkpoint:
     # a fixed budget, NOT proportional to min-label rounds (the loop
     # ran >= 1 round, each of which would have leaked a frame before)
-    assert jsc.getPersistentRDDs().size() <= base + 2
+    assert len(_persisted_rdd_ids(spark) - before) <= 2
 
 
 # ---------------------------------------------------------------------------
@@ -453,22 +466,23 @@ def test_bfs_and_kcore_loops_do_not_accumulate_checkpoint_blocks(spark):
         [(i, i + 1) for i in range(8)] + [(0, 100), (100, 101)],
         "u long, v long",
     )
-    jsc = spark.sparkContext._jsc
-    base = jsc.getPersistentRDDs().size()
+    before = _persisted_rdd_ids(spark)
     settled, src, rounds = bfs_distances(edges)
     assert rounds >= 5 and settled.count() == 11 and src == 0
-    assert jsc.getPersistentRDDs().size() == base + 1  # settled only
+    created = _persisted_rdd_ids(spark) - before
+    assert len(created) == 1  # settled only
     from micmac_li3ds_spark.functions.iterate import (
         unpersist_local_checkpoint,
     )
 
     unpersist_local_checkpoint(settled)
-    assert jsc.getPersistentRDDs().size() == base
+    assert not (_persisted_rdd_ids(spark) & created)
 
+    before_k = _persisted_rdd_ids(spark)
     core, k_rounds = kcore_fixpoint(edges, k=1)
     assert core.count() > 0 and k_rounds >= 1
     # final alive + sym (still read by the returned lazy plan)
-    assert jsc.getPersistentRDDs().size() <= base + 2
+    assert len(_persisted_rdd_ids(spark) - before_k) <= 2
 
 
 # ---------------------------------------------------------------------------
