@@ -2606,10 +2606,16 @@ _MKV_CLUSTER = 0x1F43B675
 _MKV_CUES = 0x1C53BB6B
 _MKV_INFO = 0x1549A966
 _MKV_TRACKS = 0x1654AE6B
-# every other Matroska segment-level element an unknown-size cluster
-# can legally be terminated by (SeekHead, Chapters, Tags, Attachments)
+# every element an unknown-size cluster can legally be terminated by:
+# the other segment-level elements (SeekHead, Chapters, Tags,
+# Attachments) and a FOLLOWING Segment (multi-segment streams — an
+# unknown-size element ends at the first element that is not a valid
+# child, and Segment is top-level; ADVICE r15 #3). Void (0xEC) is
+# deliberately NOT here: it is a GLOBAL element, a valid child inside
+# a Cluster (padding), so it can never terminate one.
 _MKV_SEG_LEVEL = frozenset(
     {
+        _MKV_SEGMENT,
         _MKV_CLUSTER,
         _MKV_CUES,
         _MKV_INFO,

@@ -924,25 +924,32 @@ def _read_or_empty(
     make the replay see itself as history (the exact-dedup erasure bug
     a code-review differential reproduced: replayed fingerprints
     anti-joined against their own prior write → `new` empty → the
-    overwrite destroyed the batch's first-seen rows)."""
-    import os
+    overwrite destroyed the batch's first-seen rows).
 
-    if not os.path.isdir(path):
+    Discovery goes through the Hadoop FileSystem API resolved from the
+    state dir's OWN scheme (ADVICE r15 #1) — the docstrings advertise
+    object-storage lake layouts (s3a://, hdfs://), where the earlier
+    driver-local ``os.listdir`` silently returned empty and every
+    reader would have treated real accumulated state as absent. Same
+    discipline as DurableLoopState (functions/iterate.py)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return spark.createDataFrame([], ddl)
     dirs = [
-        d
-        for d in os.listdir(path)
-        if d.startswith("batch=")
+        st.getPath().toString()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("batch=")
         and (
             before_batch is None
-            or int(d.split("=", 1)[1]) < before_batch
+            or int(st.getPath().getName().split("=", 1)[1]) < before_batch
         )
     ]
     if not dirs:
         return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(
-        *(os.path.join(path, d) for d in dirs)
-    )
+    return spark.read.schema(ddl).parquet(*dirs)
 
 
 _EXACT_SEEN_DDL = "fp string, kept_doc_id long"
@@ -1054,6 +1061,12 @@ def read_exact_dedup(
     )
 
 
+# schema of one row of accumulated vector state: the stream contract is
+# vec_id + array<double> v (functions.vector.as_double), and the packed
+# argmin returns a BIGINT centroid id (okey % multiplier on a long)
+_SEM_VEC_DDL = "vec_id long, cid long, v array<double>"
+
+
 def run_streaming_semantic_dedup(
     stream: DataFrame,
     centroids: DataFrame,
@@ -1124,8 +1137,13 @@ def run_streaming_semantic_dedup(
             f"{vectors_dir}/batch={batch_id}"
         )
 
-        state = spark.read.parquet(vectors_dir)
-        new = spark.read.parquet(f"{vectors_dir}/batch={batch_id}")
+        # declared-schema state read, like every other state reader
+        # (ADVICE r15 #2): inference on the partitioned dir also
+        # injected a spurious 'batch' partition column into the state
+        state = _read_or_empty(spark, vectors_dir, _SEM_VEC_DDL)
+        new = spark.read.schema(_SEM_VEC_DDL).parquet(
+            f"{vectors_dir}/batch={batch_id}"
+        )
         hot = new.select("cid").distinct()
         touched = state.join(hot, "cid", "left_semi")
         pairs = lsh_candidate_pairs(

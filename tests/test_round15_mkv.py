@@ -312,6 +312,63 @@ def test_mkv_unknown_size_segment_and_cluster_walk():
     assert got_spans == exp_spans
 
 
+def test_mkv_unknown_size_cluster_ends_at_following_segment():
+    """ADVICE r15 #3: a multi-segment stream — unknown-size Segment
+    whose last Cluster is also unknown-size, followed by a SECOND
+    Segment element. The cluster (and so the walk) must end exactly at
+    the following Segment's id: before the fix the terminator set held
+    only segment-LEVEL ids, so the scan consumed the second segment as
+    cluster children and the cluster span swallowed it."""
+    from micmac_li3ds_spark.operators.multimodal import (
+        _mkv_sample_index,
+        _mkv_segment_scan,
+    )
+
+    gf = _genfix()
+    hdr = gf._ebml_elem(0x1A45DFA3, gf._ebml_elem(0x4282, b"matroska"))
+    info = gf._ebml_elem(
+        0x1549A966, gf._ebml_elem(0x2AD7B1, gf._ebml_uint(1_000_000))
+    )
+    tracks = gf._ebml_elem(
+        0x1654AE6B,
+        gf._ebml_elem(
+            0xAE,
+            gf._ebml_elem(0xD7, b"\x01") + gf._ebml_elem(0x83, b"\x01"),
+        ),
+    )
+    body1, _ = gf._mkv_block_body(1, 0, True, "none", [b"seg1-frame"], True)
+    unk_cluster = (
+        (0x1F43B675).to_bytes(4, "big")
+        + b"\xff"  # unknown size
+        + gf._ebml_elem(0xE7, gf._ebml_uint(50))
+        + gf._ebml_elem(0xA3, body1)
+    )
+    seg1 = (
+        (0x18538067).to_bytes(4, "big")
+        + b"\xff"  # unknown size: ends at the next Segment
+        + info
+        + tracks
+        + unk_cluster
+    )
+    body2, _ = gf._mkv_block_body(1, 0, True, "none", [b"SEG2FRAME!"], True)
+    seg2 = gf._ebml_elem(
+        0x18538067,
+        info + tracks + _cluster(gf, 9000, gf._ebml_elem(0xA3, body2)),
+    )
+    payload = hdr + seg1 + seg2
+    seg2_off = len(hdr) + len(seg1)
+
+    _scale, vt, clusters, _cues, _seg = _mkv_segment_scan(payload)
+    assert vt == 1
+    # the unknown-size cluster's span ends exactly where segment 2 begins
+    assert [end for _es, _b, end in clusters] == [seg2_off]
+
+    idx = _mkv_sample_index(payload)
+    assert len(idx) == 1  # only the first segment's frame
+    off, sz, key, pts = idx[0]
+    assert payload[off : off + sz] == b"seg1-frame" and key and pts == 50
+
+
 def test_mkv_track_selection_skips_audio_blocks():
     """Row 9004: the video track is number 200 (a 2-byte vint) and is
     NOT the first TrackEntry; interleaved audio blocks must be walked
