@@ -770,6 +770,12 @@ def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+# accumulated-state row contracts for the LSH near-dedup stream
+# (functions.text.shingles → array<string>; minhash_band_keys → string)
+_SHINGLE_DDL = "doc_id long, sh array<string>"
+_BANDS_DDL = "doc_id long, band_key string"
+
+
 def run_streaming_near_dedup(
     stream: DataFrame,
     shingle_dir: str,
@@ -844,10 +850,14 @@ def run_streaming_near_dedup(
                 f"{bands_dir}/batch={batch_id}"
             )
 
-            all_bands = spark.read.parquet(bands_dir)
+            # declared-schema, generation-aware state reads (a compacted
+            # dir holds gen=<g> next to live batch dirs — a root-path
+            # inferred read would mis-handle the mixed layout)
+            all_bands = _read_or_empty(spark, bands_dir, _BANDS_DDL)
             new_ids = d.select("doc_id")
             hot_keys = (
-                spark.read.parquet(f"{bands_dir}/batch={batch_id}")
+                spark.read.schema(_BANDS_DDL)
+                .parquet(f"{bands_dir}/batch={batch_id}")
                 .select("band_key")
                 .distinct()
             )
@@ -868,7 +878,7 @@ def run_streaming_near_dedup(
                 .select("doc_a", "doc_b")
             )
 
-            corpus = spark.read.parquet(shingle_dir)
+            corpus = _read_or_empty(spark, shingle_dir, _SHINGLE_DDL)
             sa = corpus.select(
                 F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
             )
@@ -931,25 +941,16 @@ def _read_or_empty(
     object-storage lake layouts (s3a://, hdfs://), where the earlier
     driver-local ``os.listdir`` silently returned empty and every
     reader would have treated real accumulated state as absent. Same
-    discipline as DurableLoopState (functions/iterate.py)."""
-    sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return spark.createDataFrame([], ddl)
-    dirs = [
-        st.getPath().toString()
-        for st in fs.listStatus(hpath)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("batch=")
-        and (
-            before_batch is None
-            or int(st.getPath().getName().split("=", 1)[1]) < before_batch
-        )
-    ]
-    if not dirs:
-        return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(*dirs)
+    discipline as DurableLoopState (functions/iterate.py).
+
+    GENERATION-AWARE (r16): when the dir has been compacted
+    (streaming/compaction.py), state = newest committed generation +
+    batch dirs at-or-after its fold boundary; ``before_batch`` prunes
+    the generation by its per-row ``src_batch`` column, so the
+    strictly-earlier replay rule survives compaction bit-exactly."""
+    from micmac_li3ds_spark.streaming.compaction import resolve_state
+
+    return resolve_state(spark, path, ddl, before_batch=before_batch)
 
 
 _EXACT_SEEN_DDL = "fp string, kept_doc_id long"
