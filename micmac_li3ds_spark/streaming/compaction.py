@@ -233,6 +233,35 @@ def compact_state_dir(
     }
 
 
+def auto_compact(
+    spark: SparkSession,
+    specs: "list[tuple[str, str]]",
+    batch_id: int,
+    every: "int | None",
+) -> None:
+    """In-stream compaction cadence: called at the END of a job's
+    foreachBatch body with the job's (state_dir, ddl) pairs, folds all
+    committed batches every ``every`` micro-batches (no-op when
+    ``every`` is None). Safe inside the batch that also wrote state: a
+    crash between this fold and the checkpoint commit replays the
+    batch, whose strictly-earlier reads filter the generation on
+    src_batch and whose rewritten (now-folded) batch dir is invisible
+    garbage the next fold GCs — the exact crash states the compaction
+    unit tests pin. ``up_to`` is pinned to this batch id + 1 so a
+    concurrent listing anomaly can never fold a FUTURE batch's
+    replay-pending write."""
+    if every is None or every < 1 or (batch_id + 1) % every != 0:
+        return
+    for path, ddl in specs:
+        _batches, gens, markers = list_state(spark, path)
+        newest = newest_generation(gens, markers)
+        if newest is not None and newest[2] >= batch_id + 1:
+            # WAL replay of an already-folded batch: the boundary has
+            # moved past us; folding again would be a rollback — skip
+            continue
+        compact_state_dir(spark, path, ddl, up_to=batch_id + 1)
+
+
 def state_file_count(spark: SparkSession, path: str) -> int:
     """Data-file count across the state dir (the quantity compaction
     bounds) — parquet part files in batch dirs and generations; markers

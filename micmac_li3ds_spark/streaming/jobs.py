@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from micmac_li3ds_spark.functions.exact import cents
+from micmac_li3ds_spark.streaming.compaction import auto_compact
 
 # Stateful-processor closures below reference module-level helpers
 # (fold_session_events); cloudpickle ships globals of importable
@@ -774,6 +775,9 @@ def tws_session_timer(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
 # (functions.text.shingles → array<string>; minhash_band_keys → string)
 _SHINGLE_DDL = "doc_id long, sh array<string>"
 _BANDS_DDL = "doc_id long, band_key string"
+_NEAR_PAIRS_DDL = "doc_a long, doc_b long, jac double"
+_DUPS_DDL = "doc_id long, fp string, n long"
+_SEM_PAIRS_DDL = "doc_a long, doc_b long, cos double"
 
 
 def run_streaming_near_dedup(
@@ -784,6 +788,7 @@ def run_streaming_near_dedup(
     checkpoint: str,
     threshold: float = 0.5,
     bucket_cap: int = 4096,
+    compact_every: "int | None" = None,
 ):
     """Incremental MinHash/LSH near-dedup of a continuously-fed corpus
     (r14 verdict item 7) — the streaming twin of q_llm_near_dedup,
@@ -826,7 +831,12 @@ def run_streaming_near_dedup(
     crosses the cap mid-feed, which the harness corpus asserts.
     Re-fed doc_ids are idempotent in state (collect_set in the bucket
     expansion) and can re-emit their pairs; ``read_near_dedup_pairs``
-    reads the pair log distinct for exactly that reason."""
+    reads the pair log distinct for exactly that reason.
+
+    ``compact_every=N`` folds all three state dirs into a generation
+    every N micro-batches (streaming/compaction.py) — in-stream
+    small-files control with no external scheduler; replay-safe (the
+    WAL-replay boundary guard in auto_compact)."""
     from micmac_li3ds_spark.operators.llm_text import (
         jaccard,
         lsh_candidate_pairs,
@@ -901,6 +911,16 @@ def run_streaming_near_dedup(
             )
         finally:
             d.unpersist()
+        auto_compact(
+            spark,
+            [
+                (shingle_dir, _SHINGLE_DDL),
+                (bands_dir, _BANDS_DDL),
+                (pairs_dir, _NEAR_PAIRS_DDL),
+            ],
+            batch_id,
+            compact_every,
+        )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)
 
@@ -961,6 +981,7 @@ def run_streaming_exact_dedup(
     seen_dir: str,
     dups_dir: str,
     checkpoint: str,
+    compact_every: "int | None" = None,
 ):
     """Incremental EXACT dedup against ALL history (round 15) — the
     first member of the streaming dedup family stated as its own job.
@@ -995,7 +1016,10 @@ def run_streaming_exact_dedup(
     fingerprint (the harness double-import corpus satisfies it; the
     divergence is documented, not hidden). At scale ``seen_dir``
     would be bucketed by fingerprint prefix so the anti-join prunes
-    files — the same layout argument as the LSH band state."""
+    files — the same layout argument as the LSH band state.
+    ``compact_every=N`` folds both state dirs into a generation every
+    N micro-batches (streaming/compaction.py; the generation's
+    src_batch column preserves the strictly-earlier replay rule)."""
     from micmac_li3ds_spark.operators.llm_text import exact_fingerprint
 
     SEEN_DDL = _EXACT_SEEN_DDL
@@ -1041,6 +1065,12 @@ def run_streaming_exact_dedup(
             )
         finally:
             b.unpersist()
+        auto_compact(
+            spark,
+            [(seen_dir, SEEN_DDL), (dups_dir, _DUPS_DDL)],
+            batch_id,
+            compact_every,
+        )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)
 
@@ -1076,6 +1106,7 @@ def run_streaming_semantic_dedup(
     checkpoint: str,
     tau: float = 0.42,
     cluster_cap: int = 4096,
+    compact_every: "int | None" = None,
 ):
     """Incremental SemDeDup (round 15) — the EMBEDDING member of the
     streaming dedup family, next to exact (dropDuplicates-within-
@@ -1117,7 +1148,9 @@ def run_streaming_semantic_dedup(
     connected components over the pair log are monotone (components
     only ever merge as edges append — no retraction), so
     read_semantic_dedup_keepers snapshots them on demand with the
-    batch cc_fixpoint."""
+    batch cc_fixpoint. ``compact_every=N`` folds the vector state and
+    edge log into a generation every N micro-batches
+    (streaming/compaction.py)."""
     from micmac_li3ds_spark.operators.llm_text import lsh_candidate_pairs
     from micmac_li3ds_spark.operators.llm_vector import (
         nearest_centroid_assign,
@@ -1183,6 +1216,12 @@ def run_streaming_semantic_dedup(
             .filter(F.col("cos") >= tau)
             .write.mode("overwrite")
             .parquet(f"{pairs_dir}/batch={batch_id}")
+        )
+        auto_compact(
+            spark,
+            [(vectors_dir, _SEM_VEC_DDL), (pairs_dir, _SEM_PAIRS_DDL)],
+            batch_id,
+            compact_every,
         )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)

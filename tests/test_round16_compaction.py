@@ -249,6 +249,67 @@ def test_streaming_near_dedup_compact_mid_feed_matches_batch(
     assert got2 == want
 
 
+def test_streaming_near_dedup_auto_compaction_cadence(
+    spark, tmp_path, sf_dir
+):
+    """compact_every=2 on a 3-batch feed: the job folds its own state
+    after batch 1 with no external scheduler, batch 2 runs against the
+    generation, and the pair set still equals the batch twin. The
+    fresh-checkpoint replay then re-fires the cadence at a boundary
+    the state has already passed — the auto_compact WAL-replay guard
+    must skip, not roll back."""
+    from micmac_li3ds_spark.operators.llm_text import q_llm_near_dedup
+    from micmac_li3ds_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    flat = _flat_feed(tmp_path, docs, 3)
+    dirs = {
+        "shingle_dir": str(tmp_path / "shingles"),
+        "bands_dir": str(tmp_path / "bands"),
+        "pairs_dir": str(tmp_path / "pairs"),
+    }
+
+    def drain(ckpt):
+        q = jobs.run_streaming_near_dedup(
+            _doc_stream(spark, flat),
+            checkpoint=str(tmp_path / ckpt),
+            compact_every=2,
+            **dirs,
+        )
+        q.awaitTermination(300)
+
+    drain("ckpt")
+    # the in-stream fold happened after batch 1: gen=0 + live batch=2
+    for d in dirs.values():
+        names = set(os.listdir(d))
+        assert "gen=0" in names and "_GEN_COMMIT_0_2" in names
+        assert "batch=0" not in names and "batch=2" in names
+
+    want = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in q_llm_near_dedup(spark, sf_dir).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in jobs.read_near_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # fresh-checkpoint full replay: batch ids restart behind the
+    # committed boundary; the guard skips the stale fold and the set
+    # stays bit-identical
+    drain("ckpt2")
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in jobs.read_near_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert got2 == want
+
+
 def test_streaming_semantic_dedup_compact_mid_feed_matches_batch(
     spark, tmp_path, sf_dir
 ):
