@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SRC_BATCH_COL = "src_batch"
+BUCKET_COL = "pb"
 _GEN_RE = re.compile(r"^gen=(\d+)$")
 _MARKER_RE = re.compile(r"^_GEN_COMMIT_(\d+)_(\d+)$")
 
@@ -72,6 +73,48 @@ def _fs(spark: SparkSession, path: str):
     sc = spark.sparkContext
     hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(sc._jsc.hadoopConfiguration()), hpath
+
+
+def bucket_expr(col_name: str, n_buckets: int):
+    """The writer/reader-shared bucket function: stable across
+    sessions (xxhash64 is a fixed algorithm, not a seeded runtime
+    hash), so buckets computed at read time match the layout written
+    at compaction time."""
+    return F.pmod(F.xxhash64(F.col(col_name)), F.lit(n_buckets)).cast("int")
+
+
+def _write_meta(spark, fs, path: str, g: int, meta: dict) -> None:
+    import json
+
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(f"{path}/_GEN_META_{g}"), True)
+    out.write(bytearray(json.dumps(meta).encode()))
+    out.close()
+
+
+def _read_meta(spark, path: str, g: int) -> "dict | None":
+    """Bucketing metadata of generation ``g`` ({'bucket_by', 
+    'n_buckets'}), or None for an unbucketed generation. Written
+    BEFORE the commit marker, so a committed generation's meta is
+    always present when it exists at all."""
+    import json
+
+    fs, _ = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_GEN_META_{g}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # readFullyToByteArray mutates JVM-side and returns the array,
+        # which py4j maps back cleanly (a positional readFully into a
+        # gateway-created array does not round-trip the mutation)
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
 
 
 def list_state(spark: SparkSession, path: str):
@@ -113,21 +156,55 @@ def resolve_state(
     path: str,
     ddl: str,
     before_batch: "int | None" = None,
+    prune_keys: "DataFrame | None" = None,
 ) -> DataFrame:
     """Generation-aware accumulated-state read: the newest committed
     generation (rows filtered to ``src_batch < before_batch`` when
     set) unioned with the live batch dirs ``k >= up_to`` (same
     ``before_batch`` pruning). Declared schema throughout; empty frame
-    of the declared schema when nothing exists yet."""
+    of the declared schema when nothing exists yet.
+
+    ``prune_keys`` — a ONE-column DataFrame of the join keys this read
+    will be matched against. When the newest generation is BUCKETED on
+    that column (compact_state_dir's ``bucket_by``), the generation
+    scan is partition-pruned to the keys' hash buckets: the distinct
+    bucket ids (≤ n_buckets integers) are computed executor-side and
+    collected, and only matching ``pb=<b>`` directories are listed and
+    read — per-batch I/O scales with the batch's touched buckets, not
+    the accumulated state size (SCALE.md §13's file-pruning layout).
+    Correctness-neutral by construction: the filter keeps a SUPERSET
+    of every row that can match a key (same hash, same modulus), and
+    is silently skipped when the generation is unbucketed or bucketed
+    on a different column."""
     batches, gens, markers = list_state(spark, path)
     newest = newest_generation(gens, markers)
     up_to = newest[2] if newest else 0
 
     parts: list[DataFrame] = []
     if newest is not None:
-        gen = spark.read.schema(f"{ddl}, {SRC_BATCH_COL} long").parquet(
-            newest[1]
-        )
+        meta = _read_meta(spark, path, newest[0])
+        gen_ddl = f"{ddl}, {SRC_BATCH_COL} long"
+        if meta is not None:
+            gen_ddl += f", {BUCKET_COL} int"
+        gen = spark.read.schema(gen_ddl).parquet(newest[1])
+        if (
+            meta is not None
+            and prune_keys is not None
+            and prune_keys.columns == [meta["bucket_by"]]
+        ):
+            buckets = [
+                r[0]
+                for r in prune_keys.select(
+                    bucket_expr(meta["bucket_by"], meta["n_buckets"]).alias(
+                        "b"
+                    )
+                )
+                .distinct()
+                .collect()
+            ]
+            gen = gen.filter(F.col(BUCKET_COL).isin(buckets))
+        if meta is not None:
+            gen = gen.drop(BUCKET_COL)
         if before_batch is not None:
             gen = gen.filter(F.col(SRC_BATCH_COL) < before_batch)
         parts.append(gen.drop(SRC_BATCH_COL))
@@ -152,6 +229,8 @@ def compact_state_dir(
     ddl: str,
     num_files: "int | None" = None,
     up_to: "int | None" = None,
+    bucket_by: "str | None" = None,
+    n_buckets: int = 64,
 ) -> dict:
     """Fold committed batch dirs (k < ``up_to``) and the previous
     generation into one new generation. ``up_to`` defaults to max
@@ -159,7 +238,20 @@ def compact_state_dir(
     stream writing batch B concurrently is safe because B is not in
     the listing or is >= the cap. Returns a summary dict;
     {"folded_batches": 0, ...} is the no-op case (nothing new to
-    fold)."""
+    fold).
+
+    ``bucket_by`` writes the generation HASH-BUCKETED on that column:
+    partitioned ``pb=<bucket_expr(col)>`` directories, one data file
+    per occupied bucket (rows are repartitioned on the bucket id
+    before the write, so a bucket's rows land in exactly one task).
+    This is the production layout SCALE.md §13 argues for — the
+    per-batch semi-joins prune to the touched buckets' files via
+    ``resolve_state(prune_keys=...)``. The bucketing metadata rides a
+    ``_GEN_META_<g>`` file written before the commit marker; each
+    fold re-clusters the whole state, so changing ``bucket_by`` or
+    ``n_buckets`` between folds is safe (the newest generation's meta
+    is the only one readers consult). ``num_files`` is ignored when
+    bucketing (layout is per-bucket)."""
     batches, gens, markers = list_state(spark, path)
     newest = newest_generation(gens, markers)
     prev_up_to = newest[2] if newest else 0
@@ -191,7 +283,14 @@ def compact_state_dir(
     gen_ddl = f"{ddl}, {SRC_BATCH_COL} long"
     parts = []
     if newest is not None:
-        parts.append(spark.read.schema(gen_ddl).parquet(newest[1]))
+        prev_meta = _read_meta(spark, path, newest[0])
+        prev_ddl = gen_ddl + (
+            f", {BUCKET_COL} int" if prev_meta is not None else ""
+        )
+        prev = spark.read.schema(prev_ddl).parquet(newest[1])
+        if prev_meta is not None:
+            prev = prev.drop(BUCKET_COL)
+        parts.append(prev)
     for k in sorted(fold):
         parts.append(
             spark.read.schema(ddl)
@@ -201,14 +300,33 @@ def compact_state_dir(
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    if num_files is None:
-        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        num_files = max(1, len(fold) // max(1, shuffle))
-    merged = merged.coalesce(num_files)
 
     new_g = (newest[0] + 1) if newest else 0
     gen_dir = f"{path}/gen={new_g}"
-    merged.write.mode("overwrite").parquet(gen_dir)
+    if bucket_by is not None:
+        merged = merged.withColumn(
+            BUCKET_COL, bucket_expr(bucket_by, n_buckets)
+        )
+        # one data file per occupied bucket: hash-repartition on the
+        # bucket id so each bucket's rows sit in exactly one task
+        merged = merged.repartition(n_buckets, F.col(BUCKET_COL))
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            gen_dir
+        )
+        _write_meta(
+            spark,
+            fs,
+            path,
+            new_g,
+            {"bucket_by": bucket_by, "n_buckets": n_buckets},
+        )
+    else:
+        if num_files is None:
+            shuffle = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            num_files = max(1, len(fold) // max(1, shuffle))
+        merged.coalesce(num_files).write.mode("overwrite").parquet(gen_dir)
     # COMMIT: marker creation is the atomic visibility point
     fs.create(Path(f"{path}/_GEN_COMMIT_{new_g}_{up_to}"), True).close()
 
@@ -224,23 +342,31 @@ def compact_state_dir(
                 fs.delete(
                     Path(f"{path}/_GEN_COMMIT_{g}_{markers[g]}"), False
                 )
+            fs.delete(Path(f"{path}/_GEN_META_{g}"), False)
             fs.delete(Path(uri), True)
-    return {
+    out = {
         "generation": new_g,
         "folded_batches": len(fold),
         "up_to": up_to,
-        "num_files": num_files,
     }
+    if bucket_by is not None:
+        out["bucket_by"] = bucket_by
+        out["n_buckets"] = n_buckets
+    else:
+        out["num_files"] = num_files
+    return out
 
 
 def auto_compact(
     spark: SparkSession,
-    specs: "list[tuple[str, str]]",
+    specs: "list[tuple]",
     batch_id: int,
     every: "int | None",
 ) -> None:
     """In-stream compaction cadence: called at the END of a job's
-    foreachBatch body with the job's (state_dir, ddl) pairs, folds all
+    foreachBatch body with the job's (state_dir, ddl[, bucket_by])
+    triples (bucket_by → hash-bucketed generation layout for the
+    pruned semi-join reads), folds all
     committed batches every ``every`` micro-batches (no-op when
     ``every`` is None). Safe inside the batch that also wrote state: a
     crash between this fold and the checkpoint commit replays the
@@ -252,14 +378,18 @@ def auto_compact(
     replay-pending write."""
     if every is None or every < 1 or (batch_id + 1) % every != 0:
         return
-    for path, ddl in specs:
+    for spec in specs:
+        path, ddl = spec[0], spec[1]
+        bucket_by = spec[2] if len(spec) > 2 else None
         _batches, gens, markers = list_state(spark, path)
         newest = newest_generation(gens, markers)
         if newest is not None and newest[2] >= batch_id + 1:
             # WAL replay of an already-folded batch: the boundary has
             # moved past us; folding again would be a rollback — skip
             continue
-        compact_state_dir(spark, path, ddl, up_to=batch_id + 1)
+        compact_state_dir(
+            spark, path, ddl, up_to=batch_id + 1, bucket_by=bucket_by
+        )
 
 
 def state_file_count(spark: SparkSession, path: str) -> int:

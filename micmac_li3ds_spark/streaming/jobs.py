@@ -862,14 +862,19 @@ def run_streaming_near_dedup(
 
             # declared-schema, generation-aware state reads (a compacted
             # dir holds gen=<g> next to live batch dirs — a root-path
-            # inferred read would mis-handle the mixed layout)
-            all_bands = _read_or_empty(spark, bands_dir, _BANDS_DDL)
+            # inferred read would mis-handle the mixed layout). The
+            # batch's distinct band keys double as the PRUNE set: when
+            # the band state has been bucket-compacted, only the
+            # touched buckets' files are listed and read.
             new_ids = d.select("doc_id")
             hot_keys = (
                 spark.read.schema(_BANDS_DDL)
                 .parquet(f"{bands_dir}/batch={batch_id}")
                 .select("band_key")
                 .distinct()
+            )
+            all_bands = _read_or_empty(
+                spark, bands_dir, _BANDS_DDL, prune_keys=hot_keys
             )
             touched = all_bands.join(hot_keys, "band_key", "left_semi")
             pairs = lsh_candidate_pairs(touched, bucket_cap)
@@ -886,9 +891,19 @@ def run_streaming_near_dedup(
                     F.col("a_new").isNotNull() | F.col("b_new").isNotNull()
                 )
                 .select("doc_a", "doc_b")
+                # persisted: read twice when the shingle state is
+                # bucket-compacted (once to collect the candidates'
+                # prune buckets, once in the verification joins)
+                .persist()
             )
-
-            corpus = _read_or_empty(spark, shingle_dir, _SHINGLE_DDL)
+            cand_ids = fresh.select(
+                F.col("doc_a").alias("doc_id")
+            ).unionByName(
+                fresh.select(F.col("doc_b").alias("doc_id"))
+            ).distinct()
+            corpus = _read_or_empty(
+                spark, shingle_dir, _SHINGLE_DDL, prune_keys=cand_ids
+            )
             sa = corpus.select(
                 F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
             )
@@ -909,13 +924,14 @@ def run_streaming_near_dedup(
                 .write.mode("overwrite")
                 .parquet(f"{pairs_dir}/batch={batch_id}")
             )
+            fresh.unpersist()
         finally:
             d.unpersist()
         auto_compact(
             spark,
             [
-                (shingle_dir, _SHINGLE_DDL),
-                (bands_dir, _BANDS_DDL),
+                (shingle_dir, _SHINGLE_DDL, "doc_id"),
+                (bands_dir, _BANDS_DDL, "band_key"),
                 (pairs_dir, _NEAR_PAIRS_DDL),
             ],
             batch_id,
@@ -941,6 +957,7 @@ def _read_or_empty(
     path: str,
     ddl: str,
     before_batch: "int | None" = None,
+    prune_keys: "DataFrame | None" = None,
 ) -> DataFrame:
     """Accumulated-state reader for by-batch-id parquet dirs that may
     not exist yet (the very first micro-batch of a stream): returns an
@@ -970,7 +987,9 @@ def _read_or_empty(
     strictly-earlier replay rule survives compaction bit-exactly."""
     from micmac_li3ds_spark.streaming.compaction import resolve_state
 
-    return resolve_state(spark, path, ddl, before_batch=before_batch)
+    return resolve_state(
+        spark, path, ddl, before_batch=before_batch, prune_keys=prune_keys
+    )
 
 
 _EXACT_SEEN_DDL = "fp string, kept_doc_id long"
@@ -1031,9 +1050,15 @@ def run_streaming_exact_dedup(
         ).persist()
         try:
             # STRICTLY EARLIER batches only: a WAL replay must not see
-            # its own previous output as history (see _read_or_empty)
+            # its own previous output as history (see _read_or_empty).
+            # The batch's distinct fingerprints prune a bucket-compacted
+            # seen state to the files that can possibly match.
             seen = _read_or_empty(
-                spark, seen_dir, SEEN_DDL, before_batch=batch_id
+                spark,
+                seen_dir,
+                SEEN_DDL,
+                before_batch=batch_id,
+                prune_keys=b.select("fp").distinct(),
             )
             new = (
                 b.groupBy("fp")
@@ -1067,7 +1092,7 @@ def run_streaming_exact_dedup(
             b.unpersist()
         auto_compact(
             spark,
-            [(seen_dir, SEEN_DDL), (dups_dir, _DUPS_DDL)],
+            [(seen_dir, SEEN_DDL, "fp"), (dups_dir, _DUPS_DDL)],
             batch_id,
             compact_every,
         )
@@ -1174,11 +1199,16 @@ def run_streaming_semantic_dedup(
         # declared-schema state read, like every other state reader
         # (ADVICE r15 #2): inference on the partitioned dir also
         # injected a spurious 'batch' partition column into the state
-        state = _read_or_empty(spark, vectors_dir, _SEM_VEC_DDL)
         new = spark.read.schema(_SEM_VEC_DDL).parquet(
             f"{vectors_dir}/batch={batch_id}"
         )
         hot = new.select("cid").distinct()
+        # candidates and their verification vectors all live in the
+        # batch's TOUCHED clusters, so the hot cids prune a
+        # bucket-compacted vector state down to those clusters' files
+        state = _read_or_empty(
+            spark, vectors_dir, _SEM_VEC_DDL, prune_keys=hot
+        )
         touched = state.join(hot, "cid", "left_semi")
         pairs = lsh_candidate_pairs(
             touched.select(
@@ -1219,7 +1249,7 @@ def run_streaming_semantic_dedup(
         )
         auto_compact(
             spark,
-            [(vectors_dir, _SEM_VEC_DDL), (pairs_dir, _SEM_PAIRS_DDL)],
+            [(vectors_dir, _SEM_VEC_DDL, "cid"), (pairs_dir, _SEM_PAIRS_DDL)],
             batch_id,
             compact_every,
         )

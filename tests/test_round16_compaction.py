@@ -141,6 +141,110 @@ def test_compact_missing_and_empty_dirs_are_noops(spark, tmp_path):
     assert C.state_file_count(spark, path) == 0
 
 
+def test_bucketed_generation_roundtrip_prune_and_meta(spark, tmp_path):
+    """bucket_by writes pb=<hash bucket> partition dirs with one data
+    file per occupied bucket and a _GEN_META sidecar; resolve_state
+    returns the identical row set, and prune_keys PHYSICALLY restricts
+    the scan to the keys' bucket files (asserted on inputFiles), while
+    before_batch still filters by src_batch inside the pruned scan."""
+    path = str(tmp_path / "state")
+    data = {
+        0: [(i, f"v{i}") for i in range(0, 20)],
+        1: [(i, f"v{i}") for i in range(20, 40)],
+    }
+    _write_batches(spark, path, data)
+    res = C.compact_state_dir(spark, path, DDL, bucket_by="k", n_buckets=8)
+    assert res["bucket_by"] == "k" and res["n_buckets"] == 8
+    names = set(os.listdir(path))
+    assert "_GEN_META_0" in names and "_GEN_COMMIT_0_2" in names
+    pb_dirs = {
+        d for d in os.listdir(f"{path}/gen=0") if d.startswith("pb=")
+    }
+    assert 1 < len(pb_dirs) <= 8
+    # one data file per occupied bucket
+    for d in pb_dirs:
+        files = [
+            f
+            for f in os.listdir(f"{path}/gen=0/{d}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, d
+
+    all_rows = sorted(r for rows in data.values() for r in rows)
+    assert _rows(C.resolve_state(spark, path, DDL)) == all_rows
+
+    # pruned read: keys {0, 25} → only their buckets' files are scanned
+    keys = spark.createDataFrame([(0,), (25,)], "k long")
+    pruned = C.resolve_state(spark, path, DDL, prune_keys=keys)
+    got = _rows(pruned)
+    assert (0, "v0") in got and (25, "v25") in got
+    assert set(got) <= set(all_rows)  # superset-of-keys, subset-of-all
+    want_buckets = {
+        r[0]
+        for r in keys.select(C.bucket_expr("k", 8).alias("b")).collect()
+    }
+    # physical pruning proof: the scan carries a PartitionFilters
+    # IN-list of exactly the keys' buckets (inputFiles() reports the
+    # PRE-pruning listing, so the executed plan is the honest probe)
+    import re
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[pb#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan
+    assert {int(x) for x in m.group(1).split(",")} == want_buckets
+    # and the row set is exactly the touched buckets' contents
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame(all_rows, DDL)
+        .select("k", C.bucket_expr("k", 8).alias("b"))
+        .collect()
+    }
+    want_rows = sorted(
+        (k, v) for k, v in all_rows if bucket_of[k] in want_buckets
+    )
+    assert got == want_rows
+
+    # before_batch composes with pruning (src_batch survives the
+    # bucketed layout)
+    early = C.resolve_state(spark, path, DDL, before_batch=1, prune_keys=keys)
+    got_early = _rows(early)
+    assert (0, "v0") in got_early
+    assert all(k < 20 for k, _v in got_early)  # batch 1 rows filtered
+
+    # prune_keys on a column the generation is NOT bucketed by → full read
+    other = spark.createDataFrame([("v0",)], "v string")
+    assert _rows(C.resolve_state(spark, path, DDL, prune_keys=other)) == (
+        all_rows
+    )
+
+
+def test_bucketing_transitions_between_folds(spark, tmp_path):
+    """Each fold re-clusters the whole state, so bucketed → unbucketed
+    → bucketed transitions preserve rows, and only the newest
+    generation's meta survives."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    C.compact_state_dir(spark, path, DDL, bucket_by="k", n_buckets=4)
+    _write_batches(spark, path, {2: [(3, "c")]})
+    C.compact_state_dir(spark, path, DDL, num_files=1)  # unbucketed fold
+    names = set(os.listdir(path))
+    assert "_GEN_META_0" not in names and "_GEN_META_1" not in names
+    assert _rows(C.resolve_state(spark, path, DDL)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    _write_batches(spark, path, {3: [(4, "d")]})
+    C.compact_state_dir(spark, path, DDL, bucket_by="v", n_buckets=4)
+    assert "_GEN_META_2" in set(os.listdir(path))
+    assert _rows(C.resolve_state(spark, path, DDL)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # harness: compact MID-FEED, re-drain, sets bit-identical
 # ---------------------------------------------------------------------------
@@ -404,10 +508,12 @@ def test_streaming_exact_dedup_compact_mid_feed_keeps_first_seen(
         q.awaitTermination(300)
 
     drain("ckpt")  # first import = batch 0
+    # bucketed fold: the job's strictly-earlier read then goes through
+    # BOTH the src_batch filter and the fp-bucket partition pruning
     res = C.compact_state_dir(
-        spark, seen_dir, jobs._EXACT_SEEN_DDL, num_files=1
+        spark, seen_dir, jobs._EXACT_SEEN_DDL, bucket_by="fp", n_buckets=16
     )
-    assert res["folded_batches"] == 1
+    assert res["folded_batches"] == 1 and res["bucket_by"] == "fp"
     C.compact_state_dir(
         spark, dups_dir, "doc_id long, fp string, n long", num_files=1
     )
