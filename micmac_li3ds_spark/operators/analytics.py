@@ -1144,6 +1144,7 @@ def pagerank_fixpoint(
         F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank_u")
     )
     for _ in range(k):
+        prev = ranks
         ranks = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.node)
             .select("dst", F.expr("rank_u div d").alias("contrib"))
@@ -1160,6 +1161,10 @@ def pagerank_fixpoint(
             # k instead of chaining k join+agg subtrees — identical
             # results, asserted in tests/test_round6_ops.py
             ranks = ranks.localCheckpoint(eager=True)
+            # ...and free the superseded superstep's blocks (r16, the
+            # cc_fixpoint hygiene applied here): no-op on iteration 1,
+            # where prev is the unpersisted seed plan
+            unpersist_local_checkpoint(prev)
     return ranks.select(
         "node",
         "rank_u",
@@ -1255,7 +1260,13 @@ def pagerank_converged(
                 )
                 .head()
             )
+            superseded = ranks
             ranks = nxt
+            # the convergence probe above was the last read of the
+            # superseded superstep — free its blocks now (r16: the
+            # cc_fixpoint hygiene; before this, a 60-iteration
+            # convergence pinned 60 dead rank tables until driver GC)
+            unpersist_local_checkpoint(superseded)
             if (
                 res["l1_rank"]
                 and res["l1_delta"] is not None

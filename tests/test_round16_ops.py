@@ -105,6 +105,34 @@ def test_cc_fixpoint_consumers_unchanged_by_hygiene_fix(spark, sf_dir):
     assert got == set(hist.items())
 
 
+def test_pagerank_loops_do_not_accumulate_checkpoint_blocks(spark, sf_dir):
+    """Both PageRank driver loops must leave exactly ONE persisted
+    frame behind — the final rank table — never one per superstep
+    (r16: the cc_fixpoint hygiene extended to the last two loops that
+    still leaked; pagerank_converged runs to convergence, so before
+    the fix it pinned O(iterations) dead rank tables)."""
+    from micmac_li3ds_spark.operators.analytics import (
+        pagerank_converged,
+        pagerank_fixpoint,
+    )
+
+    before = _persisted_rdd_ids(spark)
+    ranks, iters = pagerank_converged(spark, sf_dir)
+    n = ranks.count()
+    assert iters >= 2 and n > 0
+    created = _persisted_rdd_ids(spark) - before
+    # the final rank table only (the returned frame projects over it,
+    # so it stays persisted until driver GC — a fixed O(1) budget,
+    # unlike the per-superstep leak before the fix)
+    assert len(created) == 1
+
+    before_f = _persisted_rdd_ids(spark)
+    fixed = pagerank_fixpoint(spark, sf_dir, 4, checkpoint=True)
+    assert fixed.count() == n
+    created_f = _persisted_rdd_ids(spark) - before_f
+    assert len(created_f) == 1
+
+
 def test_mkv_key_registered_with_oracle_and_ledgered():
     from micmac_li3ds_spark import registry as R
     from micmac_li3ds_spark.operators.multimodal import (
