@@ -9,6 +9,8 @@ bounded."""
 import os
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from micmac_li3ds_spark.streaming import compaction as C
@@ -243,6 +245,76 @@ def test_bucketing_transitions_between_folds(spark, tmp_path):
         (3, "c"),
         (4, "d"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# property: any interleaving of batch writes and folds (bucketed or
+# not) preserves exactly the union of written rows, and before_batch
+# always slices by batch id as if no fold ever happened
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _fold_script(draw):
+    """A feed script: per batch, row count and whether a fold (and
+    with which bucketing) runs AFTER it."""
+    n_batches = draw(st.integers(min_value=1, max_value=5))
+    script = []
+    for _ in range(n_batches):
+        n_rows = draw(st.integers(min_value=0, max_value=6))
+        fold = draw(
+            st.sampled_from(["none", "plain", "bucket_k", "bucket_v"])
+        )
+        script.append((n_rows, fold))
+    return script
+
+
+@given(script=_fold_script())
+@settings(max_examples=10, deadline=None)
+def test_compaction_preserves_rows_under_any_fold_interleaving(
+    spark_session_for_hypothesis, tmp_path_factory, script
+):
+    spark = spark_session_for_hypothesis
+    path = str(tmp_path_factory.mktemp("prop") / "state")
+    written: dict[int, list] = {}
+    next_id = 0
+    for b, (n_rows, fold) in enumerate(script):
+        rows = [(next_id + i, f"v{(next_id + i) % 3}") for i in range(n_rows)]
+        next_id += n_rows
+        written[b] = rows
+        _write_batches(spark, path, {b: rows})
+        if fold == "plain":
+            C.compact_state_dir(spark, path, DDL, num_files=1)
+        elif fold == "bucket_k":
+            C.compact_state_dir(spark, path, DDL, bucket_by="k", n_buckets=4)
+        elif fold == "bucket_v":
+            C.compact_state_dir(spark, path, DDL, bucket_by="v", n_buckets=3)
+
+    all_rows = sorted(r for rows in written.values() for r in rows)
+    assert _rows(C.resolve_state(spark, path, DDL)) == all_rows
+    # the strictly-earlier slice is fold-invariant at every boundary
+    for b in range(len(script) + 1):
+        want = sorted(
+            r for k, rows in written.items() if k < b for r in rows
+        )
+        assert _rows(C.resolve_state(spark, path, DDL, before_batch=b)) == (
+            want
+        )
+    # pruned read (when the newest gen is bucketed on k) stays a
+    # superset of any key's row
+    if all_rows:
+        k0 = all_rows[0][0]
+        keys = spark.createDataFrame([(k0,)], "k long")
+        got = _rows(C.resolve_state(spark, path, DDL, prune_keys=keys))
+        assert (k0, all_rows[0][1]) in got
+        assert set(got) <= set(all_rows)
+
+
+@pytest.fixture(scope="module")
+def spark_session_for_hypothesis(spark):
+    """hypothesis forbids function-scoped fixtures regenerating per
+    example; alias the session-scoped spark fixture at module scope."""
+    return spark
 
 
 # ---------------------------------------------------------------------------
