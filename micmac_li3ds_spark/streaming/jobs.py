@@ -262,6 +262,23 @@ def read_clicks_json_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def _read_lake_or_state(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Declared-schema read that accepts every layout a by-batch lake
+    table can be in: plain parquet files (the flat hand-written case),
+    the ``batch=<k>`` layout the streaming writers produce, or the
+    compacted ``gen=<g>`` + live-batch layout (streaming/compaction.py)
+    — so triage/replay tools keep working after a maintenance fold."""
+    from micmac_li3ds_spark.streaming.compaction import (
+        list_state,
+        resolve_state,
+    )
+
+    batches, _gens, markers = list_state(spark, path)
+    if batches or markers:
+        return resolve_state(spark, path, ddl)
+    return spark.read.schema(ddl).parquet(path)
+
+
 def run_dead_letter_split(
     stream: DataFrame, clean_dir: str, dlq_dir: str, checkpoint: str
 ):
@@ -320,7 +337,9 @@ def replay_dead_letters(
     Distributed end-to-end — from_json is a JVM expression over the
     DLQ scan, no driver-side loop; at 100 TB a replay is an ordinary
     batch job over the DLQ directory tree."""
-    raw = spark.read.parquet(dlq_dir)
+    raw = _read_lake_or_state(
+        spark, dlq_dir, "raw_line string, batch_id long, ingest_ts timestamp"
+    )
     # from_json carries the SAME PERMISSIVE corrupt-record contract as
     # the streaming JSON source (note: NOT struct-nullness — a
     # malformed line parses to an all-NULL struct, not a NULL struct),

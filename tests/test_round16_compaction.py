@@ -547,6 +547,63 @@ def test_streaming_semantic_dedup_compact_mid_feed_matches_batch(
     assert got == want and len(want) > 0
 
 
+def test_dlq_replay_works_across_all_three_layouts(spark, tmp_path):
+    """replay_dead_letters must read the DLQ in any layout it can be
+    in: the batch=<k> dirs the split job writes, the compacted
+    generation, and (regression) a flat hand-written dir — compaction
+    of the quarantine must never strand the triage tool."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = [
+        '{"click_id": 1, "page": "a", "ms": 5, "ok": true}',
+        '{"click_id": 2, "page": "b", "ms": "slow", "ok": true}',  # bad ms
+        "not json at all",
+    ]
+    for i, ln in enumerate(lines):
+        (src / f"{i}.json").write_text(ln + "\n")
+
+    clean_dir = str(tmp_path / "clean")
+    dlq_dir = str(tmp_path / "dlq")
+    q = jobs.run_dead_letter_split(
+        jobs.read_clicks_json_stream(spark, str(src)),
+        clean_dir,
+        dlq_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    fixed = T.StructType(
+        [
+            T.StructField("click_id", T.LongType()),
+            T.StructField("page", T.StringType()),
+            T.StructField("ms", T.StringType()),  # widened: recovers row 2
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def snapshot():
+        rec, dead = jobs.replay_dead_letters(spark, dlq_dir, fixed)
+        return (
+            {tuple(r) for r in rec.collect()},
+            {r["raw_line"] for r in dead.collect()},
+        )
+
+    before = snapshot()
+    assert before[0] == {(2, "b", "slow", True)}
+    assert before[1] == {"not json at all"}
+
+    res = C.compact_state_dir(
+        spark,
+        dlq_dir,
+        "raw_line string, batch_id long, ingest_ts timestamp",
+        num_files=1,
+    )
+    assert res["folded_batches"] >= 1
+    assert snapshot() == before  # identical triage over the generation
+
+
 def test_streaming_exact_dedup_compact_mid_feed_keeps_first_seen(
     spark, tmp_path, sf_dir
 ):
