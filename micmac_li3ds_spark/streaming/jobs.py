@@ -1409,10 +1409,19 @@ MEDIA_EXT_MIME = {
 }
 
 
+_FEATURES_DDL = (
+    "media_id long, mime string, "
+    + ", ".join(f"f{i} double" for i in range(8))
+    + ", decoder string"
+)
+_FRAMES_DDL = "media_id long, frame_idx int, frame_ts_ms long, frame_sha string"
+
+
 def run_streaming_feature_extract(
     stream: DataFrame,
     features_dir: str,
     checkpoint: str,
+    compact_every: "int | None" = None,
 ):
     """Continuous decode + feature-extract over a MIXED media lake
     (round 15): as image/audio files land, each micro-batch maps
@@ -1460,6 +1469,12 @@ def run_streaming_feature_extract(
         ).write.mode("overwrite").parquet(
             f"{features_dir}/batch={batch_id}"
         )
+        auto_compact(
+            batch_df.sparkSession,
+            [(features_dir, _FEATURES_DDL)],
+            batch_id,
+            compact_every,
+        )
 
     return run_foreach_batch(stream, fx_batch, checkpoint)
 
@@ -1470,6 +1485,7 @@ def run_streaming_frame_sample(
     checkpoint: str,
     lo_ms: "int | None" = None,
     hi_ms: "int | None" = None,
+    compact_every: "int | None" = None,
 ):
     """Continuous media ingest → keyframe index (round 15): as Matroska
     files land in the lake, each micro-batch runs the EBML walk
@@ -1508,6 +1524,9 @@ def run_streaming_frame_sample(
             else mkv_frame_sample_range(spark, lo_ms, hi_ms, media=media)
         )
         out.write.mode("overwrite").parquet(f"{frames_dir}/batch={batch_id}")
+        auto_compact(
+            spark, [(frames_dir, _FRAMES_DDL)], batch_id, compact_every
+        )
 
     return run_foreach_batch(stream, sample_batch, checkpoint)
 
@@ -1518,8 +1537,12 @@ def read_frame_sample_log(spark: SparkSession, frames_dir: str) -> DataFrame:
     frames — the walk is deterministic in the payload, so distinct on
     the full row collapses the duplicate attestations. Empty (never
     raising) before the stream's first batch commits."""
-    return _read_or_empty(
-        spark,
-        frames_dir,
-        "media_id long, frame_idx int, frame_ts_ms long, frame_sha string",
-    ).distinct()
+    return _read_or_empty(spark, frames_dir, _FRAMES_DDL).distinct()
+
+
+def read_feature_log(spark: SparkSession, features_dir: str) -> DataFrame:
+    """The accumulated feature table, distinct (a re-fed media file
+    re-emits its deterministic features), readable in the by-batch AND
+    the compacted layout — the root-path read the harness used before
+    breaks once a maintenance fold runs."""
+    return _read_or_empty(spark, features_dir, _FEATURES_DDL).distinct()

@@ -547,6 +547,70 @@ def test_streaming_semantic_dedup_compact_mid_feed_matches_batch(
     assert got == want and len(want) > 0
 
 
+def test_media_feature_stream_auto_compaction(spark, tmp_path):
+    """The mixed-media feature stream with compact_every=2: the
+    feature log folds itself mid-feed and read_feature_log returns the
+    identical distinct feature set the batch pipeline computes over
+    the union of all fed files."""
+    import pyarrow.parquet as pq_
+
+    from micmac_li3ds_spark.operators import multimodal as mm
+    from micmac_li3ds_spark.operators.multimodal import (
+        decode_auto,
+        feature_extract,
+    )
+
+    lake = tmp_path / "mixed_lake"
+    lake.mkdir()
+    picked = []
+    for fam, ext in [("bmp", "bmp"), ("wav", "wav"), ("png", "png")]:
+        rows = pq_.read_table(
+            os.path.join(
+                mm._REPO, "fixtures", "parquet", f"media_{fam}.parquet"
+            ),
+            columns=["media_id", "mime", "payload"],
+        ).to_pylist()[:2]
+        for r in rows:
+            (lake / f"{r['media_id']}.{ext}").write_bytes(
+                bytes(r["payload"])
+            )
+        picked.extend(rows)
+
+    features_dir = str(tmp_path / "features")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(jobs.read_media_file_stream(spark, str(lake)).schema)
+        .option("maxFilesPerTrigger", 2)
+        .load(str(lake))
+    )
+    q = jobs.run_streaming_feature_extract(
+        stream,
+        features_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    names = set(os.listdir(features_dir))
+    assert any(n.startswith("gen=") for n in names)
+
+    media = spark.createDataFrame(
+        [(r["media_id"], r["mime"], bytes(r["payload"])) for r in picked],
+        "media_id long, mime string, payload binary",
+    )
+    want = sorted(
+        tuple(r)
+        for r in feature_extract(
+            media, decode=decode_auto, decoder_name="auto-dispatch-v1"
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in jobs.read_feature_log(spark, features_dir).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_dlq_replay_works_across_all_three_layouts(spark, tmp_path):
     """replay_dead_letters must read the DLQ in any layout it can be
     in: the batch=<k> dirs the split job writes, the compacted
