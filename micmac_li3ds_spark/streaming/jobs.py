@@ -966,9 +966,7 @@ def read_near_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     determinism), and a pair of same-batch duplicates is emitted once
     — distinct on the full row collapses both. Empty (never raising)
     before the stream's first batch commits."""
-    return _read_or_empty(
-        spark, pairs_dir, "doc_a long, doc_b long, jac double"
-    ).distinct()
+    return _read_or_empty(spark, pairs_dir, _NEAR_PAIRS_DDL).distinct()
 
 
 def _read_or_empty(
@@ -1127,7 +1125,7 @@ def read_exact_dedup(
     count (1 + logged dup arrivals) — q_llm_exact_dedup's output
     contract over the stream's history."""
     seen = _read_or_empty(spark, seen_dir, _EXACT_SEEN_DDL)
-    dups = _read_or_empty(spark, dups_dir, "doc_id long, fp string, n long")
+    dups = _read_or_empty(spark, dups_dir, _DUPS_DDL)
     counts = dups.groupBy("fp").agg(F.sum("n").alias("n_dups"))
     return seen.join(counts, "fp", "left").select(
         "fp",
@@ -1281,9 +1279,7 @@ def read_semantic_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     re-fed vec_id legitimately re-emits its pairs — assignment and
     cosine are deterministic). Empty (never raising) before the
     stream's first batch commits."""
-    return _read_or_empty(
-        spark, pairs_dir, "doc_a long, doc_b long, cos double"
-    ).distinct()
+    return _read_or_empty(spark, pairs_dir, _SEM_PAIRS_DDL).distinct()
 
 
 def read_semantic_dedup_keepers(
