@@ -373,6 +373,38 @@ _loaded = False
 #            post-freeze by the arithmetic above, POST_FREEZE_LEDGER
 #            entry {"q_mm_mkv_frame_sample_range": 16}, grace expires
 #            when CORRECTNESS_r16 lands).
+#   round 17 (this window): eighth consolidation — exactly the
+#            r16-verdict ledger, 49 forced + 1 reserved slot. The
+#            staleness invariant (max_round−4 with CORRECTNESS_r16 on
+#            disk) enumerates the 49 r12-attested keys below
+#            (relational/filter heads, agg core, join family, window
+#            heads, fn family, kmeans pair, event analytics, profile/
+#            audit, LSH recall — the r12 stratum verbatim). Slot 50:
+#            q_mm_mkv_frame_sample_range — registered r16 post-freeze
+#            (POST_FREEZE_LEDGER {"q_mm_mkv_frame_sample_range": 16});
+#            its one-round grace expired when CORRECTNESS_r16 landed,
+#            and this is the reserved birth-hash slot the r16 ledger
+#            spelled out. Judge ran it green at sf0.01 in the r16
+#            session; the driver hash lands here.
+#            KNOWN GAP, ledgered per the r16 verdict (What's-wrong 1):
+#            q_graph_cc's newest driver hash is r14, which PREDATES the
+#            r16 cc_fixpoint storage-hygiene change
+#            (functions/iterate.py's unpersist_local_checkpoint applied
+#            inside analytics.cc_fixpoint). The r16 window re-attested
+#            two of the loop's three registered consumers
+#            (q_llm_semantic_dedup, q_er_resolve) in the fix's commit,
+#            but q_graph_cc (analytics.py, the third consumer) was
+#            missed by that ledger. The change is result-invariant by
+#            construction (frees only superseded checkpoint blocks) and
+#            equivalence-pinned in tests/test_round16_ops.py against a
+#            driver-side union-find; the r16 judge also ran q_graph_cc
+#            green. By the attest-anyway discipline it is nonetheless
+#            `weak` until a fresh driver hash. The r17 window is
+#            arithmetic-full (49 forced + 1 reserved), so the rotation
+#            itself self-heals it: q_graph_cc's r14 stratum is forced
+#            at r18 (max_round−4 = 14 once CORRECTNESS_r17 lands). If
+#            any r17 slot unexpectedly frees, spend it on q_graph_cc
+#            first.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
@@ -383,74 +415,68 @@ DRIVER_WINDOW = 50
 # query) grants exactly ONE round of grace — once CORRECTNESS_r<round>
 # lands, the test fails until the key takes a window slot (mirroring the
 # staleness forcing function, which cannot see never-attested keys).
-# q_mm_mkv_frame_sample_range: registered r16 per the r15 verdict /
-# round-17 ledger above — the r16 window was arithmetic-full (46 forced
-# + 4 reserved) before the key existed; r17's single free slot is
-# reserved for it. (q_mm_tiff_decode's r15 entry cleared: it takes r16
-# window slot 3.)
-POST_FREEZE_LEDGER: dict[str, int] = {"q_mm_mkv_frame_sample_range": 16}
+# (q_mm_tiff_decode's r15 entry cleared: it took r16 window slot 3.
+# q_mm_mkv_frame_sample_range's r16 entry cleared: it takes r17 window
+# slot 50 — the reserved grace slot the r16 ledger spelled out.)
+POST_FREEZE_LEDGER: dict[str, int] = {}
 
 _PRIORITY: list[str] = [
-    # --- the 46 r11-attested keys forced by the staleness invariant
+    # --- the 49 r12-attested keys forced by the staleness invariant
     # (test_registry.py::test_window_contains_every_stale_attestation
-    # with CORRECTNESS_r15 on disk; enumeration order preserved) ---
-    "q_agg_approx_distinct",
-    "q_llm_near_dedup",
-    "q_win_percent_rank",
-    "q_llm_chunk_split",
-    "q_llm_dup_ratio_by_source",
-    "q_llm_curate_pipeline",
-    "q_llm_mixture_sample",
-    "q_profile_columns_sketch",
-    "q_ts_gap_fill",
-    "q_etl_xml_normalize",
-    "q_scan_xml",
-    "q_win_cumulative_distinct",
-    "q_ts_resample_ohlc",
-    "q_event_funnel_windowed",
-    "q_etl_cdc_apply",
-    "q_llm_posting_lists",
-    "q_agg_bitmap_distinct",
-    "q_graph_pagerank_step",
-    "q_win_anomaly_zscore",
-    "q_llm_pq_encode",
-    "q_llm_knn_pq",
-    "q_llm_knn_pq_refine",
-    "q_stream_ohlc",
-    "q_top_supplier",
-    "q_market_share",
-    "q_llm_containment",
-    "q_agg_approx_quantile",
-    "q_ts_ewma",
-    "q_concurrent_sessions",
-    "q_graph_pagerank_fix",
-    "q_llm_substring_dup",
-    "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip",
-    "q_join_fuzzy",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_important_parts",
-    "q_supplier_part_count",
-    "q_excess_volume_supplier",
-    "q_etl_dq_summary",
-    "q_event_attribution",
-    "q_win_streaks",
-    "q_agg_mad",
-    "q_etl_incremental_agg",
-    "q_join_spatial_grid",
-    "q_llm_vocab_induction",
-    # --- slot 1 + slot 2 (r15-verdict ledger, mandatory): the two
-    # cc_fixpoint consumers, re-attested in the SAME commit that adds
-    # the unpersist_local_checkpoint storage-hygiene fix to the loop
-    # they share ---
-    "q_llm_semantic_dedup",
-    "q_er_resolve",
-    # --- slot 3: clearing the r15 post-freeze never-attested grace ---
-    "q_mm_tiff_decode",
-    # --- slot 4: the r15 exclusive-end sidx lower bound lands under
-    # an r14 hash; fresh hash covers the current walker ---
-    "q_mm_frame_sample_range",
+    # with CORRECTNESS_r16 on disk; enumeration order preserved) ---
+    "q_project_select",
+    "q_filter_simple",
+    "q_filter_compound",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_project_distinct",
+    "q_agg_basic",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_collect",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_join_sortmerge",
+    "q_join_shuffle_hash",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross_theta",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_fn_string",
+    "q_fn_regex",
+    "q_fn_datetime",
+    "q_fn_array",
+    "q_fn_map",
+    "q_llm_cluster_assign",
+    "q_llm_kmeans_step",
+    "q_event_rfm",
+    "q_win_pct_of_total",
+    "q_audit_small_files",
+    "q_agg_equidepth_hist",
+    "q_llm_bm25",
+    "q_llm_cross_dedup",
+    "q_agg_winsorize",
+    "q_abc_pareto",
+    "q_event_transitions",
+    "q_event_cohort_ltv",
+    "q_skyline",
+    "q_ts_interpolate",
+    "q_agg_corr",
+    "q_ts_rollup_multires",
+    "q_profile_entropy",
+    "q_llm_lsh_recall",
+    # --- slot 50 (r16-verdict ledger, mandatory): the reserved grace
+    # slot for the key registered r16 post-freeze; its birth driver
+    # hash lands this round ---
+    "q_mm_mkv_frame_sample_range",
 ]
 
 
