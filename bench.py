@@ -163,8 +163,10 @@ def main() -> None:
     # the driver's stdout tail capture and BENCH_r08.json recorded
     # parsed:null). The headline JSON stays short — metric + 22 query
     # timings + methodology markers, ~1 KB — and the first-run +
-    # extended breakdowns go to BENCH_DETAIL.json next to this script
-    # (committed per-round) and to stderr.
+    # extended breakdowns go to a detail file next to this script
+    # (gitignored BENCH_DETAIL.live.json by default; the committed
+    # BENCH_DETAIL.json only via SPARK_GRAFT_DETAIL_PATH on a
+    # deliberate idle capture) and to stderr.
     compact = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -199,8 +201,14 @@ def main() -> None:
         # so the artifact doesn't misreport the extended methodology
         extended_runs=2,
     )
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # default detail target is the GITIGNORED .live path: driver- and
+    # ad-hoc-invoked runs (often on a loaded host) kept overwriting the
+    # committed idle telemetry in BENCH_DETAIL.json, leaving the tree
+    # dirty round after round (r16 verdict item 5 — 4th recurrence).
+    # A deliberate idle capture opts into the committed file with
+    # SPARK_GRAFT_DETAIL_PATH=BENCH_DETAIL.json.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.live.json"
     )
     try:
         with open(detail_path, "w") as fh:

@@ -912,38 +912,42 @@ def run_streaming_near_dedup(
                 .select("doc_a", "doc_b")
                 # persisted: read twice when the shingle state is
                 # bucket-compacted (once to collect the candidates'
-                # prune buckets, once in the verification joins)
+                # prune buckets, once in the verification joins);
+                # released in finally so a failed batch cannot leak
+                # the cached frame for the session lifetime
                 .persist()
             )
-            cand_ids = fresh.select(
-                F.col("doc_a").alias("doc_id")
-            ).unionByName(
-                fresh.select(F.col("doc_b").alias("doc_id"))
-            ).distinct()
-            corpus = _read_or_empty(
-                spark, shingle_dir, _SHINGLE_DDL, prune_keys=cand_ids
-            )
-            sa = corpus.select(
-                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-            )
-            sb = corpus.select(
-                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-            )
-            (
-                fresh.join(sa, "doc_a")
-                .join(sb, "doc_b")
-                .select(
-                    "doc_a",
-                    "doc_b",
-                    F.round(
-                        jaccard(F.col("sh_a"), F.col("sh_b")), 6
-                    ).alias("jac"),
+            try:
+                cand_ids = fresh.select(
+                    F.col("doc_a").alias("doc_id")
+                ).unionByName(
+                    fresh.select(F.col("doc_b").alias("doc_id"))
+                ).distinct()
+                corpus = _read_or_empty(
+                    spark, shingle_dir, _SHINGLE_DDL, prune_keys=cand_ids
                 )
-                .filter(F.col("jac") >= threshold)
-                .write.mode("overwrite")
-                .parquet(f"{pairs_dir}/batch={batch_id}")
-            )
-            fresh.unpersist()
+                sa = corpus.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+                )
+                sb = corpus.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+                )
+                (
+                    fresh.join(sa, "doc_a")
+                    .join(sb, "doc_b")
+                    .select(
+                        "doc_a",
+                        "doc_b",
+                        F.round(
+                            jaccard(F.col("sh_a"), F.col("sh_b")), 6
+                        ).alias("jac"),
+                    )
+                    .filter(F.col("jac") >= threshold)
+                    .write.mode("overwrite")
+                    .parquet(f"{pairs_dir}/batch={batch_id}")
+                )
+            finally:
+                fresh.unpersist()
         finally:
             d.unpersist()
         auto_compact(

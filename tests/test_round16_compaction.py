@@ -77,7 +77,7 @@ def test_compact_then_resolve_preserves_rows_and_before_batch(
 def test_compact_incremental_noop_and_generation_rollover(spark, tmp_path):
     path = str(tmp_path / "state")
     _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
-    r1 = C.compact_state_dir(spark, path, DDL, num_files=1)
+    r1 = C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
     assert r1["generation"] == 0 and r1["folded_batches"] == 2
 
     # nothing new: no-op, generation unchanged
@@ -86,7 +86,7 @@ def test_compact_incremental_noop_and_generation_rollover(spark, tmp_path):
 
     # new live batches fold into generation 1; generation 0 is pruned
     _write_batches(spark, path, {2: [(3, "c")], 3: [(4, "d")]})
-    r3 = C.compact_state_dir(spark, path, DDL, num_files=1)
+    r3 = C.compact_state_dir(spark, path, DDL, num_files=1, up_to=4)
     assert r3["generation"] == 1 and r3["folded_batches"] == 2
     names = set(os.listdir(path))
     assert "gen=0" not in names and "_GEN_COMMIT_0_2" not in names
@@ -111,7 +111,7 @@ def test_crash_leftovers_are_invisible_and_cleaned(spark, tmp_path):
     ).write.parquet(f"{path}/gen=0")
     assert _rows(C.resolve_state(spark, path, DDL)) == [(1, "a")]
 
-    res = C.compact_state_dir(spark, path, DDL, num_files=1)
+    res = C.compact_state_dir(spark, path, DDL, num_files=1, up_to=1)
     # the retry overwrites the orphan generation id and commits it
     assert res["generation"] == 0 and res["folded_batches"] == 1
     assert _rows(C.resolve_state(spark, path, DDL)) == [(1, "a")]
@@ -123,7 +123,7 @@ def test_crash_leftovers_are_invisible_and_cleaned(spark, tmp_path):
     assert _rows(C.resolve_state(spark, path, DDL)) == [(1, "a")]
     # ...and the next compaction garbage-collects it
     _write_batches(spark, path, {1: [(2, "b")]})
-    C.compact_state_dir(spark, path, DDL, num_files=1)
+    C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
     assert "batch=0" not in set(os.listdir(path))
     assert _rows(C.resolve_state(spark, path, DDL)) == [(1, "a"), (2, "b")]
 
@@ -155,7 +155,9 @@ def test_bucketed_generation_roundtrip_prune_and_meta(spark, tmp_path):
         1: [(i, f"v{i}") for i in range(20, 40)],
     }
     _write_batches(spark, path, data)
-    res = C.compact_state_dir(spark, path, DDL, bucket_by="k", n_buckets=8)
+    res = C.compact_state_dir(
+        spark, path, DDL, bucket_by="k", n_buckets=8, up_to=2
+    )
     assert res["bucket_by"] == "k" and res["n_buckets"] == 8
     names = set(os.listdir(path))
     assert "_GEN_META_0" in names and "_GEN_COMMIT_0_2" in names
@@ -226,9 +228,10 @@ def test_bucketing_transitions_between_folds(spark, tmp_path):
     generation's meta survives."""
     path = str(tmp_path / "state")
     _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
-    C.compact_state_dir(spark, path, DDL, bucket_by="k", n_buckets=4)
+    C.compact_state_dir(spark, path, DDL, bucket_by="k", n_buckets=4, up_to=2)
     _write_batches(spark, path, {2: [(3, "c")]})
-    C.compact_state_dir(spark, path, DDL, num_files=1)  # unbucketed fold
+    # unbucketed fold
+    C.compact_state_dir(spark, path, DDL, num_files=1, up_to=3)
     names = set(os.listdir(path))
     assert "_GEN_META_0" not in names and "_GEN_META_1" not in names
     assert _rows(C.resolve_state(spark, path, DDL)) == [
@@ -237,7 +240,7 @@ def test_bucketing_transitions_between_folds(spark, tmp_path):
         (3, "c"),
     ]
     _write_batches(spark, path, {3: [(4, "d")]})
-    C.compact_state_dir(spark, path, DDL, bucket_by="v", n_buckets=4)
+    C.compact_state_dir(spark, path, DDL, bucket_by="v", n_buckets=4, up_to=4)
     assert "_GEN_META_2" in set(os.listdir(path))
     assert _rows(C.resolve_state(spark, path, DDL)) == [
         (1, "a"),
@@ -377,12 +380,12 @@ def test_streaming_near_dedup_compact_mid_feed_matches_batch(
 
     drain("ckpt")
     c1 = C.compact_state_dir(spark, dirs["shingle_dir"], jobs._SHINGLE_DDL,
-                             num_files=1)
+                             num_files=1, up_to=2)
     c2 = C.compact_state_dir(spark, dirs["bands_dir"], jobs._BANDS_DDL,
-                             num_files=1)
+                             num_files=1, up_to=2)
     c3 = C.compact_state_dir(
         spark, dirs["pairs_dir"], "doc_a long, doc_b long, jac double",
-        num_files=1,
+        num_files=1, up_to=2,
     )
     assert (
         c1["folded_batches"] == c2["folded_batches"]
@@ -524,11 +527,11 @@ def test_streaming_semantic_dedup_compact_mid_feed_matches_batch(
 
     drain("ckpt")
     cv = C.compact_state_dir(
-        spark, dirs["vectors_dir"], jobs._SEM_VEC_DDL, num_files=1
+        spark, dirs["vectors_dir"], jobs._SEM_VEC_DDL, num_files=1, up_to=2
     )
     cp = C.compact_state_dir(
         spark, dirs["pairs_dir"], "doc_a long, doc_b long, cos double",
-        num_files=1,
+        num_files=1, up_to=2,
     )
     assert cv["folded_batches"] == 2 and cp["folded_batches"] == 2
     assert C.state_file_count(spark, dirs["vectors_dir"]) == 1
@@ -704,11 +707,13 @@ def test_streaming_exact_dedup_compact_mid_feed_keeps_first_seen(
     # bucketed fold: the job's strictly-earlier read then goes through
     # BOTH the src_batch filter and the fp-bucket partition pruning
     res = C.compact_state_dir(
-        spark, seen_dir, jobs._EXACT_SEEN_DDL, bucket_by="fp", n_buckets=16
+        spark, seen_dir, jobs._EXACT_SEEN_DDL, bucket_by="fp",
+        n_buckets=16, up_to=1,
     )
     assert res["folded_batches"] == 1 and res["bucket_by"] == "fp"
     C.compact_state_dir(
-        spark, dups_dir, "doc_id long, fp string, n long", num_files=1
+        spark, dups_dir, "doc_id long, fp string, n long", num_files=1,
+        up_to=1,
     )
 
     os.link(once / src, flat / "1.parquet")

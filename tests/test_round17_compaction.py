@@ -1,0 +1,293 @@
+"""Round 17: compaction hardening (r16 verdict items 2/6 + ADVICE r16).
+
+* The single-compactor contract is ENFORCED: a create-exclusive
+  ``_COMPACT_LEASE`` makes a second concurrent fold fail loudly, and
+  ``list_state`` refuses on two commit markers for one generation —
+  the observable damage a historical race could have left.
+* The EXTERNAL fold's default ``up_to`` excludes the highest listed
+  batch id (a live stream's possibly in-flight write — ADVICE #1).
+* A crashed bucketed attempt's stale ``_GEN_META_<g>`` can no longer
+  poison an unbucketed retry of the same generation id (ADVICE #2).
+* ``min_src_batch`` retention horizon: folds drop exactly the
+  out-of-horizon rows, REPORT the count, and the exact-dedup stream
+  stays correct for in-horizon duplicates (r16 verdict item 6).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from micmac_li3ds_spark.streaming import compaction as C
+from micmac_li3ds_spark.streaming import jobs
+
+DDL = "k long, v string"
+
+
+def _write_batches(spark, path, rows_by_batch):
+    for b, rows in rows_by_batch.items():
+        spark.createDataFrame(rows, DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch={b}")
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# default up_to excludes the newest listed batch (possible in-flight write)
+# ---------------------------------------------------------------------------
+
+
+def test_default_up_to_excludes_highest_batch(spark, tmp_path):
+    path = str(tmp_path / "state")
+    data = {0: [(1, "a")], 1: [(2, "b")], 2: [(3, "c")]}
+    _write_batches(spark, path, data)
+    res = C.compact_state_dir(spark, path, DDL, num_files=1)
+    # batch=2 may be a live stream's uncommitted write: never folded
+    assert res["folded_batches"] == 2 and res["up_to"] == 2
+    names = set(os.listdir(path))
+    assert "batch=2" in names and "gen=0" in names
+    assert _rows(C.resolve_state(spark, path, DDL)) == sorted(
+        r for rows in data.values() for r in rows
+    )
+
+
+def test_default_up_to_single_live_batch_is_noop(spark, tmp_path):
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")]})
+    res = C.compact_state_dir(spark, path, DDL, num_files=1)
+    assert res["folded_batches"] == 0
+    assert "batch=0" in set(os.listdir(path))
+
+
+def test_default_up_to_ignores_stale_dirs_behind_boundary(spark, tmp_path):
+    """A crash leftover BEHIND the committed boundary must not drag the
+    default up_to below it (the old max(batches)+1 default raised a
+    spurious roll-back error on this state)."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
+    # resurrect a folded id (crash-between-commit-and-prune shape)
+    _write_batches(spark, path, {0: [(666, "poison")]})
+    res = C.compact_state_dir(spark, path, DDL, num_files=1)
+    assert res["folded_batches"] == 0 and res["up_to"] == 2
+    # ...and the stale dir was garbage-collected on the way
+    assert "batch=0" not in set(os.listdir(path))
+    assert _rows(C.resolve_state(spark, path, DDL)) == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# enforced single-compactor contract
+# ---------------------------------------------------------------------------
+
+
+def test_lease_blocks_second_compactor(spark, tmp_path):
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    fs, _ = C._fs(spark, path)
+    held = C._acquire_lease(spark, fs, path)  # compactor A mid-fold
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
+    # A's fold never committed anything
+    assert not any(
+        n.startswith("_GEN_COMMIT_") for n in os.listdir(path)
+    )
+    fs.delete(held, False)  # A finishes / operator breaks a dead lease
+    res = C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
+    assert res["folded_batches"] == 2
+    # the lease is released after a successful fold
+    assert C.LEASE_NAME not in set(os.listdir(path))
+
+
+def test_lease_released_on_fold_failure(spark, tmp_path):
+    """An exception inside the fold (unparseable declared schema) must
+    not leave the lease behind — only a process DEATH does."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    with pytest.raises(Exception):
+        C.compact_state_dir(
+            spark, path, "k long, v no_such_type",
+            num_files=1, up_to=2,
+        )
+    assert C.LEASE_NAME not in set(os.listdir(path))
+    # and a retry with the right schema succeeds
+    res = C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
+    assert res["folded_batches"] == 2
+
+
+def test_duplicate_commit_markers_refuse_loudly(spark, tmp_path):
+    """Two _GEN_COMMIT markers for ONE generation = two compactors
+    raced; up_to must never depend on listing order — every reader and
+    every fold refuses."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    C.compact_state_dir(spark, path, DDL, num_files=1, up_to=1)
+    # forge the second marker a racing compactor would have left
+    open(os.path.join(path, "_GEN_COMMIT_0_2"), "w").close()
+    with pytest.raises(RuntimeError, match="duplicate commit markers"):
+        C.list_state(spark, path)
+    with pytest.raises(RuntimeError, match="duplicate commit markers"):
+        C.resolve_state(spark, path, DDL)
+    with pytest.raises(RuntimeError, match="duplicate commit markers"):
+        C.compact_state_dir(spark, path, DDL, num_files=1)
+    # operator removes the bogus boundary → everything works again
+    os.remove(os.path.join(path, "_GEN_COMMIT_0_2"))
+    assert _rows(C.resolve_state(spark, path, DDL)) == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# stale _GEN_META from a crashed bucketed attempt (ADVICE r16 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_unbucketed_retry_clears_stale_gen_meta(spark, tmp_path):
+    path = str(tmp_path / "state")
+    data = {0: [(i, f"v{i}") for i in range(8)], 1: [(8, "v8")]}
+    _write_batches(spark, path, data)
+    # crashed bucketed attempt: gen dir + meta written, marker never
+    # created (the crash point is between _write_meta and the marker)
+    spark.createDataFrame(
+        [(99, "zz")], DDL
+    ).withColumn("src_batch", F.lit(0)).withColumn(
+        "pb", F.lit(0)
+    ).write.partitionBy("pb").parquet(f"{path}/gen=0")
+    C._write_meta(
+        spark, C._fs(spark, path)[0], path, 0,
+        {"bucket_by": "k", "n_buckets": 4},
+    )
+
+    # unbucketed retry commits the same generation id
+    res = C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
+    assert res["generation"] == 0 and "bucket_by" not in res
+    assert "_GEN_META_0" not in set(os.listdir(path))
+
+    all_rows = sorted(r for rows in data.values() for r in rows)
+    assert _rows(C.resolve_state(spark, path, DDL)) == all_rows
+    # the poisoned read the stale meta used to cause: a pruned read
+    # must fall back to the full unbucketed scan, not filter out the
+    # whole generation on an all-NULL pb column
+    keys = spark.createDataFrame([(0,)], "k long")
+    assert _rows(C.resolve_state(spark, path, DDL, prune_keys=keys)) == (
+        all_rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention horizon (r16 verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_horizon_drops_and_reports_exactly_out_of_horizon_rows(
+    spark, tmp_path
+):
+    path = str(tmp_path / "state")
+    data = {0: [(1, "a"), (2, "b")], 1: [(3, "c")], 2: [(4, "d")]}
+    _write_batches(spark, path, data)
+    res = C.compact_state_dir(
+        spark, path, DDL, num_files=1, up_to=3, min_src_batch=1
+    )
+    assert res["dropped_rows"] == 2 and res["min_src_batch"] == 1
+    assert _rows(C.resolve_state(spark, path, DDL)) == sorted(
+        data[1] + data[2]
+    )
+
+    # the horizon applies to the PREVIOUS generation's src_batch on the
+    # next fold too
+    _write_batches(spark, path, {3: [(5, "e")]})
+    res2 = C.compact_state_dir(
+        spark, path, DDL, num_files=1, up_to=4, min_src_batch=2
+    )
+    assert res2["dropped_rows"] == 1  # batch 1's row ages out of the gen
+    assert _rows(C.resolve_state(spark, path, DDL)) == sorted(
+        data[2] + [(5, "e")]
+    )
+
+    # no horizon → nothing dropped, nothing reported
+    _write_batches(spark, path, {4: [(6, "f")]})
+    res3 = C.compact_state_dir(spark, path, DDL, num_files=1, up_to=5)
+    assert "dropped_rows" not in res3
+
+
+def test_horizon_composes_with_bucketed_layout(spark, tmp_path):
+    path = str(tmp_path / "state")
+    data = {0: [(i, f"v{i}") for i in range(6)], 1: [(6, "v6"), (7, "v7")]}
+    _write_batches(spark, path, data)
+    res = C.compact_state_dir(
+        spark, path, DDL, bucket_by="k", n_buckets=4, up_to=2,
+        min_src_batch=1,
+    )
+    assert res["dropped_rows"] == 6 and res["bucket_by"] == "k"
+    keys = spark.createDataFrame([(6,), (0,)], "k long")
+    got = _rows(C.resolve_state(spark, path, DDL, prune_keys=keys))
+    assert (6, "v6") in got and all(k >= 6 for k, _v in got)
+
+
+def test_exact_dedup_stream_correct_within_horizon(spark, tmp_path, sf_dir):
+    """The done-criterion harness: fold the seen-state with a horizon
+    that KEEPS batch 0's fingerprints → the second import of the same
+    corpus is fully detected as duplicates (in-horizon correctness);
+    then fold with a horizon PAST batch 0 → the dropped count is
+    reported and a third import is re-admitted as first-seen (the
+    documented, observable cost of bounding state bytes)."""
+    from micmac_li3ds_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    once = tmp_path / "docs_once"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(once))
+    src = [f for f in os.listdir(once) if f.endswith(".parquet")][0]
+    flat = tmp_path / "feed"
+    flat.mkdir()
+    os.link(once / src, flat / "0.parquet")
+
+    seen_dir = str(tmp_path / "seen")
+    dups_dir = str(tmp_path / "dups")
+
+    def drain(ckpt):
+        q = jobs.run_streaming_exact_dedup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat)),
+            seen_dir,
+            dups_dir,
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+
+    drain("ckpt")  # first import = batch 0
+    n_fp = C.resolve_state(
+        spark, seen_dir, jobs._EXACT_SEEN_DDL
+    ).count()
+    assert n_fp > 0
+
+    # in-horizon fold: batch 0 is kept (min_src_batch=0), nothing drops
+    res = C.compact_state_dir(
+        spark, seen_dir, jobs._EXACT_SEEN_DDL, bucket_by="fp",
+        n_buckets=16, up_to=1, min_src_batch=0,
+    )
+    assert res["folded_batches"] == 1 and res["dropped_rows"] == 0
+
+    os.link(once / src, flat / "1.parquet")
+    drain("ckpt")  # second import: every doc is an in-horizon duplicate
+    n_dups = (
+        jobs.read_exact_dedup(spark, seen_dir, dups_dir)
+        .filter(F.col("n_copies") >= 2)
+        .count()
+    )
+    assert n_dups == n_fp  # all fingerprints detected as copies
+
+    # out-of-horizon fold: everything first-seen before batch 2 ages out
+    res2 = C.compact_state_dir(
+        spark, seen_dir, jobs._EXACT_SEEN_DDL, bucket_by="fp",
+        n_buckets=16, up_to=2, min_src_batch=2,
+    )
+    assert res2["dropped_rows"] == n_fp  # reported, never silent
+    assert C.resolve_state(spark, seen_dir, jobs._EXACT_SEEN_DDL).count() == 0
+
+    os.link(once / src, flat / "2.parquet")
+    drain("ckpt")  # third import: re-admitted as first-seen (batch 2)
+    readmitted = C.resolve_state(
+        spark, seen_dir, jobs._EXACT_SEEN_DDL, before_batch=3
+    )
+    assert readmitted.count() == n_fp
