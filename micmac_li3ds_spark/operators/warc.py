@@ -1,0 +1,284 @@
+"""WARC (ISO 28500) ingestion — the Common Crawl wire format.
+
+A 100-TB training-data pipeline's raw input is web-crawl archives:
+`.warc.gz` files of per-record gzip members, each member one WARC
+record (warcinfo / request / response / resource / metadata /
+revisit). This module turns opaque binary WARC payloads into one
+typed row per record — the very first step before any dedup, quality
+scoring, or language ID can run — with the same posture as the media
+container walks (operators/multimodal.py): a from-the-spec walker in
+pure Python over Arrow-batched ``mapInPandas``, value-checked against
+the fixture generator's independent layout arithmetic
+(tools/gen_fixtures.py:gen_warc_fixture — provenance note: the
+reference checkout is empty per SURVEY §0, so parity is judged
+against the public WARC 1.0 spec, not reference file:line).
+
+Spec corners the walker must survive (all present in the fixture):
+
+* **Content-Length-driven block bounds** — blocks legally CONTAIN
+  ``\\r\\n\\r\\nWARC/1.0``; a parser that scans for the next record
+  delimiter instead of honoring Content-Length desynchronizes and
+  silently corrupts every following record.
+* **Case-insensitive field names with optional whitespace values**
+  (ISO 28500 §4) — real crawlers emit ``content-length`` in any case.
+* **Per-record gzip members** — the .warc.gz convention; member
+  boundaries come from the DEFLATE stream end (zlib ``eof`` +
+  ``unused_data``), not from any recorded size.
+* **Strict CRLF CRLF record terminator** — a record that does not end
+  exactly there is malformed, and at 100 TB a silent resync is
+  corrupt training data, not a warning: every anomaly raises with a
+  named reason.
+
+Scale shape: one file = one row in, O(records) rows out; the parse is
+per-payload local (no shuffle), Arrow-batched, and embarrassingly
+parallel across files — exactly how a 1000-executor cluster chews a
+crawl dump. Registered as ``q_llm_warc_extract`` with a full DuckDB
+value-hash oracle: gzip'd files check against the generator's
+bookkeeping; PLAIN files check against the payload bytes themselves
+(the oracle re-sums each block from hex at the recorded offsets — the
+uncompressed-TIFF posture, so a wrong offset or length parse
+mismatches actual bytes, not copied numbers).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+WARC_PARQUET = os.path.join(_REPO, "fixtures", "parquet", "warc.parquet")
+
+#: one output row per WARC record
+WARC_RECORD_DDL = (
+    "file_id long, rec_idx int, warc_type string, target_uri string, "
+    "http_status int, block_len long, block_sum long, gz boolean"
+)
+
+
+def load_warc(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(WARC_PARQUET)
+
+
+def split_gzip_members(payload: bytes) -> "list[bytes]":
+    """Split a multi-member gzip stream (the .warc.gz convention: one
+    member per record) into the decompressed members. Boundaries come
+    from each member's DEFLATE end-of-stream — ``decompressobj(wbits=
+    31)`` sets ``eof`` at the member trailer and parks the remainder
+    in ``unused_data``. Strict: a truncated final member or trailing
+    non-gzip garbage raises."""
+    members: list[bytes] = []
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(rest)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member at end of payload")
+        members.append(out)
+        if len(d.unused_data) >= len(rest):
+            raise ValueError("gzip member consumed no bytes")
+        rest = d.unused_data
+    return members
+
+
+def parse_warc_record(raw: bytes) -> "tuple[dict, int]":
+    """Parse ONE record from the head of ``raw``. Returns
+    ``(fields, consumed)`` where fields has warc_type / target_uri /
+    http_status / block_len / block_sum / block_off (offset of the
+    block within ``raw``). Malformed input raises with a named reason
+    — never a silent resync."""
+    sep = raw.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("no header terminator in WARC record")
+    try:
+        head = raw[:sep].decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError("non-UTF-8 WARC header") from e
+    lines = head.split("\r\n")
+    if not lines[0].startswith("WARC/"):
+        raise ValueError(f"bad WARC version line: {lines[0][:40]!r}")
+    fields: dict[str, str] = {}
+    for ln in lines[1:]:
+        name, colon, value = ln.partition(":")
+        if not colon:
+            raise ValueError(f"malformed WARC header line: {ln[:40]!r}")
+        # field names are case-insensitive, values take optional
+        # whitespace (ISO 28500 §4)
+        fields[name.strip().lower()] = value.strip()
+    if "content-length" not in fields:
+        raise ValueError("WARC record without Content-Length")
+    if "warc-type" not in fields:
+        raise ValueError("WARC record without WARC-Type")
+    block_len = int(fields["content-length"])
+    block_off = sep + 4
+    block = raw[block_off : block_off + block_len]
+    if len(block) != block_len:
+        raise ValueError("truncated WARC block")
+    end = block_off + block_len
+    if raw[end : end + 4] != b"\r\n\r\n":
+        raise ValueError("missing CRLF CRLF record terminator")
+    warc_type = fields["warc-type"]
+    status = None
+    if warc_type == "response" and block[:5] == b"HTTP/":
+        status_line = block.split(b"\r\n", 1)[0]
+        parts = status_line.split(b" ")
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    return (
+        {
+            "warc_type": warc_type,
+            "target_uri": fields.get("warc-target-uri"),
+            "http_status": status,
+            "block_len": block_len,
+            "block_sum": sum(block),
+            "block_off": block_off,
+        },
+        end + 4,
+    )
+
+
+def parse_warc(payload: bytes, gz: bool) -> "list[dict]":
+    """All records of one WARC file, in file order. GZ: one record per
+    gzip member, each member consumed EXACTLY (trailing bytes inside a
+    member are malformed). Plain: records parsed back-to-back by
+    Content-Length until the payload is exhausted."""
+    out: list[dict] = []
+    if gz:
+        for m in split_gzip_members(payload):
+            rec, consumed = parse_warc_record(m)
+            if consumed != len(m):
+                raise ValueError(
+                    "gzip member holds more than one WARC record"
+                )
+            out.append(rec)
+    else:
+        pos = 0
+        while pos < len(payload):
+            rec, consumed = parse_warc_record(payload[pos:])
+            rec["block_off"] += pos
+            out.append(rec)
+            pos += consumed
+    return out
+
+
+def warc_records(files: DataFrame) -> DataFrame:
+    """``(file_id, gz, payload)`` → one row per WARC record, via
+    Arrow-batched ``mapInPandas`` (the media-walk plumbing: parse is
+    per-payload local, no shuffle, scales across files)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            cols = {
+                "file_id": [], "rec_idx": [], "warc_type": [],
+                "target_uri": [], "http_status": [], "block_len": [],
+                "block_sum": [], "gz": [],
+            }
+            for fid, gz, payload in zip(
+                pdf["file_id"], pdf["gz"], pdf["payload"]
+            ):
+                for i, rec in enumerate(parse_warc(bytes(payload), bool(gz))):
+                    cols["file_id"].append(int(fid))
+                    cols["rec_idx"].append(i)
+                    cols["warc_type"].append(rec["warc_type"])
+                    cols["target_uri"].append(rec["target_uri"])
+                    cols["http_status"].append(rec["http_status"])
+                    cols["block_len"].append(rec["block_len"])
+                    cols["block_sum"].append(rec["block_sum"])
+                    cols["gz"].append(bool(gz))
+            yield pd.DataFrame(
+                {
+                    "file_id": pd.array(cols["file_id"], dtype="Int64"),
+                    "rec_idx": pd.array(cols["rec_idx"], dtype="Int32"),
+                    "warc_type": pd.array(cols["warc_type"], dtype="string"),
+                    "target_uri": pd.array(
+                        cols["target_uri"], dtype="string"
+                    ),
+                    "http_status": pd.array(
+                        cols["http_status"], dtype="Int32"
+                    ),
+                    "block_len": pd.array(cols["block_len"], dtype="Int64"),
+                    "block_sum": pd.array(cols["block_sum"], dtype="Int64"),
+                    "gz": pd.array(cols["gz"], dtype="boolean"),
+                }
+            )
+
+    return files.select("file_id", "gz", "payload").mapInPandas(
+        gen, WARC_RECORD_DDL
+    )
+
+
+# The oracle's two postures (the TIFF split): PLAIN files re-sum each
+# block from the payload's OWN hex at the generator-recorded offsets —
+# a wrong walker offset/length mismatches actual bytes; GZ files check
+# against the generator's bookkeeping (SQL cannot gunzip — the
+# PackBits/raw_px posture, encoder and decoder independent).
+WARC_EXTRACT_ORACLE = f"""
+WITH f AS (
+  SELECT file_id, gz, hex(payload) AS hx,
+         rec_type, rec_uri, rec_status, rec_len, rec_sum, rec_off
+  FROM read_parquet('{WARC_PARQUET}')
+),
+r AS (
+  SELECT file_id, gz, hx,
+         CAST(unnest(range(0, len(rec_type))) AS INTEGER) AS rec_idx,
+         rec_type, rec_uri, rec_status, rec_len, rec_sum, rec_off
+  FROM f
+),
+x AS (
+  SELECT file_id, gz, hx, rec_idx,
+         rec_type[rec_idx + 1] AS warc_type,
+         rec_uri[rec_idx + 1] AS target_uri,
+         rec_status[rec_idx + 1] AS http_status,
+         rec_len[rec_idx + 1] AS block_len,
+         rec_sum[rec_idx + 1] AS gt_sum,
+         rec_off[rec_idx + 1] AS off
+  FROM r
+),
+pbytes AS (
+  SELECT file_id, rec_idx, hx, off,
+         CAST(unnest(range(0, block_len)) AS BIGINT) AS b
+  FROM x WHERE NOT gz
+),
+psum AS (
+  SELECT file_id, rec_idx,
+         CAST(SUM(CAST('0x' || substring(hx, (off + b) * 2 + 1, 2)
+                        AS BIGINT)) AS BIGINT) AS s
+  FROM pbytes GROUP BY file_id, rec_idx
+)
+SELECT x.file_id,
+       x.rec_idx,
+       x.warc_type,
+       x.target_uri,
+       CAST(x.http_status AS INTEGER) AS http_status,
+       CAST(x.block_len AS BIGINT) AS block_len,
+       CAST(CASE WHEN x.gz THEN x.gt_sum ELSE COALESCE(p.s, 0) END
+            AS BIGINT) AS block_sum,
+       x.gz
+FROM x LEFT JOIN psum p USING (file_id, rec_idx)
+ORDER BY x.file_id, x.rec_idx
+"""
+
+
+@register(
+    "q_llm_warc_extract",
+    oracle=WARC_EXTRACT_ORACLE,
+    tags=("llm", "ingest", "warc", "mapinpandas"),
+)
+def q_llm_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive ingest: every record of every fixture WARC file
+    (plain and per-record-gzip) as a typed row — type, target URI,
+    HTTP status, block length and byte-sum. The step upstream of every
+    dedup/quality/language operator in the LLM family; sf_dir is
+    unused (the fixture corpus is scale-independent, the media-key
+    convention). Registered r17 post-freeze; POST_FREEZE_LEDGER
+    reserves its birth attestation for r18's free slot."""
+    return warc_records(load_warc(spark)).orderBy("file_id", "rec_idx")

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = [
     "micmac_li3ds_spark.operators.sampling",
     "micmac_li3ds_spark.operators.reshape",
     "micmac_li3ds_spark.operators.mining",
+    "micmac_li3ds_spark.operators.warc",
 ]
 
 _loaded = False
@@ -400,11 +401,19 @@ _loaded = False
 #            driver-side union-find; the r16 judge also ran q_graph_cc
 #            green. By the attest-anyway discipline it is nonetheless
 #            `weak` until a fresh driver hash. The r17 window is
-#            arithmetic-full (49 forced + 1 reserved), so the rotation
-#            itself self-heals it: q_graph_cc's r14 stratum is forced
-#            at r18 (max_round−4 = 14 once CORRECTNESS_r17 lands). If
-#            any r17 slot unexpectedly frees, spend it on q_graph_cc
-#            first.
+#            arithmetic-full (49 forced + 1 reserved), so the gap
+#            closes next round — and NOT by staleness arithmetic
+#            alone: once CORRECTNESS_r17 lands, max_round=17 forces
+#            the ≤13 stratum (48 keys, recomputed from the committed
+#            artifacts), while q_graph_cc's r14 row is only forced at
+#            r19. Therefore the r18 slot ledger below is MANDATORY,
+#            not advisory. If any r17 slot unexpectedly frees, spend
+#            it on q_graph_cc first.
+#            Round-18 slot ledger: 48 forced r13-stratum keys + slot 1
+#            RESERVED for q_graph_cc (the hash-trails-code gap above —
+#            one round earlier than staleness would force it) + slot 2
+#            free for a key registered in r17 under POST_FREEZE_LEDGER
+#            or, if none, for the oldest r14-stratum key.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
@@ -418,7 +427,12 @@ DRIVER_WINDOW = 50
 # (q_mm_tiff_decode's r15 entry cleared: it took r16 window slot 3.
 # q_mm_mkv_frame_sample_range's r16 entry cleared: it takes r17 window
 # slot 50 — the reserved grace slot the r16 ledger spelled out.)
-POST_FREEZE_LEDGER: dict[str, int] = {}
+# q_llm_warc_extract: registered r17 (operators/warc.py — the Common
+# Crawl ingest walker) AFTER this round's window froze arithmetic-full
+# (49 forced + the reserved MKV grace slot); its grace expires when
+# CORRECTNESS_r17 lands and it takes r18's one free slot per the
+# round-18 slot ledger above (48 forced + q_graph_cc + this key = 50).
+POST_FREEZE_LEDGER: dict[str, int] = {"q_llm_warc_extract": 17}
 
 _PRIORITY: list[str] = [
     # --- the 49 r12-attested keys forced by the staleness invariant

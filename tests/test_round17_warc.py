@@ -1,0 +1,192 @@
+"""Round 17: the WARC (ISO 28500) crawl-archive ingest walker —
+operators/warc.py vs the independent fixture generator
+(tools/gen_fixtures.py:gen_warc_fixture). The two are independent
+from-the-spec implementations meeting at the fixture bytes (the media
+container-walk posture); the DuckDB oracle additionally re-sums plain
+files' blocks from the payload hex at the generator-recorded offsets,
+so a wrong offset/length parse mismatches actual bytes."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from micmac_li3ds_spark.operators import warc as W
+
+
+def _rows():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(W.WARC_PARQUET).to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# full walk ≡ generator bookkeeping, every fixture row
+# ---------------------------------------------------------------------------
+
+
+def test_walker_matches_generator_bookkeeping_every_file():
+    for row in _rows():
+        recs = W.parse_warc(bytes(row["payload"]), row["gz"])
+        assert [r["warc_type"] for r in recs] == row["rec_type"]
+        assert [r["target_uri"] for r in recs] == row["rec_uri"]
+        assert [r["http_status"] for r in recs] == row["rec_status"]
+        assert [r["block_len"] for r in recs] == row["rec_len"]
+        assert [r["block_sum"] for r in recs] == row["rec_sum"]
+        if not row["gz"]:
+            # plain files: the walker's block offsets are actual
+            # payload positions — compare against the generator's own
+            # layout arithmetic AND the bytes themselves
+            assert [r["block_off"] for r in recs] == row["rec_off"]
+            payload = bytes(row["payload"])
+            for r in recs:
+                block = payload[
+                    r["block_off"] : r["block_off"] + r["block_len"]
+                ]
+                assert sum(block) == r["block_sum"]
+
+
+def test_fixture_exercises_the_spec_corners():
+    """The corpus must keep carrying the corners the walker exists
+    for; if a regeneration drops them, the suite should say so rather
+    than silently passing on easy input."""
+    rows = _rows()
+    assert any(n == 0 for r in rows for n in r["rec_len"])  # empty block
+    assert any(  # record terminator + version line INSIDE a block
+        b"\r\n\r\nWARC/1.0" in bytes(r["payload"]) and not r["gz"]
+        for r in rows
+    )
+    assert {t for r in rows for t in r["rec_type"]} >= {
+        "warcinfo", "request", "response", "resource", "metadata",
+        "revisit",
+    }
+    assert any(r["gz"] for r in rows) and any(not r["gz"] for r in rows)
+    # header-name case variation actually present
+    assert any(
+        b"\r\ncontent-length:" in bytes(r["payload"]) for r in rows
+        if not r["gz"]
+    )
+
+
+def test_gzip_member_per_record():
+    for row in _rows():
+        if not row["gz"]:
+            continue
+        members = W.split_gzip_members(bytes(row["payload"]))
+        assert len(members) == len(row["rec_type"])
+        for m in members:
+            rec, consumed = W.parse_warc_record(m)
+            assert consumed == len(m)
+
+
+# ---------------------------------------------------------------------------
+# malformed input: named rejections, never a silent resync
+# ---------------------------------------------------------------------------
+
+
+def _mk(headers, block):
+    lines = ["WARC/1.0"] + [f"{k}: {v}" for k, v in headers]
+    return "\r\n".join(lines).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+GOOD = _mk(
+    [("WARC-Type", "resource"), ("Content-Length", "4"),
+     ("WARC-Target-URI", "http://x/y")],
+    b"abcd",
+)
+
+
+def test_good_record_parses():
+    rec, consumed = W.parse_warc_record(GOOD)
+    assert consumed == len(GOOD)
+    assert rec["warc_type"] == "resource"
+    assert rec["target_uri"] == "http://x/y"
+    assert rec["http_status"] is None
+    assert rec["block_len"] == 4 and rec["block_sum"] == sum(b"abcd")
+
+
+@pytest.mark.parametrize(
+    "raw,reason",
+    [
+        (GOOD[:20], "no header terminator"),  # cut inside the headers
+        (GOOD[:-6], "truncated WARC block"),  # cut into the block+tail
+        (GOOD[:-2], "missing CRLF CRLF record terminator"),
+        (b"HTTP/1.1 200 OK\r\n\r\nabcd\r\n\r\n", "bad WARC version line"),
+        (
+            _mk([("WARC-Type", "resource")], b""),
+            "without Content-Length",
+        ),
+        (
+            _mk([("Content-Length", "0")], b""),
+            "without WARC-Type",
+        ),
+        (
+            b"WARC/1.0\r\nnocolonhere\r\nContent-Length: 0\r\n"
+            b"WARC-Type: resource\r\n\r\n\r\n\r\n",
+            "malformed WARC header line",
+        ),
+        (
+            _mk(
+                [("WARC-Type", "resource"), ("Content-Length", "99")],
+                b"abcd",
+            ),
+            "truncated WARC block",
+        ),
+    ],
+)
+def test_malformed_records_raise_named(raw, reason):
+    with pytest.raises(ValueError, match=reason):
+        W.parse_warc_record(raw)
+
+
+def test_malformed_gzip_raises_named():
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        W.split_gzip_members(b"\x1f\x8b\x08\x00garbage-not-deflate")
+    ok = gzip.compress(GOOD, mtime=0)
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        W.split_gzip_members(ok[:-5])
+    with pytest.raises(ValueError, match="more than one WARC record"):
+        W.parse_warc(gzip.compress(GOOD + GOOD, mtime=0), gz=True)
+
+
+def test_content_length_parsing_survives_embedded_version_line():
+    """The hostile case from the fixture, isolated: a block containing
+    a record terminator followed by a WARC version line. Delimiter
+    scanning would emit a phantom record; Content-Length parsing must
+    return exactly two."""
+    evil_block = b"x\r\n\r\nWARC/1.0\r\nnot-a-record: 1"
+    payload = _mk(
+        [("WARC-Type", "resource"), ("Content-Length", str(len(evil_block)))],
+        evil_block,
+    ) + GOOD
+    recs = W.parse_warc(payload, gz=False)
+    assert [r["block_len"] for r in recs] == [len(evil_block), 4]
+    assert recs[0]["block_sum"] == sum(evil_block)
+
+
+# ---------------------------------------------------------------------------
+# the registered query: Spark side + plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_q_llm_warc_extract_rows_and_types(spark):
+    from micmac_li3ds_spark.operators.warc import q_llm_warc_extract
+
+    df = q_llm_warc_extract(spark, "unused")
+    rows = df.collect()
+    want_n = sum(len(r["rec_type"]) for r in _rows())
+    assert len(rows) == want_n
+    # spot the typed-NULL contract: warcinfo has no URI and no status
+    first = rows[0]
+    assert first["warc_type"] == "warcinfo"
+    assert first["target_uri"] is None and first["http_status"] is None
+    assert {r["warc_type"] for r in rows} >= {"response", "request"}
+    assert all(
+        r["http_status"] is not None
+        for r in rows
+        if r["warc_type"] == "response"
+    )
+    # the parse stays Arrow-batched (MapInPandas), never row-at-a-time
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan

@@ -1221,7 +1221,192 @@ def main() -> None:
         os.path.join(PQ_DIR, "media_mkv.parquet"),
     )
 
+    gen_warc_fixture()
+
     print(f"fixtures written under {os.path.join(ROOT, 'fixtures')}")
+
+
+def _warc_record(headers: "list[tuple[str, str]]", block: bytes) -> bytes:
+    """One WARC/1.0 record per ISO 28500 §4: version line, named
+    fields, CRLF CRLF, Content-Length block bytes, CRLF CRLF. The
+    walker (operators/warc.py) is an independent implementation — this
+    builder is the generator's own arithmetic."""
+    lines = ["WARC/1.0"] + [f"{k}: {v}" for k, v in headers]
+    return "\r\n".join(lines).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def gen_warc_fixture() -> None:
+    """WARC ingest corpus (round 17): the Common Crawl wire format — a
+    100-TB training-data pipeline's raw input. Each fixture row is one
+    complete WARC file as an opaque binary payload: either PLAIN (record
+    stream) or GZ (one gzip member per record, the .warc.gz convention,
+    mtime pinned to 0 for byte determinism). Bookkeeping arrays are the
+    generator's OWN layout arithmetic (per-record type, target URI,
+    HTTP status, block length/byte-sum, block offset in the plain
+    stream), so a walker mis-parse — header case, Content-Length-driven
+    block bounds, gzip member boundaries, the strict CRLF CRLF record
+    terminator — is a value mismatch. Hostile content is deliberate:
+    blocks CONTAIN "\\r\\n\\r\\nWARC/1.0" (a delimiter-scanning parser
+    desynchronizes; only Content-Length parsing survives), header names
+    vary case with optional-whitespace values, bodies include NULs and
+    high bytes, and one block is zero-length."""
+    import gzip
+
+    rngW = random.Random(171717)
+    hosts = ["example.com", "data.test", "crawl.invalid"]
+    statuses = [
+        (200, "OK"),
+        (301, "Moved Permanently"),
+        (404, "Not Found"),
+        (503, "Service Unavailable"),
+    ]
+
+    def _uri(fid: int, i: int) -> str:
+        return (
+            f"http://{hosts[(fid + i) % len(hosts)]}/p/{fid}/{i}"
+            f"?q={rngW.randint(0, 99)}"
+        )
+
+    def _http_response(status: int, reason: str, body: bytes) -> bytes:
+        ver = "HTTP/1.1" if rngW.random() < 0.7 else "HTTP/1.0"
+        head = (
+            f"{ver} {status} {reason}\r\n"
+            f"Content-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        )
+        return head.encode() + body
+
+    def _headers(warc_type, uri, block, casing, pad):
+        # Content-Length name casing and value padding vary per record:
+        # field names are case-insensitive and values take optional
+        # whitespace (ISO 28500 §4) — a parser that only matches
+        # "Content-Length: " literally mis-reads real crawler output
+        cl_name = ["Content-Length", "content-length", "CONTENT-LENGTH"][
+            casing
+        ]
+        h = [
+            ("WARC-Type", warc_type),
+            (
+                "WARC-Record-ID",
+                f"<urn:uuid:0000-{rngW.randint(0, 10**9)}>",
+            ),
+            ("WARC-Date", "2026-08-16T00:00:00Z"),
+        ]
+        if uri is not None:
+            h.append(("WARC-Target-URI", uri))
+        if warc_type == "response":
+            h.append(
+                ("Content-Type", "application/http;msgtype=response")
+            )
+        h.append((cl_name, f"{len(block)}" + (" " if pad else "")))
+        rngW.shuffle(h)
+        return h
+
+    warc_rows = []
+    for fid in range(12):
+        gz = fid % 2 == 1
+        recs = []  # (warc_type, uri, status, block)
+        recs.append(
+            (
+                "warcinfo",
+                None,
+                None,
+                b"software: warcgen/1.0\r\n"
+                b"format: WARC File Format 1.0\r\n",
+            )
+        )
+        for i in range(rngW.randint(2, 6)):
+            uri = _uri(fid, i)
+            kind = rngW.choice(
+                ["pair", "pair", "resource", "metadata", "revisit"]
+            )
+            if kind == "pair":
+                req = (
+                    f"GET /p/{fid}/{i} HTTP/1.1\r\n"
+                    f"Host: {hosts[(fid + i) % len(hosts)]}\r\n"
+                    f"User-Agent: warcgen\r\n\r\n"
+                ).encode()
+                recs.append(("request", uri, None, req))
+                status, reason = statuses[rngW.randint(0, 3)]
+                body = (
+                    f"<html>doc {fid}/{i} "
+                    + "x" * rngW.randint(0, 120)
+                    + "</html>"
+                ).encode()
+                if rngW.random() < 0.3:
+                    # the hostile case: a record terminator + version
+                    # line INSIDE the block
+                    body += b"\r\n\r\nWARC/1.0\r\nnot-a-record: 1"
+                recs.append(
+                    ("response", uri, status,
+                     _http_response(status, reason, body))
+                )
+            elif kind == "resource":
+                body = bytes(
+                    rngW.randint(0, 255) for _ in range(rngW.randint(0, 180))
+                )
+                recs.append(("resource", uri, None, body))
+            elif kind == "metadata":
+                recs.append(
+                    ("metadata", uri, None,
+                     f"fetchTimeMs: {rngW.randint(1, 5000)}\r\n".encode())
+                )
+            else:
+                recs.append(("revisit", uri, None, b""))
+
+        payload = bytearray()
+        types, uris, stats, lens, sums, offs = [], [], [], [], [], []
+        for ri, (warc_type, uri, status, block) in enumerate(recs):
+            raw = _warc_record(
+                _headers(
+                    warc_type, uri, block,
+                    casing=rngW.randint(0, 2), pad=rngW.random() < 0.25,
+                ),
+                block,
+            )
+            if gz:
+                offs.append(len(payload))  # member start (bookkeeping)
+                payload += gzip.compress(raw, compresslevel=6, mtime=0)
+            else:
+                # block offset in the plain stream: record start + the
+                # header bytes (raw ends with block + 4 terminator bytes)
+                offs.append(len(payload) + len(raw) - len(block) - 4)
+                payload += raw
+            types.append(warc_type)
+            uris.append(uri)
+            stats.append(status)
+            lens.append(len(block))
+            sums.append(sum(block))
+        warc_rows.append(
+            {
+                "file_id": fid,
+                "gz": gz,
+                "payload": bytes(payload),
+                "rec_type": types,
+                "rec_uri": uris,
+                "rec_status": stats,
+                "rec_len": lens,
+                "rec_sum": sums,
+                "rec_off": offs,
+            }
+        )
+    warc_schema = pa.schema(
+        [
+            ("file_id", pa.int64()),
+            ("gz", pa.bool_()),
+            ("payload", pa.binary()),
+            ("rec_type", pa.list_(pa.string())),
+            ("rec_uri", pa.list_(pa.string())),
+            ("rec_status", pa.list_(pa.int32())),
+            ("rec_len", pa.list_(pa.int64())),
+            ("rec_sum", pa.list_(pa.int64())),
+            ("rec_off", pa.list_(pa.int64())),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(warc_rows, schema=warc_schema),
+        os.path.join(PQ_DIR, "warc.parquet"),
+    )
 
 
 def _f80(rate: int) -> bytes:
