@@ -1546,3 +1546,72 @@ def read_feature_log(spark: SparkSession, features_dir: str) -> DataFrame:
     the compacted layout — the root-path read the harness used before
     breaks once a maintenance fold runs."""
     return _read_or_empty(spark, features_dir, _FEATURES_DDL).distinct()
+
+
+def run_streaming_warc_extract(
+    stream: DataFrame,
+    records_dir: str,
+    checkpoint: str,
+    compact_every: "int | None" = None,
+):
+    """Continuous crawl ingest (round 17): as WARC files land in the
+    lake, each micro-batch runs the from-the-spec walker
+    (operators/warc.py:warc_records) over the NEW payloads only and
+    appends their typed record rows — the very first step of a crawl
+    pipeline, feeding the streaming dedup/quality family downstream.
+    The lake contract is ``<file_id>.warc`` (plain record stream) or
+    ``<file_id>.warc.gz`` (per-record gzip members); any other name
+    fails the batch loudly, the media-lake posture. Record rows land
+    by batch id (mode=overwrite — idempotent WAL replay) and
+    ``compact_every`` folds the log through the shared generation
+    cadence. Pure map work over the binary column: no shuffle in the
+    stage, scale-out is files-per-batch × executors — exactly how a
+    1000-executor cluster chews a crawl dump as it arrives instead of
+    re-walking the lake nightly."""
+    from micmac_li3ds_spark.operators.warc import (
+        WARC_RECORD_DDL,
+        warc_records,
+    )
+
+    def warc_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fname = F.element_at(F.split("path", "/"), -1)
+        ok = fname.rlike(r"^\d+\.warc(\.gz)?$")
+        files = batch_df.select(
+            F.when(
+                ~ok,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "run_streaming_warc_extract: file name "
+                            "violates the <file_id>.warc[.gz] lake "
+                            "contract: "
+                        ),
+                        fname,
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.regexp_extract(fname, r"^(\d+)", 1).cast("long"))
+            .alias("file_id"),
+            fname.endswith(".gz").alias("gz"),
+            F.col("content").alias("payload"),
+        )
+        warc_records(files).write.mode("overwrite").parquet(
+            f"{records_dir}/batch={batch_id}"
+        )
+        auto_compact(
+            batch_df.sparkSession,
+            [(records_dir, WARC_RECORD_DDL)],
+            batch_id,
+            compact_every,
+        )
+
+    return run_foreach_batch(stream, warc_batch, checkpoint)
+
+
+def read_warc_record_log(spark: SparkSession, records_dir: str) -> DataFrame:
+    """The accumulated WARC record table, distinct (a re-fed archive
+    re-emits its deterministic rows), readable in the by-batch AND the
+    compacted generation layout."""
+    from micmac_li3ds_spark.operators.warc import WARC_RECORD_DDL
+
+    return _read_or_empty(spark, records_dir, WARC_RECORD_DDL).distinct()

@@ -190,3 +190,90 @@ def test_q_llm_warc_extract_rows_and_types(spark):
     # the parse stays Arrow-batched (MapInPandas), never row-at-a-time
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: continuous crawl ingest ≡ the batch extract
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_warc_extract_matches_batch(spark, tmp_path):
+    """Land the fixture archives as lake files (plain → .warc, gz →
+    .warc.gz), drain with the in-stream compaction cadence, and demand
+    the accumulated record log equal q_llm_warc_extract row for row;
+    a fresh-checkpoint full replay over the compacted log stays
+    idempotent."""
+    from micmac_li3ds_spark.operators.warc import q_llm_warc_extract
+    from micmac_li3ds_spark.streaming import jobs
+
+    lake = tmp_path / "crawl_lake"
+    lake.mkdir()
+    for row in _rows():
+        ext = "warc.gz" if row["gz"] else "warc"
+        (lake / f"{row['file_id']}.{ext}").write_bytes(
+            bytes(row["payload"])
+        )
+
+    records_dir = str(tmp_path / "records")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema("path string, modificationTime timestamp, "
+                    "length long, content binary")
+            .option("maxFilesPerTrigger", 4)
+            .load(str(lake))
+        )
+        q = jobs.run_streaming_warc_extract(
+            stream,
+            records_dir,
+            checkpoint=str(tmp_path / ckpt),
+            compact_every=2,
+        )
+        q.awaitTermination(300)
+
+    drain("ckpt")
+    import os as _os
+
+    names = set(_os.listdir(records_dir))
+    assert any(n.startswith("gen=") for n in names)  # cadence folded
+
+    want = sorted(tuple(r) for r in q_llm_warc_extract(spark, "x").collect())
+    got = sorted(
+        tuple(r)
+        for r in jobs.read_warc_record_log(spark, records_dir).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # checkpointed no-op redrain, then fresh-checkpoint full replay
+    drain("ckpt")
+    drain("ckpt2")
+    got2 = sorted(
+        tuple(r)
+        for r in jobs.read_warc_record_log(spark, records_dir).collect()
+    )
+    assert got2 == want
+
+
+def test_streaming_warc_extract_rejects_contract_violations(
+    spark, tmp_path
+):
+    from micmac_li3ds_spark.streaming import jobs
+
+    lake = tmp_path / "bad_lake"
+    lake.mkdir()
+    (lake / "notanid.warc").write_bytes(GOOD)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(str(lake))
+    )
+    q = jobs.run_streaming_warc_extract(
+        stream, str(tmp_path / "records"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="lake contract"):
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise Exception(str(q.exception()))
