@@ -130,6 +130,14 @@ def main() -> int:
                     help="TIMING_r*.json to compare against "
                          "(default: newest committed)")
     ap.add_argument("--regression-factor", type=float, default=2.0)
+    ap.add_argument(
+        "--sweeps",
+        type=int,
+        default=1,
+        help="full passes over the query set; per-query time is the MIN "
+        "across sweeps (see the sweep-loop comment for why this is the "
+        "honest estimator on a steal-prone host)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -168,34 +176,68 @@ def main() -> int:
     # a warm rerun; compile noise does not. (Baselines recorded before
     # this change are single-run, so the first min-of-2 comparison can
     # only be more lenient, never falsely red.)
-    timings: list[tuple[float, str, int | str]] = []
+    # --sweeps N (round 17): the audit's quantity is the code's
+    # INTRINSIC cost, but this host takes hypervisor-steal bursts that
+    # land on ~5 random queries per ~8-minute sweep (r16: five full
+    # attempts, ≥2× flag sets largely DISJOINT, every recurring flag
+    # ≤1.8× solo, `ps` empty at loadavg 0.02–8; r17 reproduced it six
+    # times before this change, flag sets again disjoint with every
+    # flagged module diff-empty since the baseline commit). Steal is
+    # strictly one-sided noise — it can only inflate a reading — so the
+    # MIN across repeated full sweeps is the honest estimator of
+    # intrinsic cost, and a REAL code regression inflates every sweep
+    # and survives any number of them. Per-sweep times are recorded in
+    # the artifact (sweep_queries/sweep_totals) so the reduction is
+    # auditable, and `timing` names the methodology.
+    best: dict[str, tuple[float, int | str]] = {}
+    sweep_queries: list[dict[str, float]] = []
+    sweep_totals: list[float] = []
     colds: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
-        spark.catalog.clearCache()
-        cold = None
-        t0 = time.time()
-        try:
-            n = len(regs[name].fn(spark, args.sf).collect())
-            cold = time.time() - t0
-            t1 = time.time()
-            n = len(regs[name].fn(spark, args.sf).collect())
-            warm = time.time() - t1
-        except Exception as exc:  # keep auditing the rest
-            errors[name] = str(exc)[:200]
-            # ADVICE r10: if the WARM rerun raised after a clean cold
-            # run, record the completed cold time — cumulative elapsed
-            # would silently inflate the errored query by a whole run
-            elapsed = cold if cold is not None else time.time() - t0
-            timings.append((elapsed, name, f"ERR {exc}"[:60]))
-            continue
-        sec = min(cold, warm)
-        colds[name] = round(cold, 3)
-        timings.append((sec, name, n))
-        print(
-            f"{sec:8.2f}s  (cold {cold:5.2f}s)  {name:36s} rows={n}",
-            flush=True,
-        )
+    for sweep in range(max(1, args.sweeps)):
+        this_sweep: dict[str, float] = {}
+        for name in names:
+            spark.catalog.clearCache()
+            cold = None
+            t0 = time.time()
+            try:
+                n = len(regs[name].fn(spark, args.sf).collect())
+                cold = time.time() - t0
+                t1 = time.time()
+                n = len(regs[name].fn(spark, args.sf).collect())
+                warm = time.time() - t1
+            except Exception as exc:  # keep auditing the rest
+                errors[name] = str(exc)[:200]
+                # ADVICE r10: if the WARM rerun raised after a clean
+                # cold run, record the completed cold time — cumulative
+                # elapsed would silently inflate the errored query by a
+                # whole run
+                elapsed = cold if cold is not None else time.time() - t0
+                this_sweep[name] = round(elapsed, 3)
+                if name not in best or elapsed < best[name][0]:
+                    best[name] = (elapsed, f"ERR {exc}"[:60])
+                continue
+            sec = min(cold, warm)
+            this_sweep[name] = round(sec, 3)
+            if name not in colds or cold < colds[name]:
+                colds[name] = round(cold, 3)
+            if name not in best or sec < best[name][0]:
+                best[name] = (sec, n)
+            print(
+                f"{sec:8.2f}s  (cold {cold:5.2f}s)  {name:36s} rows={n}",
+                flush=True,
+            )
+        sweep_queries.append(this_sweep)
+        sweep_totals.append(round(sum(this_sweep.values()), 1))
+        if args.sweeps > 1:
+            print(
+                f"--- sweep {sweep + 1}/{args.sweeps}: "
+                f"{sweep_totals[-1]}s ---",
+                flush=True,
+            )
+    timings: list[tuple[float, str, int | str]] = [
+        (sec, name, n) for name, (sec, n) in best.items()
+    ]
 
     print("\n=== slowest ===")
     for sec, name, n in sorted(timings, reverse=True)[: args.top]:
@@ -252,7 +294,13 @@ def main() -> int:
             "n_queries": len(timings),
             "baseline": baseline_label,
             "regression_factor": args.regression_factor,
-            "timing": "min_of_2",
+            "timing": (
+                "min_of_2"
+                if args.sweeps <= 1
+                else f"min_of_2_across_{args.sweeps}_sweeps"
+            ),
+            "sweep_totals": sweep_totals,
+            "sweep_queries": sweep_queries,
             "queries": {
                 name: round(sec, 3) for sec, name, _ in sorted(timings)
             },
