@@ -282,3 +282,108 @@ def q_llm_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention). Registered r17 post-freeze; POST_FREEZE_LEDGER
     reserves its birth attestation for r18's free slot."""
     return warc_records(load_warc(spark)).orderBy("file_id", "rec_idx")
+
+
+# ------------------------------------------------- crawl → documents
+# The composition downstream of ingest: successful HTML responses
+# become a documents-shaped frame (doc_id, text, source) ready for the
+# dedup/quality/language family — the full crawl→curate story in one
+# engine. Not a registered key (the r18 window is arithmetic-full; the
+# record-level extract above is the driver-attested surface); harness-
+# pinned in tests/test_round17_warc.py instead.
+
+
+def _http_body(block: bytes) -> "bytes | None":
+    """The entity body of an application/http response block: bytes
+    after the HTTP header section. None when the block is not an HTTP
+    message (spec-permitted: a response record may carry any
+    Content-Type)."""
+    if block[:5] != b"HTTP/":
+        return None
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    return block[sep + 4 :]
+
+
+_TAG_RE = None  # compiled lazily executor-side
+
+
+def _html_to_text(body: bytes) -> str:
+    """Deterministic zero-dep HTML→text: decode UTF-8 (crawl reality:
+    replacement for undecodable bytes — a lossy page must not kill the
+    batch), strip tags, unescape the five XML entities, collapse
+    whitespace. A real deployment swaps in a proper extractor
+    (trafilatura-class) behind the same column contract; the Spark
+    plumbing — batch shape, null handling, schema — is what this
+    module owns."""
+    global _TAG_RE
+    import re as _re
+
+    if _TAG_RE is None:
+        _TAG_RE = _re.compile(r"<[^>]*>")
+    text = _TAG_RE.sub(" ", body.decode("utf-8", "replace"))
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        text = text.replace(ent, ch)
+    return " ".join(text.split())
+
+
+def warc_to_documents(files: DataFrame) -> DataFrame:
+    """``(file_id, gz, payload)`` → a documents-shaped frame
+    ``(doc_id, text, source)`` of the SUCCESSFUL (2xx) HTML responses:
+    doc_id = file_id * 2^20 + rec_idx (stable across runs, no window
+    or zipWithIndex — a pure function of position, the surrogate-key
+    posture q_etl_surrogate_keys documents), source = the target URI's
+    host. Plumbing, not policy: one mapInPandas pass shared with
+    warc_records' parser, no shuffle."""
+    import pandas as pd
+
+    ddl = "doc_id long, text string, source string"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, texts, sources = [], [], []
+            for fid, gz, payload in zip(
+                pdf["file_id"], pdf["gz"], pdf["payload"]
+            ):
+                recs = parse_warc(bytes(payload), bool(gz))
+                # re-walk block bytes for response bodies
+                if bool(gz):
+                    blocks = [
+                        m[r["block_off"] : r["block_off"] + r["block_len"]]
+                        for m, r in zip(
+                            split_gzip_members(bytes(payload)), recs
+                        )
+                    ]
+                else:
+                    raw = bytes(payload)
+                    blocks = [
+                        raw[r["block_off"] : r["block_off"] + r["block_len"]]
+                        for r in recs
+                    ]
+                for i, (rec, block) in enumerate(zip(recs, blocks)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    st = rec["http_status"]
+                    if st is None or not (200 <= st < 300):
+                        continue
+                    body = _http_body(block)
+                    if body is None:
+                        continue
+                    uri = rec["target_uri"] or ""
+                    host = uri.split("/")[2] if "://" in uri else ""
+                    ids.append(int(fid) * (1 << 20) + i)
+                    texts.append(_html_to_text(body))
+                    sources.append(host)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "text": pd.array(texts, dtype="string"),
+                    "source": pd.array(sources, dtype="string"),
+                }
+            )
+
+    return files.select("file_id", "gz", "payload").mapInPandas(gen, ddl)

@@ -277,3 +277,56 @@ def test_streaming_warc_extract_rejects_contract_violations(
         q.awaitTermination(300)
         if q.exception() is not None:
             raise Exception(str(q.exception()))
+
+
+# ---------------------------------------------------------------------------
+# crawl → documents: the composition into the dedup/quality family
+# ---------------------------------------------------------------------------
+
+
+def test_warc_to_documents_shape_and_selection(spark):
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.warc import (
+        load_warc,
+        warc_to_documents,
+    )
+
+    docs = warc_to_documents(load_warc(spark))
+    rows = docs.collect()
+
+    # expected selection from the generator bookkeeping: successful
+    # (2xx) responses only
+    want = []
+    for r in _rows():
+        for i, (t, st, uri) in enumerate(
+            zip(r["rec_type"], r["rec_status"], r["rec_uri"])
+        ):
+            if t == "response" and st is not None and 200 <= st < 300:
+                want.append((r["file_id"] * (1 << 20) + i, uri))
+    assert len(rows) == len(want) > 0
+    assert sorted(r["doc_id"] for r in rows) == sorted(w[0] for w in want)
+
+    by_id = {w[0]: w[1] for w in want}
+    for r in rows:
+        # source = the target URI's host
+        assert r["source"] == by_id[r["doc_id"]].split("/")[2]
+        # tags stripped, body text survives (generator bodies embed a
+        # recognizable marker), whitespace collapsed
+        assert "<html>" not in r["text"] and "doc" in r["text"]
+        assert "  " not in r["text"]
+
+    # the composition the module exists for: the frame feeds the
+    # exact-dedup fingerprint directly (unique crawl bodies → one
+    # keeper per doc, no accidental collisions)
+    from micmac_li3ds_spark.operators.llm_text import exact_fingerprint
+
+    n_fp = (
+        docs.select(exact_fingerprint("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert n_fp == len(want)
+    # and the plan stays one Arrow-batched pass, no shuffle before it
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
