@@ -142,6 +142,9 @@ def test_mkv_key_registered_with_oracle_and_ledgered():
     reg = R.registry()
     assert "q_mm_mkv_frame_sample_range" in reg
     assert reg["q_mm_mkv_frame_sample_range"].oracle == MKV_FRAME_RANGE_ORACLE
-    # post-freeze: grace round recorded, key NOT in the frozen window
-    assert R.POST_FREEZE_LEDGER["q_mm_mkv_frame_sample_range"] == 16
-    assert "q_mm_mkv_frame_sample_range" not in R._PRIORITY
+    # r16 pinned the post-freeze grace state (ledger entry == 16, key
+    # NOT in the frozen window); the r17 rotation retired the grace by
+    # giving the key its reserved window slot and clearing the ledger
+    # entry (the tiff precedent) — pin the transition's end state
+    assert "q_mm_mkv_frame_sample_range" not in R.POST_FREEZE_LEDGER
+    assert "q_mm_mkv_frame_sample_range" in R._PRIORITY
