@@ -207,8 +207,13 @@ def main() -> None:
     # dirty round after round (r16 verdict item 5 — 4th recurrence).
     # A deliberate idle capture opts into the committed file with
     # SPARK_GRAFT_DETAIL_PATH=BENCH_DETAIL.json.
-    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.live.json"
+    # a relative override resolves against this script's directory, not
+    # the process cwd — "SPARK_GRAFT_DETAIL_PATH=BENCH_DETAIL.json" must
+    # refresh the repo's committed file no matter where bench is invoked
+    # from
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_DETAIL_PATH", "BENCH_DETAIL.live.json"),
     )
     try:
         with open(detail_path, "w") as fh:

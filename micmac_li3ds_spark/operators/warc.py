@@ -43,6 +43,7 @@ mismatches actual bytes, not copied numbers).
 from __future__ import annotations
 
 import os
+import re
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,12 +90,17 @@ def split_gzip_members(payload: bytes) -> "list[bytes]":
     return members
 
 
-def parse_warc_record(raw: bytes) -> "tuple[dict, int]":
+def parse_warc_record(
+    raw: bytes, with_block: bool = False
+) -> "tuple[dict, int]":
     """Parse ONE record from the head of ``raw``. Returns
     ``(fields, consumed)`` where fields has warc_type / target_uri /
     http_status / block_len / block_sum / block_off (offset of the
-    block within ``raw``). Malformed input raises with a named reason
-    — never a silent resync."""
+    block within ``raw``; plus the ``block`` bytes themselves when
+    ``with_block`` — the parser already sliced them for the sum, so
+    body consumers get them without re-walking or re-gunzipping the
+    payload). Malformed input raises with a named reason — never a
+    silent resync."""
     sep = raw.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("no header terminator in WARC record")
@@ -132,28 +138,32 @@ def parse_warc_record(raw: bytes) -> "tuple[dict, int]":
         parts = status_line.split(b" ")
         if len(parts) >= 2 and parts[1].isdigit():
             status = int(parts[1])
-    return (
-        {
-            "warc_type": warc_type,
-            "target_uri": fields.get("warc-target-uri"),
-            "http_status": status,
-            "block_len": block_len,
-            "block_sum": sum(block),
-            "block_off": block_off,
-        },
-        end + 4,
-    )
+    rec = {
+        "warc_type": warc_type,
+        "target_uri": fields.get("warc-target-uri"),
+        "http_status": status,
+        "block_len": block_len,
+        "block_sum": sum(block),
+        "block_off": block_off,
+    }
+    if with_block:
+        rec["block"] = block
+    return rec, end + 4
 
 
-def parse_warc(payload: bytes, gz: bool) -> "list[dict]":
+def parse_warc(
+    payload: bytes, gz: bool, with_blocks: bool = False
+) -> "list[dict]":
     """All records of one WARC file, in file order. GZ: one record per
     gzip member, each member consumed EXACTLY (trailing bytes inside a
     member are malformed). Plain: records parsed back-to-back by
-    Content-Length until the payload is exhausted."""
+    Content-Length until the payload is exhausted. ``with_blocks``
+    includes each record's block bytes (one decompression pass either
+    way — body consumers must not gunzip the payload a second time)."""
     out: list[dict] = []
     if gz:
         for m in split_gzip_members(payload):
-            rec, consumed = parse_warc_record(m)
+            rec, consumed = parse_warc_record(m, with_block=with_blocks)
             if consumed != len(m):
                 raise ValueError(
                     "gzip member holds more than one WARC record"
@@ -162,7 +172,9 @@ def parse_warc(payload: bytes, gz: bool) -> "list[dict]":
     else:
         pos = 0
         while pos < len(payload):
-            rec, consumed = parse_warc_record(payload[pos:])
+            rec, consumed = parse_warc_record(
+                payload[pos:], with_block=with_blocks
+            )
             rec["block_off"] += pos
             out.append(rec)
             pos += consumed
@@ -306,7 +318,7 @@ def _http_body(block: bytes) -> "bytes | None":
     return block[sep + 4 :]
 
 
-_TAG_RE = None  # compiled lazily executor-side
+_TAG_RE = re.compile(r"<[^>]*>")
 
 
 def _html_to_text(body: bytes) -> str:
@@ -317,11 +329,6 @@ def _html_to_text(body: bytes) -> str:
     (trafilatura-class) behind the same column contract; the Spark
     plumbing — batch shape, null handling, schema — is what this
     module owns."""
-    global _TAG_RE
-    import re as _re
-
-    if _TAG_RE is None:
-        _TAG_RE = _re.compile(r"<[^>]*>")
     text = _TAG_RE.sub(" ", body.decode("utf-8", "replace"))
     for ent, ch in (
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
@@ -349,22 +356,11 @@ def warc_to_documents(files: DataFrame) -> DataFrame:
             for fid, gz, payload in zip(
                 pdf["file_id"], pdf["gz"], pdf["payload"]
             ):
-                recs = parse_warc(bytes(payload), bool(gz))
-                # re-walk block bytes for response bodies
-                if bool(gz):
-                    blocks = [
-                        m[r["block_off"] : r["block_off"] + r["block_len"]]
-                        for m, r in zip(
-                            split_gzip_members(bytes(payload)), recs
-                        )
-                    ]
-                else:
-                    raw = bytes(payload)
-                    blocks = [
-                        raw[r["block_off"] : r["block_off"] + r["block_len"]]
-                        for r in recs
-                    ]
-                for i, (rec, block) in enumerate(zip(recs, blocks)):
+                # with_blocks: block bytes come out of the SAME parse
+                # pass — gz payloads are gunzipped exactly once
+                recs = parse_warc(bytes(payload), bool(gz), with_blocks=True)
+                for i, rec in enumerate(recs):
+                    block = rec["block"]
                     if rec["warc_type"] != "response":
                         continue
                     st = rec["http_status"]

@@ -75,6 +75,9 @@ from pyspark.sql import functions as F
 SRC_BATCH_COL = "src_batch"
 BUCKET_COL = "pb"
 LEASE_NAME = "_COMPACT_LEASE"
+#: bucket_by sentinel: adopt the previous generation's _GEN_META layout
+#: (resolved under the fold's lease, never from a stale pre-read)
+INHERIT_LAYOUT = "__inherit__"
 _GEN_RE = re.compile(r"^gen=(\d+)$")
 _MARKER_RE = re.compile(r"^_GEN_COMMIT_(\d+)_(\d+)$")
 
@@ -114,17 +117,10 @@ def _read_meta(spark, path: str, g: int) -> "dict | None":
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/_GEN_META_{g}")
     if not fs.exists(p):
         return None
-    stream = fs.open(p)
-    try:
-        # readFullyToByteArray mutates JVM-side and returns the array,
-        # which py4j maps back cleanly (a positional readFully into a
-        # gateway-created array does not round-trip the mutation)
-        data = bytes(
-            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return json.loads(data.decode())
+    # readFullyToByteArray mutates JVM-side and returns the array,
+    # which py4j maps back cleanly (a positional readFully into a
+    # gateway-created array does not round-trip the mutation)
+    return json.loads(_read_small_file(spark, fs, p).decode())
 
 
 def list_state(spark: SparkSession, path: str):
@@ -249,28 +245,74 @@ def resolve_state(
     return out
 
 
-def _acquire_lease(spark, fs, path: str):
+def _read_small_file(spark, fs, p) -> bytes:
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(p)
+    try:
+        return bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
+def _acquire_lease(spark, fs, path: str, owner: "str | None" = None):
     """Create-exclusive ``_COMPACT_LEASE`` — the enforced single-
     compactor contract. ``fs.create(p, overwrite=False)`` is atomic on
     HDFS and local FS (and on S3A with conditional-create support);
-    a second compactor gets a loud error, never a silent race. A
-    process that DIES mid-fold leaves the lease behind: the next
-    attempt refuses with instructions to delete it after confirming no
-    compactor is live (a crashed fold left only an unmarked — hence
-    invisible — gen dir, so breaking the lease is always safe once the
-    process is confirmed dead)."""
+    a second compactor gets a loud error, never a silent race.
+
+    ``owner`` is the self-healing seam for compactors whose IDENTITY
+    guarantees no concurrent twin: the in-stream ``auto_compact`` passes
+    its stream's checkpoint path (Spark's checkpoint lock ensures one
+    running instance per checkpoint), so a lease left by a process
+    DEATH of the SAME stream is recognized by its recorded owner and
+    broken automatically on replay — without this, a SIGKILL mid-fold
+    would wedge the restarted stream in a raise-replay loop forever
+    (code-review r17 #1). An owner-bearing caller also breaks an EMPTY
+    lease (a crash between create and the owner write — the crashed
+    fold left only invisible garbage either way). Ownerless callers
+    (the maintenance CLI) never self-heal: a foreign or unreadable
+    lease always raises with recovery instructions, because two
+    default-identity CLIs racing must not break each other."""
     Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     p = Path(f"{path}/{LEASE_NAME}")
-    try:
-        fs.create(p, False).close()
-    except Exception as e:
-        raise RuntimeError(
-            f"compaction lease already held for {path} "
-            f"({LEASE_NAME} exists): another compactor is running, or "
-            "one died mid-fold — confirm no compactor is live, then "
-            "delete the lease file to recover"
-        ) from e
-    return p
+    for attempt in (0, 1):
+        try:
+            out = fs.create(p, False)
+            if owner is not None:
+                out.write(bytearray(owner.encode()))
+            out.close()
+            return p
+        except Exception as e:
+            holder: "bytes | None" = None
+            try:
+                holder = _read_small_file(spark, fs, p)
+            except Exception:
+                pass  # vanished (release race) or unreadable
+            if (
+                attempt == 0
+                and owner is not None
+                and holder is not None
+                and holder in (b"", owner.encode())
+            ):
+                # our own dead predecessor (or its create-crash stub):
+                # break and retry the exclusive create once
+                fs.delete(p, False)
+                continue
+            raise RuntimeError(
+                f"compaction lease already held for {path} "
+                f"({LEASE_NAME} exists"
+                + (
+                    f", owner {holder.decode(errors='replace')!r}"
+                    if holder
+                    else ""
+                )
+                + "): another compactor is running, or one died "
+                "mid-fold — confirm no compactor is live, then delete "
+                "the lease file to recover"
+            ) from e
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def compact_state_dir(
@@ -282,6 +324,7 @@ def compact_state_dir(
     bucket_by: "str | None" = None,
     n_buckets: int = 64,
     min_src_batch: "int | None" = None,
+    lease_owner: "str | None" = None,
 ) -> dict:
     """Fold committed batch dirs (k < ``up_to``) and the previous
     generation into one new generation. ``up_to`` defaults to the max
@@ -316,11 +359,15 @@ def compact_state_dir(
     fold re-clusters the whole state, so changing ``bucket_by`` or
     ``n_buckets`` between folds is safe (the newest generation's meta
     is the only one readers consult). ``num_files`` is ignored when
-    bucketing (layout is per-bucket)."""
+    bucketing (layout is per-bucket). ``bucket_by=INHERIT_LAYOUT``
+    adopts the previous generation's ``_GEN_META`` settings (or plain
+    when there is none) — resolved UNDER the lease, so a concurrent
+    fold cannot change the layout between the decision and the write
+    (code-review r17 #3). ``lease_owner`` — see ``_acquire_lease``."""
     fs, hpath = _fs(spark, path)
     if not fs.exists(hpath):
         return {"generation": None, "folded_batches": 0, "up_to": 0}
-    lease = _acquire_lease(spark, fs, path)
+    lease = _acquire_lease(spark, fs, path, owner=lease_owner)
     try:
         return _compact_under_lease(
             spark, fs, path, ddl, num_files, up_to, bucket_by,
@@ -337,6 +384,13 @@ def _compact_under_lease(
     batches, gens, markers = list_state(spark, path)
     newest = newest_generation(gens, markers)
     prev_up_to = newest[2] if newest else 0
+    if bucket_by == INHERIT_LAYOUT:
+        meta = (
+            _read_meta(spark, path, newest[0]) if newest is not None else None
+        )
+        bucket_by = meta["bucket_by"] if meta is not None else None
+        if meta is not None:
+            n_buckets = meta["n_buckets"]
     if up_to is None:
         # exclude the highest live id: on a live stream it may be the
         # in-flight, not-yet-checkpointed foreachBatch write
@@ -469,6 +523,7 @@ def auto_compact(
     specs: "list[tuple]",
     batch_id: int,
     every: "int | None",
+    owner: "str | None" = None,
 ) -> None:
     """In-stream compaction cadence: called at the END of a job's
     foreachBatch body with the job's (state_dir, ddl[, bucket_by])
@@ -482,7 +537,15 @@ def auto_compact(
     garbage the next fold GCs — the exact crash states the compaction
     unit tests pin. ``up_to`` is pinned to this batch id + 1 so a
     concurrent listing anomaly can never fold a FUTURE batch's
-    replay-pending write."""
+    replay-pending write.
+
+    ``owner`` should be the stream's checkpoint path: it makes the
+    fold's lease self-healing across a process DEATH of the same
+    stream (Spark's checkpoint lock guarantees one running instance
+    per checkpoint, so a lease recording our own checkpoint can only
+    be a dead predecessor's — see ``_acquire_lease``). Jobs pass it;
+    without it a SIGKILL mid-fold would wedge the replayed stream in
+    a lease-refusal loop."""
     if every is None or every < 1 or (batch_id + 1) % every != 0:
         return
     for spec in specs:
@@ -495,7 +558,8 @@ def auto_compact(
             # moved past us; folding again would be a rollback — skip
             continue
         compact_state_dir(
-            spark, path, ddl, up_to=batch_id + 1, bucket_by=bucket_by
+            spark, path, ddl, up_to=batch_id + 1, bucket_by=bucket_by,
+            lease_owner=owner,
         )
 
 

@@ -959,6 +959,7 @@ def run_streaming_near_dedup(
             ],
             batch_id,
             compact_every,
+            owner=checkpoint,
         )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)
@@ -1116,6 +1117,7 @@ def run_streaming_exact_dedup(
             [(seen_dir, SEEN_DDL, "fp"), (dups_dir, _DUPS_DDL)],
             batch_id,
             compact_every,
+            owner=checkpoint,
         )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)
@@ -1273,6 +1275,7 @@ def run_streaming_semantic_dedup(
             [(vectors_dir, _SEM_VEC_DDL, "cid"), (pairs_dir, _SEM_PAIRS_DDL)],
             batch_id,
             compact_every,
+            owner=checkpoint,
         )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)
@@ -1474,6 +1477,7 @@ def run_streaming_feature_extract(
             [(features_dir, _FEATURES_DDL)],
             batch_id,
             compact_every,
+            owner=checkpoint,
         )
 
     return run_foreach_batch(stream, fx_batch, checkpoint)
@@ -1525,7 +1529,8 @@ def run_streaming_frame_sample(
         )
         out.write.mode("overwrite").parquet(f"{frames_dir}/batch={batch_id}")
         auto_compact(
-            spark, [(frames_dir, _FRAMES_DDL)], batch_id, compact_every
+            spark, [(frames_dir, _FRAMES_DDL)], batch_id, compact_every,
+            owner=checkpoint,
         )
 
     return run_foreach_batch(stream, sample_batch, checkpoint)
@@ -1603,6 +1608,7 @@ def run_streaming_warc_extract(
             [(records_dir, WARC_RECORD_DDL)],
             batch_id,
             compact_every,
+            owner=checkpoint,
         )
 
     return run_foreach_batch(stream, warc_batch, checkpoint)

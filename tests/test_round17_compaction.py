@@ -291,3 +291,86 @@ def test_exact_dedup_stream_correct_within_horizon(spark, tmp_path, sf_dir):
         spark, seen_dir, jobs._EXACT_SEEN_DDL, before_batch=3
     )
     assert readmitted.count() == n_fp
+
+
+def test_lease_self_heals_for_same_owner_only(spark, tmp_path):
+    """The in-stream cadence's crash recovery (code-review r17 #1): a
+    lease recording OUR OWN owner (the stream's checkpoint — Spark
+    guarantees one running instance per checkpoint) is a dead
+    predecessor's and is broken automatically; a foreign or ownerless
+    hold still refuses."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    fs, _ = C._fs(spark, path)
+
+    # dead predecessor of the SAME stream → self-heal
+    C._acquire_lease(spark, fs, path, owner="ckpt-A")  # left behind
+    res = C.compact_state_dir(
+        spark, path, DDL, num_files=1, up_to=2, lease_owner="ckpt-A"
+    )
+    assert res["folded_batches"] == 2
+    assert C.LEASE_NAME not in set(os.listdir(path))
+
+    # foreign owner → refuse, even for an owner-bearing caller
+    _write_batches(spark, path, {2: [(3, "c")], 3: [(4, "d")]})
+    C._acquire_lease(spark, fs, path, owner="ckpt-B")
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.compact_state_dir(
+            spark, path, DDL, num_files=1, up_to=4, lease_owner="ckpt-A"
+        )
+    # ...and an OWNERLESS caller (maintenance CLI) never self-heals
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.compact_state_dir(spark, path, DDL, num_files=1, up_to=4)
+    fs.delete(
+        spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{C.LEASE_NAME}"
+        ),
+        False,
+    )
+
+    # empty lease (create-crash stub) → breakable by an owner-bearing
+    # caller only
+    open(os.path.join(path, C.LEASE_NAME), "w").close()
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.compact_state_dir(spark, path, DDL, num_files=1, up_to=4)
+    res = C.compact_state_dir(
+        spark, path, DDL, num_files=1, up_to=4, lease_owner="ckpt-A"
+    )
+    assert res["folded_batches"] == 2
+
+
+def test_auto_compact_survives_dead_predecessor_lease(spark, tmp_path):
+    """The wedge scenario end-to-end: a SIGKILLed fold left the lease;
+    the replayed stream's cadence (owner = its checkpoint) must fold,
+    not raise-loop."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    fs, _ = C._fs(spark, path)
+    C._acquire_lease(spark, fs, path, owner="ckpt-X")  # dead fold's hold
+    C.auto_compact(spark, [(path, DDL)], batch_id=1, every=2,
+                   owner="ckpt-X")
+    names = set(os.listdir(path))
+    assert "gen=0" in names and "_GEN_COMMIT_0_2" in names
+    assert C.LEASE_NAME not in names
+
+
+def test_inherit_layout_resolves_under_lease(spark, tmp_path):
+    """bucket_by=INHERIT_LAYOUT adopts the newest generation's meta at
+    fold time (the CLI default); with no previous generation it folds
+    plain."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    r1 = C.compact_state_dir(
+        spark, path, DDL, up_to=2, bucket_by=C.INHERIT_LAYOUT
+    )
+    assert "bucket_by" not in r1  # nothing to inherit → plain
+    _write_batches(spark, path, {2: [(3, "c")], 3: [(4, "d")]})
+    C.compact_state_dir(spark, path, DDL, up_to=3, bucket_by="k",
+                        n_buckets=4)
+    r3 = C.compact_state_dir(
+        spark, path, DDL, up_to=4, bucket_by=C.INHERIT_LAYOUT
+    )
+    assert r3["bucket_by"] == "k" and r3["n_buckets"] == 4
+    assert _rows(C.resolve_state(spark, path, DDL)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]

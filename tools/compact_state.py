@@ -86,20 +86,15 @@ def main() -> None:
     if not args.ddl:
         ap.error("--ddl is required unless --count-only")
 
-    bucket_by, n_buckets = args.bucket_by, args.n_buckets
+    # default: inherit the previous generation's layout so a
+    # maintenance run cannot silently drop the stream's file-pruning
+    # bucketing. Resolved INSIDE compact_state_dir under the fold's
+    # lease — a pre-read here could go stale if the in-stream cadence
+    # folds between the read and the lease (code-review r17 #3).
+    bucket_by = args.bucket_by
     if bucket_by is None:
-        # reuse the previous generation's layout so a maintenance run
-        # cannot silently drop the stream's file-pruning bucketing
-        _b, gens, markers = C.list_state(spark, args.dir)
-        newest = C.newest_generation(gens, markers)
-        meta = (
-            C._read_meta(spark, args.dir, newest[0]) if newest else None
-        )
-        if meta is not None:
-            bucket_by = meta["bucket_by"]
-            if n_buckets is None:
-                n_buckets = meta["n_buckets"]
-    if bucket_by == "":
+        bucket_by = C.INHERIT_LAYOUT
+    elif bucket_by == "":
         bucket_by = None
 
     res = C.compact_state_dir(
@@ -109,7 +104,7 @@ def main() -> None:
         num_files=args.num_files,
         up_to=args.up_to,
         bucket_by=bucket_by,
-        n_buckets=n_buckets if n_buckets is not None else 64,
+        n_buckets=args.n_buckets if args.n_buckets is not None else 64,
         min_src_batch=args.min_src_batch,
     )
     res["data_files_after"] = C.state_file_count(spark, args.dir)

@@ -189,11 +189,20 @@ def main() -> int:
     # and survives any number of them. Per-sweep times are recorded in
     # the artifact (sweep_queries/sweep_totals) so the reduction is
     # auditable, and `timing` names the methodology.
-    best: dict[str, tuple[float, int | str]] = {}
+    # successes and failures reduce SEPARATELY: an errored sweep's
+    # time-to-raise is not comparable to a completed run's time, so a
+    # fast transient failure must never replace a valid measurement
+    # (it would bake a deflated floor into the committed baseline and
+    # flag false regressions forever after — code-review r17 #2). A
+    # query that succeeded in ANY sweep reports its success min; its
+    # other-sweep failures go to `transient_errors` (recorded, not
+    # gating). Only a query that never succeeded lands in `errors`.
+    ok_best: dict[str, tuple[float, int]] = {}
+    err_best: dict[str, tuple[float, str]] = {}
     sweep_queries: list[dict[str, float]] = []
     sweep_totals: list[float] = []
     colds: dict[str, float] = {}
-    errors: dict[str, str] = {}
+    err_msgs: dict[str, str] = {}
     for sweep in range(max(1, args.sweeps)):
         this_sweep: dict[str, float] = {}
         for name in names:
@@ -207,22 +216,22 @@ def main() -> int:
                 n = len(regs[name].fn(spark, args.sf).collect())
                 warm = time.time() - t1
             except Exception as exc:  # keep auditing the rest
-                errors[name] = str(exc)[:200]
+                err_msgs[name] = str(exc)[:200]
                 # ADVICE r10: if the WARM rerun raised after a clean
                 # cold run, record the completed cold time — cumulative
                 # elapsed would silently inflate the errored query by a
                 # whole run
                 elapsed = cold if cold is not None else time.time() - t0
                 this_sweep[name] = round(elapsed, 3)
-                if name not in best or elapsed < best[name][0]:
-                    best[name] = (elapsed, f"ERR {exc}"[:60])
+                if name not in err_best or elapsed < err_best[name][0]:
+                    err_best[name] = (elapsed, f"ERR {exc}"[:60])
                 continue
             sec = min(cold, warm)
             this_sweep[name] = round(sec, 3)
             if name not in colds or cold < colds[name]:
                 colds[name] = round(cold, 3)
-            if name not in best or sec < best[name][0]:
-                best[name] = (sec, n)
+            if name not in ok_best or sec < ok_best[name][0]:
+                ok_best[name] = (sec, n)
             print(
                 f"{sec:8.2f}s  (cold {cold:5.2f}s)  {name:36s} rows={n}",
                 flush=True,
@@ -236,8 +245,16 @@ def main() -> int:
                 flush=True,
             )
     timings: list[tuple[float, str, int | str]] = [
-        (sec, name, n) for name, (sec, n) in best.items()
+        (sec, name, n) for name, (sec, n) in ok_best.items()
+    ] + [
+        (sec, name, msg)
+        for name, (sec, msg) in err_best.items()
+        if name not in ok_best
     ]
+    errors = {n: m for n, m in err_msgs.items() if n not in ok_best}
+    transient_errors = {n: m for n, m in err_msgs.items() if n in ok_best}
+    if transient_errors:
+        print(f"transient errors (succeeded elsewhere): {transient_errors}")
 
     print("\n=== slowest ===")
     for sec, name, n in sorted(timings, reverse=True)[: args.top]:
@@ -315,6 +332,7 @@ def main() -> int:
             # the pre-Spark one the r11 guard removed)
             "load_end": _loadavg(),
             "errors": errors,
+            "transient_errors": transient_errors,
             "regressions": regressions,
         }
         with open(args.json_out, "w") as f:
