@@ -414,6 +414,32 @@ _loaded = False
 #            one round earlier than staleness would force it) + slot 2
 #            free for a key registered in r17 under POST_FREEZE_LEDGER
 #            or, if none, for the oldest r14-stratum key.
+#   round 18 (this window): ninth consolidation — exactly the
+#            r17-verdict ledger. The staleness invariant (max_round−4
+#            with CORRECTNESS_r17 on disk) enumerates the 48
+#            r13-attested keys below (fn/sort/limit heads, JDBC
+#            round-trip, the r13 LLM text/vector block, TPC-H-style
+#            business queries, the ETL pose/calibration family,
+#            sample/reshape/profile, binary stats + frame sample, the
+#            r13 agg sketches, winnowing pair, time-series family —
+#            the r13 stratum verbatim, enumeration order preserved).
+#            Slot 49: q_graph_cc — the MANDATORY ledger slot from r17
+#            (its r14 hash trailed the r16 cc_fixpoint change; this
+#            birth-fresh hash closes What's-wrong 1 one round before
+#            staleness arithmetic would force it). Slot 50:
+#            q_llm_warc_extract — registered r17 post-freeze
+#            (POST_FREEZE_LEDGER {"q_llm_warc_extract": 17}); its
+#            one-round grace expired when CORRECTNESS_r17 landed and
+#            this is the reserved birth-hash slot. Judge ran it green
+#            at sf0.01 (84 rows) in the r17 session.
+#            Round-19 slot ledger: once CORRECTNESS_r18 lands,
+#            max_round=18 forces the ≤14 stratum. Recomputed from the
+#            committed artifacts with this window re-attested at 18:
+#            the r14 stratum is 47 keys (48 currently-r14 keys minus
+#            q_graph_cc, re-attested here), leaving exactly THREE free
+#            slots — spend them on keys registered this round under
+#            POST_FREEZE_LEDGER (birth attestations), oldest-first
+#            r15-stratum keys if any ledger entry slips.
 #   Steady state: birth-round attestation for new queries +
 #            oldest-first rotation keeps every green ≤ 4 rounds old.
 DRIVER_WINDOW = 50
@@ -425,72 +451,75 @@ DRIVER_WINDOW = 50
 # lands, the test fails until the key takes a window slot (mirroring the
 # staleness forcing function, which cannot see never-attested keys).
 # (q_mm_tiff_decode's r15 entry cleared: it took r16 window slot 3.
-# q_mm_mkv_frame_sample_range's r16 entry cleared: it takes r17 window
-# slot 50 — the reserved grace slot the r16 ledger spelled out.)
-# q_llm_warc_extract: registered r17 (operators/warc.py — the Common
-# Crawl ingest walker) AFTER this round's window froze arithmetic-full
-# (49 forced + the reserved MKV grace slot); its grace expires when
-# CORRECTNESS_r17 lands and it takes r18's one free slot per the
-# round-18 slot ledger above (48 forced + q_graph_cc + this key = 50).
-POST_FREEZE_LEDGER: dict[str, int] = {"q_llm_warc_extract": 17}
+# q_mm_mkv_frame_sample_range's r16 entry cleared: it took r17 window
+# slot 50. q_llm_warc_extract's r17 entry cleared: it takes r18 window
+# slot 50 — the reserved grace slot the r17 ledger spelled out.)
+# Keys registered THIS round (r18) after the window froze at the
+# mandated 48+2 composition go here with value 18; their grace expires
+# when CORRECTNESS_r18 lands and they take r19's three free slots per
+# the round-19 slot ledger above (47 forced r14-stratum keys + 3).
+POST_FREEZE_LEDGER: dict[str, int] = {}
 
 _PRIORITY: list[str] = [
-    # --- the 49 r12-attested keys forced by the staleness invariant
+    # --- the 48 r13-attested keys forced by the staleness invariant
     # (test_registry.py::test_window_contains_every_stale_attestation
-    # with CORRECTNESS_r16 on disk; enumeration order preserved) ---
-    "q_project_select",
-    "q_filter_simple",
-    "q_filter_compound",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_project_distinct",
-    "q_agg_basic",
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_collect",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_join_sortmerge",
-    "q_join_shuffle_hash",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross_theta",
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_first_last",
-    "q_win_topk_group",
-    "q_fn_string",
-    "q_fn_regex",
-    "q_fn_datetime",
-    "q_fn_array",
-    "q_fn_map",
-    "q_llm_cluster_assign",
-    "q_llm_kmeans_step",
-    "q_event_rfm",
-    "q_win_pct_of_total",
-    "q_audit_small_files",
-    "q_agg_equidepth_hist",
-    "q_llm_bm25",
-    "q_llm_cross_dedup",
-    "q_agg_winsorize",
-    "q_abc_pareto",
-    "q_event_transitions",
-    "q_event_cohort_ltv",
-    "q_skyline",
-    "q_ts_interpolate",
-    "q_agg_corr",
-    "q_ts_rollup_multires",
-    "q_profile_entropy",
-    "q_llm_lsh_recall",
-    # --- slot 50 (r16-verdict ledger, mandatory): the reserved grace
-    # slot for the key registered r16 post-freeze; its birth driver
-    # hash lands this round ---
-    "q_mm_mkv_frame_sample_range",
+    # with CORRECTNESS_r17 on disk; enumeration order preserved) ---
+    "q_fn_math",
+    "q_fn_cond",
+    "q_sort_multi",
+    "q_limit",
+    "q_jdbc_roundtrip",
+    "q_llm_ngram_jaccard",
+    "q_llm_simhash",
+    "q_llm_tfidf",
+    "q_llm_text_stats",
+    "q_llm_quality_score",
+    "q_llm_lang_id",
+    "q_llm_repetition",
+    "q_llm_corpus_filter",
+    "q_llm_decontaminate",
+    "q_llm_pii_scrub",
+    "q_llm_cosine",
+    "q_llm_knn_per_label",
+    "q_llm_embed_norm",
+    "q_returned_items",
+    "q_forecast_revenue",
+    "q_promo_revenue",
+    "q_nation_trade_volume",
+    "q_waiting_supplier",
+    "q_etl_explode_block",
+    "q_etl_get_or_create",
+    "q_etl_surrogate_keys",
+    "q_etl_pose_apply",
+    "q_etl_distortion_poly",
+    "q_etl_transfo_closure",
+    "q_sample_hash",
+    "q_reshape_unpivot",
+    "q_agg_histogram",
+    "q_profile_columns",
+    "q_mm_binary_stats",
+    "q_mm_frame_sample",
+    "q_agg_gini",
+    "q_etl_merge_upsert",
+    "q_ts_anomaly",
+    "q_agg_sketch_rollup",
+    "q_win_moving_median",
+    "q_llm_knn_recall",
+    "q_layout_zorder",
+    "q_etl_asof_snapshot",
+    "q_agg_bitmap_rollup",
+    "q_ts_downsample_lttb",
+    "q_llm_winnowing",
+    "q_llm_winnow_matches",
+    "q_ts_seasonal_profile",
+    # --- slot 49 (r17-verdict ledger, MANDATORY): fresh driver hash
+    # for the cc_fixpoint consumer whose r14 hash trailed the r16
+    # storage-hygiene change (What's-wrong 1) ---
+    "q_graph_cc",
+    # --- slot 50 (r17-verdict ledger): birth-hash slot for the key
+    # registered r17 post-freeze (POST_FREEZE_LEDGER grace expired
+    # when CORRECTNESS_r17 landed) ---
+    "q_llm_warc_extract",
 ]
 
 
