@@ -338,17 +338,22 @@ def _html_to_text(body: bytes) -> str:
     return " ".join(text.split())
 
 
-def warc_to_documents(files: DataFrame) -> DataFrame:
+def warc_to_documents(files: DataFrame, id_bits: int = 20) -> DataFrame:
     """``(file_id, gz, payload)`` → a documents-shaped frame
     ``(doc_id, text, source)`` of the SUCCESSFUL (2xx) HTML responses:
-    doc_id = file_id * 2^20 + rec_idx (stable across runs, no window
-    or zipWithIndex — a pure function of position, the surrogate-key
-    posture q_etl_surrogate_keys documents), source = the target URI's
-    host. Plumbing, not policy: one mapInPandas pass shared with
-    warc_records' parser, no shuffle."""
+    doc_id = file_id * 2^id_bits + rec_idx (stable across runs, no
+    window or zipWithIndex — a pure function of position, the
+    surrogate-key posture q_etl_surrogate_keys documents), source =
+    the target URI's host. A file holding more records than the
+    rec_idx field can pack raises loudly instead of silently colliding
+    doc_ids (ADVICE r17 #3); ``id_bits`` widens the shift for archive
+    shapes beyond Common Crawl's (~100k records/file), at the cost of
+    file_id headroom within the long. Plumbing, not policy: one
+    mapInPandas pass shared with warc_records' parser, no shuffle."""
     import pandas as pd
 
     ddl = "doc_id long, text string, source string"
+    capacity = 1 << id_bits
 
     def gen(batches):
         for pdf in batches:
@@ -359,6 +364,16 @@ def warc_to_documents(files: DataFrame) -> DataFrame:
                 # with_blocks: block bytes come out of the SAME parse
                 # pass — gz payloads are gunzipped exactly once
                 recs = parse_warc(bytes(payload), bool(gz), with_blocks=True)
+                if len(recs) > capacity:
+                    # rec_idx would overflow into the file_id field and
+                    # collide with the NEXT file's doc_ids — refuse
+                    # loudly (the module's every-anomaly-raises posture)
+                    raise ValueError(
+                        f"WARC file_id={int(fid)} holds {len(recs)} "
+                        f"records, exceeding the 2^{id_bits} rec_idx "
+                        f"capacity of doc_id = file_id * 2^{id_bits} + "
+                        "rec_idx — split the archive or widen id_bits"
+                    )
                 for i, rec in enumerate(recs):
                     block = rec["block"]
                     if rec["warc_type"] != "response":
@@ -371,7 +386,7 @@ def warc_to_documents(files: DataFrame) -> DataFrame:
                         continue
                     uri = rec["target_uri"] or ""
                     host = uri.split("/")[2] if "://" in uri else ""
-                    ids.append(int(fid) * (1 << 20) + i)
+                    ids.append(int(fid) * capacity + i)
                     texts.append(_html_to_text(body))
                     sources.append(host)
             yield pd.DataFrame(

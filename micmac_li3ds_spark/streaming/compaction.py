@@ -257,10 +257,15 @@ def _read_small_file(spark, fs, p) -> bytes:
 
 
 def _acquire_lease(spark, fs, path: str, owner: "str | None" = None):
-    """Create-exclusive ``_COMPACT_LEASE`` — the enforced single-
-    compactor contract. ``fs.create(p, overwrite=False)`` is atomic on
-    HDFS and local FS (and on S3A with conditional-create support);
-    a second compactor gets a loud error, never a silent race.
+    """Atomically create ``_COMPACT_LEASE`` WITH its content — the
+    enforced single-compactor contract. The token is written to a
+    uniquely-named sidecar temp file first and then ``fs.rename``-d to
+    the lease name; rename-onto-existing fails on HDFS and local FS, so
+    a second compactor gets a loud error, never a silent race — and a
+    lease, once visible, is never observably empty (ADVICE r17 #1: the
+    old create-then-write left the CLI's ownerless lease empty for the
+    fold's whole duration, indistinguishable from a crash stub, so a
+    concurrent owner-bearing compactor would break a LIVE lease).
 
     ``owner`` is the self-healing seam for compactors whose IDENTITY
     guarantees no concurrent twin: the in-stream ``auto_compact`` passes
@@ -269,37 +274,63 @@ def _acquire_lease(spark, fs, path: str, owner: "str | None" = None):
     DEATH of the SAME stream is recognized by its recorded owner and
     broken automatically on replay — without this, a SIGKILL mid-fold
     would wedge the restarted stream in a raise-replay loop forever
-    (code-review r17 #1). An owner-bearing caller also breaks an EMPTY
-    lease (a crash between create and the owner write — the crashed
-    fold left only invisible garbage either way). Ownerless callers
-    (the maintenance CLI) never self-heal: a foreign or unreadable
-    lease always raises with recovery instructions, because two
+    (code-review r17 #1). That contract makes owner UNIQUENESS
+    load-bearing (self-heal is read-then-delete-then-create, not
+    atomic): two live processes claiming the same owner could both
+    break a dead predecessor and both acquire. Callers MUST pass an
+    owner only when some external lock (Spark's checkpoint lock)
+    guarantees at most one live process per owner value; empty or
+    blank owners are refused outright, and
+    tests/test_round18_compaction.py pins both behaviors. An
+    owner-bearing caller also breaks an EMPTY lease — with atomic
+    creation that can only be a pre-atomic-era crash stub, never a
+    live compactor. Ownerless callers (the maintenance CLI) get a
+    unique anonymous token, so their live lease is never breakable by
+    anyone, and they never self-heal: a foreign or unreadable lease
+    always raises with recovery instructions, because two
     default-identity CLIs racing must not break each other."""
+    import uuid
+
+    if owner is not None and not owner.strip():
+        raise ValueError(
+            "lease owner must be a non-empty unique identity (e.g. the "
+            "stream's checkpoint path); got an empty/blank string — an "
+            "empty lease is reserved for crash stubs and a shared blank "
+            "owner would let two compactors self-heal each other"
+        )
     Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     p = Path(f"{path}/{LEASE_NAME}")
-    for attempt in (0, 1):
-        try:
-            out = fs.create(p, False)
-            if owner is not None:
-                out.write(bytearray(owner.encode()))
-            out.close()
-            return p
-        except Exception as e:
+    token = owner if owner is not None else f"anon:{uuid.uuid4().hex}"
+    tmp = Path(f"{path}/.{LEASE_NAME}.tmp.{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(token.encode()))
+    out.close()
+    try:
+        for attempt in (0, 1, 2):
+            if fs.rename(tmp, p):
+                return p
             holder: "bytes | None" = None
-            try:
-                holder = _read_small_file(spark, fs, p)
-            except Exception:
-                pass  # vanished (release race) or unreadable
-            if (
-                attempt == 0
-                and owner is not None
-                and holder is not None
-                and holder in (b"", owner.encode())
-            ):
-                # our own dead predecessor (or its create-crash stub):
-                # break and retry the exclusive create once
-                fs.delete(p, False)
-                continue
+            if not fs.exists(p):
+                # released between our failed rename and this check (a
+                # finishing compactor's normal delete) — retry instead
+                # of raising for a now-free dir (ADVICE r17 #2)
+                if attempt < 2:
+                    continue
+            else:
+                try:
+                    holder = _read_small_file(spark, fs, p)
+                except Exception:
+                    pass  # vanished under the read, or unreadable
+                if (
+                    attempt == 0
+                    and owner is not None
+                    and holder is not None
+                    and holder in (b"", owner.encode())
+                ):
+                    # our own dead predecessor (or a pre-atomic-era
+                    # create-crash stub): break and retry the rename
+                    fs.delete(p, False)
+                    continue
             raise RuntimeError(
                 f"compaction lease already held for {path} "
                 f"({LEASE_NAME} exists"
@@ -311,8 +342,10 @@ def _acquire_lease(spark, fs, path: str, owner: "str | None" = None):
                 + "): another compactor is running, or one died "
                 "mid-fold — confirm no compactor is live, then delete "
                 "the lease file to recover"
-            ) from e
-    raise AssertionError("unreachable")  # pragma: no cover
+            )
+        raise AssertionError("unreachable")  # pragma: no cover
+    finally:
+        fs.delete(tmp, False)  # no-op when the rename consumed it
 
 
 def compact_state_dir(

@@ -1580,7 +1580,11 @@ def run_streaming_warc_extract(
 
     def warc_batch(batch_df: DataFrame, batch_id: int) -> None:
         fname = F.element_at(F.split("path", "/"), -1)
-        ok = fname.rlike(r"^\d+\.warc(\.gz)?$")
+        # no leading zeros: '007.warc' and '7.warc' would map to the
+        # same file_id=7 and silently merge their records under
+        # read_warc_record_log's distinct() (ADVICE r17 #4) — each
+        # file_id has exactly one canonical name
+        ok = fname.rlike(r"^(0|[1-9]\d*)\.warc(\.gz)?$")
         files = batch_df.select(
             F.when(
                 ~ok,

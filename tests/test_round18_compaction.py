@@ -1,0 +1,217 @@
+"""Round 18: lease hardening (ADVICE r17 #1/#2 + r17 verdict item 4).
+
+* The lease is created ATOMICALLY with its content (sidecar temp file +
+  rename; rename-onto-existing fails on HDFS/local — verified against
+  this container's ProxyLocalFileSystem) — a visible lease is never
+  empty, so the empty-lease self-heal branch can only ever match a
+  pre-atomic-era crash stub, never a live compactor mid-create.
+* Ownerless callers (the maintenance CLI) hold a UNIQUE anonymous
+  token: a concurrent owner-bearing compactor sees a foreign owner and
+  refuses — the ADVICE r17 #1 race (in-stream cadence breaking a LIVE
+  CLI's lease and double-folding the same generation) is closed.
+* A lease released between a failed acquire and the diagnostic read is
+  retried, not raised on (ADVICE r17 #2's spurious hard failure).
+* The owner-uniqueness contract is EXECUTABLE (r17 verdict item 4):
+  blank owners are refused with the reasoning in the message, and the
+  documented same-owner steal (safe ONLY under an external
+  single-liveness lock, i.e. Spark's checkpoint lock) is pinned so a
+  future caller passing a shared owner fails a test, not production.
+"""
+
+import os
+
+import pytest
+
+from micmac_li3ds_spark.streaming import compaction as C
+
+DDL = "k long, v string"
+
+
+def _write_batches(spark, path, rows_by_batch):
+    for b, rows in rows_by_batch.items():
+        spark.createDataFrame(rows, DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch={b}")
+
+
+def _lease_bytes(path):
+    with open(os.path.join(path, C.LEASE_NAME), "rb") as f:
+        return f.read()
+
+
+def _no_tmp_leftovers(path):
+    return [
+        n
+        for n in os.listdir(path)
+        if n.startswith(f".{C.LEASE_NAME}.tmp.")
+        # ChecksumFileSystem writes .crc sidecars for the temp file;
+        # they are dot-invisible to Hadoop listings and byte-free, but
+        # keep the assertion honest about actual temp payloads
+        and not n.endswith(".crc")
+    ]
+
+
+# ---------------------------------------------------------------------------
+# atomic creation: a visible lease always carries its token
+# ---------------------------------------------------------------------------
+
+
+def test_lease_is_never_observably_empty(spark, tmp_path):
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    fs, _ = C._fs(spark, path)
+
+    held = C._acquire_lease(spark, fs, path, owner="ckpt-A")
+    assert _lease_bytes(path) == b"ckpt-A"
+    assert _no_tmp_leftovers(path) == []
+    fs.delete(held, False)
+
+    held = C._acquire_lease(spark, fs, path)  # ownerless CLI
+    token = _lease_bytes(path)
+    assert token.startswith(b"anon:") and len(token) > len(b"anon:")
+    assert _no_tmp_leftovers(path) == []
+    fs.delete(held, False)
+
+    # successive anonymous tokens differ — no shared CLI identity
+    held = C._acquire_lease(spark, fs, path)
+    assert _lease_bytes(path) != token
+    fs.delete(held, False)
+
+
+def test_live_ownerless_lease_not_breakable_by_owner_bearing_fold(
+    spark, tmp_path
+):
+    """ADVICE r17 #1: the CLI fold's lease used to be EMPTY for its
+    whole duration, so a concurrent in-stream auto_compact matched the
+    crash-stub branch, deleted the LIVE lease, and both compactors
+    folded the same generation. Now the CLI holds a unique anonymous
+    token and every concurrent path refuses loudly."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    fs, _ = C._fs(spark, path)
+
+    held = C._acquire_lease(spark, fs, path)  # live CLI mid-fold
+    cli_token = _lease_bytes(path)
+
+    # the in-stream cadence (owner-bearing) must refuse, not break
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.compact_state_dir(
+            spark, path, DDL, num_files=1, up_to=2, lease_owner="ckpt-A"
+        )
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.auto_compact(
+            spark, [(path, DDL)], batch_id=1, every=2, owner="ckpt-A"
+        )
+    # ...and the CLI's lease survived untouched
+    assert _lease_bytes(path) == cli_token
+    # ...as does a second ownerless CLI
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
+    assert _lease_bytes(path) == cli_token
+    assert _no_tmp_leftovers(path) == []
+    fs.delete(held, False)
+
+
+# ---------------------------------------------------------------------------
+# release race: lease vanishing between failed acquire and diagnosis
+# ---------------------------------------------------------------------------
+
+
+class _VanishingRenameFS:
+    """Delegates to the real Hadoop fs, but the first ``rename`` fails
+    as if another compactor held the lease AND released it before the
+    caller could look — the exact interleaving of ADVICE r17 #2."""
+
+    def __init__(self, fs):
+        self._fs = fs
+        self.failed_renames = 0
+
+    def rename(self, src, dst):
+        if self.failed_renames == 0:
+            self.failed_renames += 1
+            return False
+        return self._fs.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_released_between_acquire_and_read_retries(spark, tmp_path):
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    fs, _ = C._fs(spark, path)
+
+    # ownerless caller — the path ADVICE r17 #2 flagged as a spurious
+    # hard failure ("lease already held" for a now-free dir)
+    shim = _VanishingRenameFS(fs)
+    held = C._acquire_lease(spark, shim, path)
+    assert shim.failed_renames == 1
+    assert _lease_bytes(path).startswith(b"anon:")
+    fs.delete(held, False)
+
+    # owner-bearing caller takes the same retry
+    shim = _VanishingRenameFS(fs)
+    held = C._acquire_lease(spark, shim, path, owner="ckpt-A")
+    assert shim.failed_renames == 1
+    assert _lease_bytes(path) == b"ckpt-A"
+    fs.delete(held, False)
+    assert _no_tmp_leftovers(path) == []
+
+
+# ---------------------------------------------------------------------------
+# owner uniqueness: the prose contract, executable
+# ---------------------------------------------------------------------------
+
+
+def test_blank_owner_refused(spark, tmp_path):
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    fs, _ = C._fs(spark, path)
+    for bad in ("", "   "):
+        with pytest.raises(ValueError, match="non-empty unique identity"):
+            C._acquire_lease(spark, fs, path, owner=bad)
+        with pytest.raises(ValueError, match="non-empty unique identity"):
+            C.compact_state_dir(spark, path, DDL, lease_owner=bad)
+    assert C.LEASE_NAME not in set(os.listdir(path))
+
+
+def test_same_owner_steal_is_the_documented_contract(spark, tmp_path):
+    """PINNED, not fixed: a second acquisition claiming the SAME owner
+    breaks a held lease — that is the self-heal working as designed,
+    and it is safe ONLY because callers must guarantee at most one
+    live process per owner value (auto_compact passes the stream's
+    checkpoint path; Spark's checkpoint lock enforces single
+    liveness). A caller passing a SHARED owner (two different streams,
+    a constant) re-opens the double-fold race — this test is the
+    executable statement of that constraint (r17 verdict item 4)."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    fs, _ = C._fs(spark, path)
+
+    C._acquire_lease(spark, fs, path, owner="ckpt-A")
+    # same owner: treated as our own dead predecessor and stolen
+    held = C._acquire_lease(spark, fs, path, owner="ckpt-A")
+    assert _lease_bytes(path) == b"ckpt-A"
+    fs.delete(held, False)
+
+
+def test_pre_atomic_empty_stub_still_healed_by_owner_bearing_only(
+    spark, tmp_path
+):
+    """An EMPTY lease can no longer be produced by this code (creation
+    is atomic-with-content), but a pre-atomic-era crash stub on disk
+    must still be recoverable: owner-bearing callers break it,
+    ownerless callers still refuse (they cannot know whose stub it
+    is)."""
+    path = str(tmp_path / "state")
+    _write_batches(spark, path, {0: [(1, "a")], 1: [(2, "b")]})
+    fs, _ = C._fs(spark, path)
+
+    open(os.path.join(path, C.LEASE_NAME), "w").close()
+    with pytest.raises(RuntimeError, match="lease already held"):
+        C.compact_state_dir(spark, path, DDL, num_files=1, up_to=2)
+    res = C.compact_state_dir(
+        spark, path, DDL, num_files=1, up_to=2, lease_owner="ckpt-A"
+    )
+    assert res["folded_batches"] == 2
+    assert C.LEASE_NAME not in set(os.listdir(path))

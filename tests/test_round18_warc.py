@@ -1,0 +1,125 @@
+"""Round 18: WARC hardening (ADVICE r17 #3/#4).
+
+* ``warc_to_documents``'s packed surrogate key refuses a file whose
+  record count exceeds the rec_idx field's capacity instead of
+  silently colliding doc_ids across neighboring file_ids; ``id_bits``
+  widens the shift for larger archive shapes.
+* The streaming lake contract rejects leading-zero file names:
+  '007.warc' and '7.warc' both mapped to file_id=7, so their records
+  collided and ``read_warc_record_log().distinct()`` could silently
+  merge/drop rows from distinct files.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from micmac_li3ds_spark.operators import warc as W
+
+
+def _mk(headers, block):
+    lines = ["WARC/1.0"] + [f"{k}: {v}" for k, v in headers]
+    return "\r\n".join(lines).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _response(body: bytes) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    return _mk(
+        [
+            ("WARC-Type", "response"),
+            ("Content-Length", str(len(http))),
+            ("WARC-Target-URI", "http://host.example/page"),
+        ],
+        http,
+    )
+
+
+def _files_df(spark, payload: bytes, file_id: int = 7):
+    return spark.createDataFrame(
+        [(file_id, False, bytearray(payload))],
+        "file_id long, gz boolean, payload binary",
+    )
+
+
+def test_doc_id_overflow_raises_named(spark):
+    """Five records under id_bits=2 (capacity 4): the fifth record's
+    rec_idx would overflow into the file_id field — the collision
+    ADVICE r17 #3 flagged as silent. Same code path as the default
+    2^20 capacity, shrunk to fixture scale."""
+    from micmac_li3ds_spark.operators.warc import warc_to_documents
+
+    body = b"<html><body>doc text</body></html>"
+    payload = _response(body) * 5
+    with pytest.raises(Exception, match=r"2\^2 rec_idx capacity"):
+        warc_to_documents(
+            _files_df(spark, payload), id_bits=2
+        ).collect()
+
+    # exactly at capacity: fine, and ids pack under the narrow shift
+    ok = warc_to_documents(
+        _files_df(spark, _response(body) * 4), id_bits=2
+    ).collect()
+    assert sorted(r["doc_id"] for r in ok) == [
+        7 * 4 + i for i in range(4)
+    ]
+
+
+def test_doc_id_default_capacity_and_packing_unchanged(spark):
+    """The default shift is still 2^20 — the fixture corpus' doc_ids
+    must not change under the parameterization (stable-surrogate-key
+    contract)."""
+    from micmac_li3ds_spark.operators.warc import (
+        load_warc,
+        warc_to_documents,
+    )
+
+    got = {
+        r["doc_id"]
+        for r in warc_to_documents(load_warc(spark)).collect()
+    }
+    import pyarrow.parquet as pq
+
+    want = set()
+    for row in pq.read_table(W.WARC_PARQUET).to_pylist():
+        for i, (t, st) in enumerate(
+            zip(row["rec_type"], row["rec_status"])
+        ):
+            if t == "response" and st is not None and 200 <= st < 300:
+                want.add(row["file_id"] * (1 << 20) + i)
+    assert got == want and got
+
+
+def test_lake_contract_rejects_leading_zero_file_ids(spark, tmp_path):
+    """'007.warc' would silently alias '7.warc' (ADVICE r17 #4): the
+    tightened contract accepts exactly one canonical name per
+    file_id."""
+    from micmac_li3ds_spark.streaming import jobs
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (lake / "007.warc").write_bytes(_response(b"<html>x</html>"))
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(str(lake))
+    )
+    q = jobs.run_streaming_warc_extract(
+        stream,
+        str(tmp_path / "records"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="lake contract"):
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise Exception(str(q.exception()))
+    # '0.warc' stays canonical (zero itself has no shorter spelling)
+    import re
+
+    pat = re.compile(r"^(0|[1-9]\d*)\.warc(\.gz)?$")
+    assert pat.match("0.warc") and pat.match("10.warc.gz")
+    assert not pat.match("007.warc") and not pat.match("00.warc")
