@@ -75,6 +75,7 @@ from pyspark.sql import functions as F
 SRC_BATCH_COL = "src_batch"
 BUCKET_COL = "pb"
 LEASE_NAME = "_COMPACT_LEASE"
+RETENTION_NAME = "_RETENTION"
 #: bucket_by sentinel: adopt the previous generation's _GEN_META layout
 #: (resolved under the fold's lease, never from a stale pre-read)
 INHERIT_LAYOUT = "__inherit__"
@@ -548,7 +549,57 @@ def _compact_under_lease(
     if dropped_rows is not None:
         out["dropped_rows"] = dropped_rows
         out["min_src_batch"] = min_src_batch
+        # durable no-silent-caps record: the in-stream cadence discards
+        # the summary dict, so horizon drops also accumulate in ONE
+        # _RETENTION file (under the lease — no concurrent writer).
+        # Written AFTER the commit marker: a crash in between
+        # undercounts (at-most-once), never double-counts a replayed
+        # fold's drops.
+        _write_retention(
+            spark, fs, path, new_g, min_src_batch, dropped_rows
+        )
     return out
+
+
+def _write_retention(spark, fs, path, g, min_src_batch, dropped_rows):
+    import json
+
+    prev = read_retention(spark, path) or {"dropped_total": 0}
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(f"{path}/{RETENTION_NAME}"), True)
+    out.write(
+        bytearray(
+            json.dumps(
+                {
+                    "dropped_total": prev["dropped_total"] + dropped_rows,
+                    "last": {
+                        "generation": g,
+                        "min_src_batch": min_src_batch,
+                        "dropped_rows": dropped_rows,
+                    },
+                }
+            ).encode()
+        )
+    )
+    out.close()
+
+
+def read_retention(spark: SparkSession, path: str) -> "dict | None":
+    """The state dir's cumulative retention-horizon record:
+    ``{"dropped_total": N, "last": {"generation", "min_src_batch",
+    "dropped_rows"}}``, or None when no horizon fold has ever run.
+    This is how an operator audits what a contamination window has
+    aged out of a LIVE stream's matching state (the fold summaries the
+    in-stream cadence produces are not otherwise observable)."""
+    import json
+
+    fs, _ = _fs(spark, path)
+    p = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{RETENTION_NAME}"
+    )
+    if not fs.exists(p):
+        return None
+    return json.loads(_read_small_file(spark, fs, p).decode())
 
 
 def auto_compact(
@@ -557,7 +608,8 @@ def auto_compact(
     batch_id: int,
     every: "int | None",
     owner: "str | None" = None,
-) -> None:
+    horizon_batches: "int | None" = None,
+) -> "list[dict]":
     """In-stream compaction cadence: called at the END of a job's
     foreachBatch body with the job's (state_dir, ddl[, bucket_by])
     triples (bucket_by → hash-bucketed generation layout for the
@@ -578,22 +630,45 @@ def auto_compact(
     per checkpoint, so a lease recording our own checkpoint can only
     be a dead predecessor's — see ``_acquire_lease``). Jobs pass it;
     without it a SIGKILL mid-fold would wedge the replayed stream in
-    a lease-refusal loop."""
+    a lease-refusal loop.
+
+    ``horizon_batches`` — the in-stream retention horizon (r17 verdict
+    item 5): specs whose 4th element is True (the job's MATCHING-state
+    dirs — exact-dedup fingerprints, LSH shingle/band state, SemDeDup
+    vectors; never its emitted output logs) fold with
+    ``min_src_batch = up_to - horizon_batches``, dropping state rows
+    first seen more than ``horizon_batches`` micro-batches ago. Drops
+    are reported in the returned summaries AND accumulated durably in
+    the dir's ``_RETENTION`` file (``read_retention``) — the
+    no-silent-caps pattern for a fold whose caller is a foreachBatch
+    body that discards return values. A 100-TB deployment sets this to
+    its contamination window; the documented cost is that a duplicate
+    of a document first seen before the horizon is re-admitted."""
     if every is None or every < 1 or (batch_id + 1) % every != 0:
-        return
+        return []
+    out = []
     for spec in specs:
         path, ddl = spec[0], spec[1]
         bucket_by = spec[2] if len(spec) > 2 else None
+        bounded = bool(spec[3]) if len(spec) > 3 else False
         _batches, gens, markers = list_state(spark, path)
         newest = newest_generation(gens, markers)
         if newest is not None and newest[2] >= batch_id + 1:
             # WAL replay of an already-folded batch: the boundary has
             # moved past us; folding again would be a rollback — skip
             continue
-        compact_state_dir(
-            spark, path, ddl, up_to=batch_id + 1, bucket_by=bucket_by,
-            lease_owner=owner,
+        min_src = (
+            max(0, batch_id + 1 - horizon_batches)
+            if bounded and horizon_batches is not None
+            else None
         )
+        res = compact_state_dir(
+            spark, path, ddl, up_to=batch_id + 1, bucket_by=bucket_by,
+            lease_owner=owner, min_src_batch=min_src,
+        )
+        res["path"] = path
+        out.append(res)
+    return out
 
 
 def state_file_count(spark: SparkSession, path: str) -> int:

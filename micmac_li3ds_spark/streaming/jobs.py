@@ -808,6 +808,7 @@ def run_streaming_near_dedup(
     threshold: float = 0.5,
     bucket_cap: int = 4096,
     compact_every: "int | None" = None,
+    horizon_batches: "int | None" = None,
 ):
     """Incremental MinHash/LSH near-dedup of a continuously-fed corpus
     (r14 verdict item 7) — the streaming twin of q_llm_near_dedup,
@@ -855,7 +856,12 @@ def run_streaming_near_dedup(
     ``compact_every=N`` folds all three state dirs into a generation
     every N micro-batches (streaming/compaction.py) — in-stream
     small-files control with no external scheduler; replay-safe (the
-    WAL-replay boundary guard in auto_compact)."""
+    WAL-replay boundary guard in auto_compact). ``horizon_batches``
+    bounds the MATCHING state (shingles + band keys; never the emitted
+    pair log) to a contamination window: documents first seen more
+    than that many micro-batches ago stop being candidate partners,
+    with drop counts reported durably per dir
+    (compaction.read_retention) — see ``auto_compact``."""
     from micmac_li3ds_spark.operators.llm_text import (
         jaccard,
         lsh_candidate_pairs,
@@ -953,13 +959,14 @@ def run_streaming_near_dedup(
         auto_compact(
             spark,
             [
-                (shingle_dir, _SHINGLE_DDL, "doc_id"),
-                (bands_dir, _BANDS_DDL, "band_key"),
+                (shingle_dir, _SHINGLE_DDL, "doc_id", True),
+                (bands_dir, _BANDS_DDL, "band_key", True),
                 (pairs_dir, _NEAR_PAIRS_DDL),
             ],
             batch_id,
             compact_every,
             owner=checkpoint,
+            horizon_batches=horizon_batches,
         )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)
@@ -1023,6 +1030,7 @@ def run_streaming_exact_dedup(
     dups_dir: str,
     checkpoint: str,
     compact_every: "int | None" = None,
+    horizon_batches: "int | None" = None,
 ):
     """Incremental EXACT dedup against ALL history (round 15) — the
     first member of the streaming dedup family stated as its own job.
@@ -1060,7 +1068,12 @@ def run_streaming_exact_dedup(
     files — the same layout argument as the LSH band state.
     ``compact_every=N`` folds both state dirs into a generation every
     N micro-batches (streaming/compaction.py; the generation's
-    src_batch column preserves the strictly-earlier replay rule)."""
+    src_batch column preserves the strictly-earlier replay rule).
+    ``horizon_batches`` bounds the SEEN state (not the dup log, which
+    is output) to a contamination window: fingerprints first seen more
+    than that many micro-batches ago age out at each fold, with drop
+    counts reported durably (compaction.read_retention) — see
+    ``auto_compact``."""
     from micmac_li3ds_spark.operators.llm_text import exact_fingerprint
 
     SEEN_DDL = _EXACT_SEEN_DDL
@@ -1114,10 +1127,11 @@ def run_streaming_exact_dedup(
             b.unpersist()
         auto_compact(
             spark,
-            [(seen_dir, SEEN_DDL, "fp"), (dups_dir, _DUPS_DDL)],
+            [(seen_dir, SEEN_DDL, "fp", True), (dups_dir, _DUPS_DDL)],
             batch_id,
             compact_every,
             owner=checkpoint,
+            horizon_batches=horizon_batches,
         )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)
@@ -1155,6 +1169,7 @@ def run_streaming_semantic_dedup(
     tau: float = 0.42,
     cluster_cap: int = 4096,
     compact_every: "int | None" = None,
+    horizon_batches: "int | None" = None,
 ):
     """Incremental SemDeDup (round 15) — the EMBEDDING member of the
     streaming dedup family, next to exact (dropDuplicates-within-
@@ -1198,7 +1213,11 @@ def run_streaming_semantic_dedup(
     read_semantic_dedup_keepers snapshots them on demand with the
     batch cc_fixpoint. ``compact_every=N`` folds the vector state and
     edge log into a generation every N micro-batches
-    (streaming/compaction.py)."""
+    (streaming/compaction.py). ``horizon_batches`` bounds the VECTOR
+    state (never the emitted pair log) to a contamination window:
+    vectors first seen more than that many micro-batches ago stop
+    being candidate partners, with drop counts reported durably
+    (compaction.read_retention) — see ``auto_compact``."""
     from micmac_li3ds_spark.operators.llm_text import lsh_candidate_pairs
     from micmac_li3ds_spark.operators.llm_vector import (
         nearest_centroid_assign,
@@ -1272,10 +1291,14 @@ def run_streaming_semantic_dedup(
         )
         auto_compact(
             spark,
-            [(vectors_dir, _SEM_VEC_DDL, "cid"), (pairs_dir, _SEM_PAIRS_DDL)],
+            [
+                (vectors_dir, _SEM_VEC_DDL, "cid", True),
+                (pairs_dir, _SEM_PAIRS_DDL),
+            ],
             batch_id,
             compact_every,
             owner=checkpoint,
+            horizon_batches=horizon_batches,
         )
 
     return run_foreach_batch(stream, dedup_batch, checkpoint)

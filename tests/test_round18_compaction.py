@@ -215,3 +215,203 @@ def test_pre_atomic_empty_stub_still_healed_by_owner_bearing_only(
     )
     assert res["folded_batches"] == 2
     assert C.LEASE_NAME not in set(os.listdir(path))
+
+
+# ---------------------------------------------------------------------------
+# in-stream retention horizon (r17 verdict item 5): every streaming
+# matching-state dir bounded to a contamination window from job config
+# ---------------------------------------------------------------------------
+
+
+def _incremental_feed(spark, tmp_path, df, key, n_batches=3):
+    """Batch files staged for INCREMENTAL linking (one link per drain →
+    deterministic batch ids), split by pmod(key, n_batches)."""
+    from pyspark.sql import functions as F
+
+    staged = []
+    for k in range(n_batches):
+        sub = tmp_path / f"stage{k}"
+        df.filter(F.pmod(key, F.lit(n_batches)) == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(sub))
+        src = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        staged.append(sub / src)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    return feed, staged
+
+
+def test_streaming_near_dedup_horizon_bounds_state(spark, tmp_path, sf_dir):
+    """compact_every=1 + horizon_batches=1 on a 3-batch feed: each fold
+    keeps only the newest batch's shingle/band state, so batch 2 pairs
+    with batch 1 but NOT with the aged-out batch 0 — exactly the twin's
+    pair set restricted to batch distance ≤ 1 (the sf0.001 corpus has
+    9 distance-2 pairs, so the restriction is observable). Drops are
+    reported durably per state dir; the emitted pair log is never
+    bounded."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.llm_text import q_llm_near_dedup
+    from micmac_li3ds_spark.streaming import jobs
+    from micmac_li3ds_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feed, staged = _incremental_feed(
+        spark, tmp_path, docs, F.col("doc_id")
+    )
+    dirs = {
+        "shingle_dir": str(tmp_path / "shingles"),
+        "bands_dir": str(tmp_path / "bands"),
+        "pairs_dir": str(tmp_path / "pairs"),
+    }
+
+    def drain():
+        q = jobs.run_streaming_near_dedup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed)),
+            checkpoint=str(tmp_path / "ckpt"),
+            compact_every=1,
+            horizon_batches=1,
+            **dirs,
+        )
+        q.awaitTermination(300)
+
+    n_by_batch = {
+        k: docs.filter(F.pmod("doc_id", F.lit(3)) == k).count()
+        for k in range(3)
+    }
+    for k, src in enumerate(staged):
+        os.link(src, feed / f"{k}.parquet")
+        drain()
+
+    twin = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in q_llm_near_dedup(spark, sf_dir).collect()
+    }
+    want = {
+        (a, b, j) for a, b, j in twin if abs(a % 3 - b % 3) <= 1
+    }
+    assert len(want) < len(twin)  # the horizon is observable
+    got = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in jobs.read_near_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # matching state bounded to the horizon: only batch 2's docs remain
+    surv = C.resolve_state(spark, dirs["shingle_dir"], jobs._SHINGLE_DDL)
+    assert surv.count() == n_by_batch[2]
+    band_docs = {
+        r["doc_id"]
+        for r in C.resolve_state(spark, dirs["bands_dir"], jobs._BANDS_DDL)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    twin_docs = {
+        r["doc_id"]
+        for r in docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+        .select("doc_id")
+        .collect()
+    }
+    assert band_docs == twin_docs
+
+    # drops reported durably, never silently: batch 0 aged out at the
+    # fold after batch 1, batch 1 after batch 2 (one shingle row/doc)
+    ret = C.read_retention(spark, dirs["shingle_dir"])
+    assert ret["dropped_total"] == n_by_batch[0] + n_by_batch[1]
+    assert ret["last"]["min_src_batch"] == 2
+    assert C.read_retention(spark, dirs["bands_dir"])["dropped_total"] > 0
+    # the emitted pair log is OUTPUT, not matching state: never bounded
+    assert C.read_retention(spark, dirs["pairs_dir"]) is None
+
+
+def test_streaming_semantic_dedup_horizon_bounds_state(
+    spark, tmp_path, sf_dir
+):
+    """The SemDeDup twin of the test above: vector state folds to the
+    contamination window with durable drop reporting. At sf0.001 every
+    semantic pair is batch distance ≤ 1, so the emitted PAIR LOG still
+    equals an unbounded run's — the horizon's cost is zero here BY
+    MEASUREMENT, while the state bound is real (the keeper SNAPSHOT's
+    universe legitimately shrinks to surviving state; pairs, being
+    output, never do)."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.functions.vector import as_double
+    from micmac_li3ds_spark.operators.llm_vector import _emb
+    from micmac_li3ds_spark.streaming import jobs
+    from micmac_li3ds_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    feed, staged = _incremental_feed(
+        spark, tmp_path, emb, F.col("vec_id")
+    )
+    centroids = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dirs = {
+        "vectors_dir": str(tmp_path / "vectors"),
+        "pairs_dir": str(tmp_path / "pairs"),
+    }
+
+    def drain():
+        q = jobs.run_streaming_semantic_dedup(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+            .select("vec_id", as_double("embedding").alias("v")),
+            centroids,
+            checkpoint=str(tmp_path / "ckpt"),
+            compact_every=1,
+            horizon_batches=1,
+            **dirs,
+        )
+        q.awaitTermination(300)
+
+    n_by_batch = {
+        k: emb.filter(F.pmod("vec_id", F.lit(3)) == k).count()
+        for k in range(3)
+    }
+    for k, src in enumerate(staged):
+        os.link(src, feed / f"{k}.parquet")
+        drain()
+
+    # unbounded control run over the same (now fully-linked) feed: its
+    # pair log is pinned ≡ q_llm_semantic_dedup elsewhere; at this
+    # corpus every pair is batch distance ≤ 1, so bounded == unbounded
+    dirs2 = {
+        "vectors_dir": str(tmp_path / "vectors2"),
+        "pairs_dir": str(tmp_path / "pairs2"),
+    }
+    q = jobs.run_streaming_semantic_dedup(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+        .select("vec_id", as_double("embedding").alias("v")),
+        centroids,
+        checkpoint=str(tmp_path / "ckpt_unbounded"),
+        **dirs2,
+    )
+    q.awaitTermination(300)
+
+    def pair_set(d):
+        return {
+            (r["doc_a"], r["doc_b"], r["cos"])
+            for r in jobs.read_semantic_dedup_pairs(spark, d).collect()
+        }
+
+    got = pair_set(dirs["pairs_dir"])
+    want = pair_set(dirs2["pairs_dir"])
+    assert got == want and len(want) > 0
+
+    surv = C.resolve_state(spark, dirs["vectors_dir"], jobs._SEM_VEC_DDL)
+    assert surv.count() == n_by_batch[2]
+    ret = C.read_retention(spark, dirs["vectors_dir"])
+    assert ret["dropped_total"] == n_by_batch[0] + n_by_batch[1]
+    assert C.read_retention(spark, dirs["pairs_dir"]) is None
