@@ -300,9 +300,15 @@ def q_llm_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The composition downstream of ingest: successful HTML responses
 # become a documents-shaped frame (doc_id, text, source) ready for the
 # dedup/quality/language family — the full crawl→curate story in one
-# engine. Not a registered key (the r18 window is arithmetic-full; the
-# record-level extract above is the driver-attested surface); harness-
-# pinned in tests/test_round17_warc.py instead.
+# engine. Registered r18 (q_llm_warc_to_documents below, per the r17
+# verdict item 2) with a two-posture DuckDB oracle: PLAIN files'
+# text is re-derived in SQL from the payload hex at the
+# generator-recorded block offsets (tag strip, entity unescape,
+# whitespace collapse — a wrong parse mismatches actual bytes); GZ
+# files compare against the generator's independent rec_text
+# bookkeeping (a character state machine, not this module's regex).
+# Harness-pinned in tests/test_round17_warc.py and
+# tests/test_round18_warc.py as well.
 
 
 def _http_body(block: bytes) -> "bytes | None":
@@ -336,6 +342,86 @@ def _html_to_text(body: bytes) -> str:
     ):
         text = text.replace(ent, ch)
     return " ".join(text.split())
+
+
+WARC_TO_DOCUMENTS_ORACLE = f"""
+WITH f AS (
+  SELECT file_id, gz, hex(payload) AS hx,
+         rec_type, rec_uri, rec_status, rec_len, rec_off, rec_text
+  FROM read_parquet('{WARC_PARQUET}')
+),
+r AS (
+  SELECT file_id, gz, hx,
+         CAST(unnest(range(0, len(rec_type))) AS INTEGER) AS rec_idx,
+         rec_type, rec_uri, rec_status, rec_len, rec_off, rec_text
+  FROM f
+),
+x AS (
+  SELECT file_id, gz, hx, rec_idx,
+         rec_type[rec_idx + 1] AS warc_type,
+         rec_uri[rec_idx + 1] AS target_uri,
+         rec_status[rec_idx + 1] AS http_status,
+         rec_len[rec_idx + 1] AS block_len,
+         rec_off[rec_idx + 1] AS off,
+         rec_text[rec_idx + 1] AS gt_text
+  FROM r
+),
+sel AS (
+  SELECT * FROM x
+  WHERE warc_type = 'response'
+    AND http_status IS NOT NULL
+    AND http_status >= 200 AND http_status < 300
+),
+-- PLAIN posture: the block's bytes out of the payload hex at the
+-- generator-recorded offset, then the same html→text normalization
+-- re-expressed in SQL (a wrong walker parse mismatches actual bytes)
+plain AS (
+  SELECT file_id, rec_idx,
+         decode(unhex(substring(hx, off * 2 + 1, block_len * 2))) AS blk
+  FROM sel WHERE NOT gz
+),
+ptext AS (
+  SELECT file_id, rec_idx,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               substr(blk,
+                      strpos(blk, chr(13)||chr(10)||chr(13)||chr(10)) + 4),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&apos;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS txt
+  FROM plain
+  WHERE blk LIKE 'HTTP/%'
+    AND strpos(blk, chr(13)||chr(10)||chr(13)||chr(10)) > 0
+)
+-- GZ posture: the generator's independent rec_text bookkeeping (SQL
+-- cannot gunzip; the plain posture has already cross-checked the
+-- normalization against real bytes)
+SELECT CAST(s.file_id * 1048576 + s.rec_idx AS BIGINT) AS doc_id,
+       CASE WHEN s.gz THEN s.gt_text ELSE p.txt END AS text,
+       CASE WHEN strpos(s.target_uri, '://') > 0
+            THEN string_split(s.target_uri, '/')[3] ELSE '' END AS source
+FROM sel s LEFT JOIN ptext p USING (file_id, rec_idx)
+WHERE (s.gz AND s.gt_text IS NOT NULL) OR (NOT s.gz AND p.txt IS NOT NULL)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_llm_warc_to_documents",
+    oracle=WARC_TO_DOCUMENTS_ORACLE,
+    tags=("llm", "ingest", "warc", "documents", "mapinpandas"),
+)
+def q_llm_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl → documents: the fixture archives' successful (2xx) HTML
+    responses as a documents-shaped frame (doc_id, text, source) —
+    ingest composed into the dedup/quality/language family's input
+    contract. sf_dir is unused (fixture corpus, the media-key
+    convention). Registered r18 post-freeze (the window is the
+    mandated 48+2 composition); POST_FREEZE_LEDGER reserves its birth
+    attestation for one of r19's three free slots."""
+    return warc_to_documents(load_warc(spark)).orderBy("doc_id")
 
 
 def warc_to_documents(files: DataFrame, id_bits: int = 20) -> DataFrame:

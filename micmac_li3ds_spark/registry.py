@@ -458,7 +458,12 @@ DRIVER_WINDOW = 50
 # mandated 48+2 composition go here with value 18; their grace expires
 # when CORRECTNESS_r18 lands and they take r19's three free slots per
 # the round-19 slot ledger above (47 forced r14-stratum keys + 3).
-POST_FREEZE_LEDGER: dict[str, int] = {}
+# q_llm_warc_to_documents: registered r18 (operators/warc.py — the
+# crawl→documents composition, r17 verdict item 2) AFTER this round's
+# window froze at the mandated 48+2 composition; its grace expires when
+# CORRECTNESS_r18 lands and it takes one of r19's three free slots per
+# the round-19 slot ledger above.
+POST_FREEZE_LEDGER: dict[str, int] = {"q_llm_warc_to_documents": 18}
 
 _PRIORITY: list[str] = [
     # --- the 48 r13-attested keys forced by the staleness invariant

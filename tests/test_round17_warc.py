@@ -311,9 +311,13 @@ def test_warc_to_documents_shape_and_selection(spark):
     for r in rows:
         # source = the target URI's host
         assert r["source"] == by_id[r["doc_id"]].split("/")[2]
-        # tags stripped, body text survives (generator bodies embed a
-        # recognizable marker), whitespace collapsed
-        assert "<html>" not in r["text"] and "doc" in r["text"]
+        # tags stripped, body text survives (every generator body —
+        # the r17 "doc {fid}/{i}" pages and the r18 rich-HTML pages —
+        # embeds a "{fid}/" marker; the trailing number is the
+        # generator's PAIR-loop index, not rec_idx), whitespace
+        # collapsed
+        fid = r["doc_id"] >> 20
+        assert "<html>" not in r["text"] and f"{fid}/" in r["text"]
         assert "  " not in r["text"]
 
     # the composition the module exists for: the frame feeds the

@@ -1276,6 +1276,38 @@ def gen_warc_fixture() -> None:
         )
         return head.encode() + body
 
+    def _expected_text(body: bytes) -> str:
+        """The generator's OWN html→text bookkeeping (round 18, for
+        warc_to_documents' oracle): a character state machine — not
+        the module's regex — so a wrong tag-strip is a value mismatch,
+        mirroring rec_sum's independent-arithmetic posture. An
+        unterminated '<...' tail stays literal (the regex semantics:
+        '<[^>]*>' needs the closing '>'). Uses NO rng — extending the
+        bookkeeping must not perturb the seeded byte stream."""
+        s = body.decode("utf-8", "replace")
+        out: list = []
+        tag: "list | None" = None
+        for ch in s:
+            if tag is not None:
+                if ch == ">":
+                    out.append(" ")
+                    tag = None
+                else:
+                    tag.append(ch)
+            elif ch == "<":
+                tag = []
+            else:
+                out.append(ch)
+        if tag is not None:
+            out.append("<" + "".join(tag))
+        t = "".join(out)
+        for ent, c in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "'"), ("&amp;", "&"),
+        ):
+            t = t.replace(ent, c)
+        return " ".join(t.split())
+
     def _headers(warc_type, uri, block, casing, pad):
         # Content-Length name casing and value padding vary per record:
         # field names are case-insensitive and values take optional
@@ -1302,10 +1334,28 @@ def gen_warc_fixture() -> None:
         rngW.shuffle(h)
         return h
 
+    def _rich_body(fid: int, i: int) -> bytes:
+        """Round-18 document-bearing page: nested tags, attributes,
+        the five XML entities (incl. the double-escape &amp;lt;), a
+        literal non-table entity (&eacute; must survive), multi-byte
+        UTF-8, and messy whitespace — the surface warc_to_documents'
+        html→text must normalize. Deterministic in (fid, i, rngW)."""
+        words = " ".join(
+            rngW.choice(["alpha", "beta", "café", "delta", "echo"])
+            for _ in range(rngW.randint(3, 9))
+        )
+        return (
+            f"<html><head><title>T{fid}-{i}</title></head>\n"
+            f"<body>\n  <p class=\"lead\">Fish &amp; chips {fid}/{i}"
+            f" &lt;tag&gt; &amp;lt;not-a-tag&amp;gt;</p>\n"
+            f"  <a href=\"/x?a=1&amp;b=2\">{words} &eacute;</a>\n"
+            f"  <div>\t{words.upper()}  </div>\n</body></html>"
+        ).encode()
+
     warc_rows = []
     for fid in range(12):
         gz = fid % 2 == 1
-        recs = []  # (warc_type, uri, status, block)
+        recs = []  # (warc_type, uri, status, block, text)
         recs.append(
             (
                 "warcinfo",
@@ -1313,6 +1363,7 @@ def gen_warc_fixture() -> None:
                 None,
                 b"software: warcgen/1.0\r\n"
                 b"format: WARC File Format 1.0\r\n",
+                None,
             )
         )
         for i in range(rngW.randint(2, 6)):
@@ -1326,7 +1377,7 @@ def gen_warc_fixture() -> None:
                     f"Host: {hosts[(fid + i) % len(hosts)]}\r\n"
                     f"User-Agent: warcgen\r\n\r\n"
                 ).encode()
-                recs.append(("request", uri, None, req))
+                recs.append(("request", uri, None, req, None))
                 status, reason = statuses[rngW.randint(0, 3)]
                 body = (
                     f"<html>doc {fid}/{i} "
@@ -1339,24 +1390,29 @@ def gen_warc_fixture() -> None:
                     body += b"\r\n\r\nWARC/1.0\r\nnot-a-record: 1"
                 recs.append(
                     ("response", uri, status,
-                     _http_response(status, reason, body))
+                     _http_response(status, reason, body),
+                     _expected_text(body) if 200 <= status < 300
+                     else None)
                 )
             elif kind == "resource":
                 body = bytes(
                     rngW.randint(0, 255) for _ in range(rngW.randint(0, 180))
                 )
-                recs.append(("resource", uri, None, body))
+                recs.append(("resource", uri, None, body, None))
             elif kind == "metadata":
                 recs.append(
                     ("metadata", uri, None,
-                     f"fetchTimeMs: {rngW.randint(1, 5000)}\r\n".encode())
+                     f"fetchTimeMs: {rngW.randint(1, 5000)}\r\n".encode(),
+                     None)
                 )
             else:
-                recs.append(("revisit", uri, None, b""))
+                recs.append(("revisit", uri, None, b"", None))
 
         payload = bytearray()
-        types, uris, stats, lens, sums, offs = [], [], [], [], [], []
-        for ri, (warc_type, uri, status, block) in enumerate(recs):
+        types, uris, stats, lens, sums, offs, texts = (
+            [], [], [], [], [], [], []
+        )
+        for ri, (warc_type, uri, status, block, text) in enumerate(recs):
             raw = _warc_record(
                 _headers(
                     warc_type, uri, block,
@@ -1377,6 +1433,7 @@ def gen_warc_fixture() -> None:
             stats.append(status)
             lens.append(len(block))
             sums.append(sum(block))
+            texts.append(text)
         warc_rows.append(
             {
                 "file_id": fid,
@@ -1388,6 +1445,77 @@ def gen_warc_fixture() -> None:
                 "rec_len": lens,
                 "rec_sum": sums,
                 "rec_off": offs,
+                "rec_text": texts,
+            }
+        )
+
+    # --- round-18 extension: document-bearing crawl files 12–23 ---
+    # Response-heavy pages with rich HTML (tags, entities, UTF-8,
+    # messy whitespace) so warc_to_documents has a corpus worth
+    # hashing: the r17 files are spec-corner-hostile but yield only 3
+    # successful HTML docs. Appended AFTER the original loop so files
+    # 0–11 consume the identical rngW prefix — their payload bytes are
+    # unchanged (asserted at regeneration time).
+    for fid in range(12, 24):
+        gz = fid % 2 == 1
+        recs = [
+            (
+                "warcinfo",
+                None,
+                None,
+                b"software: warcgen/1.0\r\n"
+                b"format: WARC File Format 1.0\r\n",
+                None,
+            )
+        ]
+        for i in range(rngW.randint(3, 7)):
+            uri = _uri(fid, i)
+            if rngW.random() < 0.7:
+                status, reason = statuses[0]
+            else:
+                status, reason = statuses[rngW.randint(1, 3)]
+            body = _rich_body(fid, i)
+            recs.append(
+                ("response", uri, status,
+                 _http_response(status, reason, body),
+                 _expected_text(body) if 200 <= status < 300 else None)
+            )
+        payload = bytearray()
+        types, uris, stats, lens, sums, offs, texts = (
+            [], [], [], [], [], [], []
+        )
+        for ri, (warc_type, uri, status, block, text) in enumerate(recs):
+            raw = _warc_record(
+                _headers(
+                    warc_type, uri, block,
+                    casing=rngW.randint(0, 2), pad=rngW.random() < 0.25,
+                ),
+                block,
+            )
+            if gz:
+                offs.append(len(payload))
+                payload += gzip.compress(raw, compresslevel=6, mtime=0)
+            else:
+                offs.append(len(payload) + len(raw) - len(block) - 4)
+                payload += raw
+            types.append(warc_type)
+            uris.append(uri)
+            stats.append(status)
+            lens.append(len(block))
+            sums.append(sum(block))
+            texts.append(text)
+        warc_rows.append(
+            {
+                "file_id": fid,
+                "gz": gz,
+                "payload": bytes(payload),
+                "rec_type": types,
+                "rec_uri": uris,
+                "rec_status": stats,
+                "rec_len": lens,
+                "rec_sum": sums,
+                "rec_off": offs,
+                "rec_text": texts,
             }
         )
     warc_schema = pa.schema(
@@ -1401,6 +1529,7 @@ def gen_warc_fixture() -> None:
             ("rec_len", pa.list_(pa.int64())),
             ("rec_sum", pa.list_(pa.int64())),
             ("rec_off", pa.list_(pa.int64())),
+            ("rec_text", pa.list_(pa.string())),
         ]
     )
     pq.write_table(
