@@ -325,6 +325,19 @@ def _http_body(block: bytes) -> "bytes | None":
 
 
 _TAG_RE = re.compile(r"<[^>]*>")
+_HREF_RE = re.compile(r'href="([^"]*)"')
+
+
+def _unescape_entities(text: str) -> str:
+    """The five XML entities, in table order (&amp; LAST, so the
+    double-escape &amp;lt; yields the literal string '&lt;' — standard
+    single-pass unescape semantics)."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        text = text.replace(ent, ch)
+    return text
 
 
 def _html_to_text(body: bytes) -> str:
@@ -335,13 +348,20 @@ def _html_to_text(body: bytes) -> str:
     (trafilatura-class) behind the same column contract; the Spark
     plumbing — batch shape, null handling, schema — is what this
     module owns."""
-    text = _TAG_RE.sub(" ", body.decode("utf-8", "replace"))
-    for ent, ch in (
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-        ("&apos;", "'"), ("&amp;", "&"),
-    ):
-        text = text.replace(ent, ch)
+    text = _unescape_entities(_TAG_RE.sub(" ", body.decode("utf-8", "replace")))
     return " ".join(text.split())
+
+
+def _html_hrefs(body: bytes) -> "list[str]":
+    """Anchor targets of an HTML body, in document order: every
+    href="..." attribute value, entity-unescaped (attribute values are
+    &amp;-escaped in source; the crawl frontier wants the actual
+    URL). Same zero-dep posture as _html_to_text — a real deployment
+    swaps in a proper parser behind the same column contract."""
+    return [
+        _unescape_entities(h)
+        for h in _HREF_RE.findall(body.decode("utf-8", "replace"))
+    ]
 
 
 WARC_TO_DOCUMENTS_ORACLE = f"""
@@ -424,6 +444,256 @@ def q_llm_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_to_documents(load_warc(spark)).orderBy("doc_id")
 
 
+# Shared two-posture href derivation (the documents-oracle pattern):
+# PLAIN files re-extract href="..." attributes from the payload hex at
+# the generator-recorded offsets and entity-unescape them in SQL; GZ
+# files use the generator's independent rec_links bookkeeping (recorded
+# unescaped). Ends with a `hrefs(file_id, rec_idx, src_host, href)`
+# CTE for the two link keys to build on.
+_WARC_HREFS_CTE = f"""
+WITH f AS (
+  SELECT file_id, gz, hex(payload) AS hx,
+         rec_type, rec_uri, rec_status, rec_len, rec_off, rec_links
+  FROM read_parquet('{WARC_PARQUET}')
+),
+r AS (
+  SELECT file_id, gz, hx,
+         CAST(unnest(range(0, len(rec_type))) AS INTEGER) AS rec_idx,
+         rec_type, rec_uri, rec_status, rec_len, rec_off, rec_links
+  FROM f
+),
+x AS (
+  SELECT file_id, gz, hx, rec_idx,
+         rec_type[rec_idx + 1] AS warc_type,
+         rec_uri[rec_idx + 1] AS target_uri,
+         rec_status[rec_idx + 1] AS http_status,
+         rec_len[rec_idx + 1] AS block_len,
+         rec_off[rec_idx + 1] AS off,
+         rec_links[rec_idx + 1] AS gt_links
+  FROM r
+),
+sel AS (
+  SELECT * FROM x
+  WHERE warc_type = 'response'
+    AND http_status IS NOT NULL
+    AND http_status >= 200 AND http_status < 300
+),
+plain AS (
+  SELECT file_id, rec_idx,
+         decode(unhex(substring(hx, off * 2 + 1, block_len * 2))) AS blk
+  FROM sel WHERE NOT gz
+),
+praw AS (
+  SELECT file_id, rec_idx,
+         unnest(regexp_extract_all(
+           substr(blk,
+                  strpos(blk, chr(13)||chr(10)||chr(13)||chr(10)) + 4),
+           'href="([^"]*)"', 1)) AS raw
+  FROM plain
+  WHERE blk LIKE 'HTTP/%'
+    AND strpos(blk, chr(13)||chr(10)||chr(13)||chr(10)) > 0
+),
+phref AS (
+  SELECT file_id, rec_idx,
+         replace(replace(replace(replace(replace(raw,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&apos;', ''''), '&amp;', '&') AS href
+  FROM praw
+),
+ghref AS (
+  SELECT file_id, rec_idx, unnest(gt_links) AS href
+  FROM sel WHERE gz
+),
+hrefs AS (
+  SELECT s.file_id, s.rec_idx,
+         CASE WHEN strpos(s.target_uri, '://') > 0
+              THEN string_split(s.target_uri, '/')[3] ELSE '' END
+           AS src_host,
+         h.href
+  FROM sel s
+  JOIN (SELECT * FROM phref UNION ALL SELECT * FROM ghref) h
+    USING (file_id, rec_idx)
+)
+"""
+
+WARC_LINKS_ORACLE = (
+    _WARC_HREFS_CTE
+    + """
+, resolved AS (
+  SELECT src_host,
+         lower(regexp_extract(href,
+           '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+         regexp_extract(href,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth
+  FROM hrefs
+)
+SELECT src_host,
+       CASE WHEN scheme = '' THEN src_host
+            ELSE lower(regexp_replace(auth, ':[0-9]+$', '')) END
+         AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM resolved
+WHERE scheme IN ('', 'http', 'https')
+GROUP BY 1, 2
+ORDER BY src_host, dst_host
+"""
+)
+
+
+@register(
+    "q_llm_warc_links",
+    oracle=WARC_LINKS_ORACLE,
+    tags=("llm", "ingest", "warc", "graph", "mapinpandas"),
+)
+def q_llm_warc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph out of the crawl: every anchor of every
+    successful HTML response resolves to a (src_host, dst_host) edge
+    with a link count — the frontier/authority substrate (host
+    PageRank, spam-neighborhood scoring) of a production crawl
+    pipeline. Resolution is pure Catalyst over warc_hrefs' raw feed:
+    no scheme → same-host relative; http(s) → authority lowercased,
+    port stripped (host identity, any port); other schemes (mailto,
+    javascript) dropped. sf_dir unused (fixture corpus). Registered
+    r18 post-freeze; POST_FREEZE_LEDGER reserves an r19 birth slot."""
+    from pyspark.sql import functions as F
+
+    h = warc_hrefs(load_warc(spark))
+    scheme = F.lower(
+        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
+    auth = F.regexp_extract(
+        "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    dst = F.when(scheme == "", F.col("src_host")).otherwise(
+        F.lower(F.regexp_replace(auth, r":[0-9]+$", ""))
+    )
+    return (
+        h.filter(scheme.isin("", "http", "https"))
+        .select("src_host", dst.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+URL_NORMALIZE_ORACLE = (
+    _WARC_HREFS_CTE
+    + """
+, pre AS (
+  SELECT src_host, href,
+         lower(regexp_extract(href,
+           '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme0
+  FROM hrefs
+),
+absu AS (
+  SELECT CASE WHEN scheme0 = ''
+              THEN 'http://' || src_host || href ELSE href END AS u
+  FROM pre WHERE scheme0 IN ('', 'http', 'https')
+),
+parts AS (
+  SELECT lower(regexp_extract(u,
+           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_extract(u,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(u, '\\?([^#]*)', 1) AS query
+  FROM absu
+),
+canon AS (
+  SELECT scheme || '://'
+         || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(auth, ':80$', '')
+                 WHEN scheme = 'https'
+                 THEN regexp_replace(auth, ':443$', '')
+                 ELSE auth END
+         || path
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url
+  FROM (
+    SELECT scheme, auth, path,
+           COALESCE(array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'),
+             '') AS q
+    FROM parts
+  )
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n
+FROM canon GROUP BY url ORDER BY url
+"""
+)
+
+
+@register(
+    "q_llm_url_normalize",
+    oracle=URL_NORMALIZE_ORACLE,
+    tags=("llm", "ingest", "warc", "urls", "mapinpandas"),
+)
+def q_llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization — the dedup key under "have
+    I queued this page before": relative hrefs resolve against the
+    page host; scheme and host lowercase; DEFAULT ports strip (:80
+    http, :443 https — a non-default port is identity); fragments
+    drop; utm_* tracking params drop; surviving query params sort;
+    non-http(s) schemes drop. Output is the distinct canonical URL
+    with its occurrence count. All resolution is Catalyst built-ins
+    (regexp/array expressions) over warc_hrefs' raw feed — the
+    mapInPandas boundary stays at byte parsing, string surgery stays
+    JVM-side. sf_dir unused (fixture corpus). Registered r18
+    post-freeze; POST_FREEZE_LEDGER reserves an r19 birth slot."""
+    from pyspark.sql import functions as F
+
+    h = warc_hrefs(load_warc(spark))
+    scheme0 = F.lower(
+        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
+    u = F.when(
+        scheme0 == "",
+        F.concat(F.lit("http://"), F.col("src_host"), F.col("href")),
+    ).otherwise(F.col("href"))
+    pre = (
+        h.filter(scheme0.isin("", "http", "https"))
+        .select(u.alias("u"))
+    )
+    scheme = F.lower(
+        F.regexp_extract("u", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract("u", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(
+        "u", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract("u", r"\?([^#]*)", 1)
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        pre.select(url.alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("url")
+    )
+
+
 def warc_to_documents(files: DataFrame, id_bits: int = 20) -> DataFrame:
     """``(file_id, gz, payload)`` → a documents-shaped frame
     ``(doc_id, text, source)`` of the SUCCESSFUL (2xx) HTML responses:
@@ -480,6 +750,50 @@ def warc_to_documents(files: DataFrame, id_bits: int = 20) -> DataFrame:
                     "doc_id": pd.array(ids, dtype="Int64"),
                     "text": pd.array(texts, dtype="string"),
                     "source": pd.array(sources, dtype="string"),
+                }
+            )
+
+    return files.select("file_id", "gz", "payload").mapInPandas(gen, ddl)
+
+
+def warc_hrefs(files: DataFrame) -> DataFrame:
+    """``(file_id, gz, payload)`` → one row per anchor of each
+    successful (2xx) HTML response: ``(doc_id, src_host, href)`` in
+    document order, hrefs entity-unescaped. The raw-link feed under
+    the crawl frontier (q_llm_url_normalize) and the host link graph
+    (q_llm_warc_links). Same selection, packing, and one-Arrow-pass
+    shuffle-free shape as warc_to_documents."""
+    import pandas as pd
+
+    ddl = "doc_id long, src_host string, href string"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hosts_, hrefs = [], [], []
+            for fid, gz, payload in zip(
+                pdf["file_id"], pdf["gz"], pdf["payload"]
+            ):
+                recs = parse_warc(bytes(payload), bool(gz), with_blocks=True)
+                for i, rec in enumerate(recs):
+                    if rec["warc_type"] != "response":
+                        continue
+                    st = rec["http_status"]
+                    if st is None or not (200 <= st < 300):
+                        continue
+                    body = _http_body(rec["block"])
+                    if body is None:
+                        continue
+                    uri = rec["target_uri"] or ""
+                    host = uri.split("/")[2] if "://" in uri else ""
+                    for h in _html_hrefs(body):
+                        ids.append(int(fid) * (1 << 20) + i)
+                        hosts_.append(host)
+                        hrefs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "src_host": pd.array(hosts_, dtype="string"),
+                    "href": pd.array(hrefs, dtype="string"),
                 }
             )
 

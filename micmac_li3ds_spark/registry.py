@@ -458,12 +458,18 @@ DRIVER_WINDOW = 50
 # mandated 48+2 composition go here with value 18; their grace expires
 # when CORRECTNESS_r18 lands and they take r19's three free slots per
 # the round-19 slot ledger above (47 forced r14-stratum keys + 3).
-# q_llm_warc_to_documents: registered r18 (operators/warc.py — the
-# crawl→documents composition, r17 verdict item 2) AFTER this round's
-# window froze at the mandated 48+2 composition; its grace expires when
-# CORRECTNESS_r18 lands and it takes one of r19's three free slots per
-# the round-19 slot ledger above.
-POST_FREEZE_LEDGER: dict[str, int] = {"q_llm_warc_to_documents": 18}
+# Registered r18 (operators/warc.py) AFTER this round's window froze at
+# the mandated 48+2 composition — the crawl→curate story's three
+# compositions: q_llm_warc_to_documents (r17 verdict item 2),
+# q_llm_warc_links (host-level link graph), q_llm_url_normalize
+# (frontier URL canonicalization). Exactly as many keys as r19 has free
+# slots (47 forced r14-stratum keys + 3); their grace expires when
+# CORRECTNESS_r18 lands and they take those slots.
+POST_FREEZE_LEDGER: dict[str, int] = {
+    "q_llm_warc_to_documents": 18,
+    "q_llm_warc_links": 18,
+    "q_llm_url_normalize": 18,
+}
 
 _PRIORITY: list[str] = [
     # --- the 48 r13-attested keys forced by the staleness invariant

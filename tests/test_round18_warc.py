@@ -123,3 +123,124 @@ def test_lake_contract_rejects_leading_zero_file_ids(spark, tmp_path):
     pat = re.compile(r"^(0|[1-9]\d*)\.warc(\.gz)?$")
     assert pat.match("0.warc") and pat.match("10.warc.gz")
     assert not pat.match("007.warc") and not pat.match("00.warc")
+
+
+# ---------------------------------------------------------------------------
+# crawl link graph + frontier URL canonicalization (round-18 keys)
+# ---------------------------------------------------------------------------
+
+
+def _hrefs_df(spark, hrefs, src_host="page.example"):
+    payload = _mk_response_with_links(hrefs)
+    return spark.createDataFrame(
+        [(1, False, bytearray(payload))],
+        "file_id long, gz boolean, payload binary",
+    ), src_host
+
+
+def _mk_response_with_links(hrefs, host="page.example"):
+    body = (
+        "<html><body>"
+        + "".join(
+            f"<a href=\"{h.replace('&', '&amp;')}\">x</a>" for h in hrefs
+        )
+        + "</body></html>"
+    ).encode()
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    return _mk(
+        [
+            ("WARC-Type", "response"),
+            ("Content-Length", str(len(http))),
+            ("WARC-Target-URI", f"http://{host}/index"),
+        ],
+        http,
+    )
+
+
+def test_warc_hrefs_unescapes_attribute_values(spark):
+    """Attribute values are &amp;-escaped in source; the feed carries
+    the actual URL — including the double-escape case, where &amp;lt;
+    must yield the literal '&lt;', not '<'."""
+    from micmac_li3ds_spark.operators.warc import warc_hrefs
+
+    df, _ = _hrefs_df(
+        spark, ["/a?x=1&y=2", "/b?weird=&amp;lt;"]
+    )
+    got = [r["href"] for r in warc_hrefs(df).collect()]
+    # the &amp;-escape round-trips; &amp;lt; in the RAW url was written
+    # as &amp;amp;lt; in source, so one unescape pass returns it
+    assert got == ["/a?x=1&y=2", "/b?weird=&amp;lt;"]
+
+
+def test_warc_links_resolution_semantics(spark):
+    """Relative → same host; absolute http(s) → lowercased authority,
+    ANY port stripped; mailto/javascript dropped."""
+    from micmac_li3ds_spark.operators.warc import warc_hrefs
+
+    df, _ = _hrefs_df(
+        spark,
+        [
+            "/rel/path",
+            "HTTP://Other.EXAMPLE:8080/x",
+            "https://second.example:443/y",
+            "mailto:a@b.example",
+            "javascript:void(0)",
+        ],
+    )
+    from pyspark.sql import functions as F
+
+    h = warc_hrefs(df)
+    scheme = F.lower(
+        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
+    auth = F.regexp_extract(
+        "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    dst = F.when(scheme == "", F.col("src_host")).otherwise(
+        F.lower(F.regexp_replace(auth, r":[0-9]+$", ""))
+    )
+    got = sorted(
+        r["dst_host"]
+        for r in h.filter(scheme.isin("", "http", "https"))
+        .select(dst.alias("dst_host"))
+        .collect()
+    )
+    assert got == ["other.example", "page.example", "second.example"]
+
+
+def test_url_normalize_canonicalization_rules(spark):
+    """Each documented rule, pinned on a constructed page: lowercase
+    scheme+host (path case PRESERVED), default-port strip (non-default
+    ports survive), fragment drop, utm_* drop, param sort, relative
+    resolution, non-http(s) drop — and two spellings of one page
+    collapse to a single canonical count."""
+    from micmac_li3ds_spark.operators import warc as W
+
+    hrefs = [
+        "HTTP://Host.EXAMPLE:80/Mixed/Case?b=2&a=1#frag",   # canon 1
+        "http://host.example/Mixed/Case?utm_source=x&a=1&b=2",  # same
+        "https://host.example:8443/keep-port",
+        "/rel?z=1",
+        "mailto:nobody@host.example",
+    ]
+    payload = _mk_response_with_links(hrefs)
+    df = spark.createDataFrame(
+        [(1, False, bytearray(payload))],
+        "file_id long, gz boolean, payload binary",
+    )
+    import micmac_li3ds_spark.operators.warc as warc_mod
+
+    orig = warc_mod.load_warc
+    try:
+        warc_mod.load_warc = lambda s: df
+        rows = {
+            r["url"]: r["n"]
+            for r in warc_mod.q_llm_url_normalize(spark, "").collect()
+        }
+    finally:
+        warc_mod.load_warc = orig
+    assert rows == {
+        "http://host.example/Mixed/Case?a=1&b=2": 2,
+        "https://host.example:8443/keep-port": 1,
+        "http://page.example/rel?z=1": 1,
+    }

@@ -1334,23 +1334,56 @@ def gen_warc_fixture() -> None:
         rngW.shuffle(h)
         return h
 
-    def _rich_body(fid: int, i: int) -> bytes:
+    def _rich_body(fid: int, i: int) -> "tuple[bytes, list]":
         """Round-18 document-bearing page: nested tags, attributes,
         the five XML entities (incl. the double-escape &amp;lt;), a
         literal non-table entity (&eacute; must survive), multi-byte
-        UTF-8, and messy whitespace — the surface warc_to_documents'
-        html→text must normalize. Deterministic in (fid, i, rngW)."""
+        UTF-8, messy whitespace — the surface warc_to_documents'
+        html→text must normalize — and 2–4 anchors with MESSY hrefs
+        (mixed-case scheme/host, default ports, fragments, utm_*
+        params, unsorted query params, relative paths, a non-http
+        scheme) — the surface warc_links/url_normalize must resolve.
+        Returns (body, links) where links are the UNESCAPED attribute
+        values (the generator's own bookkeeping: hrefs are &amp;-
+        escaped in the html source and recorded unescaped).
+        Deterministic in (fid, i, rngW)."""
         words = " ".join(
             rngW.choice(["alpha", "beta", "café", "delta", "echo"])
             for _ in range(rngW.randint(3, 9))
         )
-        return (
+        links = ["/x?a=1&b=2"]
+        for _ in range(rngW.randint(1, 3)):
+            host = hosts[rngW.randint(0, len(hosts) - 1)]
+            kind = rngW.randint(0, 4)
+            if kind == 0:
+                links.append(
+                    f"HTTP://{host.upper()}:80/A/b"
+                    f"?utm_source=news&b={rngW.randint(0, 9)}&a=1#frag"
+                )
+            elif kind == 1:
+                links.append(
+                    f"https://{host}:443/path/{rngW.randint(0, 9)}"
+                    f"?z=9&y=8"
+                )
+            elif kind == 2:
+                links.append(f"http://{host}/p/{fid}/{rngW.randint(0, 9)}")
+            elif kind == 3:
+                links.append(f"/local/{rngW.randint(0, 9)}?a=1&b=2")
+            else:
+                links.append("mailto:crawler@example.invalid")
+        anchors = "\n  ".join(
+            f"<a href=\"{h.replace('&', '&amp;')}\">L{n}</a>"
+            for n, h in enumerate(links)
+        )
+        body = (
             f"<html><head><title>T{fid}-{i}</title></head>\n"
             f"<body>\n  <p class=\"lead\">Fish &amp; chips {fid}/{i}"
             f" &lt;tag&gt; &amp;lt;not-a-tag&amp;gt;</p>\n"
+            f"  {anchors}\n"
             f"  <a href=\"/x?a=1&amp;b=2\">{words} &eacute;</a>\n"
             f"  <div>\t{words.upper()}  </div>\n</body></html>"
         ).encode()
+        return body, links + ["/x?a=1&b=2"]
 
     warc_rows = []
     for fid in range(12):
@@ -1409,10 +1442,12 @@ def gen_warc_fixture() -> None:
                 recs.append(("revisit", uri, None, b"", None))
 
         payload = bytearray()
-        types, uris, stats, lens, sums, offs, texts = (
-            [], [], [], [], [], [], []
+        types, uris, stats, lens, sums, offs, texts, linkss = (
+            [], [], [], [], [], [], [], []
         )
-        for ri, (warc_type, uri, status, block, text) in enumerate(recs):
+        for ri, rec in enumerate(recs):
+            warc_type, uri, status, block, text = rec[:5]
+            links = rec[5] if len(rec) > 5 else []
             raw = _warc_record(
                 _headers(
                     warc_type, uri, block,
@@ -1434,6 +1469,7 @@ def gen_warc_fixture() -> None:
             lens.append(len(block))
             sums.append(sum(block))
             texts.append(text)
+            linkss.append(links)
         warc_rows.append(
             {
                 "file_id": fid,
@@ -1446,6 +1482,7 @@ def gen_warc_fixture() -> None:
                 "rec_sum": sums,
                 "rec_off": offs,
                 "rec_text": texts,
+                "rec_links": linkss,
             }
         )
 
@@ -1474,17 +1511,20 @@ def gen_warc_fixture() -> None:
                 status, reason = statuses[0]
             else:
                 status, reason = statuses[rngW.randint(1, 3)]
-            body = _rich_body(fid, i)
+            body, links = _rich_body(fid, i)
             recs.append(
                 ("response", uri, status,
                  _http_response(status, reason, body),
-                 _expected_text(body) if 200 <= status < 300 else None)
+                 _expected_text(body) if 200 <= status < 300 else None,
+                 links if 200 <= status < 300 else [])
             )
         payload = bytearray()
-        types, uris, stats, lens, sums, offs, texts = (
-            [], [], [], [], [], [], []
+        types, uris, stats, lens, sums, offs, texts, linkss = (
+            [], [], [], [], [], [], [], []
         )
-        for ri, (warc_type, uri, status, block, text) in enumerate(recs):
+        for ri, rec in enumerate(recs):
+            warc_type, uri, status, block, text = rec[:5]
+            links = rec[5] if len(rec) > 5 else []
             raw = _warc_record(
                 _headers(
                     warc_type, uri, block,
@@ -1504,6 +1544,7 @@ def gen_warc_fixture() -> None:
             lens.append(len(block))
             sums.append(sum(block))
             texts.append(text)
+            linkss.append(links)
         warc_rows.append(
             {
                 "file_id": fid,
@@ -1516,6 +1557,7 @@ def gen_warc_fixture() -> None:
                 "rec_sum": sums,
                 "rec_off": offs,
                 "rec_text": texts,
+                "rec_links": linkss,
             }
         )
     warc_schema = pa.schema(
@@ -1530,6 +1572,7 @@ def gen_warc_fixture() -> None:
             ("rec_sum", pa.list_(pa.int64())),
             ("rec_off", pa.list_(pa.int64())),
             ("rec_text", pa.list_(pa.string())),
+            ("rec_links", pa.list_(pa.list_(pa.string()))),
         ]
     )
     pq.write_table(
