@@ -550,30 +550,14 @@ def q_llm_warc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     successful HTML response resolves to a (src_host, dst_host) edge
     with a link count — the frontier/authority substrate (host
     PageRank, spam-neighborhood scoring) of a production crawl
-    pipeline. Resolution is pure Catalyst over warc_hrefs' raw feed:
-    no scheme → same-host relative; http(s) → authority lowercased,
-    port stripped (host identity, any port); other schemes (mailto,
-    javascript) dropped. sf_dir unused (fixture corpus). Registered
-    r18 post-freeze; POST_FREEZE_LEDGER reserves an r19 birth slot."""
-    from pyspark.sql import functions as F
-
-    h = warc_hrefs(load_warc(spark))
-    scheme = F.lower(
-        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    )
-    auth = F.regexp_extract(
-        "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
-    )
-    dst = F.when(scheme == "", F.col("src_host")).otherwise(
-        F.lower(F.regexp_replace(auth, r":[0-9]+$", ""))
-    )
-    return (
-        h.filter(scheme.isin("", "http", "https"))
-        .select("src_host", dst.alias("dst_host"))
-        .groupBy("src_host", "dst_host")
-        .agg(F.count(F.lit(1)).alias("n_links"))
-        .orderBy("src_host", "dst_host")
-    )
+    pipeline. Resolution is pure Catalyst over warc_hrefs' raw feed
+    (``resolve_links`` — shared with the streaming href log's
+    read_warc_link_graph): no scheme → same-host relative; http(s) →
+    authority lowercased, port stripped (host identity, any port);
+    other schemes (mailto, javascript) dropped. sf_dir unused (fixture
+    corpus). Registered r18 post-freeze; POST_FREEZE_LEDGER reserves
+    an r19 birth slot."""
+    return resolve_links(warc_hrefs(load_warc(spark)))
 
 
 URL_NORMALIZE_ORACLE = (
@@ -637,61 +621,12 @@ def q_llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop; utm_* tracking params drop; surviving query params sort;
     non-http(s) schemes drop. Output is the distinct canonical URL
     with its occurrence count. All resolution is Catalyst built-ins
-    (regexp/array expressions) over warc_hrefs' raw feed — the
-    mapInPandas boundary stays at byte parsing, string surgery stays
-    JVM-side. sf_dir unused (fixture corpus). Registered r18
+    (regexp/array expressions, ``canonical_urls`` — shared with the
+    streaming href log's read_warc_frontier) over warc_hrefs' raw feed
+    — the mapInPandas boundary stays at byte parsing, string surgery
+    stays JVM-side. sf_dir unused (fixture corpus). Registered r18
     post-freeze; POST_FREEZE_LEDGER reserves an r19 birth slot."""
-    from pyspark.sql import functions as F
-
-    h = warc_hrefs(load_warc(spark))
-    scheme0 = F.lower(
-        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    )
-    u = F.when(
-        scheme0 == "",
-        F.concat(F.lit("http://"), F.col("src_host"), F.col("href")),
-    ).otherwise(F.col("href"))
-    pre = (
-        h.filter(scheme0.isin("", "http", "https"))
-        .select(u.alias("u"))
-    )
-    scheme = F.lower(
-        F.regexp_extract("u", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    )
-    auth = F.lower(
-        F.regexp_extract("u", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
-    path = F.regexp_extract(
-        "u", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
-    query = F.regexp_extract("u", r"\?([^#]*)", 1)
-    q = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(query, "&"),
-                lambda x: (x != "") & ~x.startswith("utm_"),
-            )
-        ),
-        "&",
-    )
-    host = (
-        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
-        .otherwise(auth)
-    )
-    url = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
-    )
-    return (
-        pre.select(url.alias("url"))
-        .groupBy("url")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("url")
-    )
+    return canonical_urls(warc_hrefs(load_warc(spark)))
 
 
 def warc_to_documents(files: DataFrame, id_bits: int = 20) -> DataFrame:
@@ -756,20 +691,25 @@ def warc_to_documents(files: DataFrame, id_bits: int = 20) -> DataFrame:
     return files.select("file_id", "gz", "payload").mapInPandas(gen, ddl)
 
 
+#: one row per anchor; ``seq`` is the anchor's index in document
+#: order, making (doc_id, seq) a key — a re-fed archive re-emits
+#: IDENTICAL rows (streaming-log distinct() stays lossless even when a
+#: page genuinely repeats an href)
+WARC_HREF_DDL = "doc_id long, seq int, src_host string, href string"
+
+
 def warc_hrefs(files: DataFrame) -> DataFrame:
     """``(file_id, gz, payload)`` → one row per anchor of each
-    successful (2xx) HTML response: ``(doc_id, src_host, href)`` in
-    document order, hrefs entity-unescaped. The raw-link feed under
+    successful (2xx) HTML response: ``(doc_id, seq, src_host, href)``
+    in document order, hrefs entity-unescaped. The raw-link feed under
     the crawl frontier (q_llm_url_normalize) and the host link graph
     (q_llm_warc_links). Same selection, packing, and one-Arrow-pass
     shuffle-free shape as warc_to_documents."""
     import pandas as pd
 
-    ddl = "doc_id long, src_host string, href string"
-
     def gen(batches):
         for pdf in batches:
-            ids, hosts_, hrefs = [], [], []
+            ids, seqs, hosts_, hrefs = [], [], [], []
             for fid, gz, payload in zip(
                 pdf["file_id"], pdf["gz"], pdf["payload"]
             ):
@@ -785,16 +725,103 @@ def warc_hrefs(files: DataFrame) -> DataFrame:
                         continue
                     uri = rec["target_uri"] or ""
                     host = uri.split("/")[2] if "://" in uri else ""
-                    for h in _html_hrefs(body):
+                    for n, h in enumerate(_html_hrefs(body)):
                         ids.append(int(fid) * (1 << 20) + i)
+                        seqs.append(n)
                         hosts_.append(host)
                         hrefs.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(ids, dtype="Int64"),
+                    "seq": pd.array(seqs, dtype="Int32"),
                     "src_host": pd.array(hosts_, dtype="string"),
                     "href": pd.array(hrefs, dtype="string"),
                 }
             )
 
-    return files.select("file_id", "gz", "payload").mapInPandas(gen, ddl)
+    return files.select("file_id", "gz", "payload").mapInPandas(
+        gen, WARC_HREF_DDL
+    )
+
+
+def resolve_links(hrefs: DataFrame) -> DataFrame:
+    """Raw href feed → host-level link edges ``(src_host, dst_host,
+    n_links)``: no scheme = same-host relative; http(s) = lowercased
+    authority with ANY port stripped (host identity); other schemes
+    drop. Shared by q_llm_warc_links and the streaming href log's
+    ``read_warc_link_graph`` — streaming ≡ batch is shared code."""
+    from pyspark.sql import functions as F
+
+    scheme = F.lower(
+        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
+    auth = F.regexp_extract(
+        "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    dst = F.when(scheme == "", F.col("src_host")).otherwise(
+        F.lower(F.regexp_replace(auth, r":[0-9]+$", ""))
+    )
+    return (
+        hrefs.filter(scheme.isin("", "http", "https"))
+        .select("src_host", dst.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+def canonical_urls(hrefs: DataFrame) -> DataFrame:
+    """Raw href feed → canonical URL occurrence counts ``(url, n)``
+    under the frontier-dedup rules documented on q_llm_url_normalize.
+    Shared by the registered key and the streaming href log's
+    ``read_warc_frontier`` — streaming ≡ batch is shared code."""
+    from pyspark.sql import functions as F
+
+    scheme0 = F.lower(
+        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
+    u = F.when(
+        scheme0 == "",
+        F.concat(F.lit("http://"), F.col("src_host"), F.col("href")),
+    ).otherwise(F.col("href"))
+    pre = (
+        hrefs.filter(scheme0.isin("", "http", "https"))
+        .select(u.alias("u"))
+    )
+    scheme = F.lower(
+        F.regexp_extract("u", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract("u", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(
+        "u", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract("u", r"\?([^#]*)", 1)
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        pre.select(url.alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("url")
+    )

@@ -1581,6 +1581,7 @@ def run_streaming_warc_extract(
     records_dir: str,
     checkpoint: str,
     compact_every: "int | None" = None,
+    hrefs_dir: "str | None" = None,
 ):
     """Continuous crawl ingest (round 17): as WARC files land in the
     lake, each micro-batch runs the from-the-spec walker
@@ -1595,9 +1596,18 @@ def run_streaming_warc_extract(
     cadence. Pure map work over the binary column: no shuffle in the
     stage, scale-out is files-per-batch × executors — exactly how a
     1000-executor cluster chews a crawl dump as it arrives instead of
-    re-walking the lake nightly."""
+    re-walking the lake nightly.
+
+    ``hrefs_dir`` (round 18) additionally lands each batch's raw
+    anchor feed (operators/warc.py:warc_hrefs — (doc_id, seq,
+    src_host, href), deterministic per payload) in the same
+    by-batch/compacted layout; ``read_warc_link_graph`` and
+    ``read_warc_frontier`` fold the accumulated log through the SAME
+    resolve_links/canonical_urls expressions the registered batch keys
+    use — the continuous link graph and crawl frontier."""
     from micmac_li3ds_spark.operators.warc import (
         WARC_RECORD_DDL,
+        warc_hrefs,
         warc_records,
     )
 
@@ -1627,16 +1637,31 @@ def run_streaming_warc_extract(
             fname.endswith(".gz").alias("gz"),
             F.col("content").alias("payload"),
         )
-        warc_records(files).write.mode("overwrite").parquet(
-            f"{records_dir}/batch={batch_id}"
-        )
-        auto_compact(
-            batch_df.sparkSession,
-            [(records_dir, WARC_RECORD_DDL)],
-            batch_id,
-            compact_every,
-            owner=checkpoint,
-        )
+        files = files.persist() if hrefs_dir is not None else files
+        try:
+            warc_records(files).write.mode("overwrite").parquet(
+                f"{records_dir}/batch={batch_id}"
+            )
+            specs = [(records_dir, WARC_RECORD_DDL)]
+            if hrefs_dir is not None:
+                from micmac_li3ds_spark.operators.warc import (
+                    WARC_HREF_DDL,
+                )
+
+                warc_hrefs(files).write.mode("overwrite").parquet(
+                    f"{hrefs_dir}/batch={batch_id}"
+                )
+                specs.append((hrefs_dir, WARC_HREF_DDL))
+            auto_compact(
+                batch_df.sparkSession,
+                specs,
+                batch_id,
+                compact_every,
+                owner=checkpoint,
+            )
+        finally:
+            if hrefs_dir is not None:
+                files.unpersist()
 
     return run_foreach_batch(stream, warc_batch, checkpoint)
 
@@ -1648,3 +1673,32 @@ def read_warc_record_log(spark: SparkSession, records_dir: str) -> DataFrame:
     from micmac_li3ds_spark.operators.warc import WARC_RECORD_DDL
 
     return _read_or_empty(spark, records_dir, WARC_RECORD_DDL).distinct()
+
+
+def read_warc_href_log(spark: SparkSession, hrefs_dir: str) -> DataFrame:
+    """The accumulated raw anchor feed, distinct — lossless because
+    (doc_id, seq) keys each anchor occurrence, so a re-fed archive's
+    identical rows collapse while a page's genuinely repeated href
+    survives as distinct seq values."""
+    from micmac_li3ds_spark.operators.warc import WARC_HREF_DDL
+
+    return _read_or_empty(spark, hrefs_dir, WARC_HREF_DDL).distinct()
+
+
+def read_warc_link_graph(spark: SparkSession, hrefs_dir: str) -> DataFrame:
+    """The continuous host-level link graph: the accumulated href log
+    through the SAME resolve_links expression q_llm_warc_links uses —
+    streaming ≡ batch is shared code, pinned by the round-18
+    harness."""
+    from micmac_li3ds_spark.operators.warc import resolve_links
+
+    return resolve_links(read_warc_href_log(spark, hrefs_dir))
+
+
+def read_warc_frontier(spark: SparkSession, hrefs_dir: str) -> DataFrame:
+    """The continuous crawl frontier: canonical URL occurrence counts
+    over the accumulated href log through the SAME canonical_urls
+    expression q_llm_url_normalize uses."""
+    from micmac_li3ds_spark.operators.warc import canonical_urls
+
+    return canonical_urls(read_warc_href_log(spark, hrefs_dir))

@@ -244,3 +244,96 @@ def test_url_normalize_canonicalization_rules(spark):
         "https://host.example:8443/keep-port": 1,
         "http://page.example/rel?z=1": 1,
     }
+
+
+def test_streaming_href_log_matches_batch_keys(spark, tmp_path):
+    """The continuous link graph / crawl frontier: land the fixture
+    archives as lake files, drain with hrefs_dir + the compaction
+    cadence, and demand read_warc_link_graph ≡ q_llm_warc_links and
+    read_warc_frontier ≡ q_llm_url_normalize row for row (shared
+    resolve_links/canonical_urls expressions over the accumulated
+    log). Checkpointed redrain is a no-op; a fresh-checkpoint full
+    replay over the compacted logs stays idempotent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from micmac_li3ds_spark.operators.warc import (
+        q_llm_url_normalize,
+        q_llm_warc_links,
+    )
+    from micmac_li3ds_spark.streaming import jobs
+
+    lake = tmp_path / "crawl_lake"
+    lake.mkdir()
+    for row in pq.read_table(W.WARC_PARQUET).to_pylist():
+        ext = "warc.gz" if row["gz"] else "warc"
+        (lake / f"{row['file_id']}.{ext}").write_bytes(
+            bytes(row["payload"])
+        )
+
+    records_dir = str(tmp_path / "records")
+    hrefs_dir = str(tmp_path / "hrefs")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", 7)
+            .load(str(lake))
+        )
+        q = jobs.run_streaming_warc_extract(
+            stream,
+            records_dir,
+            checkpoint=str(tmp_path / ckpt),
+            compact_every=2,
+            hrefs_dir=hrefs_dir,
+        )
+        q.awaitTermination(300)
+
+    drain("ckpt")
+    assert any(
+        n.startswith("gen=") for n in os.listdir(hrefs_dir)
+    )  # the href log folds through the same cadence
+
+    want_links = [
+        tuple(r) for r in q_llm_warc_links(spark, "x").collect()
+    ]
+    got_links = [
+        tuple(r)
+        for r in jobs.read_warc_link_graph(spark, hrefs_dir).collect()
+    ]
+    assert got_links == want_links and len(want_links) > 0
+
+    want_urls = [
+        tuple(r) for r in q_llm_url_normalize(spark, "x").collect()
+    ]
+    got_urls = [
+        tuple(r)
+        for r in jobs.read_warc_frontier(spark, hrefs_dir).collect()
+    ]
+    assert got_urls == want_urls and len(want_urls) > 0
+
+    # a page's genuinely repeated href is NOT collapsed by the log's
+    # distinct: (doc_id, seq) keys each occurrence
+    href_log = jobs.read_warc_href_log(spark, hrefs_dir)
+    from pyspark.sql import functions as F
+
+    dup = (
+        href_log.groupBy("doc_id", "href")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= 2)
+        .count()
+    )
+    assert dup > 0  # the fixture's /x?a=1&b=2 double anchor survives
+
+    # no-op redrain + fresh-checkpoint replay idempotence
+    drain("ckpt")
+    drain("ckpt2")
+    assert [
+        tuple(r)
+        for r in jobs.read_warc_link_graph(spark, hrefs_dir).collect()
+    ] == want_links
