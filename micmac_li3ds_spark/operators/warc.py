@@ -770,6 +770,58 @@ def resolve_links(hrefs: DataFrame) -> DataFrame:
     )
 
 
+def host_rank(links: DataFrame, k: int = 5) -> DataFrame:
+    """Weighted PageRank over the host link graph — the authority
+    signal a crawl scheduler feeds on, composed directly from
+    ``resolve_links``' (src_host, dst_host, n_links) edges. Follows
+    the engine's fixed-point integer discipline (the
+    analytics.pagerank_fixpoint posture, re-derived for a WEIGHTED
+    edge set): ranks live in micro-units (10⁶ = 1.0) and each
+    superstep is rank' = 150000 + (850 · Σ(rank·n div out_n)) div
+    1000 — pure BIGINT math, deterministic across engines and
+    iteration counts. Per superstep: one join on src, one aggregate
+    by dst — vertex-state only, the scale shape of every fixpoint in
+    analytics.py. Nodes = every host appearing as src OR dst (a
+    sink host keeps collecting rank; it has no out-edges to damp)."""
+    from pyspark.sql import functions as F
+
+    out = links.groupBy("src_host").agg(
+        F.sum("n_links").alias("out_n")
+    )
+    weighted = links.join(out, "src_host")
+    nodes = (
+        links.select(F.col("src_host").alias("host"))
+        .unionByName(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    ranks = nodes.select(
+        "host", F.lit(1000000).cast("long").alias("rank_u")
+    )
+    for _ in range(k):
+        contrib = (
+            weighted.join(
+                ranks, weighted.src_host == ranks.host
+            )
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank_u * n_links div out_n").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(150000)
+                    + F.expr("850 * coalesce(c, 0) div 1000")
+                ).cast("long").alias("rank_u"),
+            )
+        )
+    return ranks.orderBy(F.desc("rank_u"), "host")
+
+
 def canonical_urls(hrefs: DataFrame) -> DataFrame:
     """Raw href feed → canonical URL occurrence counts ``(url, n)``
     under the frontier-dedup rules documented on q_llm_url_normalize.

@@ -337,3 +337,44 @@ def test_streaming_href_log_matches_batch_keys(spark, tmp_path):
         tuple(r)
         for r in jobs.read_warc_link_graph(spark, hrefs_dir).collect()
     ] == want_links
+
+
+def test_host_rank_matches_integer_reference(spark):
+    """The crawl→authority composition: host_rank over the fixture
+    link graph equals a driver-side replay of the exact integer
+    recurrence (micro-unit ranks, div truncation and all), for two
+    iteration depths — and the full chain (archives → hrefs →
+    resolve_links → host_rank) runs off the raw fixture frame."""
+    from micmac_li3ds_spark.operators.warc import (
+        host_rank,
+        load_warc,
+        resolve_links,
+        warc_hrefs,
+    )
+
+    links = resolve_links(warc_hrefs(load_warc(spark)))
+    edges = [
+        (r["src_host"], r["dst_host"], r["n_links"])
+        for r in links.collect()
+    ]
+    assert len(edges) > 0
+
+    def reference(k):
+        out = {}
+        for s, _, n in edges:
+            out[s] = out.get(s, 0) + n
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        rank = {h: 1000000 for h in nodes}
+        for _ in range(k):
+            c = {h: 0 for h in nodes}
+            for s, d, n in edges:
+                c[d] += rank[s] * n // out[s]
+            rank = {h: 150000 + 850 * c[h] // 1000 for h in nodes}
+        return rank
+
+    for k in (1, 5):
+        got = {
+            r["host"]: r["rank_u"]
+            for r in host_rank(links, k=k).collect()
+        }
+        assert got == reference(k)
