@@ -524,11 +524,15 @@ WARC_LINKS_ORACLE = (
          lower(regexp_extract(href,
            '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
          regexp_extract(href,
-           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+         starts_with(href, '//') AS prel,
+         regexp_extract(href, '^//([^/?#]*)', 1) AS auth2
   FROM hrefs
 )
 SELECT src_host,
-       CASE WHEN scheme = '' THEN src_host
+       CASE WHEN prel
+            THEN lower(regexp_replace(auth2, ':[0-9]+$', ''))
+            WHEN scheme = '' THEN src_host
             ELSE lower(regexp_replace(auth, ':[0-9]+$', '')) END
          AS dst_host,
        CAST(COUNT(*) AS BIGINT) AS n_links
@@ -570,7 +574,8 @@ URL_NORMALIZE_ORACLE = (
   FROM hrefs
 ),
 absu AS (
-  SELECT CASE WHEN scheme0 = ''
+  SELECT CASE WHEN starts_with(href, '//') THEN 'http:' || href
+              WHEN scheme0 = ''
               THEN 'http://' || src_host || href ELSE href END AS u
   FROM pre WHERE scheme0 IN ('', 'http', 'https')
 ),
@@ -581,7 +586,9 @@ parts AS (
            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
          regexp_extract(u,
            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-         regexp_extract(u, '\\?([^#]*)', 1) AS query
+         -- first '?' only when it precedes any '#' (a fragment's '?'
+         -- must not resurrect dropped content as params)
+         regexp_extract(u, '^[^#?]*\\?([^#]*)', 1) AS query
   FROM absu
 ),
 canon AS (
@@ -698,14 +705,134 @@ def warc_to_documents(files: DataFrame, id_bits: int = 20) -> DataFrame:
 WARC_HREF_DDL = "doc_id long, seq int, src_host string, href string"
 
 
-def warc_hrefs(files: DataFrame) -> DataFrame:
+#: the single-parse streaming union: record rows (kind='rec', href
+#: columns null) and anchor rows (kind='href', record columns null)
+#: out of ONE walk of each payload
+WARC_COMBINED_DDL = (
+    "kind string, file_id long, rec_idx int, warc_type string, "
+    "target_uri string, http_status int, block_len long, "
+    "block_sum long, gz boolean, doc_id long, seq int, "
+    "src_host string, href string"
+)
+
+
+def warc_records_with_hrefs(
+    files: DataFrame, id_bits: int = 20
+) -> DataFrame:
+    """One mapInPandas walk emitting BOTH the record table and the
+    anchor feed as a kind-tagged union — the streaming job's hot path
+    parses and gunzips each payload exactly once (code-review r18 #7:
+    two independent passes doubled the dominant CPU cost at crawl
+    scale). ``.filter(kind=...)`` splits it back into the
+    warc_records / warc_hrefs shapes; callers persist the combined
+    frame across the two writes."""
+    import pandas as pd
+
+    capacity = 1 << id_bits
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "kind", "file_id", "rec_idx", "warc_type", "target_uri",
+                "http_status", "block_len", "block_sum", "gz", "doc_id",
+                "seq", "src_host", "href",
+            )}
+
+            def emit(kind, **kw):
+                rows["kind"].append(kind)
+                for k in rows:
+                    if k != "kind":
+                        rows[k].append(kw.get(k))
+
+            for fid, gz, payload in zip(
+                pdf["file_id"], pdf["gz"], pdf["payload"]
+            ):
+                recs = parse_warc(bytes(payload), bool(gz), with_blocks=True)
+                if len(recs) > capacity:
+                    raise ValueError(
+                        f"WARC file_id={int(fid)} holds {len(recs)} "
+                        f"records, exceeding the 2^{id_bits} rec_idx "
+                        "capacity of doc_id = file_id * "
+                        f"2^{id_bits} + rec_idx — split the archive "
+                        "or widen id_bits"
+                    )
+                for i, rec in enumerate(recs):
+                    emit(
+                        "rec",
+                        file_id=int(fid),
+                        rec_idx=i,
+                        warc_type=rec["warc_type"],
+                        target_uri=rec["target_uri"],
+                        http_status=rec["http_status"],
+                        block_len=rec["block_len"],
+                        block_sum=rec["block_sum"],
+                        gz=bool(gz),
+                    )
+                    if rec["warc_type"] != "response":
+                        continue
+                    st = rec["http_status"]
+                    if st is None or not (200 <= st < 300):
+                        continue
+                    body = _http_body(rec["block"])
+                    if body is None:
+                        continue
+                    uri = rec["target_uri"] or ""
+                    host = uri.split("/")[2] if "://" in uri else ""
+                    for n, h in enumerate(_html_hrefs(body)):
+                        emit(
+                            "href",
+                            doc_id=int(fid) * capacity + i,
+                            seq=n,
+                            src_host=host,
+                            href=h,
+                        )
+            yield pd.DataFrame(
+                {
+                    "kind": pd.array(rows["kind"], dtype="string"),
+                    "file_id": pd.array(rows["file_id"], dtype="Int64"),
+                    "rec_idx": pd.array(rows["rec_idx"], dtype="Int32"),
+                    "warc_type": pd.array(
+                        rows["warc_type"], dtype="string"
+                    ),
+                    "target_uri": pd.array(
+                        rows["target_uri"], dtype="string"
+                    ),
+                    "http_status": pd.array(
+                        rows["http_status"], dtype="Int32"
+                    ),
+                    "block_len": pd.array(
+                        rows["block_len"], dtype="Int64"
+                    ),
+                    "block_sum": pd.array(
+                        rows["block_sum"], dtype="Int64"
+                    ),
+                    "gz": pd.array(rows["gz"], dtype="boolean"),
+                    "doc_id": pd.array(rows["doc_id"], dtype="Int64"),
+                    "seq": pd.array(rows["seq"], dtype="Int32"),
+                    "src_host": pd.array(
+                        rows["src_host"], dtype="string"
+                    ),
+                    "href": pd.array(rows["href"], dtype="string"),
+                }
+            )
+
+    return files.select("file_id", "gz", "payload").mapInPandas(
+        gen, WARC_COMBINED_DDL
+    )
+
+
+def warc_hrefs(files: DataFrame, id_bits: int = 20) -> DataFrame:
     """``(file_id, gz, payload)`` → one row per anchor of each
     successful (2xx) HTML response: ``(doc_id, seq, src_host, href)``
     in document order, hrefs entity-unescaped. The raw-link feed under
     the crawl frontier (q_llm_url_normalize) and the host link graph
-    (q_llm_warc_links). Same selection, packing, and one-Arrow-pass
-    shuffle-free shape as warc_to_documents."""
+    (q_llm_warc_links). Same selection, packing (``id_bits``, incl.
+    the over-capacity raise — a silent collision here would corrupt
+    the doc join and undercount edges under the href log's distinct),
+    and one-Arrow-pass shuffle-free shape as warc_to_documents."""
     import pandas as pd
+
+    capacity = 1 << id_bits
 
     def gen(batches):
         for pdf in batches:
@@ -714,6 +841,13 @@ def warc_hrefs(files: DataFrame) -> DataFrame:
                 pdf["file_id"], pdf["gz"], pdf["payload"]
             ):
                 recs = parse_warc(bytes(payload), bool(gz), with_blocks=True)
+                if len(recs) > capacity:
+                    raise ValueError(
+                        f"WARC file_id={int(fid)} holds {len(recs)} "
+                        f"records, exceeding the 2^{id_bits} rec_idx "
+                        f"capacity of doc_id = file_id * 2^{id_bits} + "
+                        "rec_idx — split the archive or widen id_bits"
+                    )
                 for i, rec in enumerate(recs):
                     if rec["warc_type"] != "response":
                         continue
@@ -726,7 +860,7 @@ def warc_hrefs(files: DataFrame) -> DataFrame:
                     uri = rec["target_uri"] or ""
                     host = uri.split("/")[2] if "://" in uri else ""
                     for n, h in enumerate(_html_hrefs(body)):
-                        ids.append(int(fid) * (1 << 20) + i)
+                        ids.append(int(fid) * capacity + i)
                         seqs.append(n)
                         hosts_.append(host)
                         hrefs.append(h)
@@ -746,10 +880,13 @@ def warc_hrefs(files: DataFrame) -> DataFrame:
 
 def resolve_links(hrefs: DataFrame) -> DataFrame:
     """Raw href feed → host-level link edges ``(src_host, dst_host,
-    n_links)``: no scheme = same-host relative; http(s) = lowercased
-    authority with ANY port stripped (host identity); other schemes
-    drop. Shared by q_llm_warc_links and the streaming href log's
-    ``read_warc_link_graph`` — streaming ≡ batch is shared code."""
+    n_links)``: no scheme = same-host relative, EXCEPT the
+    protocol-relative ``//host/...`` form, whose authority is its own
+    host (code-review r18 #5 — a CDN reference must not inflate
+    self-edges); http(s) = lowercased authority with ANY port stripped
+    (host identity); other schemes drop. Shared by q_llm_warc_links
+    and the streaming href log's ``read_warc_link_graph`` — streaming
+    ≡ batch is shared code."""
     from pyspark.sql import functions as F
 
     scheme = F.lower(
@@ -758,8 +895,12 @@ def resolve_links(hrefs: DataFrame) -> DataFrame:
     auth = F.regexp_extract(
         "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
     )
-    dst = F.when(scheme == "", F.col("src_host")).otherwise(
-        F.lower(F.regexp_replace(auth, r":[0-9]+$", ""))
+    prel = F.col("href").startswith("//")
+    auth2 = F.regexp_extract("href", r"^//([^/?#]*)", 1)
+    dst = (
+        F.when(prel, F.lower(F.regexp_replace(auth2, r":[0-9]+$", "")))
+        .when(scheme == "", F.col("src_host"))
+        .otherwise(F.lower(F.regexp_replace(auth, r":[0-9]+$", "")))
     )
     return (
         hrefs.filter(scheme.isin("", "http", "https"))
@@ -832,10 +973,21 @@ def canonical_urls(hrefs: DataFrame) -> DataFrame:
     scheme0 = F.lower(
         F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     )
-    u = F.when(
-        scheme0 == "",
-        F.concat(F.lit("http://"), F.col("src_host"), F.col("href")),
-    ).otherwise(F.col("href"))
+    # protocol-relative //host/... resolves with the crawl's scheme
+    # (http here; a real deployment carries the page scheme through),
+    # NOT as a same-host path — 'http://a.example//cdn.example/x' is
+    # not a URL that exists (code-review r18 #5)
+    u = (
+        F.when(
+            F.col("href").startswith("//"),
+            F.concat(F.lit("http:"), F.col("href")),
+        )
+        .when(
+            scheme0 == "",
+            F.concat(F.lit("http://"), F.col("src_host"), F.col("href")),
+        )
+        .otherwise(F.col("href"))
+    )
     pre = (
         hrefs.filter(scheme0.isin("", "http", "https"))
         .select(u.alias("u"))
@@ -849,7 +1001,11 @@ def canonical_urls(hrefs: DataFrame) -> DataFrame:
     path = F.regexp_extract(
         "u", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
-    query = F.regexp_extract("u", r"\?([^#]*)", 1)
+    # query = after the FIRST '?' only when it precedes any '#': a '?'
+    # inside the fragment ('/doc#sec?x=1') must not resurrect dropped
+    # fragment content as params (code-review r18 #4). [^#?]* needs no
+    # backtracking, so the same pattern is exact in RE2 (DuckDB) too.
+    query = F.regexp_extract("u", r"^[^#?]*\?([^#]*)", 1)
     q = F.array_join(
         F.array_sort(
             F.filter(

@@ -180,6 +180,7 @@ def resolve_state(
     ddl: str,
     before_batch: "int | None" = None,
     prune_keys: "DataFrame | None" = None,
+    min_src_batch: "int | None" = None,
 ) -> DataFrame:
     """Generation-aware accumulated-state read: the newest committed
     generation (rows filtered to ``src_batch < before_batch`` when
@@ -198,7 +199,16 @@ def resolve_state(
     Correctness-neutral by construction: the filter keeps a SUPERSET
     of every row that can match a key (same hash, same modulus), and
     is silently skipped when the generation is unbucketed or bucketed
-    on a different column."""
+    on a different column.
+
+    ``min_src_batch`` — the READ side of the retention horizon
+    (code-review r18 #1): rows first written before it are excluded
+    (generation rows by ``src_batch``, live dirs by batch id). Jobs
+    with a horizon derive it from their OWN batch id, so a WAL replay
+    reads exactly the window the original run read REGARDLESS of fold
+    timing — without this, a fold inside batch b that drops state and
+    commits before b's checkpoint would make b's replay recompute
+    fewer pairs and mode=overwrite away already-emitted output rows."""
     batches, gens, markers = list_state(spark, path)
     newest = newest_generation(gens, markers)
     up_to = newest[2] if newest else 0
@@ -230,11 +240,15 @@ def resolve_state(
             gen = gen.drop(BUCKET_COL)
         if before_batch is not None:
             gen = gen.filter(F.col(SRC_BATCH_COL) < before_batch)
+        if min_src_batch is not None:
+            gen = gen.filter(F.col(SRC_BATCH_COL) >= min_src_batch)
         parts.append(gen.drop(SRC_BATCH_COL))
     live = [
         uri
         for k, uri in batches.items()
-        if k >= up_to and (before_batch is None or k < before_batch)
+        if k >= up_to
+        and (before_batch is None or k < before_batch)
+        and (min_src_batch is None or k >= min_src_batch)
     ]
     if live:
         parts.append(spark.read.schema(ddl).parquet(*live))
@@ -562,11 +576,21 @@ def _compact_under_lease(
 
 
 def _write_retention(spark, fs, path, g, min_src_batch, dropped_rows):
+    """Overwrite the cumulative record via tmp + delete + rename — the
+    same never-observably-truncated discipline as the lease
+    (code-review r18 #3: a bare overwrite-create killed mid-write left
+    an unparseable file that wedged every later horizon fold). A crash
+    mid-sequence leaves the old file, no file, or the new file — a
+    LOST file costs the cumulative history (documented undercount),
+    never a wedge. Runs under the fold's lease: no concurrent writer."""
     import json
+    import uuid
 
     prev = read_retention(spark, path) or {"dropped_total": 0}
     Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    out = fs.create(Path(f"{path}/{RETENTION_NAME}"), True)
+    p = Path(f"{path}/{RETENTION_NAME}")
+    tmp = Path(f"{path}/.{RETENTION_NAME}.tmp.{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
     out.write(
         bytearray(
             json.dumps(
@@ -582,6 +606,13 @@ def _write_retention(spark, fs, path, g, min_src_batch, dropped_rows):
         )
     )
     out.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):  # pragma: no cover - lease excludes races
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"could not publish {RETENTION_NAME} for {path}: rename "
+            "refused — another writer is violating the lease contract"
+        )
 
 
 def read_retention(spark: SparkSession, path: str) -> "dict | None":
@@ -590,7 +621,9 @@ def read_retention(spark: SparkSession, path: str) -> "dict | None":
     "dropped_rows"}}``, or None when no horizon fold has ever run.
     This is how an operator audits what a contamination window has
     aged out of a LIVE stream's matching state (the fold summaries the
-    in-stream cadence produces are not otherwise observable)."""
+    in-stream cadence produces are not otherwise observable). A
+    pre-atomic-era truncated file reads as None (fresh start — the
+    named recoverable condition, never a wedge)."""
     import json
 
     fs, _ = _fs(spark, path)
@@ -599,7 +632,10 @@ def read_retention(spark: SparkSession, path: str) -> "dict | None":
     )
     if not fs.exists(p):
         return None
-    return json.loads(_read_small_file(spark, fs, p).decode())
+    try:
+        return json.loads(_read_small_file(spark, fs, p).decode())
+    except ValueError:
+        return None
 
 
 def auto_compact(
@@ -636,14 +672,26 @@ def auto_compact(
     item 5): specs whose 4th element is True (the job's MATCHING-state
     dirs — exact-dedup fingerprints, LSH shingle/band state, SemDeDup
     vectors; never its emitted output logs) fold with
-    ``min_src_batch = up_to - horizon_batches``, dropping state rows
-    first seen more than ``horizon_batches`` micro-batches ago. Drops
-    are reported in the returned summaries AND accumulated durably in
-    the dir's ``_RETENTION`` file (``read_retention``) — the
-    no-silent-caps pattern for a fold whose caller is a foreachBatch
-    body that discards return values. A 100-TB deployment sets this to
-    its contamination window; the documented cost is that a duplicate
-    of a document first seen before the horizon is re-admitted."""
+    ``min_src_batch = batch_id - horizon_batches`` — ONE BATCH BEHIND
+    the jobs' read-side window (resolve_state's ``min_src_batch``),
+    so the still-uncommitted batch's WAL replay reads exactly what its
+    original run read (code-review r18 #1); state retains
+    horizon_batches + 1 batches. Drops are reported in the returned
+    summaries AND accumulated durably in the dir's ``_RETENTION`` file
+    (``read_retention``) — the no-silent-caps pattern for a fold whose
+    caller is a foreachBatch body that discards return values. A
+    100-TB deployment sets this to its contamination window; the
+    documented cost is that a duplicate of a document first seen
+    before the horizon is re-admitted."""
+    if horizon_batches is not None and horizon_batches < 1:
+        # 0 is NOT "disabled" (that is None): min_src would equal the
+        # fold's own up_to and every row including the current batch's
+        # would silently age out at each fold — refuse loudly, the
+        # module's every-anomaly-raises posture
+        raise ValueError(
+            f"horizon_batches must be >= 1 (got {horizon_batches}); "
+            "pass None to disable the retention horizon"
+        )
     if every is None or every < 1 or (batch_id + 1) % every != 0:
         return []
     out = []
@@ -657,8 +705,16 @@ def auto_compact(
             # WAL replay of an already-folded batch: the boundary has
             # moved past us; folding again would be a rollback — skip
             continue
+        # ONE BATCH BEHIND the read window (code-review r18 #1): the
+        # fold runs inside batch b, BEFORE b's checkpoint commits, so
+        # b may still replay — and its replay reads min_src_batch =
+        # b - horizon (the read-side horizon in resolve_state). Keeping
+        # src_batch >= b - horizon guarantees the replay sees exactly
+        # what the original run saw; state therefore retains
+        # horizon_batches + 1 batches, the matching window plus the
+        # in-flight batch's replay needs.
         min_src = (
-            max(0, batch_id + 1 - horizon_batches)
+            max(0, batch_id - horizon_batches)
             if bounded and horizon_batches is not None
             else None
         )

@@ -858,10 +858,12 @@ def run_streaming_near_dedup(
     small-files control with no external scheduler; replay-safe (the
     WAL-replay boundary guard in auto_compact). ``horizon_batches``
     bounds the MATCHING state (shingles + band keys; never the emitted
-    pair log) to a contamination window: documents first seen more
-    than that many micro-batches ago stop being candidate partners,
-    with drop counts reported durably per dir
-    (compaction.read_retention) — see ``auto_compact``."""
+    pair log) to a contamination window: each batch pairs against the
+    previous ``horizon_batches`` batches only (the read-side window,
+    derived from the batch's own id so WAL replays are deterministic),
+    and folds age rows out one batch behind it, with drop counts
+    reported durably per dir (compaction.read_retention) — see
+    ``auto_compact``."""
     from micmac_li3ds_spark.operators.llm_text import (
         jaccard,
         lsh_candidate_pairs,
@@ -872,6 +874,15 @@ def run_streaming_near_dedup(
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # read-side horizon: the matching window is the previous
+        # horizon_batches batches, derived from OUR batch id so a WAL
+        # replay reads exactly what the original run read regardless
+        # of fold timing (code-review r18 #1)
+        read_min = (
+            max(0, batch_id - horizon_batches)
+            if horizon_batches is not None
+            else None
+        )
         d = (
             batch_df.filter(F.size(tokens("text")) >= 3)
             .select("doc_id", shingles(tokens("text")).alias("sh"))
@@ -899,7 +910,11 @@ def run_streaming_near_dedup(
                 .distinct()
             )
             all_bands = _read_or_empty(
-                spark, bands_dir, _BANDS_DDL, prune_keys=hot_keys
+                spark,
+                bands_dir,
+                _BANDS_DDL,
+                prune_keys=hot_keys,
+                min_src_batch=read_min,
             )
             touched = all_bands.join(hot_keys, "band_key", "left_semi")
             pairs = lsh_candidate_pairs(touched, bucket_cap)
@@ -930,7 +945,11 @@ def run_streaming_near_dedup(
                     fresh.select(F.col("doc_b").alias("doc_id"))
                 ).distinct()
                 corpus = _read_or_empty(
-                    spark, shingle_dir, _SHINGLE_DDL, prune_keys=cand_ids
+                    spark,
+                    shingle_dir,
+                    _SHINGLE_DDL,
+                    prune_keys=cand_ids,
+                    min_src_batch=read_min,
                 )
                 sa = corpus.select(
                     F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
@@ -987,6 +1006,7 @@ def _read_or_empty(
     ddl: str,
     before_batch: "int | None" = None,
     prune_keys: "DataFrame | None" = None,
+    min_src_batch: "int | None" = None,
 ) -> DataFrame:
     """Accumulated-state reader for by-batch-id parquet dirs that may
     not exist yet (the very first micro-batch of a stream): returns an
@@ -1013,11 +1033,19 @@ def _read_or_empty(
     (streaming/compaction.py), state = newest committed generation +
     batch dirs at-or-after its fold boundary; ``before_batch`` prunes
     the generation by its per-row ``src_batch`` column, so the
-    strictly-earlier replay rule survives compaction bit-exactly."""
+    strictly-earlier replay rule survives compaction bit-exactly.
+    ``min_src_batch`` is the READ side of the retention horizon —
+    jobs derive it from their own batch id so a replay's read window
+    is independent of fold timing (see compaction.resolve_state)."""
     from micmac_li3ds_spark.streaming.compaction import resolve_state
 
     return resolve_state(
-        spark, path, ddl, before_batch=before_batch, prune_keys=prune_keys
+        spark,
+        path,
+        ddl,
+        before_batch=before_batch,
+        prune_keys=prune_keys,
+        min_src_batch=min_src_batch,
     )
 
 
@@ -1070,10 +1098,12 @@ def run_streaming_exact_dedup(
     N micro-batches (streaming/compaction.py; the generation's
     src_batch column preserves the strictly-earlier replay rule).
     ``horizon_batches`` bounds the SEEN state (not the dup log, which
-    is output) to a contamination window: fingerprints first seen more
-    than that many micro-batches ago age out at each fold, with drop
-    counts reported durably (compaction.read_retention) — see
-    ``auto_compact``."""
+    is output) to a contamination window: each batch MATCHES against
+    the previous ``horizon_batches`` batches of fingerprints (the
+    read-side window, derived from the batch's own id so WAL replays
+    are deterministic), and folds age rows out one batch behind that
+    window, with drop counts reported durably
+    (compaction.read_retention) — see ``auto_compact``."""
     from micmac_li3ds_spark.operators.llm_text import exact_fingerprint
 
     SEEN_DDL = _EXACT_SEEN_DDL
@@ -1094,6 +1124,13 @@ def run_streaming_exact_dedup(
                 SEEN_DDL,
                 before_batch=batch_id,
                 prune_keys=b.select("fp").distinct(),
+                # read-side horizon (code-review r18 #1): replay reads
+                # exactly the original window regardless of fold timing
+                min_src_batch=(
+                    max(0, batch_id - horizon_batches)
+                    if horizon_batches is not None
+                    else None
+                ),
             )
             new = (
                 b.groupBy("fp")
@@ -1214,9 +1251,11 @@ def run_streaming_semantic_dedup(
     batch cc_fixpoint. ``compact_every=N`` folds the vector state and
     edge log into a generation every N micro-batches
     (streaming/compaction.py). ``horizon_batches`` bounds the VECTOR
-    state (never the emitted pair log) to a contamination window:
-    vectors first seen more than that many micro-batches ago stop
-    being candidate partners, with drop counts reported durably
+    state (never the emitted pair log) to a contamination window: each
+    batch pairs against the previous ``horizon_batches`` batches only
+    (the read-side window, derived from the batch's own id so WAL
+    replays are deterministic), and folds age rows out one batch
+    behind it, with drop counts reported durably
     (compaction.read_retention) — see ``auto_compact``."""
     from micmac_li3ds_spark.operators.llm_text import lsh_candidate_pairs
     from micmac_li3ds_spark.operators.llm_vector import (
@@ -1249,7 +1288,17 @@ def run_streaming_semantic_dedup(
         # batch's TOUCHED clusters, so the hot cids prune a
         # bucket-compacted vector state down to those clusters' files
         state = _read_or_empty(
-            spark, vectors_dir, _SEM_VEC_DDL, prune_keys=hot
+            spark,
+            vectors_dir,
+            _SEM_VEC_DDL,
+            # read-side horizon (code-review r18 #1): replay reads
+            # exactly the original window regardless of fold timing
+            min_src_batch=(
+                max(0, batch_id - horizon_batches)
+                if horizon_batches is not None
+                else None
+            ),
+            prune_keys=hot
         )
         touched = state.join(hot, "cid", "left_semi")
         pairs = lsh_candidate_pairs(
@@ -1607,7 +1656,6 @@ def run_streaming_warc_extract(
     use — the continuous link graph and crawl frontier."""
     from micmac_li3ds_spark.operators.warc import (
         WARC_RECORD_DDL,
-        warc_hrefs,
         warc_records,
     )
 
@@ -1637,31 +1685,44 @@ def run_streaming_warc_extract(
             fname.endswith(".gz").alias("gz"),
             F.col("content").alias("payload"),
         )
-        files = files.persist() if hrefs_dir is not None else files
-        try:
+        specs = [(records_dir, WARC_RECORD_DDL)]
+        if hrefs_dir is None:
             warc_records(files).write.mode("overwrite").parquet(
                 f"{records_dir}/batch={batch_id}"
             )
-            specs = [(records_dir, WARC_RECORD_DDL)]
-            if hrefs_dir is not None:
-                from micmac_li3ds_spark.operators.warc import (
-                    WARC_HREF_DDL,
-                )
+        else:
+            from micmac_li3ds_spark.operators.warc import (
+                WARC_HREF_DDL,
+                warc_records_with_hrefs,
+            )
 
-                warc_hrefs(files).write.mode("overwrite").parquet(
+            # ONE walk of each payload: the combined kind-tagged frame
+            # is persisted across the two filtered writes, so the
+            # parse/gunzip cost is paid once, not per output
+            # (code-review r18 #7)
+            combined = warc_records_with_hrefs(files).persist()
+            try:
+                combined.filter(F.col("kind") == "rec").select(
+                    "file_id", "rec_idx", "warc_type", "target_uri",
+                    "http_status", "block_len", "block_sum", "gz",
+                ).write.mode("overwrite").parquet(
+                    f"{records_dir}/batch={batch_id}"
+                )
+                combined.filter(F.col("kind") == "href").select(
+                    "doc_id", "seq", "src_host", "href"
+                ).write.mode("overwrite").parquet(
                     f"{hrefs_dir}/batch={batch_id}"
                 )
-                specs.append((hrefs_dir, WARC_HREF_DDL))
-            auto_compact(
-                batch_df.sparkSession,
-                specs,
-                batch_id,
-                compact_every,
-                owner=checkpoint,
-            )
-        finally:
-            if hrefs_dir is not None:
-                files.unpersist()
+            finally:
+                combined.unpersist()
+            specs.append((hrefs_dir, WARC_HREF_DDL))
+        auto_compact(
+            batch_df.sparkSession,
+            specs,
+            batch_id,
+            compact_every,
+            owner=checkpoint,
+        )
 
     return run_foreach_batch(stream, warc_batch, checkpoint)
 

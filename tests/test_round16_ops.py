@@ -145,6 +145,19 @@ def test_mkv_key_registered_with_oracle_and_ledgered():
     # r16 pinned the post-freeze grace state (ledger entry == 16, key
     # NOT in the frozen window); the r17 rotation retired the grace by
     # giving the key its reserved window slot and clearing the ledger
-    # entry (the tiff precedent) — pin the transition's end state
+    # entry (the tiff precedent). From r18 on the key rotates like any
+    # other — the durable end state is: ledger entry gone, AND either
+    # a window slot (its attestation round) or a committed driver
+    # attestation proving the grace was honored
     assert "q_mm_mkv_frame_sample_range" not in R.POST_FREEZE_LEDGER
-    assert "q_mm_mkv_frame_sample_range" in R._PRIORITY
+    import glob as _glob
+    import json as _json
+
+    attested = set()
+    for f in _glob.glob("CORRECTNESS_r*.json"):
+        d = _json.load(open(f))
+        attested |= set(d.get("queries", d))
+    assert (
+        "q_mm_mkv_frame_sample_range" in R._PRIORITY
+        or "q_mm_mkv_frame_sample_range" in attested
+    )

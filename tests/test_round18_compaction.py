@@ -242,13 +242,15 @@ def _incremental_feed(spark, tmp_path, df, key, n_batches=3):
 
 
 def test_streaming_near_dedup_horizon_bounds_state(spark, tmp_path, sf_dir):
-    """compact_every=1 + horizon_batches=1 on a 3-batch feed: each fold
-    keeps only the newest batch's shingle/band state, so batch 2 pairs
-    with batch 1 but NOT with the aged-out batch 0 — exactly the twin's
-    pair set restricted to batch distance ≤ 1 (the sf0.001 corpus has
-    9 distance-2 pairs, so the restriction is observable). Drops are
-    reported durably per state dir; the emitted pair log is never
-    bounded."""
+    """compact_every=1 + horizon_batches=1 on a 3-batch feed: each
+    batch READS the previous 1 batch of shingle/band state (the
+    read-side horizon), so batch 2 pairs with batch 1 but NOT with the
+    aged-out batch 0 — exactly the twin's pair set restricted to batch
+    distance ≤ 1 (the sf0.001 corpus has 9 distance-2 pairs, so the
+    restriction is observable). Folds DROP one batch behind the read
+    window (replay safety — code-review r18 #1), so state retains
+    horizon+1 batches. Drops are reported durably per state dir; the
+    emitted pair log is never bounded."""
     from pyspark.sql import functions as F
 
     from micmac_li3ds_spark.operators.llm_text import q_llm_near_dedup
@@ -301,9 +303,10 @@ def test_streaming_near_dedup_horizon_bounds_state(spark, tmp_path, sf_dir):
     }
     assert got == want and len(want) > 0
 
-    # matching state bounded to the horizon: only batch 2's docs remain
+    # matching state bounded to horizon+1 batches (the read window
+    # plus the in-flight batch's replay needs): batches 1 and 2 remain
     surv = C.resolve_state(spark, dirs["shingle_dir"], jobs._SHINGLE_DDL)
-    assert surv.count() == n_by_batch[2]
+    assert surv.count() == n_by_batch[1] + n_by_batch[2]
     band_docs = {
         r["doc_id"]
         for r in C.resolve_state(spark, dirs["bands_dir"], jobs._BANDS_DDL)
@@ -313,20 +316,42 @@ def test_streaming_near_dedup_horizon_bounds_state(spark, tmp_path, sf_dir):
     }
     twin_docs = {
         r["doc_id"]
-        for r in docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+        for r in docs.filter(F.pmod("doc_id", F.lit(3)).isin(1, 2))
         .select("doc_id")
         .collect()
     }
     assert band_docs == twin_docs
 
     # drops reported durably, never silently: batch 0 aged out at the
-    # fold after batch 1, batch 1 after batch 2 (one shingle row/doc)
+    # fold inside batch 2 (min_src = 2 - 1 = 1; one shingle row/doc)
     ret = C.read_retention(spark, dirs["shingle_dir"])
-    assert ret["dropped_total"] == n_by_batch[0] + n_by_batch[1]
-    assert ret["last"]["min_src_batch"] == 2
+    assert ret["dropped_total"] == n_by_batch[0]
+    assert ret["last"]["min_src_batch"] == 1
     assert C.read_retention(spark, dirs["bands_dir"])["dropped_total"] > 0
     # the emitted pair log is OUTPUT, not matching state: never bounded
     assert C.read_retention(spark, dirs["pairs_dir"]) is None
+
+    # REPLAY SAFETY (code-review r18 #1): force a WAL replay of the
+    # newest batch by deleting its checkpoint commit — the replay must
+    # read the same window the original run read (read-side horizon)
+    # and rewrite pairs/batch=2 IDENTICALLY, losing nothing
+    commits = tmp_path / "ckpt" / "commits"
+    newest = max(int(p.name) for p in commits.iterdir()
+                 if p.name.isdigit())
+    (commits / str(newest)).unlink()
+    # the checksum sidecar too: a stale .crc makes the replayed
+    # query's atomic commit rename fail as "concurrent query"
+    crc = commits / f".{newest}.crc"
+    if crc.exists():
+        crc.unlink()
+    drain()
+    got_replayed = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in jobs.read_near_dedup_pairs(
+            spark, dirs["pairs_dir"]
+        ).collect()
+    }
+    assert got_replayed == want
 
 
 def test_streaming_semantic_dedup_horizon_bounds_state(
@@ -411,7 +436,7 @@ def test_streaming_semantic_dedup_horizon_bounds_state(
     assert got == want and len(want) > 0
 
     surv = C.resolve_state(spark, dirs["vectors_dir"], jobs._SEM_VEC_DDL)
-    assert surv.count() == n_by_batch[2]
+    assert surv.count() == n_by_batch[1] + n_by_batch[2]
     ret = C.read_retention(spark, dirs["vectors_dir"])
-    assert ret["dropped_total"] == n_by_batch[0] + n_by_batch[1]
+    assert ret["dropped_total"] == n_by_batch[0]
     assert C.read_retention(spark, dirs["pairs_dir"]) is None

@@ -173,9 +173,14 @@ def test_warc_hrefs_unescapes_attribute_values(spark):
 
 
 def test_warc_links_resolution_semantics(spark):
-    """Relative → same host; absolute http(s) → lowercased authority,
-    ANY port stripped; mailto/javascript dropped."""
-    from micmac_li3ds_spark.operators.warc import warc_hrefs
+    """Relative → same host; protocol-relative → its OWN host (a CDN
+    reference must not inflate self-edges); absolute http(s) →
+    lowercased authority, ANY port stripped; mailto/javascript
+    dropped."""
+    from micmac_li3ds_spark.operators.warc import (
+        resolve_links,
+        warc_hrefs,
+    )
 
     df, _ = _hrefs_df(
         spark,
@@ -183,29 +188,21 @@ def test_warc_links_resolution_semantics(spark):
             "/rel/path",
             "HTTP://Other.EXAMPLE:8080/x",
             "https://second.example:443/y",
+            "//CDN.Example:8080/lib.js",
             "mailto:a@b.example",
             "javascript:void(0)",
         ],
     )
-    from pyspark.sql import functions as F
-
-    h = warc_hrefs(df)
-    scheme = F.lower(
-        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    )
-    auth = F.regexp_extract(
-        "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
-    )
-    dst = F.when(scheme == "", F.col("src_host")).otherwise(
-        F.lower(F.regexp_replace(auth, r":[0-9]+$", ""))
-    )
     got = sorted(
-        r["dst_host"]
-        for r in h.filter(scheme.isin("", "http", "https"))
-        .select(dst.alias("dst_host"))
-        .collect()
+        (r["dst_host"], r["n_links"])
+        for r in resolve_links(warc_hrefs(df)).collect()
     )
-    assert got == ["other.example", "page.example", "second.example"]
+    assert got == [
+        ("cdn.example", 1),
+        ("other.example", 1),
+        ("page.example", 1),
+        ("second.example", 1),
+    ]
 
 
 def test_url_normalize_canonicalization_rules(spark):
@@ -222,6 +219,12 @@ def test_url_normalize_canonicalization_rules(spark):
         "https://host.example:8443/keep-port",
         "/rel?z=1",
         "mailto:nobody@host.example",
+        "//CDN.example/lib.js",      # protocol-relative: own host
+        "/doc#sec?x=1",              # '?' inside the dropped fragment
+        "http://host.example/doc",   # ...collapses with the above? no:
+        # the fragment form resolves against page.example — they stay
+        # distinct pages; the assertion pins the no-resurrected-query
+        # rule instead
     ]
     payload = _mk_response_with_links(hrefs)
     df = spark.createDataFrame(
@@ -243,6 +246,9 @@ def test_url_normalize_canonicalization_rules(spark):
         "http://host.example/Mixed/Case?a=1&b=2": 2,
         "https://host.example:8443/keep-port": 1,
         "http://page.example/rel?z=1": 1,
+        "http://cdn.example/lib.js": 1,
+        "http://page.example/doc": 1,  # fragment's '?x=1' NOT a query
+        "http://host.example/doc": 1,
     }
 
 
@@ -378,3 +384,41 @@ def test_host_rank_matches_integer_reference(spark):
             for r in host_rank(links, k=k).collect()
         }
         assert got == reference(k)
+
+
+def test_combined_walk_matches_separate_passes(spark):
+    """The streaming job's single-parse union splits back into exactly
+    the warc_records and warc_hrefs frames (code-review r18 #7)."""
+    from pyspark.sql import functions as F
+
+    from micmac_li3ds_spark.operators.warc import (
+        load_warc,
+        warc_hrefs,
+        warc_records,
+        warc_records_with_hrefs,
+    )
+
+    files = load_warc(spark)
+    combined = warc_records_with_hrefs(files)
+    rec_cols = [
+        "file_id", "rec_idx", "warc_type", "target_uri",
+        "http_status", "block_len", "block_sum", "gz",
+    ]
+    got_rec = sorted(
+        tuple(r)
+        for r in combined.filter(F.col("kind") == "rec")
+        .select(*rec_cols)
+        .collect()
+    )
+    want_rec = sorted(tuple(r) for r in warc_records(files).collect())
+    assert got_rec == want_rec and len(want_rec) > 0
+
+    href_cols = ["doc_id", "seq", "src_host", "href"]
+    got_href = sorted(
+        tuple(r)
+        for r in combined.filter(F.col("kind") == "href")
+        .select(*href_cols)
+        .collect()
+    )
+    want_href = sorted(tuple(r) for r in warc_hrefs(files).collect())
+    assert got_href == want_href and len(want_href) > 0

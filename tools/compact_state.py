@@ -29,7 +29,15 @@ rewrite explicitly.
 ``--min-src-batch K`` is the retention horizon: state rows first
 written under a batch id < K are dropped and the count reported
 (``dropped_rows``) — bounds state bytes to the deployment's
-contamination window.
+contamination window. REPLAY CAVEAT: a stream stopped before its
+newest batch's checkpoint committed will replay that batch on
+restart, and the replay re-reads state. Keep K at or below
+(newest batch id − the job's read window) — for a job running
+``horizon_batches=H`` that is ``newest − H``, the same one-behind lag
+the in-stream cadence applies automatically (code-review r18 #1) —
+or confirm the stream's last batch is committed before folding
+deeper. Cumulative drops persist in the dir's ``_RETENTION`` record
+(``compaction.read_retention``).
 
 ``--count-only`` prints the current data-file count and exits — the
 observability half (q_audit_small_files measures lake tables; this

@@ -1354,7 +1354,7 @@ def gen_warc_fixture() -> None:
         links = ["/x?a=1&b=2"]
         for _ in range(rngW.randint(1, 3)):
             host = hosts[rngW.randint(0, len(hosts) - 1)]
-            kind = rngW.randint(0, 4)
+            kind = rngW.randint(0, 6)
             if kind == 0:
                 links.append(
                     f"HTTP://{host.upper()}:80/A/b"
@@ -1369,8 +1369,15 @@ def gen_warc_fixture() -> None:
                 links.append(f"http://{host}/p/{fid}/{rngW.randint(0, 9)}")
             elif kind == 3:
                 links.append(f"/local/{rngW.randint(0, 9)}?a=1&b=2")
-            else:
+            elif kind == 4:
                 links.append("mailto:crawler@example.invalid")
+            elif kind == 5:
+                # protocol-relative: authority is its own host
+                links.append(f"//{host}/cdn/lib{rngW.randint(0, 9)}.js")
+            else:
+                # a '?' INSIDE the dropped fragment must not resurrect
+                # as query params
+                links.append(f"/doc{rngW.randint(0, 9)}#sec?x=1")
         anchors = "\n  ".join(
             f"<a href=\"{h.replace('&', '&amp;')}\">L{n}</a>"
             for n, h in enumerate(links)
