@@ -1457,10 +1457,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three outputs are plain BIGINT scalars; joins are equi-joins
     on (part, month) / node keys; no float anywhere."""
+    # The edge list fans out into five consumers (degree build, the
+    # orientation's two degree joins, the closing join, the edge
+    # count) and is deliberately NOT materialized (r18, measured
+    # best-of-3 noop at sf0.1: none 4.74 s / scoped cache 4.29 s /
+    # eager localCheckpoint 4.64 s — all within ambient noise, so the
+    # recompute is cheaper than it looks: the co-purchase build is
+    # scan+broadcast-join+bounded group expansion, and materializing
+    # it pays storage writes plus an InMemoryTableScan per consumer).
+    # The degree build below reads each edge ONCE via explode instead
+    # of the former union-of-two-selects, which evaluated the whole
+    # edge build twice for that branch alone.
     e = copurchase_edges(spark, sf_dir)
     deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("dg"))
     )
@@ -2066,9 +2078,21 @@ def cc_fixpoint(
     dead vertex-state copy per round until driver GC). Durable mode
     needs none of this: rounds live in parquet with their own bounded
     retention."""
+    # Symmetrize via a single explode instead of union-of-two-selects:
+    # the union form evaluated the whole upstream edge build once per
+    # branch inside this checkpoint job (r18 — no runtime subtree
+    # reuse); the explode reads each edge once and emits both
+    # orientations.
     sym = (
-        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
@@ -2088,6 +2112,15 @@ def cc_fixpoint(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("lbl").alias("nmin"))
         )
+        # `hashed` feeds both sides of the pointer-jumping self-join and
+        # is deliberately NOT materialized (r18, measured: a lazy
+        # persist freed after the round's checkpoint read q_graph_cc
+        # 8.95 s → 12.88 s and q_er_resolve 12.12 s → 14.17 s noop —
+        # per-round storage writes + InMemoryTableScan cost more than
+        # recomputing the two joins over the already-checkpointed
+        # inputs; the parent-lookup side is additionally pruned to
+        # (node, lbl)). Prune-aware exception to the cache-shared-
+        # subtrees rule — see OPTIMIZATION_r18.md.
         hashed = (
             lbl.join(neighbor_min, lbl.node == F.col("node2"), "left")
             .select(
@@ -2224,9 +2257,18 @@ def bfs_distances(e: DataFrame, source: int | None = None) -> tuple:
     componenthood and reserve BFS for when true hop counts are the
     deliverable (they cannot be pointer-jumped without losing the
     metric)."""
+    # Single-explode symmetrization — same rationale as cc_fixpoint's
+    # (one evaluation of the upstream edge build instead of two).
     sym = (
-        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .localCheckpoint(eager=True)
     )
     if source is None:

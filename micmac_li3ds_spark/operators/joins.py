@@ -655,43 +655,67 @@ def fuzzy_self_join(names: DataFrame, tau: int) -> DataFrame:
     nseg = tau + 1
     names = names.select("n", F.length("n").alias("m"))
 
-    # One generator struct per (ΔL, k, shift) combination, fanned out by
+    # One (ΔL, k, shift) combination per explode element, fanned out by
     # a single explode — NOT a unionAll per combination, which would
-    # re-scan the name set 75 times and blow the plan up.
-    def gen(d_l: int, k: int, shift: int):
-        big_l = F.col("m") + d_l
-        p = F.floor(big_l * k / nseg).cast("int")
-        q = F.floor(big_l * (k + 1) / nseg).cast("int")
-        return F.struct(
-            big_l.cast("int").alias("L"),
-            F.lit(k).alias("k"),
-            (p + shift).alias("p2"),
-            (q - p).alias("ln"),
+    # re-scan the name set 75 times and blow the plan up. The exploded
+    # array holds only the CONSTANT (ΔL, k, shift) triples; the
+    # per-combination segment arithmetic (L, p2, ln, seg) is computed
+    # AFTER the explode in one small projection. Inlining the
+    # arithmetic into the array literal (the previous shape) emitted
+    # 75 × 4 expression trees into one Generate node — >64 KB of
+    # generated Java, so janino refused it ("Code grows beyond 64 KB")
+    # and the probe fan-out stage silently ran INTERPRETED (guide §7.2:
+    # watch for codegen fallback). Post-explode, codegen sees one
+    # combination's worth of arithmetic and the stage compiles.
+    def fan_out(combos, out_name: str):
+        combo_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(d_l).alias("dl"),
+                    F.lit(k).alias("k"),
+                    F.lit(shift).alias("shift"),
+                )
+                for d_l, k, shift in combos
+            ]
         )
-
-    def fan_out(gens, out_name: str):
         g = F.col("g")
+        big_l = F.col("m") + g["dl"]
+        p = F.floor(big_l * g["k"] / nseg).cast("int")
+        q = F.floor(big_l * (g["k"] + 1) / nseg).cast("int")
+        p2 = (p + g["shift"]).alias("p2")
+        ln = (q - p).alias("ln")
+        derived = names.select(
+            F.col("n").alias(out_name),
+            "m",
+            F.explode(combo_arr).alias("g"),
+        ).select(
+            out_name,
+            "m",
+            big_l.cast("int").alias("L"),
+            g["k"].alias("k"),
+            p2,
+            ln,
+        )
         return (
-            names.select(
-                F.col("n").alias(out_name),
-                "m",
-                F.explode(F.array(*gens)).alias("g"),
-            )
-            .filter(
-                (g["ln"] >= 1) & (g["p2"] >= 0) & (g["p2"] + g["ln"] <= F.col("m"))
+            derived.filter(
+                (F.col("ln") >= 1)
+                & (F.col("p2") >= 0)
+                & (F.col("p2") + F.col("ln") <= F.col("m"))
             )
             .select(
                 out_name,
-                g["L"].alias("L"),
-                g["k"].alias("k"),
-                F.col(out_name).substr(g["p2"] + 1, g["ln"]).alias("seg"),
+                "L",
+                "k",
+                F.col(out_name)
+                .substr(F.col("p2") + 1, F.col("ln"))
+                .alias("seg"),
             )
         )
 
-    index = fan_out([gen(0, k, 0) for k in range(nseg)], "name_idx")
+    index = fan_out([(0, k, 0) for k in range(nseg)], "name_idx")
     probe = fan_out(
         [
-            gen(d_l, k, shift)
+            (d_l, k, shift)
             for d_l in range(-tau, tau + 1)
             for k in range(nseg)
             for shift in range(-tau, tau + 1)

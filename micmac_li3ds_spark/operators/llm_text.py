@@ -38,20 +38,17 @@ from micmac_li3ds_spark.tables import load
 
 # Caches that must outlive their query function (the returned DataFrame
 # references them lazily; the caller collects after return, so the
-# function can't unpersist its own cache). Scoped instead: the NEXT
-# scoped-cache call unpersists them, so a long-lived session running
-# many queries back-to-back (the driver, tools/check.py) carries at
-# most one query's cached shingle sets instead of accumulating all of
-# them in executor memory. Unpersisting is always safe — it drops the
-# materialization, never the lineage.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _scoped_cache(df: DataFrame) -> DataFrame:
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
-    _LIVE_CACHES.append(df)
-    return df.cache()
+# function can't unpersist its own cache). Scoped per registered query
+# via functions/cache_scope.py (r18: the former module-local one-slot
+# list could hold only ONE cache per query and broke when a registered
+# query composed another registered one): the next top-level query
+# unpersists them, so a long-lived session running many queries
+# back-to-back (the driver, tools/check.py) carries at most one query's
+# cached shingle sets instead of accumulating all of them in executor
+# memory.
+from micmac_li3ds_spark.functions.cache_scope import (  # noqa: E402
+    scoped_cache as _scoped_cache,
+)
 
 
 def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -366,36 +363,17 @@ def q_llm_lsh_recall(
     # swamps the saved shuffle; the in-array expansion wins only for
     # few-large-bucket shapes (LSH bands, clusters, co-purchase
     # groups). Same candidates either way; shape chosen by measurement.
-    post = d.select("doc_id", F.explode("sh").alias("s"))
-    rare = (
-        post.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("s")
-    )
-    post = post.join(rare, "s")
-    a = post.alias("a")
-    b = post.alias("b")
-    exact_cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # r18: the per-pair verify is the shared count-based exact-Jaccard
+    # path (posting_jaccard_pairs — see its docstring for the
+    # measurement: array verify on 1.13M candidate pairs was 9.7 s of
+    # the 12 s wall; the count path removes the shingle-array joins for
+    # every pair without an over-cap shingle on both sides).
     # truth feeds BOTH the n_true aggregate and the found join; without
     # materialization Spark recomputes the whole posting+verify pipeline
     # for each branch. The pair set is tiny (the corpus' duplicates), so
-    # an eager localCheckpoint is pennies (warm sf0.1 wall ≈ 4 s after;
-    # the branch recompute dominated before)
+    # an eager localCheckpoint is pennies.
     truth = (
-        exact_cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6) >= 0.5)
+        posting_jaccard_pairs(d, df_cap, 0.5)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -527,6 +505,38 @@ def q_llm_ngram_jaccard(
         .repartition(sp, "doc_id")
         .select("doc_id", shingles(tokens("text")).alias("sh"))
     )
+    return posting_jaccard_pairs(d, df_cap, 0.6)
+
+
+def posting_jaccard_pairs(
+    d: DataFrame, df_cap: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard pairs (doc_a, doc_b, jac ≥ threshold) over a cached
+    (doc_id, sh) frame via the inverted-index path — shared by
+    q_llm_ngram_jaccard and q_llm_lsh_recall's truth side.
+
+    r18 optimization (guide §2.3 "shuffle keys and metadata instead of
+    payloads" applied to the VERIFY stage): the old shape attached both
+    full shingle arrays to every candidate pair and ran
+    array_intersect/array_union per pair — at sf0.1 that is 1.13M
+    candidate pairs × ~150-element string arrays, 9.7 s of the 12 s
+    query (measured solo, noop-style stage timing). But the self-join
+    can count each pair's SHARED RARE shingles (``c``) in the same
+    shuffle the old ``distinct`` already paid, and per doc we know
+    n_sh (total shingles) and n_hot (shingles over ``df_cap``). Since
+    both docs' posting rows use the same global rare set,
+    |A∩B| = c + |A∩B∩hot| and |A∩B∩hot| ≤ min(hot_a, hot_b): for any
+    pair where EITHER side has zero hot shingles, |A∩B| = c exactly and
+    jac = c/(n_a + n_b − c) — pure integer-count arithmetic, identical
+    to the array result bit for bit (same integers, one IEEE divide).
+    Only pairs where BOTH docs carry over-cap shingles fall back to the
+    array verify; on any deduplicate-worthy corpus that is a sliver
+    (boilerplate-heavy docs), and the candidate SET is unchanged — a
+    pair still surfaces iff it shares ≥ 1 rare shingle.
+
+    Both branches round to 6 dp after the same int/int division, so the
+    result multiset is unchanged (verified against the brute-force
+    DuckDB oracle at sf0.001/sf0.01/sf0.1)."""
     post = d.select("doc_id", F.explode("sh").alias("s"))
     rare = (
         post.groupBy("s")
@@ -534,28 +544,76 @@ def q_llm_ngram_jaccard(
         .filter(F.col("df") <= df_cap)
         .select("s")
     )
-    post = post.join(rare, "s")
-    a = post.alias("a")
-    b = post.alias("b")
-    candidates = (
+    # Both sides of the posting self-join AND the per-doc stats
+    # aggregate read this same frame; without materialization the
+    # explode + df-join recomputes per consumer (probed r18: no runtime
+    # exchange reuse). Local A/B at sf0.1 is a wash (min-of-4 within
+    # noise both ways); kept cached for the scale posture — the df-join
+    # is a shuffle of the full posting table, and recomputing it per
+    # self-join side doubles that shuffle at 100 TB. The cache is
+    # bounded: df_cap already caps each shingle's contribution, and the
+    # frame is two skinny columns.
+    post_r = _scoped_cache(post.join(rare, "s"))
+    stats = (
+        d.select("doc_id", F.size("sh").alias("n_sh"))
+        .join(
+            post_r.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            (F.col("n_sh") - F.coalesce("n_rare", F.lit(0))).alias("n_hot"),
+        )
+    )
+    a = post_r.alias("a")
+    b = post_r.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            stats.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("n_hot").alias("hot_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            stats.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("n_hot").alias("hot_b"),
+            ),
+            "doc_b",
+        )
     )
+    count_jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    exact_by_count = pairs.filter(
+        F.least("hot_a", "hot_b") == 0
+    ).select("doc_a", "doc_b", F.round(count_jac, 6).alias("jac"))
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        candidates.join(sa, "doc_a")
+    verified_by_arrays = (
+        pairs.filter(F.least("hot_a", "hot_b") > 0)
+        .select("doc_a", "doc_b")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"),
         )
-        .filter(F.col("jac") >= 0.6)
+    )
+    return exact_by_count.unionByName(verified_by_arrays).filter(
+        F.col("jac") >= threshold
     )
 
 
@@ -1811,11 +1869,17 @@ def q_llm_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in d docs costs d index rows, never d² pairs, which is what makes
     substring dedup shippable where pairwise span comparison is not."""
     d = load(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("t"))
-    spans = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(shingles(F.col("t"), _SPAN_N), _span_key)
-        ).alias("span_h"),
+    # The span table feeds the document-frequency aggregate AND the
+    # join back; without materialization the 12-token shingling + md5
+    # span hashing ran twice (r18 executed-plan probe: 2 scans, no
+    # runtime subtree reuse). Two skinny long columns — cheap to hold.
+    spans = _scoped_cache(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(shingles(F.col("t"), _SPAN_N), _span_key)
+            ).alias("span_h"),
+        )
     )
     df_counts = spans.groupBy("span_h").agg(
         F.countDistinct("doc_id").alias("n_docs")
@@ -2284,7 +2348,11 @@ def q_llm_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cost envelope to the LSH-bucket joins (SCALE.md §5).
     Distinct-before-join keeps a doc repeating a fingerprint from
     inflating counts."""
-    fps = (
+    # The distinct fingerprint set feeds the stop-print aggregate AND
+    # both posting sides; without materialization the full winnowing
+    # selection chain recomputed once per consumer (r18 executed-plan
+    # probe: 4 scans, no runtime subtree reuse). Two skinny columns.
+    fps = _scoped_cache(
         q_llm_winnowing(spark, sf_dir)
         .select("doc_id", "fp")
         .distinct()

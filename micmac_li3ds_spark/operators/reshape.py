@@ -147,11 +147,17 @@ def q_etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_type")
     )
+    # No trailing orderBy (r18, guide §2.4 "an orderBy used only to make
+    # output deterministic"): the SCD2 relation is a set of validity
+    # intervals — the driver's value hash and the DuckDB parity check
+    # are both order-insensitive, and the final global sort was a full
+    # range-partition exchange + sort of every interval row purely for
+    # presentation. At 100 TB that exchange is the single largest cost
+    # of the query; dropping it changes no result value.
     return (
         changes.withColumn("valid_from", F.col("ts_sec"))
         .withColumn("valid_to", F.lead("ts_sec").over(w))
         .select("user_id", "event_type", "valid_from", "valid_to")
-        .orderBy("user_id", "valid_from")
     )
 
 
@@ -189,7 +195,14 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the per-column rows are a driver-side reshape of the
     1-row result (3 projections of one agg, not 3 scans)."""
     orders = load(spark, sf_dir, "orders")
-    p = orders.agg(
+    # NOT cached (r18, measured 0.80 s → 2.06 s noop with a scoped
+    # cache): the three per-column projections LOOK like one shared
+    # subtree, but Catalyst prunes each branch to a single-column
+    # aggregate (one Expand each); materializing the full 3-distinct
+    # aggregate once is a wider Expand and costs more than the three
+    # pruned recomputes. Prune-aware exception to the cache-shared-
+    # subtrees rule — see OPTIMIZATION_r18.md.
+    p = (orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_orderkey").alias("nn_key"),
         F.countDistinct("o_orderkey").alias("nd_key"),
@@ -203,7 +216,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_totalprice").alias("nd_tp"),
         F.min("o_totalprice").alias("mn_tp"),
         F.max("o_totalprice").alias("mx_tp"),
-    )
+    ))
 
     def row(col: str, nn: str, nd: str, mn: str, mx: str):
         return p.select(
@@ -285,6 +298,9 @@ def q_profile_columns_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx.alias(f"mx_{suffix}"),
         ]
 
+    # NOT cached — same prune-aware exception as q_profile_columns
+    # (r18, measured 4.55 s → 16.81 s with a scoped cache: the cached
+    # monolith pays one Expand over every distinct+HLL column at once).
     p = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *stats("o_orderkey", "key", True),

@@ -548,15 +548,33 @@ def _ordered(regs: dict[str, Query]) -> dict[str, Query]:
 
 
 def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):
-    """Decorator: register a query under ``name`` with optional oracle SQL."""
+    """Decorator: register a query under ``name`` with optional oracle SQL.
+
+    The registered callable is wrapped in a cache scope
+    (functions/cache_scope.py): entering a top-level query releases the
+    PREVIOUS query's scoped caches, so multi-branch operators can
+    materialize shared intermediates without leaking them across a
+    long-lived session. The wrapper is reentrant — registered queries
+    that compose other registered queries share one scope.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        from functools import wraps
+
+        from micmac_li3ds_spark.functions.cache_scope import query_scope
+
+        @wraps(fn)
+        def scoped(*args, **kwargs):
+            with query_scope():
+                return fn(*args, **kwargs)
+
         _REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
+            name=name, fn=scoped, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
         )
-        return fn
+        return scoped
 
     return deco
 

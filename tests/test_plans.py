@@ -67,8 +67,10 @@ def test_aggregate_has_partial_phase(spark):
 def test_scd2_windows_share_one_exchange(spark):
     p = plan(spark, "q_etl_scd2")
     # both window passes partition by user_id: exactly one hash exchange
-    # on user_id (the second exchange in the plan is the output sort)
+    # on user_id — and since r18 no trailing presentation sort either,
+    # so the window exchange is the plan's ONLY exchange
     assert 1 <= p.count("hashpartitioning(user_id") <= 1
+    assert "rangepartitioning" not in p
 
 
 def test_correlated_subquery_decorrelates(spark):
