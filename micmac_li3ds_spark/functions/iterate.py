@@ -79,9 +79,24 @@ def unpersist_local_checkpoint(df: DataFrame) -> None:
 
     Best-effort by contract: if a Spark upgrade changes the plan shape
     the reflection expects, the loop must still converge — driver GC
-    remains the (slower) backstop, exactly the pre-fix behavior."""
+    remains the (slower) backstop, exactly the pre-fix behavior.
+
+    r18: walks the analyzed plan and unpersists EVERY ``LogicalRDD``
+    it reaches, instead of assuming the root node is one. cc_fixpoint
+    now returns a two-column projection OVER its final checkpoint (the
+    checkpoint itself carries the loop-internal ``_chg`` column), so
+    the checkpointed RDD sits one Project below the root; the walk
+    frees it either way. Still only call this on frames whose
+    checkpoints the caller exclusively owns."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "LogicalRDD":
+                node.rdd().unpersist(False)
+            else:
+                for i in range(node.children().size()):
+                    stack.append(node.children().apply(i))
     except Exception:
         pass  # plan shape changed under us: fall back to driver GC
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from micmac_li3ds_spark.functions.cache_scope import scoped_cache
 from micmac_li3ds_spark.functions.exact import cents, duck_cents, duck_pct, pct
 from micmac_li3ds_spark.functions.iterate import unpersist_local_checkpoint
 from micmac_li3ds_spark.registry import register
@@ -1139,8 +1140,19 @@ def pagerank_fixpoint(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib_edges = edges.join(outdeg, "src")
-    ranks = edges.select("src").distinct().select(
+    # The edge+outdeg table is re-read by EVERY superstep, and with no
+    # runtime subtree reuse the orders⋈lineitem pairs build + degree
+    # aggregation re-ran once per chained superstep — k=6 evaluations
+    # in q_graph_pagerank_fix's single collected plan (r18; measured
+    # min-of-4 noop at sf0.1, matched calm windows: 3.95 s → 3.03 s
+    # from this one cache).
+    # scoped_cache (not localCheckpoint) so lineage stays replayable
+    # and the blocks are released when the next query starts.
+    contrib_edges = scoped_cache(edges.join(outdeg, "src"))
+    # seed from contrib_edges (same src set — the outdeg join is inner
+    # on src, and every edge source has outdeg ≥ 1) so the init scan
+    # reads the cache instead of a third edge-build evaluation
+    ranks = contrib_edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank_u")
     )
     for _ in range(k):
@@ -2105,6 +2117,9 @@ def cc_fixpoint(
         lbl = state.save(lbl, 0) if state is not None else lbl.localCheckpoint(
             eager=True
         )
+    # the checkpoint frame backing `lbl` (they differ once the loop
+    # starts pruning the _chg column off each round's checkpoint)
+    lbl_ck = lbl
     rounds = 0
     while True:
         neighbor_min = (
@@ -2128,6 +2143,9 @@ def cc_fixpoint(
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
+                # the round's STARTING label rides along so `changed`
+                # can be folded into the checkpointed frame (below)
+                F.col("lbl").alias("_prev"),
             )
         )
         jumped = (
@@ -2138,25 +2156,49 @@ def cc_fixpoint(
                 ),
                 F.col("c.lbl") == F.col("pnode"),
             )
-            .select(F.col("c.node").alias("node"), F.col("plbl").alias("lbl"))
+            .select(
+                F.col("c.node").alias("node"),
+                F.col("plbl").alias("lbl"),
+                (F.col("plbl") != F.col("c._prev")).alias("_chg"),
+            )
         )
-        jumped = (
-            state.save(jumped, start + rounds + 1)
-            if state is not None
-            else jumped.localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("nw")
-            .join(lbl.alias("old"), "node")
-            .filter(F.col("nw.lbl") != F.col("old.lbl"))
-            .count()
-        )
-        superseded = lbl
-        lbl = jumped
+        if state is not None:
+            # Durable mode is untouched (resumable parquet contract:
+            # rounds persist exactly (node, lbl)): changed via the
+            # original join against the previous round.
+            jumped = state.save(
+                jumped.select("node", "lbl"), start + rounds + 1
+            )
+            changed = (
+                jumped.alias("nw")
+                .join(lbl.alias("old"), "node")
+                .filter(F.col("nw.lbl") != F.col("old.lbl"))
+                .count()
+            )
+            superseded = lbl
+            lbl = jumped
+        else:
+            # r18 (guide §2.4 "remove shuffles outright", applied to the
+            # loop's control plane): the old shape ran TWO jobs per round
+            # — the eager checkpoint, then a jumped⋈lbl join just to
+            # count changed labels. Threading the round's starting label
+            # through the self-join lets `changed` be a filter-count
+            # over the ALREADY CHECKPOINTED blocks: one comparison
+            # column in the checkpoint buys back a whole n-row join +
+            # exchange per round. Measured (min-of-4 noop, sf0.1,
+            # matched ambient windows): q_graph_cc 6.19→5.37 s,
+            # q_er_resolve 8.98→8.32 s (q_llm_semantic_dedup's tiny
+            # 124-edge graph reads flat within drift).
+            ck = jumped.localCheckpoint(eager=True)
+            changed = ck.filter(F.col("_chg")).count()
+            superseded = lbl_ck
+            lbl_ck = ck
+            lbl = ck.select("node", "lbl")
         rounds += 1
         if state is None:
-            # jumped is an eager checkpoint and `changed` has been
-            # computed from it — the previous round's blocks are garbage
+            # the new round is an eager checkpoint and `changed` has
+            # been computed from it — the previous round's blocks are
+            # garbage
             unpersist_local_checkpoint(superseded)
         if fail_after is not None and rounds >= fail_after and changed != 0:
             raise RuntimeError(
@@ -2274,10 +2316,26 @@ def bfs_distances(e: DataFrame, source: int | None = None) -> tuple:
     if source is None:
         source = sym.agg(F.min("a")).collect()[0][0]
     spark = e.sparkSession
-    settled = spark.createDataFrame(
+    seed = spark.createDataFrame(
         [(int(source), 0)], "node long, dist int"
     ).localCheckpoint(eager=True)
-    frontier = settled
+    # r18 (guide §2.4 applied to the loop's control plane): `settled`
+    # is a LAZY UNION of the per-round frontier checkpoints instead of
+    # a re-checkpointed full copy per round. Each settled row is
+    # checkpointed EXACTLY ONCE (in the round that discovered it), so
+    # total checkpoint writes drop from O(rounds · |settled|) to
+    # O(|settled|) — on a deep graph the old shape rewrote the entire
+    # settled set every round — and each round runs ONE materializing
+    # job (the new frontier) instead of two. The union is plan-depth
+    # O(rounds) of LogicalRDD leaves: no recompute, and
+    # unpersist_local_checkpoint(settled) frees every part (the helper
+    # walks the plan). Local sf0.1 A/B is inconclusive under this
+    # host's steal bursts (5.8-7.8 s both shapes); kept for the
+    # structural win — half the materializing jobs per round and
+    # O(|settled|) total checkpoint writes, which is what matters on a
+    # deep 100 TB graph.
+    settled = seed
+    frontier = seed
     rounds = 0
     while True:
         rounds += 1
@@ -2292,22 +2350,10 @@ def bfs_distances(e: DataFrame, source: int | None = None) -> tuple:
             # the empty terminal frame has no consumer
             unpersist_local_checkpoint(new)
             break
-        # the new settled checkpoint is materialized (eager), so the
-        # superseded settled — and the frontier it already absorbed a
-        # round ago — are garbage; freeing them keeps executor storage
-        # at O(|settled| + |frontier|), not O(rounds · |settled|)
-        # (ADVICE r13 #3 applied to every in-window driver loop).
-        # Round 1 aliases frontier to settled — guard the double free.
-        old_settled, old_frontier = settled, frontier
-        settled = settled.unionByName(new).localCheckpoint(eager=True)
-        if old_frontier is not old_settled:
-            unpersist_local_checkpoint(old_frontier)
-        unpersist_local_checkpoint(old_settled)
+        settled = settled.unionByName(new)
         frontier = new
-    # the returned `settled` is a self-contained checkpoint: the edge
-    # list and the last frontier are not part of its lineage
-    if frontier is not settled:
-        unpersist_local_checkpoint(frontier)
+    # the returned `settled` reads only the per-round checkpoints: the
+    # edge list is not part of its lineage
     unpersist_local_checkpoint(sym)
     return settled, source, rounds
 
@@ -2477,9 +2523,19 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_sym(e: DataFrame) -> DataFrame:
+    # Single-explode symmetrization (r18) — same rationale as
+    # cc_fixpoint's: one evaluation of the upstream edge build instead
+    # of one per union branch.
     return (
-        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .localCheckpoint(eager=True)
     )
 

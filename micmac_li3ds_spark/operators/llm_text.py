@@ -1210,11 +1210,24 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = q_llm_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    # Single-explode symmetrization (r18, the cc_fixpoint rationale):
+    # the union-of-two-selects form evaluated the WHOLE near-dedup
+    # pipeline once per branch inside this checkpoint job; the explode
+    # reads each verified pair once and emits both orientations.
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.a", "_e.b")
         .localCheckpoint()
     )
     labels = (
@@ -1229,6 +1242,12 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("b").alias("doc2"))
             .agg(F.min("lbl").alias("nmin"))
         )
+        # r18 (the cc_fixpoint changed-fold): a `_chg` flag rides the
+        # checkpoint (new label differs iff a neighbor's min undercuts
+        # the current label), so `changed` is a filter-count over the
+        # blocks the checkpoint just materialized — the old shape paid
+        # a second n-row join + exchange per round just to compare
+        # against the previous labels.
         new_labels = (
             labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
             .select(
@@ -1236,20 +1255,20 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
+                F.coalesce(
+                    F.col("nmin") < F.col("lbl"), F.lit(False)
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_chg")).count()
         # the count() above materialized new_labels' checkpoint, so the
         # previous round's blocks are now garbage — free them instead
         # of letting them pin executor storage until driver GC
+        # (unpersist walks through the pruning projection to the
+        # checkpointed RDD)
         unpersist_local_checkpoint(labels)
-        labels = new_labels
+        labels = new_labels.select("doc", "lbl")
         if changed == 0:
             break
     # converged: the result below derives from `labels` alone, so the
@@ -1408,10 +1427,25 @@ def q_llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
+    # The always-true spark_partition_id() guard is a PUSHDOWN BARRIER,
+    # not logic (r18, guide §4.4's placement-control idea applied to JVM
+    # expressions): when a composing query filters on these flags
+    # (q_llm_curate_pipeline's keep-filter), Catalyst substitutes the
+    # flag expressions into the predicate and pushes it below _spread's
+    # round-robin exchange — the shingling-grade metric compute then
+    # runs INSIDE the scan stage, single-threaded on this corpus'
+    # one-row-group parquet (plan nodes 5-9 of
+    # plans/r18/q_llm_curate_pipeline_before.txt). Marking the flags
+    # nondeterministic (values are partition-independent — the guard is
+    # always true, so retries are safe) pins the compute above the
+    # exchange, where it runs at full cluster width. Measured at sf0.1:
+    # q_llm_curate_pipeline 6.47 s → 3.43 s and q_llm_corpus_filter
+    # 5.85 s → 2.97 s min-of-4 (same steal-burst window).
+    _above_spread = F.spark_partition_id() >= 0
     flags = d.select(
         "doc_id",
-        (uniq < 0.35).alias("low_uniq"),
-        (rep > 0.01).alias("repetitive"),
+        F.when(_above_spread, uniq < 0.35).alias("low_uniq"),
+        F.when(_above_spread, rep > 0.01).alias("repetitive"),
     ).join(
         dup_b.withColumn("near_dup", F.lit(True)), "doc_id", "left"
     ).withColumn("near_dup", F.coalesce(F.col("near_dup"), F.lit(False)))

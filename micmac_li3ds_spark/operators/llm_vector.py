@@ -252,21 +252,29 @@ def q_llm_embed_dedup(
     property-tested in tests/test_properties.py (candidate counts
     shrink with planes, strong pairs survive a multi-band run)."""
     e = _emb(spark, sf_dir)
-    b = sign_buckets(e, n_planes=n_planes, n_bands=n_bands)
-    a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
+    # The bucket self-join shuffles ONLY (vec_id, band, bucket) — r18,
+    # guide §2.3 "shuffle keys and metadata instead of payloads": the
+    # previous n_bands=1 path carried both 64-double vectors through
+    # both sides of the exchange just to hand them to the verify;
+    # attaching vectors AFTER pairing costs two equi-joins against the
+    # (far smaller) embedding table instead of widening every shuffled
+    # candidate row. Same pairs, same cosine values.
+    b = sign_buckets(e, n_planes=n_planes, n_bands=n_bands).select(
+        "vec_id", "band", "bucket"
     )
-    c = b.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+    a = b.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    ids = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
-    pairs = a.join(c, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     if n_bands > 1:
-        # a pair can collide in several bands; dedup ids only (cheap),
-        # then re-attach vectors for the verify pass
-        ids = pairs.select("id_a", "id_b").distinct()
-        e_a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-        e_b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-        pairs = ids.join(e_a, "id_a").join(e_b, "id_b")
+        # a pair can collide in several bands; dedup ids only (cheap)
+        ids = ids.distinct()
+    e_a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    e_b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = ids.join(e_a, "id_a").join(e_b, "id_b")
     return (
         pairs.select(
             "id_a",

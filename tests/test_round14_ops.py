@@ -470,7 +470,13 @@ def test_bfs_and_kcore_loops_do_not_accumulate_checkpoint_blocks(spark):
     settled, src, rounds = bfs_distances(edges)
     assert rounds >= 5 and settled.count() == 11 and src == 0
     created = _persisted_rdd_ids(spark) - before
-    assert len(created) == 1  # settled only
+    # r18: settled is a lazy union of per-round frontier checkpoints
+    # (each settled row checkpointed exactly once — O(|settled|) total
+    # writes instead of a full re-checkpointed copy per round), so the
+    # live set is one part per productive round, all freed below via
+    # the returned frame. The bound still pins the loop against
+    # leaking superseded copies: parts ≤ rounds + the seed.
+    assert 1 <= len(created) <= rounds + 1
     from micmac_li3ds_spark.functions.iterate import (
         unpersist_local_checkpoint,
     )
