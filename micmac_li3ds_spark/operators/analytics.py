@@ -1177,6 +1177,14 @@ def pagerank_fixpoint(
             # cc_fixpoint hygiene applied here): no-op on iteration 1,
             # where prev is the unpersisted seed plan
             unpersist_local_checkpoint(prev)
+    if checkpoint and k > 0:
+        # the final superstep is a self-contained checkpoint, so the
+        # edge cache has no remaining consumer — free it now instead of
+        # waiting for the next query scope (direct/library callers get
+        # deterministic cleanup; the scope's later release is a no-op).
+        # checkpoint=False must NOT do this: the returned plan still
+        # reads contrib_edges lazily.
+        contrib_edges.unpersist()
     return ranks.select(
         "node",
         "rank_u",
