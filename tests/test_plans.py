@@ -908,3 +908,117 @@ def test_registry_wide_plan_invariants(spark):
         "pandas UDF / mapInPandas, or at minimum @udf(useArrow=True); "
         "BatchEvalPython has no allowlist"
     )
+
+
+# --------------------------------------------------------- r19 pin tests
+# The two load-bearing r18 wins that relied on optimizer implementation
+# details nobody pinned (r18 verdict "What's wrong" items 1): the curate
+# pushdown barrier and the fuzzy-join codegen-safe fan-out. Both would
+# silently revert under a Spark upgrade (or a careless refactor) with
+# every value test still green — these fail loudly instead.
+
+
+def _tree_nodes(p: str) -> list[tuple[int, str, int]]:
+    """Parse the formatted plan's tree section into (depth, name, id)
+    rows, ordered root-first. Depth = column where the node name starts
+    (the '+-'/':-' connectors indent by 3 per level)."""
+    nodes = []
+    for line in p.splitlines():
+        m = re.match(r"^([\s:+\-*]*?)([A-Za-z][A-Za-z0-9 ]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+        if line.startswith("== Physical Plan =="):
+            nodes = []
+        if line.strip().startswith("(1) "):
+            break
+    return nodes
+
+
+def _detail_blocks(p: str) -> dict[int, str]:
+    """Map node id -> its details block in a formatted plan."""
+    blocks: dict[int, str] = {}
+    cur = None
+    for line in p.splitlines():
+        m = re.match(r"^\((\d+)\) [A-Za-z]", line)
+        if m:
+            cur = int(m.group(1))
+            blocks[cur] = line
+        elif cur is not None:
+            blocks[cur] += "\n" + line
+    return blocks
+
+
+@pytest.mark.parametrize("name", ["q_llm_curate_pipeline", "q_llm_corpus_filter"])
+def test_curate_metric_compute_stays_above_spread_exchange(spark, name):
+    """r18's biggest curate win (6.47→3.43 s) depends on Catalyst NOT
+    substituting the corpus-filter metric flags into the keep-filter and
+    pushing them below _spread's round-robin exchange — today guaranteed
+    only by the nondeterministic pushdown barrier in q_llm_corpus_filter
+    (an optimizer-version-dependent behavior). Pin the plan shape it
+    buys: (a) no Filter condition inlines the raw metric expressions,
+    and (b) walking up from the documents scan that feeds the metric
+    flags, an Exchange appears BEFORE the node that computes them (the
+    shingling-grade metrics run at full cluster width, never inside the
+    single-row-group scan stage)."""
+    p = plan(spark, name)
+    blocks = _detail_blocks(p)
+    metric_sig = "0.35"  # the uniq threshold appears only in the metric exprs
+    for nid, block in blocks.items():
+        if block.startswith(f"({nid}) Filter") and metric_sig in block:
+            pytest.fail(
+                f"node ({nid}): metric expressions substituted into a "
+                "Filter condition — the pushdown barrier regressed"
+            )
+    nodes = _tree_nodes(p)
+    assert nodes, "could not parse plan tree"
+    # ancestors of each node, via depth-ordered walk
+    by_pos = list(enumerate(nodes))
+    metric_ids = {
+        nid for nid, b in blocks.items() if metric_sig in b
+    }
+    assert metric_ids, "metric expressions not found in any node"
+    checked = False
+    for i, (depth, nm, nid) in by_pos:
+        if nm.startswith("Scan parquet"):
+            # walk ancestors root-ward: nearest preceding shallower rows
+            exchange_seen = False
+            d = depth
+            for j in range(i - 1, -1, -1):
+                pd, pn, pid = nodes[j]
+                if pd < d:
+                    d = pd
+                    if "Exchange" in pn:
+                        exchange_seen = True
+                    if pid in metric_ids:
+                        checked = True
+                        assert exchange_seen, (
+                            f"metric-computing node ({pid}) sits below "
+                            f"the first Exchange above scan ({nid}) — "
+                            "the metric compute was pushed into the "
+                            "scan stage (single-threaded on a "
+                            "one-row-group corpus)"
+                        )
+                        break
+    assert checked, "no documents scan found under a metric-computing node"
+
+
+def test_fuzzy_join_fanout_explodes_constant_triples(spark):
+    """r18's q_join_fuzzy codegen fix (4.17→1.56 s): the PassJoin
+    fan-out must explode an array of CONSTANT (ΔL, k, shift) triples —
+    inlining the per-combination segment arithmetic into the explode
+    literal emitted >64 KB of generated Java for the Generate node,
+    janino refused it, and the stage silently ran interpreted. Pin it:
+    every explode argument in the plan is a pure literal (no attribute
+    references, no function calls), and the probe side carries all 75
+    three-element combinations."""
+    p = plan(spark, "q_join_fuzzy")
+    args = re.findall(r"explode\((\[.*?\])\), \[", p)
+    assert args, "no Generate/explode nodes found in q_join_fuzzy plan"
+    for a in args:
+        assert "#" not in a and not re.search(r"[A-Za-z]", a), (
+            "explode argument is not a constant literal array — the "
+            f"fan-out arithmetic leaked back into the Generate node: {a[:200]}"
+        )
+    # probe side: (2τ+1)·(τ+1)·(2τ+1) = 75 triples at τ=2
+    sizes = sorted(a.count("],") + 1 for a in args)
+    assert sizes == [3, 75], f"expected index=3 / probe=75 triples, got {sizes}"
