@@ -33,19 +33,58 @@ shared, reentrant replacement:
 - Nested registered calls (q_llm_dup_ratio_by_source →
   q_llm_near_dedup) share the outer scope via depth counting.
 - ``scoped_cache(df)`` registers + caches; any number per query.
+- ``scoped_release(fn)`` registers an arbitrary release callback (e.g.
+  freeing a loop's localCheckpoint blocks) to run at the same point —
+  but ONLY when a scope is active, because a localCheckpoint frame is
+  unrecoverable once its blocks are dropped and a direct library caller
+  may hold the frame indefinitely; outside a scope the caller owns the
+  lifetime and ``scoped_release`` reports that by returning False.
 
-Unpersisting is always safe — it drops the materialization, never the
-lineage.
+Unpersisting a *cache* is always safe — it drops the materialization,
+never the lineage. Release *callbacks* may be destructive (checkpoint
+blocks cannot be replayed), which is why they only arm inside a scope.
+
+Concurrency contract (r18 advice): scope state is module-global and
+guarded by ``_LOCK`` so concurrent mutation cannot corrupt the lists,
+but the SCOPING MODEL itself is single-threaded-driver — two driver
+threads running registered queries concurrently would still release
+each other's caches at top-level entry (harmless for correctness, the
+lineage replays, but it defeats the materialization). Every entry point
+in this repo (driver verify loop, bench.py, tools/check.py, pytest)
+runs queries sequentially on one thread; keep it that way or move
+_ACTIVE/_DEPTH into threading.local and give each thread its own scope.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
+from typing import Callable
 
 from pyspark.sql import DataFrame
 
+_LOCK = threading.RLock()
 _ACTIVE: list[DataFrame] = []
+_RELEASES: list[Callable[[], None]] = []
+# One-slot pool for scoped_cache calls made OUTSIDE any query scope
+# (library callers invoking operators directly — r18 advice: the
+# previous module-local slot released the prior cache on every call, so
+# direct long-lived usage must not accumulate): each depth-0 call
+# releases the previous depth-0 caches *of the same call site pattern*,
+# i.e. the whole pool, restoring the old bounded behavior.
+_LIB: list[DataFrame] = []
 _DEPTH = 0
+
+
+def _drain() -> None:
+    """Release the previous query's materializations + callbacks.
+    Caller holds _LOCK."""
+    while _ACTIVE:
+        _ACTIVE.pop().unpersist()
+    while _LIB:
+        _LIB.pop().unpersist()
+    while _RELEASES:
+        _RELEASES.pop()()
 
 
 @contextmanager
@@ -53,14 +92,15 @@ def query_scope():
     """Mark one top-level query invocation. Reentrant: only the
     outermost entry releases the previous query's caches."""
     global _DEPTH
-    if _DEPTH == 0:
-        while _ACTIVE:
-            _ACTIVE.pop().unpersist()
-    _DEPTH += 1
+    with _LOCK:
+        if _DEPTH == 0:
+            _drain()
+        _DEPTH += 1
     try:
         yield
     finally:
-        _DEPTH -= 1
+        with _LOCK:
+            _DEPTH -= 1
 
 
 def scoped_cache(df: DataFrame) -> DataFrame:
@@ -70,6 +110,32 @@ def scoped_cache(df: DataFrame) -> DataFrame:
     frame larger than executor storage spills to local disk instead of
     evicting or OOMing — the right posture for data-sized intermediates
     at scale; tiny ones stay in memory.
+
+    Outside any query scope (direct library usage) the pool is
+    one-generation: each call releases the caches of previous unscoped
+    calls, so a long-lived session that never enters a registered query
+    holds at most the current operator's materializations.
     """
-    _ACTIVE.append(df)
+    with _LOCK:
+        if _DEPTH == 0:
+            while _LIB:
+                _LIB.pop().unpersist()
+            _LIB.append(df)
+        else:
+            _ACTIVE.append(df)
     return df.cache()
+
+
+def scoped_release(fn: Callable[[], None]) -> bool:
+    """Run ``fn`` when the next top-level registered query begins.
+
+    Returns True if the callback was registered (a scope is active),
+    False otherwise — callers holding destructive releases (checkpoint
+    block frees) must keep ownership when this returns False, because a
+    direct library caller's frame has no collection deadline.
+    """
+    with _LOCK:
+        if _DEPTH == 0:
+            return False
+        _RELEASES.append(fn)
+        return True

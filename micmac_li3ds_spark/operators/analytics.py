@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from micmac_li3ds_spark.functions.cache_scope import scoped_cache
+from micmac_li3ds_spark.functions.cache_scope import (
+    scoped_cache,
+    scoped_release,
+)
 from micmac_li3ds_spark.functions.exact import cents, duck_cents, duck_pct, pct
 from micmac_li3ds_spark.functions.iterate import unpersist_local_checkpoint
 from micmac_li3ds_spark.registry import register
@@ -2289,6 +2292,9 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BFS_CONSOLIDATE_EVERY = 64  # union-depth cap: consolidate settled every K rounds
+
+
 def bfs_distances(e: DataFrame, source: int | None = None) -> tuple:
     """Single-source BFS hop distances over an undirected edge list
     (u, v). Returns (distances DataFrame (node, dist), source id,
@@ -2360,9 +2366,31 @@ def bfs_distances(e: DataFrame, source: int | None = None) -> tuple:
             break
         settled = settled.unionByName(new)
         frontier = new
+        # r19 (r18 verdict item 6): the lazy union grows one LogicalRDD
+        # leaf per round, so a deep (long-chain) graph pays O(rounds)
+        # plan-analysis cost per round and O(rounds²) total — and every
+        # leaf stays pinned on executors. Consolidate the union into ONE
+        # fresh checkpoint every K rounds and free the superseded
+        # leaves: amortized writes stay O(|settled| · rounds / K) ≈
+        # O(|settled|) for K ≫ 1 while plan width is capped at K leaves.
+        # The frontier is re-derived from the consolidated frame (its
+        # rows are exactly the dist == rounds slice) because its own
+        # checkpoint is among the leaves being freed.
+        if rounds % _BFS_CONSOLIDATE_EVERY == 0:
+            consolidated = settled.localCheckpoint(eager=True)
+            unpersist_local_checkpoint(settled)
+            settled = consolidated
+            frontier = consolidated.filter(F.col("dist") == rounds)
     # the returned `settled` reads only the per-round checkpoints: the
     # edge list is not part of its lineage
     unpersist_local_checkpoint(sym)
+    # Registered-query callers (q_graph_sssp) collect the result before
+    # the next registered query begins, so the checkpoint blocks can be
+    # freed deterministically at that point instead of waiting on driver
+    # GC (r18 advice). Direct library callers own the frame's lifetime —
+    # scoped_release refuses outside a scope and we leave the blocks to
+    # GC, exactly the pre-r19 behavior.
+    scoped_release(lambda: unpersist_local_checkpoint(settled))
     return settled, source, rounds
 
 

@@ -536,36 +536,47 @@ def posting_jaccard_pairs(
 
     Both branches round to 6 dp after the same int/int division, so the
     result multiset is unchanged (verified against the brute-force
-    DuckDB oracle at sf0.001/sf0.01/sf0.1)."""
-    post = d.select("doc_id", F.explode("sh").alias("s"))
-    rare = (
-        post.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("s")
+    DuckDB oracle at sf0.001/sf0.01/sf0.1).
+
+    r19 restructure (same integers, same candidate set — stage-timed at
+    sf0.1 with the caches pre-built: self-join 0.66 s, +groupBy 0.99 s,
+    +two stats joins 1.75 s, full two-branch union 5.19 s):
+
+    * the old shape's dominant cost was NOT the self-join — the
+      exact/array branches each re-derived the whole
+      self-join + groupBy + stats pipeline (no runtime subtree reuse on
+      this build), doubling it, and the per-doc stats needed a
+      260k-row groupBy(doc_id) plus two joins over the 1.13 M pairs.
+    * ``n_sh`` now rides every posting row from the explode projection
+      (computed per doc BEFORE the explode — free), so the pair
+      aggregate carries (n_a, n_b) in its grouping key and both stats
+      joins and the per-doc aggregate disappear.
+    * hot-side classification needs only a BOOLEAN per doc ("has any
+      over-cap shingle"), not the count: |A∩B∩hot| = 0 as soon as
+      EITHER side has no hot shingle, which is exactly
+      least(hot_a, hot_b) == 0 in the old arithmetic. ``hot_docs`` is
+      the distinct doc set of the over-cap posting rows; two left
+      joins attach the flags (AQE broadcasts the build side when it is
+      small — on a dedup-worthy corpus it is near-empty).
+    * the flagged pairs frame (5 ints + 2 booleans per row) is
+      scoped-cached so the union's two branches read ONE
+      materialization instead of recomputing the self-join each.
+    """
+    post = d.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
-    # Both sides of the posting self-join AND the per-doc stats
-    # aggregate read this same frame; without materialization the
-    # explode + df-join recomputes per consumer (probed r18: no runtime
-    # exchange reuse). Local A/B at sf0.1 is a wash (min-of-4 within
-    # noise both ways); kept cached for the scale posture — the df-join
-    # is a shuffle of the full posting table, and recomputing it per
-    # self-join side doubles that shuffle at 100 TB. The cache is
-    # bounded: df_cap already caps each shingle's contribution, and the
-    # frame is two skinny columns.
-    post_r = _scoped_cache(post.join(rare, "s"))
-    stats = (
-        d.select("doc_id", F.size("sh").alias("n_sh"))
-        .join(
-            post_r.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare")),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "n_sh",
-            (F.col("n_sh") - F.coalesce("n_rare", F.lit(0))).alias("n_hot"),
-        )
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # One df-join attaches the shingle frequency to every posting row;
+    # the rare slice feeds the self-join twice and the hot slice feeds
+    # the hot-doc set, so the joined frame is materialized once (the
+    # r18 cache covered only the rare slice and paid the per-doc stats
+    # pass separately).
+    post_all = _scoped_cache(post.join(dfreq, "s"))
+    post_r = post_all.filter(F.col("df") <= df_cap).select(
+        "doc_id", "n_sh", "s"
+    )
+    hot_docs = (
+        post_all.filter(F.col("df") > df_cap).select("doc_id").distinct()
     )
     a = post_r.alias("a")
     b = post_r.alias("b")
@@ -575,34 +586,38 @@ def posting_jaccard_pairs(
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .join(
-            stats.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n_sh").alias("n_a"),
-                F.col("n_hot").alias("hot_a"),
+    )
+    pairs_h = _scoped_cache(
+        pairs.join(
+            hot_docs.select(
+                F.col("doc_id").alias("doc_a"), F.lit(True).alias("_hot_a")
             ),
             "doc_a",
-        )
-        .join(
-            stats.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("n_sh").alias("n_b"),
-                F.col("n_hot").alias("hot_b"),
+            "left",
+        ).join(
+            hot_docs.select(
+                F.col("doc_id").alias("doc_b"), F.lit(True).alias("_hot_b")
             ),
             "doc_b",
+            "left",
         )
     )
     count_jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
-    exact_by_count = pairs.filter(
-        F.least("hot_a", "hot_b") == 0
+    exact_by_count = pairs_h.filter(
+        F.col("_hot_a").isNull() | F.col("_hot_b").isNull()
     ).select("doc_a", "doc_b", F.round(count_jac, 6).alias("jac"))
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified_by_arrays = (
-        pairs.filter(F.least("hot_a", "hot_b") > 0)
+        pairs_h.filter(
+            F.col("_hot_a").isNotNull() & F.col("_hot_b").isNotNull()
+        )
         .select("doc_a", "doc_b")
         .join(sa, "doc_a")
         .join(sb, "doc_b")

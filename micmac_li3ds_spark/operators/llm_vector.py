@@ -1011,6 +1011,50 @@ def _pq_sq_dist() -> F.Column:
     )
 
 
+def _pq_code_array() -> F.Column:
+    """array<int> of the 8 nearest-centroid indices (k per subspace m,
+    ascending m) for a quantized-vector column ``qv`` — the map-side
+    rewrite of :func:`_pq_codes` (r19, guide §2.4 "remove shuffles
+    outright"): the codebook is a COMPILE-TIME constant
+    (8×16×8 longs ≈ 1 KB), so nearest-centroid per subspace needs no
+    broadcast join and no groupBy at all — embed it as a literal array
+    and take ``array_min`` over the same packed ``d·16 + k`` BIGINT
+    _pq_codes minimized. Identical integers, identical tie-breaking
+    (k breaks ties inside the monotone packing), zero expansion rows:
+    the old shape fanned every vector into 8×16 = 128 scored rows
+    through a BroadcastHashJoin and re-collapsed them in a two-phase
+    HashAggregate; this is one projection inside whole-stage codegen.
+    Overflow headroom unchanged (see _pq_codes)."""
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in ks])
+            for ks in _PQ_CODEBOOK
+        ]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda m: (
+            F.array_min(
+                F.transform(
+                    F.element_at(cb, m + 1),
+                    lambda c, k: F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("qv"), m * 8 + 1, 8),
+                            c,
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(16)
+                    + k,
+                )
+            )
+            % 16
+        ).cast("int"),
+    )
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str, subs: DataFrame) -> DataFrame:
     """(vec_id, m, d, k): nearest-centroid assignment per subspace — an
     associative MIN over ONE packed BIGINT ``d·16 + k``, partial-
@@ -1068,16 +1112,54 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Coordinates quantize to integer thousandths BEFORE the distance
     math, so both engines compare identical integers (no float
     association drift anywhere)."""
-    subs = _pq_subvectors(_pq_quantized(spark, sf_dir))
-    best = _pq_codes(spark, sf_dir, subs)
-    return best.groupBy("vec_id").agg(
+    # r19: one map-side projection (see _pq_code_array) — the previous
+    # posexplode → broadcast join → two-phase groupBy(vec_id) collapsed
+    # 128 scored rows per vector back into one; the code array is the
+    # same k-per-subspace sequence (ascending m ≡ the old
+    # array_sort(collect_list(struct(m, k)))), so the joined string is
+    # byte-identical. Plan: zero joins; the only exchange is _spread's
+    # scan-parallelism guard (no-op on a properly-chunked lake — see
+    # _pq_adc_scored for the single-row-group measurement).
+    from micmac_li3ds_spark.operators.llm_text import _spread
+
+    return _spread(_pq_quantized(spark, sf_dir), spark).select(
+        "vec_id",
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "k"))),
-                lambda s: s.getField("k").cast("string"),
-            ),
-            ",",
-        ).alias("pq_code")
+            F.transform(_pq_code_array(), lambda k: k.cast("string")), ","
+        ).alias("pq_code"),
+    )
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, adc_d): exact-integer ADC score of every corpus vector
+    against the query (vec 0) — shared by q_llm_knn_pq (top-10) and
+    q_llm_knn_pq_refine (top-50 shortlist): subvector posexplode,
+    broadcast-hash join of the query's 128-entry (m, k) → distance LUT,
+    groupBy(vec_id) integer sum.
+
+    r19 measured NO-OP on the alternative (documented so nobody retries
+    it blind): a map-side rewrite — nearest-centroid codes from the
+    literal-codebook projection (_pq_code_array) plus the LUT as one
+    broadcast 128-slot array, zero joins and zero aggregates — produced
+    ordered-identical results but ran 1.2-1.9× SLOWER at sf0.1 in every
+    interleaved min-of-5 window (2.98 s old vs 4.26 s rewritten,
+    best-case window 2.21 vs 2.61), even with a _spread guard: nested
+    higher-order lambdas (transform→transform→aggregate over slices)
+    are interpreted per element, while the join shape's fan-out runs
+    inside whole-stage codegen and its groupBy shuffles only narrow
+    (vec_id, partial-sum) rows. The join shape stays.
+    """
+    subs = _pq_subvectors(_pq_quantized(spark, sf_dir))
+    codes = _pq_codes(spark, sf_dir, subs.filter(F.col("vec_id") != 0))
+    qlut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(_pq_codebook_df(spark)), "m")
+        .select("m", "k", _pq_sq_dist().alias("qd"))
+    )
+    return (
+        codes.join(F.broadcast(qlut), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_d"))
     )
 
 
@@ -1116,21 +1198,7 @@ def q_llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codes, the per-vector sum is a partial-aggregable groupBy, and
     the top-10 finishes as TakeOrderedAndProject — the corpus never
     shuffles at full width. Integer math end-to-end: exact parity."""
-    subs = _pq_subvectors(_pq_quantized(spark, sf_dir))
-    codes = _pq_codes(spark, sf_dir, subs.filter(F.col("vec_id") != 0))
-    cent = _pq_codebook_df(spark)
-    qlut = (
-        subs.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(cent), "m")
-        .select("m", "k", _pq_sq_dist().alias("qd"))
-    )
-    return (
-        codes.join(F.broadcast(qlut), ["m", "k"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").cast("long").alias("adc_d"))
-        .orderBy("adc_d", "vec_id")
-        .limit(10)
-    )
+    return _pq_adc_scored(spark, sf_dir).orderBy("adc_d", "vec_id").limit(10)
 
 
 @register(
@@ -1175,28 +1243,23 @@ def q_llm_knn_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the full-precision side; top-10 finishes as
     TakeOrderedAndProject. Deterministic end-to-end: integer ADC with
     (adc_d, vec_id) cutoff ordering, cosine rounded to 6 dp."""
-    subs = _pq_subvectors(_pq_quantized(spark, sf_dir))
-    codes = _pq_codes(spark, sf_dir, subs.filter(F.col("vec_id") != 0))
-    cent = _pq_codebook_df(spark)
-    qlut = (
-        subs.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(cent), "m")
-        .select("m", "k", _pq_sq_dist().alias("qd"))
-    )
+    # r19 (measured 2.98 → 2.34 s min-of-5 interleaved at sf0.1): the
+    # full-precision query vector rides the shortlist rows instead of
+    # its own broadcast — one fewer sequential broadcast-build job (its
+    # own embeddings scan) on a query whose local cost is dominated by
+    # the serial job chain, and 50 × 64 doubles of extra TakeOrdered
+    # payload is nothing. Ordered-identical results (same qv value
+    # attached to every row, same cutoffs).
+    e = _emb(spark, sf_dir)
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     shortlist = (
-        codes.join(F.broadcast(qlut), ["m", "k"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").cast("long").alias("adc_d"))
+        _pq_adc_scored(spark, sf_dir)
+        .crossJoin(F.broadcast(qrow))
         .orderBy("adc_d", "vec_id")
         .limit(50)
     )
-    e = _emb(spark, sf_dir)
-    q = F.broadcast(
-        e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    )
     return (
         e.join(F.broadcast(shortlist), "vec_id")
-        .crossJoin(q)
         .select(
             "vec_id",
             "adc_d",

@@ -465,72 +465,71 @@ DRIVER_WINDOW = 50
 # (frontier URL canonicalization). Exactly as many keys as r19 has free
 # slots (47 forced r14-stratum keys + 3); their grace expires when
 # CORRECTNESS_r18 lands and they take those slots.
-POST_FREEZE_LEDGER: dict[str, int] = {
-    "q_llm_warc_to_documents": 18,
-    "q_llm_warc_links": 18,
-    "q_llm_url_normalize": 18,
-}
+POST_FREEZE_LEDGER: dict[str, int] = {}
+# (r18's three entries cleared: q_llm_warc_to_documents, q_llm_warc_links
+# and q_llm_url_normalize take r19 window slots 48-50 below, exactly the
+# three free slots the round-19 ledger reserved for them. No key was
+# registered post-freeze in r19 — an optimization round adds no queries.)
 
 _PRIORITY: list[str] = [
-    # --- the 48 r13-attested keys forced by the staleness invariant
-    # (test_registry.py::test_window_contains_every_stale_attestation
-    # with CORRECTNESS_r17 on disk; enumeration order preserved) ---
-    "q_fn_math",
-    "q_fn_cond",
-    "q_sort_multi",
-    "q_limit",
-    "q_jdbc_roundtrip",
-    "q_llm_ngram_jaccard",
-    "q_llm_simhash",
-    "q_llm_tfidf",
-    "q_llm_text_stats",
-    "q_llm_quality_score",
-    "q_llm_lang_id",
-    "q_llm_repetition",
-    "q_llm_corpus_filter",
-    "q_llm_decontaminate",
-    "q_llm_pii_scrub",
-    "q_llm_cosine",
-    "q_llm_knn_per_label",
-    "q_llm_embed_norm",
-    "q_returned_items",
-    "q_forecast_revenue",
-    "q_promo_revenue",
-    "q_nation_trade_volume",
-    "q_waiting_supplier",
-    "q_etl_explode_block",
-    "q_etl_get_or_create",
-    "q_etl_surrogate_keys",
-    "q_etl_pose_apply",
-    "q_etl_distortion_poly",
-    "q_etl_transfo_closure",
-    "q_sample_hash",
-    "q_reshape_unpivot",
-    "q_agg_histogram",
-    "q_profile_columns",
-    "q_mm_binary_stats",
-    "q_mm_frame_sample",
-    "q_agg_gini",
-    "q_etl_merge_upsert",
-    "q_ts_anomaly",
-    "q_agg_sketch_rollup",
-    "q_win_moving_median",
-    "q_llm_knn_recall",
-    "q_layout_zorder",
-    "q_etl_asof_snapshot",
-    "q_agg_bitmap_rollup",
-    "q_ts_downsample_lttb",
-    "q_llm_winnowing",
-    "q_llm_winnow_matches",
-    "q_ts_seasonal_profile",
-    # --- slot 49 (r17-verdict ledger, MANDATORY): fresh driver hash
-    # for the cc_fixpoint consumer whose r14 hash trailed the r16
-    # storage-hygiene change (What's-wrong 1) ---
-    "q_graph_cc",
-    # --- slot 50 (r17-verdict ledger): birth-hash slot for the key
-    # registered r17 post-freeze (POST_FREEZE_LEDGER grace expired
-    # when CORRECTNESS_r17 landed) ---
-    "q_llm_warc_extract",
+    # --- round-19 window: the 47 r14-attested keys forced by the
+    # staleness invariant (test_registry.py::
+    # test_window_contains_every_stale_attestation with
+    # CORRECTNESS_r18 on disk; enumeration order preserved) ---
+    "q_llm_dedup_clusters",
+    "q_set_intersect",
+    "q_set_except",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_corr_agg",
+    "q_subquery_exists_range",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf_applyinpandas",
+    "q_udtf_python",
+    "q_udf_cogrouped",
+    "q_udf_sql",
+    "q_scan_parquet",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_sink_parquet_partitioned",
+    "q_sink_orc_roundtrip",
+    "q_scan_binaryfile",
+    "q_topk_global",
+    "q_llm_knn_ivf",
+    "q_llm_knn_batch",
+    "q_llm_hard_negatives",
+    "q_llm_embed_quant",
+    "q_llm_lm_score",
+    "q_priority_linestatus",
+    "q_order_count_distribution",
+    "q_small_qty_revenue",
+    "q_disjunctive_revenue",
+    "q_idle_customer_balance",
+    "q_win_nth_value",
+    "q_etl_sessionize",
+    "q_etl_snapshot_diff",
+    "q_sample_weighted",
+    "q_join_skew_salted",
+    "q_join_null_safe",
+    "q_mm_feature_extract",
+    "q_llm_kmeans_fix",
+    "q_graph_triangles",
+    "q_graph_sssp",
+    "q_agg_heavy_hitters",
+    "q_graph_kcore",
+    "q_layout_bucketed_join",
+    "q_layout_partition_pruning",
+    # --- slots 48-50 (r18 ledger, MANDATORY): birth-hash slots for
+    # the three WARC/crawl compositions registered r18 post-freeze;
+    # their POST_FREEZE_LEDGER grace expired when CORRECTNESS_r18
+    # landed ---
+    "q_llm_warc_to_documents",
+    "q_llm_warc_links",
+    "q_llm_url_normalize",
 ]
 
 

@@ -451,13 +451,20 @@ def test_anomaly_zscore_single_exchange(spark):
     assert p.count("hashpartitioning(user_id") == 1
 
 
-def test_pq_encode_broadcasts_codebook(spark):
-    # the 128-row codebook must broadcast into the subvector stream;
-    # nearest-centroid must be an aggregate (partial-combinable), and
-    # nothing may cartesian
+def test_pq_encode_is_map_only(spark):
+    # r19: the codebook is a compile-time literal, so encoding is one
+    # projection — no broadcast join, no posexplode fan-out, no
+    # aggregate (the shape that makes PQ encoding embarrassingly
+    # parallel at 100 TB). The only exchange allowed is _spread's
+    # round-robin scan-parallelism guard (no-op on a chunked lake).
     p = plan(spark, "q_llm_pq_encode")
-    assert "BroadcastExchange" in p
-    assert "CartesianProduct" not in p
+    # at most the one round-robin spread exchange (tree node + detail
+    # block each print the operator name once)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Generate" not in p  # no posexplode fan-out either
+    assert "HashAggregate" not in p and "SortAggregate" not in p
 
 
 def test_knn_pq_is_lut_join_plus_topk(spark):
